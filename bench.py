@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric","value","unit","queries","sf"}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect). Timings include plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set — one per operator family (join, anti, order, dedup,
+#: agg, window, scalar, extensions get added as they land)
+HEADLINE = [
+    "flagship",
+    "join_unique",
+    "join_prefix",
+    "except_anti",
+    "top_k",
+    "resolve_dups_first",
+    "agg_pricing_summary",
+    "window_rank",
+    "scalar_date",
+    "json_props",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+    from csvplus_spark import get_spark
+
+    spark = get_spark("csvplus-bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers with the cheapest query once
+    qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

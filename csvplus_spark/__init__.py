@@ -1,0 +1,51 @@
+"""csvplus_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of maxim2266/csvplus (see SURVEY.md).
+
+Layers:
+  * compat  — the reference's fluent surface (Frame/Index/Reader) with
+    string-collation semantics, compiled to DataFrame plans;
+  * native  — the same operators over typed columns plus Spark-only
+    extensions (aggregation, windows, set ops, scalar catalog,
+    structured streaming);
+  * pipeline — LLM-data-pipeline operators (dedup, similarity search,
+    text analysis, multimodal plumbing) built scale-first.
+"""
+
+from .errors import (
+    ColumnNotFoundError,
+    CsvPlusError,
+    DataSourceError,
+    DuplicateKeyError,
+    HeaderError,
+)
+from .frame import Frame
+from .functions.casts import safe_get_value, value_as_double, value_as_int
+from .functions.predicates import all_, any_, like_, not_
+from .index import Index
+from .session import get_spark
+from .sources import Reader, from_file, from_parquet, load_table, take_rows
+
+__all__ = [
+    "Frame",
+    "Index",
+    "Reader",
+    "get_spark",
+    "from_file",
+    "from_parquet",
+    "load_table",
+    "take_rows",
+    "like_",
+    "all_",
+    "any_",
+    "not_",
+    "value_as_int",
+    "value_as_double",
+    "safe_get_value",
+    "CsvPlusError",
+    "DataSourceError",
+    "ColumnNotFoundError",
+    "DuplicateKeyError",
+    "HeaderError",
+]
+
+__version__ = "0.1.0"

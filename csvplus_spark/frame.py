@@ -1,0 +1,437 @@
+"""``Frame`` — the engine's DataSource: a lazy, fluent DataFrame wrapper.
+
+Reference model: ``DataSource func(RowFunc) error`` — a lazy chain of
+closures, executed only by a terminal call (/root/reference/
+csvplus.go:207-256, README.md:85-88). Here the chain IS the Catalyst
+logical plan: every combinator returns a new ``Frame`` wrapping a new
+(still-unexecuted) DataFrame, and terminal ops (``to_rows``,
+``to_csv_file``, …) are Spark actions.
+
+Two semantics knobs, per SURVEY.md §7:
+  * ``string_mode`` — reference compatibility: comparisons/sorts on
+    raw strings (``"10" < "2"``), csvplus.go:794-807/907-920.
+  * ``order`` — the declared row order (SURVEY.md §7 H1). DataFrames
+    are unordered; order-dependent ops (``top``/``drop``/
+    ``take_while``/``drop_while``) compile against this declared order
+    instead of an implicit file order.
+
+Scale notes: all combinators are narrow or Catalyst-planned (pushdown,
+pruning and join selection are free); the only intentionally
+sequential-semantics ops are take_while/drop_while, which use a global
+window — they are O(n log n) with a single-partition sort window and
+documented as such (their semantics are inherently total-order).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .errors import ColumnNotFoundError
+from .functions.predicates import like_
+
+if TYPE_CHECKING:
+    from .index import Index
+
+#: hidden lineage column carrying ingest order for order-dependent ops
+ROW_ID = "__cp_row_id__"
+
+
+def _as_list(cols) -> list[str]:
+    if isinstance(cols, str):
+        return [cols]
+    return list(cols)
+
+
+class Frame:
+    """A lazy row stream with a declared order.
+
+    ``order`` is a list of ``(column_name, ascending)`` pairs, or None
+    when the stream has no defined order.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        order: Sequence[tuple[str, bool]] | None = None,
+        string_mode: bool = False,
+    ):
+        self._df = df
+        self.order = list(order) if order else None
+        self.string_mode = string_mode
+
+    # ------------------------------------------------------------------
+    # plumbing
+
+    @property
+    def df(self) -> DataFrame:
+        """Underlying DataFrame without hidden lineage columns."""
+        hidden = [c for c in self._df.columns if c.startswith("__cp_")]
+        return self._df.drop(*hidden) if hidden else self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if not c.startswith("__cp_")]
+
+    def _wrap(self, df: DataFrame, order="keep") -> "Frame":
+        if order == "keep":
+            order = self.order
+            if order:  # drop order columns that no longer exist
+                cols = set(df.columns)
+                if not all(c in cols for c, _ in order):
+                    order = None
+        return Frame(df, order, self.string_mode)
+
+    def _require(self, columns: Iterable[str], context: str) -> None:
+        missing = [c for c in columns if c not in self._df.columns]
+        if missing:
+            raise ColumnNotFoundError(missing, context)
+
+    def _sort_key(self, name: str) -> Column:
+        c = F.col(name)
+        # engine lineage columns (__cp_*) are numeric by construction and
+        # must never get lexicographic treatment
+        if self.string_mode and not name.startswith("__cp_"):
+            return c.cast("string")
+        return c
+
+    def _order_cols(self) -> list[Column]:
+        if not self.order:
+            raise ValueError(
+                "this operation is order-dependent but the Frame has no "
+                "declared order; call .ordered_by(...) or .with_ingest_order() first"
+            )
+        return [
+            self._sort_key(c).asc() if asc else self._sort_key(c).desc()
+            for c, asc in self.order
+        ]
+
+    def ordered_df(self) -> DataFrame:
+        """DataFrame sorted by the declared order (no-op when unordered)."""
+        df = self._df
+        if self.order:
+            df = df.orderBy(*self._order_cols())
+        hidden = [c for c in df.columns if c.startswith("__cp_")]
+        return df.drop(*hidden) if hidden else df
+
+    def ordered_by(self, *columns: str, ascending: bool | Sequence[bool] = True) -> "Frame":
+        """Declare (and establish) a row order by the given columns."""
+        cols = _as_list(columns)
+        self._require(cols, "ordered_by")
+        if isinstance(ascending, bool):
+            asc = [ascending] * len(cols)
+        else:
+            asc = list(ascending)
+        return Frame(self._df, list(zip(cols, asc)), self.string_mode)
+
+    def with_ingest_order(self) -> "Frame":
+        """Attach a monotonically increasing row id as the declared order.
+
+        Stands in for the reference's file order (SURVEY.md §7 H1); ids
+        are increasing within and across partitions in scan order.
+        """
+        if ROW_ID in self._df.columns:
+            return self
+        df = self._df.withColumn(ROW_ID, F.monotonically_increasing_id())
+        return Frame(df, [(ROW_ID, True)], self.string_mode)
+
+    # ------------------------------------------------------------------
+    # projections — reference csvplus.go:493-525
+
+    def select_columns(self, *columns: str) -> "Frame":
+        """Strict projection; raises on missing columns.
+
+        Reference: DataSource.SelectColumns (csvplus.go:511-525);
+        panics on an empty list (csvplus.go:512-514).
+        """
+        cols = _as_list(columns)
+        if not cols:
+            raise ValueError("empty list of columns")
+        self._require(cols, "select_columns")
+        keep = cols + [c for c in self._df.columns if c.startswith("__cp_")]
+        return self._wrap(self._df.select(*keep))
+
+    def drop_columns(self, *columns: str) -> "Frame":
+        """Tolerant column drop (csvplus.go:493-507)."""
+        cols = _as_list(columns)
+        if not cols:
+            raise ValueError("empty list of columns")
+        return self._wrap(self._df.drop(*cols))
+
+    # ------------------------------------------------------------------
+    # filters / row transforms — reference csvplus.go:262-310
+
+    def filter(self, cond: Column | Mapping[str, object]) -> "Frame":
+        """Keep rows where the condition holds (csvplus.go:276-286).
+
+        Accepts a Column expression or a Like-style mapping
+        (csvplus.go:1279-1293).
+        """
+        if isinstance(cond, Mapping):
+            cond = like_(cond, string_mode=self.string_mode)
+        return self._wrap(self._df.filter(cond))
+
+    def where(self, cond) -> "Frame":
+        return self.filter(cond)
+
+    def with_columns(self, **exprs: Column) -> "Frame":
+        """Declarative Map: add/replace columns (csvplus.go:290-296)."""
+        return self._wrap(self._df.withColumns(dict(exprs)))
+
+    def map_rows(self, fn: Callable, schema) -> "Frame":
+        """Arbitrary row transform via Arrow-batched pandas iterator.
+
+        The general form of Map/Transform (csvplus.go:262-296) for
+        callables the Column algebra can't express. ``fn`` takes and
+        yields ``pandas.DataFrame`` batches (mapInPandas contract), so
+        it may drop rows (Transform's empty-row drop, csvplus.go:268)
+        or add columns. Vectorized over Arrow batches — never per-row.
+        """
+        return Frame(self._df.mapInPandas(fn, schema), None, self.string_mode)
+
+    def transform_rows(self, fn: Callable, schema) -> "Frame":
+        """Alias of :meth:`map_rows` kept for reference-name parity
+        (Transform, csvplus.go:262-272)."""
+        return self.map_rows(fn, schema)
+
+    def validate(self, cond: Column, message: str = "validation failed",
+                 eager: bool = True) -> "Frame":
+        """Fail when any row violates ``cond``.
+
+        Reference: Validate (csvplus.go:300-310) — first bad row aborts
+        iteration. ``eager=True`` (default) runs one small filter+limit
+        job now and raises :class:`DataSourceError` — the distributed
+        analogue of the reference's scan-time failure (and the filter
+        pushes down to the scan, so it is cheap). ``eager=False`` wires
+        a type-preserving conditional ``raise_error`` into every column
+        instead, deferring the check to whatever action consumes the
+        rows — but Catalyst column pruning means a column nobody reads
+        is never checked.
+        """
+        if eager:
+            from .errors import DataSourceError
+
+            bad = self._df.filter(~cond).limit(1).count()
+            if bad:
+                raise DataSourceError(message)
+            return self
+        exprs = []
+        for field in self._df.schema.fields:
+            c = F.col(field.name)
+            err = F.raise_error(F.lit(message)).cast(field.dataType)
+            exprs.append(F.when(~cond, err).otherwise(c).alias(field.name))
+        return self._wrap(self._df.select(*exprs))
+
+    # ------------------------------------------------------------------
+    # order-dependent ops — reference csvplus.go:313-374 (SURVEY §7 H1)
+
+    def top(self, n: int) -> "Frame":
+        """First n rows in declared order (Top, csvplus.go:313-326).
+
+        With a declared order Spark plans TakeOrderedAndProject (the
+        distributed analogue of the reference's io.EOF short-circuit);
+        without one it is a plain LIMIT.
+        """
+        if self.order:
+            df = self._df.orderBy(*self._order_cols()).limit(n)
+        else:
+            df = self._df.limit(n)
+        return self._wrap(df)
+
+    def drop(self, n: int) -> "Frame":
+        """Skip first n rows in declared order (Drop, csvplus.go:329-342)."""
+        if self.order:
+            df = self._df.orderBy(*self._order_cols()).offset(n)
+        else:
+            df = self._df.offset(n)
+        return self._wrap(df)
+
+    def _latched(self, cond: Column, keep_before: bool) -> "Frame":
+        """Shared engine for take_while/drop_while: a running latch over
+        the declared order. ``keep_before=True`` keeps the prefix before
+        the first violation (TakeWhile), False keeps the suffix from it
+        (DropWhile). Global window = single-partition sort: inherent to
+        the total-order semantics, documented scale caveat."""
+        w = Window.orderBy(*self._order_cols()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        latch = "__cp_latch__"
+        df = self._df.withColumn(
+            latch, F.max(F.when(~cond, F.lit(1)).otherwise(F.lit(0))).over(w)
+        )
+        df = df.filter(F.col(latch) == (0 if keep_before else 1)).drop(latch)
+        return self._wrap(df)
+
+    def take_while(self, cond: Column) -> "Frame":
+        """Pass rows while cond holds, then stop (csvplus.go:346-358)."""
+        return self._latched(cond, keep_before=True)
+
+    def drop_while(self, cond: Column) -> "Frame":
+        """Skip rows while cond holds, pass the rest (csvplus.go:362-374)."""
+        return self._latched(cond, keep_before=False)
+
+    # ------------------------------------------------------------------
+    # joins — reference csvplus.go:545-608 (semantics pinned in SURVEY §2.3)
+
+    def _join_conditions(self, other_df: DataFrame, index: "Index", probe_cols):
+        index_cols = index.columns
+        probe = _as_list(probe_cols) if probe_cols else list(index_cols)
+        if len(probe) > len(index_cols):
+            raise ValueError(
+                f"too many probe columns: {len(probe)} > {len(index_cols)}"
+            )  # reference panics, csvplus.go:548-550
+        self._require(probe, "join probe")
+        conds = []
+        for pc, ic in zip(probe, index_cols):
+            left = self._df[pc]
+            right = other_df[ic]
+            if self.string_mode:
+                left, right = left.cast("string"), right.cast("string")
+            # plain SQL equality (nulls never match) — matches both the
+            # reference (a probe row with a missing key column errors,
+            # csvplus.go:556) and the ANSI-SQL oracle semantics
+            conds.append(left == right)
+        return conds, probe
+
+    def join(self, index: "Index", *probe_cols: str, broadcast: bool | None = None) -> "Frame":
+        """Inner equi-join against an Index; possibly 1-to-many.
+
+        Reference semantics (csvplus.go:545-583):
+          * probe columns match the index columns positionally and may
+            be a strict prefix (whole equal-prefix range matches);
+          * empty probe list = natural join on the index's own columns;
+          * output = index row ∪ probe row, probe wins name collisions
+            (mergeRows, csvplus.go:571-583) — so a renamed-key join
+            keeps BOTH key columns.
+
+        Spark planning: one equi-join; broadcast-hash when the index is
+        small (auto via autoBroadcastJoinThreshold, forceable with
+        ``broadcast=True``), else sort-merge — the distributed
+        replacement for the reference's per-row binary search
+        (csvplus.go:893-897).
+        """
+        other = index.df
+        conds, _ = self._join_conditions(other, index, probe_cols)
+        right = F.broadcast(other) if broadcast or (broadcast is None and index.small) else other
+        joined = self._df.join(right, _and(conds), "inner")
+        # probe side wins name collisions; keep both sides otherwise
+        probe_names = set(self._df.columns)
+        out = [other[c].alias(c) for c in other.columns if c not in probe_names]
+        out += [self._df[c] for c in self._df.columns]
+        return self._wrap(joined.select(*out))
+
+    def except_(self, index: "Index", *probe_cols: str, broadcast: bool | None = None) -> "Frame":
+        """Left anti join: pass rows whose key is NOT in the index,
+        unchanged (Except, csvplus.go:588-608)."""
+        other = index.df
+        conds, _ = self._join_conditions(other, index, probe_cols)
+        right = F.broadcast(other) if broadcast or (broadcast is None and index.small) else other
+        return self._wrap(self._df.join(right, _and(conds), "left_anti"))
+
+    # ------------------------------------------------------------------
+    # index builders — reference csvplus.go:529-537
+
+    def index_on(self, *columns: str) -> "Index":
+        """Sorted index on the given columns (IndexOn, csvplus.go:529-531).
+
+        Spark-side this is lazy: the sort is declared (range-partitioned
+        external sort at action time), never an in-memory materialize —
+        strictly better than the reference's all-in-memory build
+        (README.md:103-106).
+        """
+        from .index import Index
+
+        cols = _as_list(columns)
+        if not cols or len(set(cols)) != len(cols):
+            raise ValueError("empty or duplicate index columns")  # csvplus.go:708-717
+        self._require(cols, "index_on")
+        return Index(self, cols, unique=False)
+
+    def unique_index_on(self, *columns: str) -> "Index":
+        """IndexOn + eager uniqueness assertion (csvplus.go:535-537,
+        740-756); raises DuplicateKeyError with the offending key."""
+        from .index import Index
+
+        idx = self.index_on(*columns)
+        idx.assert_unique()
+        return idx
+
+    # ------------------------------------------------------------------
+    # set ops (Spark extension — SURVEY §2.7: reference has none)
+
+    def union(self, other: "Frame") -> "Frame":
+        """unionByName with missing-column tolerance — the natural fit
+        for the reference's per-row dynamic schemas (SURVEY §2.7)."""
+        df = self.df.unionByName(other.df, allowMissingColumns=True)
+        return Frame(df, None, self.string_mode)
+
+    def distinct(self) -> "Frame":
+        return Frame(self.df.dropDuplicates(), None, self.string_mode)
+
+    # ------------------------------------------------------------------
+    # group-by (Spark extension — SURVEY §2.4: reference aggregates by hand)
+
+    def group_by(self, *cols: str):
+        self._require(_as_list(cols), "group_by")
+        return self.df.groupBy(*cols)
+
+    # ------------------------------------------------------------------
+    # sinks — reference csvplus.go:379-490
+
+    def to_rows(self) -> list[dict]:
+        """Collect as list of dicts (ToRows, csvplus.go:483-490)."""
+        return [r.asDict(recursive=True) for r in self.ordered_df().collect()]
+
+    def to_csv_file(self, path: str, *columns: str, single_file: bool = False) -> None:
+        """Write CSV with header (ToCsv/ToCsvFile, csvplus.go:379-415).
+
+        ``single_file=True`` gives the reference's one-file contract via
+        coalesce(1) (compat, small outputs); default is a partitioned
+        directory write — the only sane layout at scale (SURVEY §7 H6).
+        """
+        df = self.ordered_df()
+        if columns:
+            self._require(columns, "to_csv")
+            df = df.select(*columns)
+        elif not df.columns:
+            raise ValueError("empty list of columns")
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").option("header", True).csv(path)
+
+    def to_json_file(self, path: str, single_file: bool = False) -> None:
+        """Write JSON lines (ToJSON/ToJSONFile, csvplus.go:446-480; the
+        reference's single-array form is a compat detail, JSONL is the
+        scalable equivalent)."""
+        df = self.ordered_df()
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").json(path)
+
+    def to_parquet(self, path: str, partition_by: Sequence[str] | None = None) -> None:
+        df = self.df
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    # ------------------------------------------------------------------
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    def cache(self) -> "Frame":
+        self._df.cache()
+        return self
+
+
+def _and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

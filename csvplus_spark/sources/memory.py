@@ -1,0 +1,25 @@
+"""In-memory rows source (TakeRows, /root/reference/csvplus.go:218-222).
+
+The reference clones rows defensively on iteration (csvplus.go:230);
+Spark rows are immutable so the contract is automatic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import SparkSession
+
+from ..frame import Frame
+
+
+def take_rows(spark: SparkSession, rows: Iterable[Mapping], schema=None,
+              string_mode: bool = True) -> Frame:
+    rows = list(rows)
+    if schema is None and rows and string_mode:
+        # reference rows are map[string]string: union of keys, strings
+        cols = sorted({k for r in rows for k in r})
+        schema = ", ".join(f"{c} string" for c in cols)
+        rows = [{c: (None if r.get(c) is None else str(r.get(c))) for c in cols} for r in rows]
+    df = spark.createDataFrame(rows, schema=schema)
+    return Frame(df, None, string_mode).with_ingest_order()

@@ -1,0 +1,41 @@
+"""Parquet source — the driver's typed tables (TESTDATA.md).
+
+No reference counterpart (the reference is CSV-only); this is the
+native-layer scan. Parquet scans get predicate pushdown, column
+pruning, and row-group min/max skipping from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..frame import Frame
+
+
+def from_parquet(spark: SparkSession, path: str, string_mode: bool = False) -> Frame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # Spark rejects parquet TIMESTAMP(NANOS) by default (the driver's
+    # events.ts is ns-precision); read it as long and convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # TIMESTAMP(NANOS) columns surface as LongType named in _NANOS_COLS;
+    # truncate ns→us exactly like DuckDB's parquet reader does.
+    for c in _NANOS_COLS.intersection(df.columns):
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    if string_mode:
+        df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+    return Frame(df, None, string_mode)
+
+
+#: columns known to be ns-precision timestamps in the driver tables
+_NANOS_COLS = {"ts"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, string_mode: bool = False) -> Frame:
+    """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``."""
+    return from_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), string_mode)

@@ -1,0 +1,92 @@
+"""CSV Reader option surface — reference csvplus.go:924-1206, error
+contracts pinned by csvplus_test.go:808-909 (class-of-error, not text)."""
+
+import pytest
+
+from csvplus_spark import ColumnNotFoundError, HeaderError, from_file
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "people.csv"
+    p.write_text(
+        "id,name,surname\n"
+        "# a comment line\n"
+        "0,Amelia,Smith\n"
+        "1, Olivia,Jones\n"
+        "2,Jack,\n"
+    )
+    return str(p)
+
+
+def test_basic_scan_header(spark, csv_file):
+    f = from_file(spark, csv_file).comment_char("#").to_frame()
+    assert f.columns == ["id", "name", "surname"]
+    rows = f.to_rows()
+    assert len(rows) == 3
+    assert rows[0]["name"] == "Amelia"
+
+
+def test_select_columns_at_scan(spark, csv_file):
+    f = from_file(spark, csv_file).comment_char("#").select_columns("id", "surname").to_frame()
+    assert f.columns == ["id", "surname"]
+    with pytest.raises(ColumnNotFoundError, match="xxx"):
+        from_file(spark, csv_file).select_columns("xxx").to_frame()
+
+
+def test_trim_leading_space(spark, csv_file):
+    f = from_file(spark, csv_file).comment_char("#").trim_leading_space().to_frame()
+    rows = f.to_rows()
+    assert rows[1]["name"] == "Olivia"
+
+
+def test_expect_header(spark, csv_file):
+    # correct positions pass
+    from_file(spark, csv_file).expect_header({"id": 0, "surname": 2}).to_frame()
+    # by-name lookup passes with -1
+    from_file(spark, csv_file).expect_header({"name": -1}).to_frame()
+    with pytest.raises(HeaderError, match="misplaced"):
+        from_file(spark, csv_file).expect_header({"name": 0}).to_frame()
+    with pytest.raises(ColumnNotFoundError):
+        from_file(spark, csv_file).expect_header({"zzz": -1}).to_frame()
+
+
+def test_assume_header(spark, tmp_path):
+    p = tmp_path / "nohdr.csv"
+    p.write_text("0,Amelia\n1,Jack\n")
+    f = from_file(spark, str(p)).assume_header({"id": 0, "name": 1}).to_frame()
+    assert f.columns == ["id", "name"]
+    assert f.to_rows()[1]["name"] == "Jack"
+
+
+def test_delimiter(spark, tmp_path):
+    p = tmp_path / "semi.csv"
+    p.write_text("a;b\n1;2\n")
+    f = from_file(spark, str(p)).delimiter(";").to_frame()
+    assert f.columns == ["a", "b"]
+
+
+def test_num_fields_any_pads_empty_string(spark, tmp_path):
+    # reference pads short rows with "" not NULL (csvplus.go:1122-1124)
+    p = tmp_path / "ragged.csv"
+    p.write_text("a,b,c\n1,2,3\n4,5\n")
+    f = from_file(spark, str(p)).num_fields_any().to_frame()
+    rows = f.to_rows()
+    assert rows[1]["c"] == ""
+
+
+def test_ingest_order_preserved(spark, csv_file):
+    f = from_file(spark, csv_file).comment_char("#").to_frame()
+    ids = [r["id"] for r in f.to_rows()]
+    assert ids == ["0", "1", "2"]
+    assert [r["id"] for r in f.top(2).to_rows()] == ["0", "1"]
+
+
+def test_csv_roundtrip(spark, csv_file, tmp_path):
+    # read → write → read: same rows (TestWriteFile analogue)
+    f = from_file(spark, csv_file).comment_char("#").to_frame()
+    out = str(tmp_path / "out_csv")
+    f.to_csv_file(out, single_file=True)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "name", "surname"}

@@ -1,0 +1,25 @@
+"""Driver-contract smoke: entry() runs, queries() all return rows with
+stable schemas at sf0.001, oracle keys ⊆ query keys."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) >= 3
+
+
+def test_queries_all_run(spark, sf_dir):
+    qs = entry_mod.queries()
+    assert len(qs) >= 15
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(3).collect()  # schema + execution smoke
+
+
+def test_oracle_keys_subset(spark):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)

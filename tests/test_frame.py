@@ -1,0 +1,107 @@
+"""Frame combinators — mirrors the reference's unit tests
+(csvplus_test.go TestSimpleDataSource/TestFilterMap/TestSorted)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvplus_spark import (
+    ColumnNotFoundError,
+    all_,
+    any_,
+    like_,
+    load_table,
+    not_,
+    take_rows,
+    value_as_double,
+    value_as_int,
+)
+
+
+def test_select_columns_strict(spark, sf_dir):
+    f = load_table(spark, sf_dir, "nation", string_mode=True)
+    assert f.select_columns("n_name", "n_nationkey").columns == ["n_name", "n_nationkey"]
+    with pytest.raises(ColumnNotFoundError):
+        f.select_columns("n_name", "nope")
+    with pytest.raises(ValueError):
+        f.select_columns()
+
+
+def test_drop_columns_tolerant(spark, sf_dir):
+    f = load_table(spark, sf_dir, "nation", string_mode=True)
+    out = f.drop_columns("n_regionkey", "does_not_exist")
+    assert out.columns == ["n_nationkey", "n_name"]
+    with pytest.raises(ValueError):
+        f.drop_columns()
+
+
+def test_filter_like_and_combinators(spark, sf_dir):
+    f = load_table(spark, sf_dir, "customer", string_mode=True)
+    n_building = f.filter(like_({"c_mktsegment": "BUILDING"})).count()
+    n_machinery = f.filter(like_({"c_mktsegment": "MACHINERY"})).count()
+    both = f.filter(
+        any_(like_({"c_mktsegment": "BUILDING"}), like_({"c_mktsegment": "MACHINERY"}))
+    ).count()
+    assert both == n_building + n_machinery
+    none = f.filter(
+        all_(like_({"c_mktsegment": "BUILDING"}), like_({"c_mktsegment": "MACHINERY"}))
+    ).count()
+    assert none == 0
+    assert f.filter(not_(like_({"c_mktsegment": "BUILDING"}))).count() == f.count() - n_building
+    with pytest.raises(ValueError):
+        like_({})
+
+
+def test_string_mode_lexicographic_order(spark):
+    # "10" < "2" in index order — the reference's load-bearing semantic
+    # (csvplus.go:798; SURVEY §7 H2)
+    rows = [{"k": str(i)} for i in [1, 2, 10, 20, 3]]
+    f = take_rows(spark, rows).ordered_by("k")
+    got = [r["k"] for r in f.to_rows()]
+    assert got == ["1", "10", "2", "20", "3"]
+
+
+def test_map_with_columns_and_casts(spark, sf_dir):
+    f = load_table(spark, sf_dir, "lineitem", string_mode=True)
+    out = f.with_columns(
+        qty=value_as_int("l_quantity").cast("double"),  # "33.0" fails int parse? quantity is double-string
+    )
+    # l_quantity strings are like "33.0" → int parse must fail
+    with pytest.raises(Exception):
+        out.df.select("qty").collect()
+    ok = f.with_columns(qty=value_as_double("l_quantity")).df.select("qty").limit(5).collect()
+    assert all(isinstance(r["qty"], float) for r in ok)
+
+
+def test_validate(spark, sf_dir):
+    f = load_table(spark, sf_dir, "customer", string_mode=True)
+    f.validate(F.col("c_custkey").isNotNull(), "null key")  # passes eagerly
+    with pytest.raises(Exception, match="acctbal"):
+        f.validate(F.col("c_acctbal").cast("double") > 1e12, "acctbal too small")
+    # lazy variant raises when rows are consumed
+    lazy = f.validate(F.col("c_acctbal").cast("double") > 1e12, "acctbal too small",
+                      eager=False)
+    with pytest.raises(Exception, match="acctbal"):
+        lazy.df.collect()
+
+
+def test_map_rows_pandas(spark, sf_dir):
+    f = load_table(spark, sf_dir, "nation", string_mode=True)
+
+    def double_names(batches):
+        for pdf in batches:
+            pdf = pdf[pdf.n_name.str.startswith("NATION_1")].copy()
+            pdf["n_name"] = pdf.n_name + "!"
+            yield pdf
+
+    out = f.map_rows(double_names, f.df.schema)
+    rows = out.to_rows()
+    assert rows and all(r["n_name"].endswith("!") for r in rows)
+
+
+def test_union_by_name_dynamic_schema(spark):
+    a = take_rows(spark, [{"x": "1", "y": "a"}])
+    b = take_rows(spark, [{"x": "2", "z": "b"}])
+    u = a.union(b)
+    assert sorted(u.columns) == ["x", "y", "z"]
+    rows = {r["x"]: r for r in u.to_rows()}
+    assert rows["1"]["z"] is None and rows["2"]["y"] is None
