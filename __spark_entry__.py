@@ -332,6 +332,209 @@ def q_union_distinct(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# LLM-pipeline extensions (BASELINE.json north-star): text analysis,
+# dedup family, similarity search. All md5-based hashing → the DuckDB
+# oracle reproduces every value bit-for-bit.
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting, quality scoring, language-ID, fingerprinting
+    over documents (extension; operators/text.py)."""
+    from csvplus_spark.operators.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents").df)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text md5 fingerprint (operators/dedup.py)."""
+    from csvplus_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents").df)
+
+
+def q_dedup_ngram(spark, sf_dir):
+    """Exact near-dup pairs: word-trigram Jaccard >= 0.6 with
+    shared-shingle blocking (operators/dedup.py)."""
+    from csvplus_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents").df, 0.6)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (32 single-hash bands), exact-verified
+    at Jaccard >= 0.6 (operators/dedup.py)."""
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(load_table(spark, sf_dir, "documents").df, 0.6)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document (operators/text.py)."""
+    from csvplus_spark.operators.text import simhash_table
+
+    return simhash_table(load_table(spark, sf_dir, "documents").df)
+
+
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id<10 against the
+    whole corpus (operators/similarity.py)."""
+    from csvplus_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, 5)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+# --- oracle SQL builders for the hash-heavy extension queries ---------
+
+_H60 = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SHINGLES = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "for i in range(1, len(t)-1)])"
+)
+
+_LANG_STOP_SQL = {
+    "de": "('der','die','das','und','ist','nicht','ein')",
+    "en": "('the','a','of','and','to','in','is')",
+    "es": "('el','la','de','que','y','los','un')",
+    "fr": "('le','la','de','et','les','des','un')",
+    "zh": "('de','shi','bu','le','ren','wo','zhe')",
+}
+
+
+def _lang_case() -> str:
+    langs = sorted(_LANG_STOP_SQL)
+    whens = []
+    for lang in langs:
+        conds = [f"c_{lang} > 0"]
+        for other in langs:
+            if other != lang:
+                op = ">=" if lang < other else ">"
+                conds.append(f"c_{lang} {op} c_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def _text_stats_sql() -> str:
+    counts = ", ".join(
+        f"len(list_filter(toks, t -> t IN {ws})) AS c_{lang}"
+        for lang, ws in _LANG_STOP_SQL.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+c AS (SELECT *, {counts} FROM base)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_computed,
+       CASE WHEN length(text) > 0 THEN n_punct * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(toks) > 0 THEN c_en * 1.0 / len(toks) ELSE 0.0 END AS stopword_ratio_en,
+       (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN length(text) > 0 THEN n_punct * 1.0 / length(text) ELSE 0.0 END) < 0.2 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN len(toks) > 0
+               AND length(list_aggregate(toks, 'string_agg', '')) * 1.0 / len(toks) BETWEEN 2 AND 12
+               THEN 0.25 ELSE 0.0 END) AS quality,
+       {_lang_case()} AS lang_pred,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM c
+"""
+
+
+_DEDUP_EXACT_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp)
+SELECT f.doc_id, c.canonical_id, f.doc_id = c.canonical_id AS is_canonical
+FROM fp f JOIN canon c USING (fp)
+"""
+
+_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+       i * 1.0 / (len(s1.sh) + len(s2.sh) - i) AS jaccard
+FROM inter JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+WHERE i * 1.0 / (len(s1.sh) + len(s2.sh) - i) >= 0.6
+"""
+
+_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+sigs AS (
+  SELECT doc_id, seed,
+         list_min(list_transform(sh, x -> {_H60.format(x="CAST(seed AS VARCHAR) || '|' || x")})) AS sig
+  FROM sh, range(32) r(seed) WHERE len(sh) > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT d1, d2,
+         len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
+         len(s1.sh) AS n1, len(s2.sh) AS n2
+  FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+)
+SELECT d1 AS doc_id_1, d2 AS doc_id_2, i * 1.0 / (n1 + n2 - i) AS jaccard
+FROM scored WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
+"""
+
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+),
+h AS (SELECT doc_id, {_H60.format(x="t")} AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {pack} AS simhash FROM v
+"""
+
+
+_SIM_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS n FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (nq.n * nc.n) AS sim_raw
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, corpus_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, corpus_id) AS rank,
+       ROUND(sim_raw, 6) AS sim
+FROM pairs
+QUALIFY rank <= 5
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -356,6 +559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_date": q_scalar_date,
         "json_props": q_json_props,
         "union_distinct": q_union_distinct,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "sim_topk": q_sim_topk,
     }
 
 
@@ -477,4 +686,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
             )
         """,
+        "text_stats": _text_stats_sql(),
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram": _NGRAM_SQL,
+        "dedup_minhash": _MINHASH_SQL,
+        "simhash": _simhash_sql(),
+        "sim_topk": _SIM_TOPK_SQL,
     }

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (BASELINE.json north-star;
+no reference counterpart).
+
+Two paths:
+  * brute_force_topk — exact cosine top-k; the query side is expected
+    to be small (it is broadcast), so the corpus is scanned once with
+    the dot product evaluated in codegen (zip_with + aggregate). At
+    100 TB the corpus scan parallelizes perfectly and there is NO
+    shuffle on the corpus — only the broadcast of queries and a
+    per-partition top-k (window over query id).
+  * lsh_topk — random-hyperplane (sign) LSH: deterministic md5-derived
+    ±1 hyperplanes → b-bit bucket key; candidates = same-bucket (or
+    neighboring-band) pairs, exact-reranked. The bucket join is the
+    only shuffle, keyed by (band, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash60
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two float-array columns (double math)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_double_vec(df: DataFrame, vec_col: str = "embedding",
+                    out: str = "__vec__") -> DataFrame:
+    return df.withColumn(out, F.transform(F.col(vec_col), lambda x: x.cast("double")))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    Returns (query_id, corpus_id, rank, sim). Ties broken by corpus
+    id → fully deterministic output.
+    """
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .withColumn("sim", cosine(F.col("__qv__"), F.col("__cv__")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "sim")
+    )
+
+
+def _plane_sign(plane_id: int):
+    """±component selector for deterministic hyperplane ``plane_id``.
+
+    NB: pyspark higher-order functions dispatch on lambda arity, so the
+    plane id is closed over via this factory, never a default arg.
+    """
+    prefix = f"{plane_id}|"
+
+    def f(x, j):
+        coef_bit = hash60(F.concat(F.lit(prefix), j.cast("string"))).bitwiseAND(F.lit(1))
+        return F.when(coef_bit == 1, x).otherwise(-x)
+
+    return f
+
+
+def hyperplane_bits(vec_col: F.Column, dim: int, n_bits: int = 16,
+                    plane_offset: int = 0) -> F.Column:
+    """Sign-LSH bucket: bit i = 1 iff dot(v, r_i) > 0 where r_i is a
+    deterministic ±1 hyperplane derived from md5(plane_id|j). No
+    randomness at runtime → reproducible buckets across runs/engines."""
+    bucket = None
+    for i in range(n_bits):
+        signed = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.lit(dim - 1)),
+                       _plane_sign(plane_offset + i)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bit = F.when(signed > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates from ``n_tables``
+    independent sign-LSH tables of ``n_bits`` bits, exact-reranked.
+
+    Recall rises with n_tables; cost is the bucket equi-join instead
+    of the full cross product — the scale path when queries aren't
+    small enough to broadcast.
+    """
+    def bucketed(df: DataFrame, idname: str) -> DataFrame:
+        df = with_double_vec(df, vec_col)
+        # each table uses its own plane ids (t*n_bits + i) → independent
+        rows = [
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bits(F.col("__vec__"), dim, n_bits,
+                                plane_offset=t * n_bits).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(idname), F.col("__vec__"),
+            F.explode(F.array(*rows)).alias("tb"),
+        ).select(idname, "__vec__", F.col("tb.table").alias("table"),
+                 F.col("tb.bucket").alias("bucket"))
+
+    qb = bucketed(queries, "query_id").withColumnRenamed("__vec__", "__qv__")
+    cb = bucketed(corpus, "corpus_id").withColumnRenamed("__vec__", "__cv__")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", "__qv__", "__cv__")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = cand.withColumn("sim", cosine(F.col("__qv__"), F.col("__cv__")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "sim")
+    )

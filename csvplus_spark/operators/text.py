@@ -1,0 +1,161 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json
+north-star; no reference counterpart — the reference is a CSV ETL
+library, SURVEY.md §2.8).
+
+Everything here is built from JVM-side built-in functions (regexp,
+array/lambda functions, md5) — no Python UDFs — so the hot path stays
+inside whole-stage codegen and scales linearly with partitions. The
+md5-based 60-bit hash is used (instead of xxhash64) because it is
+bit-identical across Spark and DuckDB, which makes every operator
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# languages and their (tiny, deterministic) stopword lists for the
+# n-gram/stopword language-ID heuristic; alphabetical order is the
+# tie-break ordering
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "zhe"],
+}
+
+PUNCT_RE = r"[^\w\s]"
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(col: str = "text") -> Column:
+    """Lowercased word tokens via regexp — identical semantics in
+    Spark and DuckDB (`regexp_extract_all`)."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+
+    Chosen for cross-engine parity: DuckDB computes the identical
+    value as CAST(('0x' || substring(md5(x),1,15)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str = "text") -> Column:
+    return F.length(F.col(col))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    text = F.col(col)
+    punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    return F.when(F.length(text) > 0, punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def _in_set(words: list[str]):
+    """Single-arg predicate factory — NB: pyspark higher-order functions
+    dispatch on lambda arity, so extra default args are not allowed."""
+    def pred(t):
+        return t.isin(words)
+
+    return pred
+
+
+def stopword_ratio(col: str = "text", lang: str = "en") -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, _in_set(LANG_STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str = "text") -> Column:
+    """Heuristic quality in [0,1]: length band + low punctuation +
+    non-trivial mean word length. Deterministic arithmetic only."""
+    toks = tokens(col)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_len >= 2) & (mean_len <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + word_ok
+
+
+def lang_id(col: str = "text") -> Column:
+    """Stopword-overlap language ID with alphabetical tie-break;
+    'und' when no stopword of any language occurs."""
+    toks = tokens(col)
+    counts = {
+        lang: F.size(F.filter(toks, _in_set(ws)))
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    langs = sorted(counts)  # alphabetical tie-break
+    best = None
+    for lang in langs:
+        cond = counts[lang] > 0
+        for other in langs:
+            if other != lang:
+                # earlier-alphabet lang wins ties → strict > for later ones
+                op = counts[lang] >= counts[other] if lang < other else counts[lang] > counts[other]
+                cond = cond & op
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text — the scalable exact-dedup key (identical in DuckDB:
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n_bits: int = 32) -> DataFrame:
+    """SimHash over word tokens, packed into an ``n_bits``-wide long.
+
+    Per distinct token: 60-bit md5 hash; per bit: +1 if set else −1,
+    summed over the document's tokens; bit b of the result is 1 when
+    the sum is positive. Integer arithmetic end-to-end → bit-identical
+    in any engine (the DuckDB oracle replicates it with SUM(CASE...)).
+
+    Shape: explode(distinct tokens) → hash → one hash-aggregate with
+    ``n_bits`` partial sums (map-side combined, one shuffle on id_col)
+    → pack bits. Scales as a single groupBy; no Python, no windows.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__tok__"),
+    ).withColumn("__h__", hash60(F.col("__tok__")))
+    votes = [
+        F.sum(
+            F.when(F.col("__h__").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"__v{b}__")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"__v{b}__") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per document with the full stats vector."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col, "en").alias("stopword_ratio_en"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,102 @@
+"""LLM-pipeline operators: text analysis, dedup family, similarity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvplus_spark import load_table
+from csvplus_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from csvplus_spark.operators.similarity import brute_force_topk, lsh_topk
+from csvplus_spark.operators.text import lang_id, simhash_table, text_stats
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "The cat, and the dog! of a tiny house nearby here.")], ["doc_id", "text"])
+    row = text_stats(df).collect()[0]
+    assert row["n_tokens"] == 11
+    assert row["lang_pred"] == "en"
+    assert 0 < row["punct_ratio"] < 0.1
+    assert row["quality"] >= 0.75
+    assert len(row["fingerprint"]) == 32
+
+
+def test_lang_id_tiebreak_and_unknown(spark):
+    df = spark.createDataFrame([("zz qq ww",), ("el que de la y",)], ["text"])
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["und", "es"]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    # whitespace+case normalization → 1 and 2 share a fingerprint
+    got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"]) for r in exact_dedup(df).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_minhash_matches_exact_ngram(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").df
+    exact = {(r[0], r[1]) for r in ngram_jaccard_pairs(docs, 0.6).collect()}
+    mh = {(r[0], r[1]) for r in minhash_dedup_pairs(docs, 0.6).collect()}
+    assert exact, "generator should plant near-dups"
+    assert mh == exact  # 32 single-hash bands → miss prob ~1e-13
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "totally unrelated words qqq zzz")],
+        ["doc_id", "text"],
+    )
+    h1 = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    h2 = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    assert h1 == h2  # no runtime randomness
+    pairs = simhash_near_pairs(df, max_hamming=8).collect()
+    got = {(r["doc_id_1"], r["doc_id_2"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    out = brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, 3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    q = vecs[0]
+    sims = {
+        vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items() if vid != 0
+    }
+    expect = sorted(sims, key=lambda v: (-sims[v], v))[:3]
+    assert [r["corpus_id"] for r in out] == expect
+    for r in out:
+        assert math.isclose(r["sim"], sims[r["corpus_id"]], rel_tol=1e-9)
+
+
+def test_lsh_topk_structural(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(q, emb, 3, n_bits=4, n_tables=8)
+    rows = out.collect()
+    assert rows, "low-bit LSH should yield candidates"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # sims are sorted by rank
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        sims = [r["sim"] for r in ordered]
+        assert sims == sorted(sims, reverse=True)
