@@ -385,6 +385,68 @@ def q_sim_topk(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows (streaming/events.py batch form;
+    same semantics as the Structured Streaming path)."""
+    from csvplus_spark.streaming.events import tumbling_agg
+
+    out = tumbling_agg(load_table(spark, sf_dir, "events").df, "1 hour")
+    return out.withColumn("window_start", F.unix_micros("window_start"))
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding 1h/30min event-time windows."""
+    from csvplus_spark.streaming.events import sliding_agg
+
+    out = sliding_agg(load_table(spark, sf_dir, "events").df, 3600, 1800)
+    return out.withColumn("window_start", F.unix_micros("window_start"))
+
+
+def q_events_session(spark, sf_dir):
+    """Session windows per user, 10-minute inactivity gap."""
+    from csvplus_spark.streaming.events import session_agg
+
+    out = session_agg(load_table(spark, sf_dir, "events").df, "10 minutes")
+    return out.withColumn("session_start", F.unix_micros("session_start"))
+
+
+_TUMBLING_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_SLIDING_SQL = """
+WITH grid AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800 * 1000000) AS ws,
+         ts
+  FROM events, range(2) k(k)
+)
+SELECT epoch_us(ws) AS window_start, COUNT(*) AS n_events
+FROM grid WHERE ts >= ws AND ts < ws + INTERVAL 3600 SECOND
+GROUP BY 1
+"""
+
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT epoch_us(MIN(ts)) AS session_start, user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --- oracle SQL builders for the hash-heavy extension queries ---------
 
 _H60 = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
@@ -565,6 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "sim_topk": q_sim_topk,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
     }
 
 
@@ -692,4 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _MINHASH_SQL,
         "simhash": _simhash_sql(),
         "sim_topk": _SIM_TOPK_SQL,
+        "events_tumbling": _TUMBLING_SQL,
+        "events_sliding": _SLIDING_SQL,
+        "events_session": _SESSION_SQL,
     }

@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (BASELINE.json north-star).
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked stub (deterministic fake in tests, NotImplementedError
+for real codecs) — but the Spark-side plumbing is real and tested:
+  * schema: ``data binary`` + ``media_meta struct<...>``;
+  * per-batch Arrow transfer via mapInPandas (never per-row Python);
+  * partition sizing guard: binary blobs make rows huge, so
+    ``repartition_for_blobs`` targets a row-count per partition that
+    keeps Arrow batches within executor memory at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: metadata struct carried next to every blob
+MEDIA_META_DDL = (
+    "media_meta struct<kind string, byte_len long, content_md5 string, magic string>"
+)
+
+
+def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
+    """Typed metadata for an opaque binary column — JVM-side only
+    (length, md5, magic-byte sniff); no decode required."""
+    b = F.col(binary_col)
+    magic = F.upper(F.hex(F.substring(b, 1, 4)))
+    kind = (
+        F.when(magic.startswith("FFD8"), F.lit("jpeg"))
+        .when(magic.startswith("89504E47"), F.lit("png"))
+        .when(magic.startswith("52494646"), F.lit("riff/wav"))
+        .when(magic.startswith("00000018") | magic.startswith("00000020"), F.lit("mp4"))
+        .otherwise(F.lit("unknown"))
+    )
+    meta = F.struct(
+        kind.alias("kind"),
+        F.length(b).cast("long").alias("byte_len"),
+        F.md5(b).alias("content_md5"),
+        magic.alias("magic"),
+    )
+    return df.withColumn("media_meta", meta)
+
+
+def decode_image_stub(real_codec: bool = False) -> Callable:
+    """Batch decode fn for mapInPandas: binary → (width, height, n_pixels).
+
+    STUB: real codecs (PIL/opencv) are not in this container. With
+    ``real_codec=False`` it derives a deterministic fake geometry from
+    the blob bytes (stable across runs → testable plumbing); with
+    ``real_codec=True`` it raises NotImplementedError where the codec
+    call would go.
+    """
+
+    def decode(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if real_codec:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "plug PIL/cv2 here"
+                )
+            widths, heights = [], []
+            for blob in pdf["data"]:
+                h = hashlib.md5(bytes(blob)).digest()
+                widths.append(16 + h[0])   # deterministic fake decode
+                heights.append(16 + h[1])
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": widths,
+                "height": heights,
+            })
+            out["n_pixels"] = out.width * out.height
+            yield out
+
+    return decode
+
+
+DECODE_SCHEMA = "media_id long, width int, height int, n_pixels int"
+
+
+def decode_images(df: DataFrame, real_codec: bool = False) -> DataFrame:
+    """Arrow-batched decode over (media_id, data) — the mapInPandas
+    plumbing a real codec would use unchanged."""
+    return df.select("media_id", "data").mapInPandas(
+        decode_image_stub(real_codec), DECODE_SCHEMA
+    )
+
+
+def frame_sample_stub(n_frames: int = 3) -> Callable:
+    """Video frame-sampling stub: emits ``n_frames`` rows per blob
+    (one-to-many mapInPandas — the UDTF-shaped plumbing)."""
+
+    def sample(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                h = hashlib.md5(bytes(blob)).digest()
+                for i in range(n_frames):
+                    rows.append({"media_id": mid, "frame_no": i,
+                                 "frame_md5": hashlib.md5(h + bytes([i])).hexdigest()})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
+
+    return sample
+
+
+FRAME_SCHEMA = "media_id long, frame_no int, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
+    return df.select("media_id", "data").mapInPandas(
+        frame_sample_stub(n_frames), FRAME_SCHEMA
+    )
+
+
+def repartition_for_blobs(df: DataFrame, avg_blob_bytes: int,
+                          target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Size partitions by blob weight, not row count: at 100 TB a
+    128 MB Arrow batch of 5 MB images is ~25 rows — the default
+    row-count heuristics would OOM the Python workers."""
+    rows_per_part = max(1, target_partition_bytes // max(1, avg_blob_bytes))
+    n = df.count()
+    return df.repartition(max(1, int(n / rows_per_part)))

@@ -26,7 +26,8 @@ def from_parquet(spark: SparkSession, path: str, string_mode: bool = False) -> F
     # truncate ns→us exactly like DuckDB's parquet reader does.
     for c in _NANOS_COLS.intersection(df.columns):
         if isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer division: ns values exceed double's 53-bit mantissa
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     if string_mode:
         df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
     return Frame(df, None, string_mode)

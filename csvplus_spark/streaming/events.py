@@ -1,0 +1,99 @@
+"""Event-time windowing over the ``events`` table.
+
+No reference counterpart (SURVEY.md §2.11: the reference is bounded
+batch) — this is pure Spark extension surface:
+
+  * batch forms (``tumbling_agg``/``sliding_agg``/``session_agg``)
+    express the same event-time semantics on a bounded DataFrame, so
+    they are DuckDB-oracle-checkable;
+  * ``stream_events``/``stream_tumbling_counts`` are the genuine
+    Structured Streaming path (file source → watermark → windowed agg)
+    with identical window semantics, verified in tests by comparing an
+    availableNow run against the batch form.
+
+Scale: windowed aggregations shuffle once on (window, key); watermarks
+bound state for unbounded input; session windows use Spark's native
+session_window (state-store backed, mergeable sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(df: DataFrame, window: str = "1 hour",
+                 keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per window+keys."""
+    w = F.window("ts", window)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys,
+                "n_events", "sum_value")
+    )
+
+
+def sliding_agg(df: DataFrame, window_sec: int = 3600, slide_sec: int = 1800) -> DataFrame:
+    """Sliding windows (window/slide in seconds): events count per window."""
+    w = F.window("ts", f"{window_sec} seconds", f"{slide_sec} seconds")
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(df: DataFrame, gap: str = "10 minutes",
+                key: str = "user_id") -> DataFrame:
+    """Session windows per key with the given inactivity gap."""
+    w = F.session_window("ts", gap)
+    return (
+        df.groupBy(w.alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), key, "n_events")
+    )
+
+
+# ----------------------------------------------------------------------
+# genuine Structured Streaming path
+
+
+def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+    """readStream over a directory of events parquet files.
+
+    Handles the ns-precision ts the same way the batch source does
+    (nanosAsLong + exact ns→us truncation).
+    """
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) surfaces as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    # integer division: ns values exceed double's 53-bit mantissa
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(spark: SparkSession, source_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window counts with a watermark for late data.
+
+    Append-mode compatible: state for a window is dropped once the
+    watermark passes its end — bounded memory on unbounded streams.
+    """
+    ev = stream_events(spark, source_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )

@@ -1,0 +1,53 @@
+"""Multimodal binary-column plumbing: metadata, stubbed decode,
+frame sampling (schemas + Arrow batch shapes are real; codecs stubbed)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvplus_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_images,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff\xe0" + b"fakejpegdata")),
+        (2, bytearray(b"\x89PNG\r\n" + b"fakepngdata")),
+        (3, bytearray(b"RIFFxxxxWAVE" + b"fakewav")),
+        (4, bytearray(b"\x00\x01\x02\x03unknownblob")),
+    ]
+    return spark.createDataFrame(rows, "media_id long, data binary")
+
+
+def test_media_meta(media_df):
+    rows = {r["media_id"]: r["media_meta"] for r in attach_media_meta(media_df).collect()}
+    assert rows[1]["kind"] == "jpeg"
+    assert rows[2]["kind"] == "png"
+    assert rows[3]["kind"] == "riff/wav"
+    assert rows[4]["kind"] == "unknown"
+    assert rows[1]["byte_len"] == 16
+    assert len(rows[1]["content_md5"]) == 32
+
+
+def test_decode_stub_deterministic(media_df):
+    a = {r["media_id"]: (r["width"], r["height"]) for r in decode_images(media_df).collect()}
+    b = {r["media_id"]: (r["width"], r["height"]) for r in decode_images(media_df).collect()}
+    assert a == b and len(a) == 4
+    for w, h in a.values():
+        assert 16 <= w <= 271 and 16 <= h <= 271
+
+
+def test_decode_real_codec_raises(media_df):
+    with pytest.raises(Exception, match="codec not available"):
+        decode_images(media_df, real_codec=True).collect()
+
+
+def test_frame_sampling_one_to_many(media_df):
+    out = sample_frames(media_df, n_frames=3)
+    rows = out.collect()
+    assert len(rows) == 12  # 4 blobs x 3 frames
+    per = out.groupBy("media_id").agg(F.countDistinct("frame_md5").alias("n")).collect()
+    assert all(r["n"] == 3 for r in per)

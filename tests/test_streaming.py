@@ -1,0 +1,53 @@
+"""Event-time windows: batch forms + a genuine Structured Streaming run
+(file source → watermark → windowed agg → memory sink, availableNow)."""
+
+import shutil
+
+from csvplus_spark import load_table
+from csvplus_spark.streaming.events import (
+    session_agg,
+    sliding_agg,
+    stream_tumbling_counts,
+    tumbling_agg,
+)
+
+
+def test_tumbling_counts_sum_to_total(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").df
+    agg = tumbling_agg(ev, "1 hour").collect()
+    assert sum(r["n_events"] for r in agg) == ev.count()
+
+
+def test_sliding_double_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").df
+    agg = sliding_agg(ev, 3600, 1800).collect()
+    # every event falls in exactly window/slide = 2 windows
+    assert sum(r["n_events"] for r in agg) == 2 * ev.count()
+
+
+def test_session_windows_partition_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").df
+    agg = session_agg(ev, "10 minutes").collect()
+    assert sum(r["n_events"] for r in agg) == ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(agg) >= n_users
+
+
+def test_structured_streaming_matches_batch(spark, sf_dir, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+
+    stream = stream_tumbling_counts(spark, str(src), "1 hour", "1 hour")
+    q = (
+        stream.writeStream.format("memory").queryName("tumbling_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = tumbling_agg(load_table(spark, sf_dir, "events").df, "1 hour").collect()
+    expect = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
+    assert got == expect
