@@ -532,19 +532,40 @@ FROM inter JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
 WHERE i * 1.0 / (len(s1.sh) + len(s2.sh) - i) >= 0.6
 """
 
+def _minhash_cte_sql() -> str:
+    """sigs/bands CTEs mirroring operators/dedup.py exactly: base =
+    hash60(shingle) % P, sig_s = min((a_s*base + b_s) % P), banded
+    r=2 × b=16."""
+    from csvplus_spark.operators.dedup import MINHASH_COEF, MINHASH_P
+
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS s{s}"
+        for s, (a, b) in enumerate(MINHASH_COEF[:32])
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{2 * b} AS x, s{2 * b + 1} AS y FROM sigs"
+        for b in range(16)
+    )
+    return f"""
+hx AS (
+  SELECT doc_id, {_H60.format(x="s")} % {MINHASH_P} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+),
+sigs AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+bands AS ({bands})
+"""
+
+
 _MINHASH_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
 ),
-sigs AS (
-  SELECT doc_id, seed,
-         list_min(list_transform(sh, x -> {_H60.format(x="CAST(seed AS VARCHAR) || '|' || x")})) AS sig
-  FROM sh, range(32) r(seed) WHERE len(sh) > 0
-),
+{_minhash_cte_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
 ),
 scored AS (
   SELECT d1, d2,

@@ -29,6 +29,14 @@ HEADLINE = [
     "window_rank",
     "scalar_date",
     "json_props",
+    "text_stats",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "simhash",
+    "sim_topk",
+    "events_tumbling",
+    "events_session",
 ]
 
 

@@ -28,6 +28,27 @@ from .text import fingerprint, hash60, tokens
 
 SHINGLE_K = 3
 
+#: Mersenne prime 2^31-1 — universal-hash modulus; (a*h+b) stays under
+#: 2^62 so the arithmetic is exact in int64 in Spark AND DuckDB
+MINHASH_P = 2147483647
+
+
+def _minhash_coefficients(n: int = 64) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from md5 — no runtime RNG, and
+    the DuckDB oracle embeds the same literals."""
+    import hashlib
+
+    out = []
+    for s in range(n):
+        d = hashlib.md5(f"minhash-coef-{s}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") % (MINHASH_P - 1)) + 1
+        b = int.from_bytes(d[4:8], "big") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEF = _minhash_coefficients()
+
 
 def shingles(col: str = "text", k: int = SHINGLE_K) -> F.Column:
     """Distinct word k-gram shingles (space-joined), 1-based indexing
@@ -60,6 +81,40 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      shingles(text_col).alias("__sh__"))
 
 
+def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = SHINGLE_K) -> DataFrame:
+    """Distinct (doc, shingle) pairs via posexplode + window lead.
+
+    NB deliberately NOT the array-lambda form: referencing the token
+    array inside a transform() lambda makes Catalyst inline the regexp
+    extraction into every element access (and array higher-order fns
+    are interpreted anyway). This shape is all codegen: explode, one
+    window keyed by doc, concat, distinct.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy("__id__").orderBy("__pos__")
+    leads = [F.lead("__tok__", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            "__id__",
+            F.concat_ws(" ", F.col("__tok__"), *leads).alias("__s__"),
+            leads[-1].alias("__last__"),
+        )
+        .filter(F.col("__last__").isNotNull())
+        .select("__id__", "__s__")
+        .distinct()
+    )
+
+
+def _shingle_sizes(pairs: DataFrame) -> DataFrame:
+    return pairs.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -72,8 +127,7 @@ def ngram_jaccard_pairs(
     that share ≥1 shingle are scored); the equi-join + count is one
     shuffle keyed by shingle. Returns (doc_id_1, doc_id_2, jaccard).
     """
-    sh = _shingle_table(df, text_col, id_col).cache()
-    ex = sh.select("__id__", F.explode("__sh__").alias("__s__"))
+    ex = shingle_pairs(df, text_col, id_col).cache()
     inter = (
         ex.alias("a")
         .join(ex.alias("b"),
@@ -82,12 +136,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.__id__").alias("d1"), F.col("b.__id__").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.select("__id__", F.size("__sh__").alias("n"))
+    sizes = _shingle_sizes(ex)
     out = (
         inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.__id__"))
         .join(sizes.alias("s2"), F.col("d2") == F.col("s2.__id__"))
         .withColumn("jaccard",
-                    F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter")))
+                    F.col("inter")
+                    / (F.col("s1.__n__") + F.col("s2.__n__") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"), "jaccard")
     )
@@ -99,32 +154,44 @@ def minhash_signatures(
     num_hashes: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed s, min over shingles of
-    hash60(s || '|' || shingle). One narrow pass, all in codegen.
-    Returns (id, seed, sig) exploded — join-ready LSH buckets."""
-    def _seeded(seed: int):
-        prefix = f"{seed}|"
+    """Per-doc MinHash signatures, wide format: one ``__sigN__`` column
+    per hash. base = hash60(shingle) % P once per shingle (codegen'd
+    md5), then ``num_hashes`` universal-hash mins in ONE hash-aggregate
+    — a single shuffle keyed by doc id."""
+    # row-wise shingles + md5 + the 32 universal-hash mins all run in
+    # codegen; the only shuffles are the shingle window and this groupBy
+    ex = (pairs if pairs is not None else shingle_pairs(df, text_col, id_col)) \
+        .withColumn("__h__", hash60(F.col("__s__")) % MINHASH_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % MINHASH_P).alias(f"__sig{s}__")
+        for s, (a, b) in enumerate(MINHASH_COEF[:num_hashes])
+    ]
+    return ex.groupBy("__id__").agg(*aggs)
 
-        def h(x):
-            return hash60(F.concat(F.lit(prefix), x))
 
-        return h
-
-    sh = _shingle_table(df, text_col, id_col)
-    sigs = []
-    for s in range(num_hashes):
-        sigs.append(
-            F.struct(
-                F.lit(s).alias("seed"),
-                F.array_min(F.transform(F.col("__sh__"), _seeded(s))).alias("sig"),
-            )
+def minhash_bands(df: DataFrame, num_hashes: int = 32, rows_per_band: int = 2,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  pairs: DataFrame | None = None) -> DataFrame:
+    """LSH band table (id, band, sig array): docs agreeing on ALL rows
+    of any band are candidates. The S-curve P(cand) = 1-(1-J^r)^b —
+    r=2, b=16 keeps misses ~1e-7 at J≥0.8 while background-similarity
+    false candidates (~J²) stay near zero."""
+    per_doc = minhash_signatures(df, num_hashes, text_col, id_col, pairs=pairs)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array(*[F.col(f"__sig{b * rows_per_band + r}__")
+                      for r in range(rows_per_band)]).alias("sig"),
         )
+        for b in range(n_bands)
+    ])
     return (
-        sh.filter(F.size("__sh__") > 0)
-        .select("__id__", F.explode(F.array(*sigs)).alias("b"))
+        per_doc.select("__id__", F.explode(bands).alias("b"))
         .select(F.col("__id__").alias("id"),
-                F.col("b.seed").alias("seed"), F.col("b.sig").alias("sig"))
+                F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
     )
 
 
@@ -132,36 +199,49 @@ def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.6,
     num_hashes: int = 32,
+    rows_per_band: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified.
 
-    Single-hash bands (r=1, b=num_hashes): a pair is a candidate when
-    ANY of the ``num_hashes`` minhashes collide, so the miss
-    probability for a true pair at Jaccard J is (1−J)^b — ~1e-13 at
-    J=0.6, b=32 — which is what makes the result deterministic enough
-    to oracle-check. False candidates are removed by the exact-Jaccard
-    verify, so extra candidates cost time, never correctness.
+    Banded LSH (b = num_hashes/rows_per_band bands of r rows): a pair
+    is a candidate when all r minhashes of any band collide. Miss
+    probability for a true pair at Jaccard J is (1−J^r)^b — ~1e-7 at
+    J=0.8 with r=2, b=16 — while background-similar pairs (J~0.005)
+    almost never become candidates, so the exact-Jaccard verify stage
+    stays tiny. False candidates cost time, never correctness.
     """
-    sigs = minhash_signatures(df, num_hashes, text_col, id_col)
+    # ONE shingle pass shared by the band path and the exact verify
+    ex = shingle_pairs(df, text_col, id_col).cache()
+    bands = minhash_bands(df, num_hashes, rows_per_band, text_col, id_col,
+                          pairs=ex).cache()
     cand = (
-        sigs.alias("a")
-        .join(sigs.alias("b"),
-              (F.col("a.seed") == F.col("b.seed"))
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
               & (F.col("a.sig") == F.col("b.sig"))
               & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
         .distinct()
     )
-    sh = _shingle_table(df, text_col, id_col)
+    # join-based exact verify (codegen) — array_intersect on long arrays
+    # is interpreted and becomes the bottleneck at scale
+    inter = (
+        ex.alias("x")
+        .join(F.broadcast(cand), F.col("x.__id__") == F.col("d1"))
+        .join(ex.alias("y"),
+              (F.col("y.__id__") == F.col("d2")) & (F.col("x.__s__") == F.col("y.__s__")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = _shingle_sizes(ex)
     out = (
-        cand.join(sh.alias("s1"), F.col("d1") == F.col("s1.__id__"))
-        .join(sh.alias("s2"), F.col("d2") == F.col("s2.__id__"))
-        .withColumn("inter", F.size(F.array_intersect(F.col("s1.__sh__"), F.col("s2.__sh__"))))
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.__id__"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.__id__"))
         .withColumn("jaccard",
                     F.col("inter")
-                    / (F.size(F.col("s1.__sh__")) + F.size(F.col("s2.__sh__")) - F.col("inter")))
+                    / (F.col("s1.__n__") + F.col("s2.__n__") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"), "jaccard")
     )
