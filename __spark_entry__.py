@@ -410,6 +410,91 @@ def q_events_session(spark, sf_dir):
     return out.withColumn("session_start", F.unix_micros("session_start"))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each event gets its user's most
+    recent STRICTLY-prior 'purchase' event value. Union+window shape —
+    one shuffle, no range-join explosion."""
+    from csvplus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").df
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    out = asof_join(ev, purchases, on="ts", by="user_id",
+                    right_cols=["last_purchase_value"], direction="backward",
+                    strict=True)
+    return out.select("event_id", "user_id", "event_type", "last_purchase_value")
+
+
+def q_join_outer(spark, sf_dir):
+    """Left outer join (extension, SURVEY §2.3: reference has inner/anti
+    only): every nation with its (possibly absent) supplier count."""
+    n = load_table(spark, sf_dir, "nation").df
+    s = load_table(spark, sf_dir, "supplier").df
+    agg = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        n.join(agg, n["n_nationkey"] == agg["s_nationkey"], "left")
+        .select("n_nationkey", "n_name",
+                F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"))
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP grouping sets (extension, SURVEY §2.4)."""
+    o = load_table(spark, sf_dir, "orders").df
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Window catalog: lag + running sum per customer over order dates
+    (extension, SURVEY §2.5)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").df
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+    )
+
+
+_ASOF_SQL = """
+SELECT event_id, user_id, event_type,
+       (SELECT p.value FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts < e.ts
+        ORDER BY p.ts DESC LIMIT 1) AS last_purchase_value
+FROM events e
+"""
+
+_JOIN_OUTER_SQL = """
+SELECT n_nationkey, n_name, COALESCE(a.n_suppliers, 0) AS n_suppliers
+FROM nation LEFT JOIN (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+) a ON n_nationkey = a.s_nationkey
+"""
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
 _TUMBLING_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
@@ -651,6 +736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
+        "asof_join": q_asof_join,
+        "join_outer": q_join_outer,
+        "rollup_agg": q_rollup_agg,
+        "window_running": q_window_running,
     }
 
 
@@ -781,4 +870,8 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _TUMBLING_SQL,
         "events_sliding": _SLIDING_SQL,
         "events_session": _SESSION_SQL,
+        "asof_join": _ASOF_SQL,
+        "join_outer": _JOIN_OUTER_SQL,
+        "rollup_agg": _ROLLUP_SQL,
+        "window_running": _WINDOW_RUNNING_SQL,
     }

@@ -23,7 +23,8 @@ from .functions.casts import safe_get_value, value_as_double, value_as_int
 from .functions.predicates import all_, any_, like_, not_
 from .index import Index
 from .session import get_spark
-from .sources import Reader, from_file, from_parquet, load_table, take_rows
+from .sources import (Reader, from_csv_text, from_file, from_parquet,
+                      load_table, take_rows)
 
 __all__ = [
     "Frame",
@@ -31,6 +32,7 @@ __all__ = [
     "Reader",
     "get_spark",
     "from_file",
+    "from_csv_text",
     "from_parquet",
     "load_table",
     "take_rows",

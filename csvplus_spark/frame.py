@@ -401,11 +401,25 @@ class Frame:
             df = df.coalesce(1)
         df.write.mode("overwrite").option("header", True).csv(path)
 
-    def to_json_file(self, path: str, single_file: bool = False) -> None:
-        """Write JSON lines (ToJSON/ToJSONFile, csvplus.go:446-480; the
-        reference's single-array form is a compat detail, JSONL is the
-        scalable equivalent)."""
+    def to_json_file(self, path: str, single_file: bool = False,
+                     array: bool = False) -> None:
+        """Write JSON (ToJSON/ToJSONFile, csvplus.go:446-480).
+
+        Default is JSONL (the scalable form). ``array=True`` reproduces
+        the reference's single-JSON-array file via a streamed driver
+        write — compat for small outputs only (documented tradeoff of
+        SURVEY §7 H6).
+        """
         df = self.ordered_df()
+        if array:
+            with open(path, "w") as f:
+                f.write("[")
+                first = True
+                for line in df.toJSON().toLocalIterator():
+                    f.write(("" if first else ",") + line)
+                    first = False
+                f.write("]")
+            return
         if single_file:
             df = df.coalesce(1)
         df.write.mode("overwrite").json(path)
@@ -416,6 +430,46 @@ class Frame:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    # ------------------------------------------------------------------
+    # row-helper parity (reference Row utilities, SURVEY §1.1)
+
+    def has_column(self, name: str) -> bool:
+        """Row.HasColumn (csvplus.go:62-65) lifted to frame level."""
+        return name in self.columns
+
+    def header(self) -> list[str]:
+        """Sorted column names — Row.Header (csvplus.go:78-87)."""
+        return sorted(self.columns)
+
+    def select_existing(self, *columns: str) -> "Frame":
+        """Projection keeping only the named columns that exist; never
+        errors — Row.SelectExisting (csvplus.go:108-118)."""
+        keep = [c for c in _as_list(columns) if c in self._df.columns]
+        keep += [c for c in self._df.columns if c.startswith("__cp_")]
+        return self._wrap(self._df.select(*keep)) if keep else self._wrap(self._df)
+
+    def row_string(self, name: str = "row_json") -> "Frame":
+        """Canonical per-row rendering, keys sorted — Row.String
+        (csvplus.go:90-104), as a JSON column."""
+        cols = sorted(self.columns)
+        return self._wrap(
+            self._df.withColumn(
+                name, F.to_json(F.struct(*[F.col(c) for c in cols]))
+            )
+        )
+
+    def for_each(self, fn: Callable[[dict], None]) -> None:
+        """Terminal per-row consumer in declared order — the reference's
+        direct DataSource invocation ``src(fn)`` (csvplus.go:215).
+
+        Driver-side sequential iteration (toLocalIterator streams one
+        partition at a time). For distributed side-effects use
+        ``df.foreachPartition`` instead; this compat form exists for
+        the reference's ordered, single-consumer contract.
+        """
+        for row in self.ordered_df().toLocalIterator():
+            fn(row.asDict(recursive=True))
 
     # ------------------------------------------------------------------
 

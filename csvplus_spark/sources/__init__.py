@@ -2,7 +2,8 @@
 (driver tables / TakeRows)."""
 
 from .csv import Reader, from_file
-from .memory import take_rows
+from .memory import from_csv_text, take_rows
 from .parquet import from_parquet, load_table
 
-__all__ = ["Reader", "from_file", "take_rows", "from_parquet", "load_table"]
+__all__ = ["Reader", "from_file", "from_csv_text", "take_rows",
+           "from_parquet", "load_table"]

@@ -23,3 +23,28 @@ def take_rows(spark: SparkSession, rows: Iterable[Mapping], schema=None,
         rows = [{c: (None if r.get(c) is None else str(r.get(c))) for c in cols} for r in rows]
     df = spark.createDataFrame(rows, schema=schema)
     return Frame(df, None, string_mode).with_ingest_order()
+
+
+def from_csv_text(spark: SparkSession, text: str, delimiter: str = ",",
+                  header: bool = True) -> Frame:
+    """CSV from an in-memory string — FromReader/FromReadCloser
+    (/root/reference/csvplus.go:936-947). Parsed driver-side (the
+    reference's io.Reader is inherently single-node input); unlike the
+    reference's single-shot stream, the resulting Frame is re-iterable.
+    """
+    import csv as _csv
+    import io
+
+    rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter))
+    if not rows:
+        raise ValueError("empty CSV input")
+    if header:
+        names, data = rows[0], rows[1:]
+    else:
+        names = [f"_c{i}" for i in range(len(rows[0]))]
+        data = rows
+    dicts = [
+        {n: (r[i] if i < len(r) else "") for i, n in enumerate(names)}
+        for r in data
+    ]
+    return take_rows(spark, dicts, schema=", ".join(f"`{n}` string" for n in names))

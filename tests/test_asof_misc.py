@@ -1,0 +1,96 @@
+"""As-of join semantics + row-helper parity + in-memory CSV source."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvplus_spark import from_csv_text, take_rows
+from csvplus_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def quotes_and_trades(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 3, 99.0)],
+        "sym string, t long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 1), ("A", 4), ("A", 5), ("A", 10), ("B", 2), ("C", 7)],
+        "sym string, t long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_strict(spark, quotes_and_trades):
+    quotes, trades = quotes_and_trades
+    out = asof_join(trades, quotes, on="t", by="sym", right_cols=["px"],
+                    direction="backward", strict=True)
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got == {
+        ("A", 1): None,     # strict: quote at t=1 not visible
+        ("A", 4): 10.0,
+        ("A", 5): 10.0,     # strict: quote at t=5 not visible
+        ("A", 10): 12.0,
+        ("B", 2): None,
+        ("C", 7): None,     # no quotes for C
+    }
+
+
+def test_asof_backward_inclusive(spark, quotes_and_trades):
+    quotes, trades = quotes_and_trades
+    out = asof_join(trades, quotes, on="t", by="sym", right_cols=["px"],
+                    direction="backward", strict=False)
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got[("A", 1)] == 10.0 and got[("A", 5)] == 11.0
+
+
+def test_asof_forward(spark, quotes_and_trades):
+    quotes, trades = quotes_and_trades
+    out = asof_join(trades, quotes, on="t", by="sym", right_cols=["px"],
+                    direction="forward", strict=False)
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got == {
+        ("A", 1): 10.0, ("A", 4): 11.0, ("A", 5): 11.0, ("A", 10): None,
+        ("B", 2): 99.0, ("C", 7): None,
+    }
+
+
+def test_asof_name_collision_suffix(spark):
+    left = spark.createDataFrame([(1, 10, "l")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "r")], "k long, t long, v string")
+    out = asof_join(left, right, on="t", by="k", right_cols=["v"])
+    row = out.collect()[0]
+    assert row["v"] == "l" and row["v_right"] == "r"
+
+
+def test_row_helpers(spark):
+    f = take_rows(spark, [{"b": "2", "a": "1"}])
+    assert f.header() == ["a", "b"]
+    assert f.has_column("a") and not f.has_column("z")
+    assert f.select_existing("a", "zzz").columns == ["a"]
+    rows = f.row_string().to_rows()
+    assert json.loads(rows[0]["row_json"]) == {"a": "1", "b": "2"}
+
+
+def test_for_each_ordered(spark):
+    f = take_rows(spark, [{"v": str(i)} for i in range(5)])
+    seen = []
+    f.for_each(lambda r: seen.append(r["v"]))
+    assert seen == ["0", "1", "2", "3", "4"]
+
+
+def test_from_csv_text(spark):
+    f = from_csv_text(spark, "a,b\n1,2\n3,4\n")
+    assert f.columns == ["a", "b"]
+    assert [r["a"] for r in f.to_rows()] == ["1", "3"]
+    g = from_csv_text(spark, "1;2\n3;4\n", delimiter=";", header=False)
+    assert g.columns == ["_c0", "_c1"]
+
+
+def test_to_json_array(spark, tmp_path):
+    f = take_rows(spark, [{"v": "1"}, {"v": "2"}])
+    p = str(tmp_path / "out.json")
+    f.to_json_file(p, array=True)
+    data = json.load(open(p))
+    assert data == [{"v": "1"}, {"v": "2"}]
