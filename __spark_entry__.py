@@ -463,6 +463,39 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_intersect(spark, sf_dir):
+    """INTERSECT set op (extension, SURVEY §2.7): nations having both
+    customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").df \
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").df \
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_agg_distinct(spark, sf_dir):
+    """Exact distinct-count aggregates (extension, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_INTERSECT_SQL = """
+SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+"""
+
+_AGG_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
 _ASOF_SQL = """
 SELECT event_id, user_id, event_type,
        (SELECT p.value FROM events p
@@ -740,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer": q_join_outer,
         "rollup_agg": q_rollup_agg,
         "window_running": q_window_running,
+        "intersect": q_intersect,
+        "agg_distinct": q_agg_distinct,
     }
 
 
@@ -874,4 +909,6 @@ def oracle_sql() -> dict[str, str]:
         "join_outer": _JOIN_OUTER_SQL,
         "rollup_agg": _ROLLUP_SQL,
         "window_running": _WINDOW_RUNNING_SQL,
+        "intersect": _INTERSECT_SQL,
+        "agg_distinct": _AGG_DISTINCT_SQL,
     }

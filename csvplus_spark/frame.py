@@ -377,6 +377,18 @@ class Frame:
         self._require(_as_list(cols), "group_by")
         return self.df.groupBy(*cols)
 
+    def agg_by(self, group_cols: Sequence[str] | str, **aggs: Column) -> "Frame":
+        """Grouped aggregation facade: ``f.agg_by("k", total=F.sum("v"))``.
+
+        The idiomatic replacement for the reference's aggregate-in-the-
+        terminal-callback pattern (SURVEY §2.4; csvplus_test.go:440-451):
+        partial aggregation map-side, one shuffle on the group keys.
+        """
+        cols = _as_list(group_cols)
+        self._require(cols, "agg_by")
+        exprs = [c.alias(name) for name, c in aggs.items()]
+        return Frame(self.df.groupBy(*cols).agg(*exprs), None, self.string_mode)
+
     # ------------------------------------------------------------------
     # sinks — reference csvplus.go:379-490
 
@@ -430,6 +442,20 @@ class Frame:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    def write_bucketed(self, table: str, bucket_cols: Sequence[str] | str,
+                       n_buckets: int = 64, sort: bool = True) -> None:
+        """Persist hash-bucketed (and key-sorted) — repeated joins /
+        point lookups on ``bucket_cols`` then run shuffle-free
+        (bucketed sort-merge join; partition pruning on the bucket).
+        At 100 TB this is the difference between re-shuffling the fact
+        table per join and never shuffling it at all."""
+        cols = _as_list(bucket_cols)
+        w = self.df.write.mode("overwrite").format("parquet") \
+            .bucketBy(n_buckets, *cols)
+        if sort:
+            w = w.sortBy(*cols)
+        w.saveAsTable(table)
 
     # ------------------------------------------------------------------
     # row-helper parity (reference Row utilities, SURVEY §1.1)
