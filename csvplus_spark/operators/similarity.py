@@ -85,6 +85,72 @@ def _plane_sign(plane_id: int):
     return f
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partitioned corpus,
+    each query probes its ``n_probe`` nearest centroids, exact rerank
+    inside the probed cells.
+
+    The 100 TB shape: the corpus is scanned once to assign cells
+    (narrow after the centroids broadcast), persisted partitioned by
+    cell, and each query touches n_probe/n_clusters of the data. The
+    rerank join is an equi-join on cell id. Training samples the
+    corpus; fixed seed → reproducible cells.
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml not available") from exc
+
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("__vec__"))
+    featurized = c.withColumn("__feat__", array_to_vector("__vec__"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__",
+                predictionCol="__cell__")
+    model = km.fit(featurized)
+    assigned = model.transform(featurized).select("corpus_id", "__vec__", "__cell__")
+
+    # centroid table (tiny, broadcast): cell id + centroid array
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
+    # pick n_probe nearest centroids per query (centroids broadcast)
+    qc = (
+        q.join(F.broadcast(cent))
+        .withColumn("__csim__", cosine(F.col("__qv__"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__csim__").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("__cr__", F.row_number().over(wq))
+        .filter(F.col("__cr__") <= n_probe)
+        .select("query_id", "__qv__", F.col("cell").alias("__cell__"))
+    )
+    scored = (
+        assigned.join(probes, "__cell__")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("sim", cosine(F.col("__qv__"), F.col("__vec__")))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "sim")
+    )
+
+
 def hyperplane_bits(vec_col: F.Column, dim: int, n_bits: int = 16,
                     plane_offset: int = 0) -> F.Column:
     """Sign-LSH bucket: bit i = 1 iff dot(v, r_i) > 0 where r_i is a

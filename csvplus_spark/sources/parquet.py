@@ -21,6 +21,10 @@ def from_parquet(spark: SparkSession, path: str, string_mode: bool = False) -> F
     # Spark rejects parquet TIMESTAMP(NANOS) by default (the driver's
     # events.ts is ns-precision); read it as long and convert below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics must not depend on the caller's session TZ:
+    # date_trunc / window alignment / ts→string all read the session
+    # zone, and the DuckDB oracle sees naive (UTC-equivalent) values
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns surface as LongType named in _NANOS_COLS;
     # truncate ns→us exactly like DuckDB's parquet reader does.

@@ -60,7 +60,8 @@ def session_agg(df: DataFrame, gap: str = "10 minutes",
 # genuine Structured Streaming path
 
 
-def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+def stream_events(spark: SparkSession, source_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream over a directory of events parquet files.
 
     Handles the ns-precision ts the same way the batch source does
@@ -78,7 +79,10 @@ def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ])
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     # integer division: ns values exceed double's 53-bit mantissa
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -100,3 +100,23 @@ def test_lsh_topk_structural(spark, sf_dir):
         ordered = sorted(rs, key=lambda r: r["rank"])
         sims = [r["sim"] for r in ordered]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 10)
+    from csvplus_spark.operators.similarity import ivf_topk
+
+    bf = {(r["query_id"], r["corpus_id"]) for r in brute_force_topk(q, emb, 5).collect()}
+    ivf = {(r["query_id"], r["corpus_id"])
+           for r in ivf_topk(q, emb, 5, n_clusters=8, n_probe=4).collect()}
+    # probing half the cells should recover a solid majority of true top-k
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, recall
+    # and returned sims must be exact (rerank is exact cosine)
+    rows = ivf_topk(q, emb, 3, n_clusters=8, n_probe=8).collect()
+    full = {(r["query_id"], r["corpus_id"]): r["sim"]
+            for r in brute_force_topk(q, emb, 500).collect()}
+    for r in rows:
+        key = (r["query_id"], r["corpus_id"])
+        assert abs(full[key] - r["sim"]) < 1e-9

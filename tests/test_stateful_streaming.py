@@ -1,0 +1,61 @@
+"""applyInPandasWithState: state must carry across micro-batches."""
+
+from csvplus_spark import load_table
+from csvplus_spark.streaming.events import stream_events
+from csvplus_spark.streaming.stateful import running_user_stats
+
+from pyspark.sql import functions as F
+
+
+def test_running_user_stats_accumulates_across_batches(spark, sf_dir, tmp_path):
+    # split events into two files → two micro-batches with maxFilesPerTrigger=1
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ev_stream"
+    half = ev.df.limit(500)
+    rest = ev.df.subtract(half)
+    # write as raw long ns to mirror the driver file format? the stream
+    # reader expects nanos-as-long; write micros*1000 instead
+    for i, part in enumerate([half, rest]):
+        part.withColumn("ts", (F.unix_micros("ts") * 1000)) \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / f"batch{i}"))
+
+    import shutil, glob, os
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for i in range(2):
+        f = glob.glob(str(src / f"batch{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, stream_dir / f"{i}.parquet")
+
+    stream = running_user_stats(
+        stream_events(spark, str(stream_dir), max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emitted row per user must equal the full-batch ground truth
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM user_stats"
+        ).groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    import math
+    for u, (n, t) in expect.items():
+        assert got[u][0] == n, u
+        assert math.isclose(got[u][1], t, rel_tol=1e-9), u
