@@ -483,6 +483,111 @@ def q_agg_distinct(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at sim >= 0.4 (operators/dedup.py;
+    cosine arithmetic is bit-identical across engines)."""
+    from csvplus_spark.operators.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(load_table(spark, sf_dir, "embeddings").df, 0.4)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal metadata path over binary blobs (documents.text cast
+    to binary stands in for real media; operators/multimodal.py)."""
+    from csvplus_spark.operators.multimodal import attach_media_meta
+
+    docs = load_table(spark, sf_dir, "documents").df
+    blobs = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("data"))
+    out = attach_media_meta(blobs)
+    return out.select("media_id",
+                      F.col("media_meta.byte_len").alias("byte_len"),
+                      F.col("media_meta.content_md5").alias("content_md5"),
+                      F.col("media_meta.kind").alias("kind"))
+
+
+def q_explode_tokens(spark, sf_dir):
+    """UDTF-shaped one-to-many expansion (extension, SURVEY §2.10):
+    explode document tokens, count occurrences of long tokens."""
+    from csvplus_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") >= 6)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets (extension, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+def q_scalar_string_math(spark, sf_dir):
+    """String + math scalar catalog (extension, SURVEY §2.8)."""
+    p = load_table(spark, sf_dir, "part").df
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.sqrt(F.abs(F.col("p_retailprice"))), 6).alias("sqrt_price"),
+        F.pmod(F.col("p_size"), F.lit(7)).alias("size_mod"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).alias("consonants"),
+    )
+
+
+_DEDUP_EMB_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v)
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       list_sum(list_transform(range(1, len(a.e) + 1), k -> a.e[k] * b.e[k]))
+         / (na.nn * nb.nn) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+JOIN n na ON a.vec_id = na.vec_id
+JOIN n nb ON b.vec_id = nb.vec_id
+WHERE list_sum(list_transform(range(1, len(a.e) + 1), k -> a.e[k] * b.e[k]))
+        / (na.nn * nb.nn) >= 0.4
+"""
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       'unknown' AS kind
+FROM documents
+"""
+
+_EXPLODE_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents)
+WHERE length(token) >= 6
+GROUP BY token
+"""
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+_SCALAR_STRING_MATH_SQL = """
+SELECT p_partkey,
+       upper(substring(p_name, 1, 8)) AS name_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       round(sqrt(abs(p_retailprice)), 6) AS sqrt_price,
+       p_size % 7 AS size_mod,
+       length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS consonants
+FROM part
+"""
+
+
 _INTERSECT_SQL = """
 SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
 INTERSECT
@@ -775,6 +880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "intersect": q_intersect,
         "agg_distinct": q_agg_distinct,
+        "dedup_embedding": q_dedup_embedding,
+        "multimodal_meta": q_multimodal_meta,
+        "explode_tokens": q_explode_tokens,
+        "cube_agg": q_cube_agg,
+        "scalar_string_math": q_scalar_string_math,
     }
 
 
@@ -911,4 +1021,9 @@ def oracle_sql() -> dict[str, str]:
         "window_running": _WINDOW_RUNNING_SQL,
         "intersect": _INTERSECT_SQL,
         "agg_distinct": _AGG_DISTINCT_SQL,
+        "dedup_embedding": _DEDUP_EMB_SQL,
+        "multimodal_meta": _MULTIMODAL_SQL,
+        "explode_tokens": _EXPLODE_SQL,
+        "cube_agg": _CUBE_SQL,
+        "scalar_string_math": _SCALAR_STRING_MATH_SQL,
     }

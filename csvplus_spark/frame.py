@@ -213,8 +213,17 @@ class Frame:
         if eager:
             from .errors import DataSourceError
 
-            bad = self._df.filter(~cond).limit(1).count()
-            if bad:
+            bad = self._df.filter(~cond).limit(1)
+            if self.order and self.order[0][0] == ROW_ID:
+                # row lineage (SURVEY §7 H5): report the 1-based ingest
+                # position of the first violating row, like the
+                # reference's DataSourceError{Line} — the extra jobs run
+                # only on the failure path
+                first_bad = self._df.filter(~cond).agg(F.min(ROW_ID)).collect()[0][0]
+                if first_bad is not None:
+                    line = self._df.filter(F.col(ROW_ID) <= first_bad).count()
+                    raise DataSourceError(message, line=line)
+            elif bad.count():
                 raise DataSourceError(message)
             return self
         exprs = []

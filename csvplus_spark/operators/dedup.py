@@ -258,6 +258,39 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
     return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")
 
 
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim) with
+    cosine ≥ threshold.
+
+    All-pairs within ``block_col`` blocks (global when None — the exact
+    small/medium-scale form). The 100 TB path blocks first (LSH buckets
+    via similarity.hyperplane_bits, or IVF cells) and reranks exactly —
+    precision is always exact because the similarity IS the cosine.
+    """
+    from .similarity import cosine, with_double_vec
+
+    v = with_double_vec(emb, vec_col).select(
+        F.col(id_col), F.col("__vec__"),
+        *([F.col(block_col)] if block_col else []))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", cosine(F.col("a.__vec__"), F.col("b.__vec__")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_1"),
+                F.col(f"b.{id_col}").alias("id_2"), "sim")
+    )
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        n_bits: int = 32, block_col: str | None = None) -> DataFrame:

@@ -105,3 +105,13 @@ def test_union_by_name_dynamic_schema(spark):
     assert sorted(u.columns) == ["x", "y", "z"]
     rows = {r["x"]: r for r in u.to_rows()}
     assert rows["1"]["z"] is None and rows["2"]["y"] is None
+
+
+def test_validate_row_lineage(spark):
+    # eager validate over an ingest-ordered source reports the 1-based
+    # row position, like the reference's DataSourceError (csvplus.go:1229)
+    from csvplus_spark import DataSourceError
+
+    f = take_rows(spark, [{"v": "1"}, {"v": "2"}, {"v": "x"}, {"v": "4"}])
+    with pytest.raises(DataSourceError, match="row 3: not a number"):
+        f.validate(F.col("v").try_cast("int").isNotNull(), "not a number")
