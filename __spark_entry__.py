@@ -41,18 +41,20 @@ SF1 = "/root/testdata/sf0.001"
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer", string_mode=True)
+    # lazy uniqueness: assertion fused into the join plan, no probe job
     idx = (
         cust.filter(any_(like_({"c_mktsegment": "BUILDING"}),
                          like_({"c_mktsegment": "AUTOMOBILE"})))
         .select_columns("c_custkey", "c_name", "c_mktsegment")
-        .unique_index_on("c_custkey")
+        .unique_index_on("c_custkey", lazy_check=True)
         .hint_broadcast()
     )
     orders = load_table(spark, sf_dir, "orders", string_mode=True)
     li_idx = load_table(spark, sf_dir, "lineitem", string_mode=True) \
         .select_columns("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice") \
         .index_on("l_orderkey", "l_linenumber")
-    bad = cust.filter(F.col("c_acctbal").cast("double") < 0).unique_index_on("c_custkey")
+    bad = cust.filter(F.col("c_acctbal").cast("double") < 0) \
+        .unique_index_on("c_custkey", lazy_check=True).hint_broadcast()
 
     out = (
         orders.join(idx, "o_custkey")              # renamed key: both columns kept

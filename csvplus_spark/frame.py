@@ -358,13 +358,15 @@ class Frame:
         self._require(cols, "index_on")
         return Index(self, cols, unique=False)
 
-    def unique_index_on(self, *columns: str) -> "Index":
-        """IndexOn + eager uniqueness assertion (csvplus.go:535-537,
-        740-756); raises DuplicateKeyError with the offending key."""
+    def unique_index_on(self, *columns: str, lazy_check: bool = False) -> "Index":
+        """IndexOn + uniqueness assertion (csvplus.go:535-537, 740-756);
+        raises DuplicateKeyError with the offending key. ``lazy_check``
+        fuses the assertion into the consuming plan instead of running
+        an eager probe job (see Index.assert_unique)."""
         from .index import Index
 
         idx = self.index_on(*columns)
-        idx.assert_unique()
+        idx.assert_unique(lazy=lazy_check)
         return idx
 
     # ------------------------------------------------------------------
@@ -378,6 +380,30 @@ class Frame:
 
     def distinct(self) -> "Frame":
         return Frame(self.df.dropDuplicates(), None, self.string_mode)
+
+    def intersect(self, other: "Frame") -> "Frame":
+        return Frame(self.df.intersect(other.df), None, self.string_mode)
+
+    def except_all(self, other: "Frame") -> "Frame":
+        return Frame(self.df.exceptAll(other.df), None, self.string_mode)
+
+    # ------------------------------------------------------------------
+    # partitioning control (scale knobs; no reference counterpart)
+
+    def repartition_by(self, *cols: str, n: int | None = None) -> "Frame":
+        """Hash-partition by columns (pre-shuffle for repeated joins/aggs
+        on the same key; pairs with sort_within_partitions for clustered
+        parquet output)."""
+        self._require(_as_list(cols), "repartition_by")
+        df = self._df.repartition(n, *cols) if n else self._df.repartition(*cols)
+        return self._wrap(df)
+
+    def sort_within_partitions(self, *cols: str) -> "Frame":
+        self._require(_as_list(cols), "sort_within_partitions")
+        return self._wrap(self._df.sortWithinPartitions(*cols))
+
+    def coalesce(self, n: int) -> "Frame":
+        return self._wrap(self._df.coalesce(n))
 
     # ------------------------------------------------------------------
     # group-by (Spark extension — SURVEY §2.4: reference aggregates by hand)

@@ -96,11 +96,41 @@ class Index:
     # ------------------------------------------------------------------
     # uniqueness — csvplus.go:740-756
 
-    def assert_unique(self) -> "Index":
-        """Eager duplicate-key check; raises DuplicateKeyError with the
-        offending key rendered (csvplus.go:747-756). One distributed
-        groupBy job — the scalable form of the reference's post-sort
-        adjacent scan."""
+    def assert_unique(self, lazy: bool = False) -> "Index":
+        """Duplicate-key check; raises DuplicateKeyError (eager) or a
+        runtime error at action time (lazy) with the offending key
+        rendered (csvplus.go:747-756).
+
+        Eager (default, reference-faithful error timing): one
+        distributed groupBy probe job now. Lazy: the check is fused
+        into the consuming plan as a per-key window count + conditional
+        raise_error — zero extra jobs, one extra (broadcast-sized for
+        dimensions) shuffle inside the main plan; error timing moves to
+        the first action (SURVEY §7 H5 allows this divergence).
+        """
+        if lazy:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*[self._key(c) for c in self.columns])
+            cnt = F.count(F.lit(1)).over(w)
+            render = F.concat(
+                F.lit("duplicate value while creating unique index: { "),
+                F.concat_ws(", ", *[
+                    F.concat(F.lit(f'"{c}" : "'), F.col(c).cast("string"), F.lit('"'))
+                    for c in self.columns
+                ]),
+                F.lit(" }"),
+            )
+            first = self.df.columns[0]
+            dtype = self.df.schema[first].dataType
+            df = self.df.withColumn(
+                first,
+                F.when(cnt > 1, F.raise_error(render).cast(dtype)).otherwise(F.col(first)),
+            )
+            self.frame = Frame(df, [(c, True) for c in self.columns],
+                               self.frame.string_mode)
+            self.unique = True
+            return self
         keys = [self._key(c).alias(c) for c in self.columns]
         dup = (
             self.df.select(*keys)

@@ -107,3 +107,15 @@ def test_resolve_duplicates_callback(spark):
     out = index.resolve_duplicates(resolve, schema="k string, v string")
     got = {r["k"]: r["v"] for r in out.df.collect()}
     assert got == {"a": "2", "b": "9"}
+
+
+def test_lazy_unique_check_raises_at_action(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem", string_mode=True)
+    idx = li.unique_index_on("l_orderkey", lazy_check=True)  # no error yet
+    orders = load_table(spark, sf_dir, "orders", string_mode=True)
+    with pytest.raises(Exception, match="duplicate value while creating unique index"):
+        orders.join(idx, "o_orderkey").count()
+    # clean key passes end-to-end
+    cust = load_table(spark, sf_dir, "customer", string_mode=True)
+    cidx = cust.unique_index_on("c_custkey", lazy_check=True)
+    assert orders.join(cidx, "o_custkey").count() > 0
