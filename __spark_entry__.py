@@ -544,6 +544,81 @@ def q_scalar_string_math(spark, sf_dir):
     )
 
 
+def q_tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: revenue of undelivered orders for one segment —
+    3-way join (broadcast dim → fact ⋈ fact) + agg + top-N."""
+    c = load_table(spark, sf_dir, "customer").df \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    cutoff = "1998-06-15"
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .withColumn("o_orderdate", F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation — 5-way star join with
+    broadcast dimensions, one fact shuffle."""
+    r = load_table(spark, sf_dir, "region").df
+    n = load_table(spark, sf_dir, "nation").df
+    c = load_table(spark, sf_dir, "customer").df
+    s = load_table(spark, sf_dir, "supplier").df
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        o.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
+              & (F.col("c_nationkey") == s["s_nationkey"]))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate, o.o_orderpriority,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-15'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+_TPCH_Q5_SQL = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+GROUP BY 1
+"""
+
+
 _DEDUP_EMB_SQL = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
 n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v)
@@ -887,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "cube_agg": q_cube_agg,
         "scalar_string_math": q_scalar_string_math,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_volume": q_tpch_q5_volume,
     }
 
 
@@ -1028,4 +1105,6 @@ def oracle_sql() -> dict[str, str]:
         "explode_tokens": _EXPLODE_SQL,
         "cube_agg": _CUBE_SQL,
         "scalar_string_math": _SCALAR_STRING_MATH_SQL,
+        "tpch_q3_shipping": _TPCH_Q3_SQL,
+        "tpch_q5_volume": _TPCH_Q5_SQL,
     }
