@@ -592,6 +592,34 @@ def q_tpch_q5_volume(spark, sf_dir):
     )
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles (extension, SURVEY §2.4): same linear
+    interpolation as DuckDB quantile_cont — exact match."""
+    o = load_table(spark, sf_dir, "orders").df
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the exact n-gram
+    Jaccard pair graph (operators/dedup.py::dup_clusters)."""
+    from csvplus_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return dup_clusters(ngram_jaccard_pairs(docs, 0.6))
+
+
+_QUANTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS q1,
+       quantile_cont(o_totalprice, 0.5) AS median,
+       quantile_cont(o_totalprice, 0.95) AS p95
+FROM orders GROUP BY 1
+"""
+
 _TPCH_Q3_SQL = """
 SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate, o.o_orderpriority,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -816,8 +844,7 @@ SELECT f.doc_id, c.canonical_id, f.doc_id = c.canonical_id AS is_canonical
 FROM fp f JOIN canon c USING (fp)
 """
 
-_NGRAM_SQL = f"""
-WITH sh AS (
+_NGRAM_CTES = f"""sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
 ),
@@ -825,11 +852,32 @@ ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+npairs AS (
+  SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+         i * 1.0 / (len(s1.sh) + len(s2.sh) - i) AS jaccard
+  FROM inter JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+  WHERE i * 1.0 / (len(s1.sh) + len(s2.sh) - i) >= 0.6
+)"""
+
+_NGRAM_SQL = f"""
+WITH {_NGRAM_CTES}
+SELECT * FROM npairs
+"""
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM npairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM npairs
+),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
 )
-SELECT d1 AS doc_id_1, d2 AS doc_id_2,
-       i * 1.0 / (len(s1.sh) + len(s2.sh) - i) AS jaccard
-FROM inter JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
-WHERE i * 1.0 / (len(s1.sh) + len(s2.sh) - i) >= 0.6
+SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
 """
 
 def _minhash_cte_sql() -> str:
@@ -964,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_string_math": q_scalar_string_math,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_volume": q_tpch_q5_volume,
+        "quantiles": q_quantiles,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1107,4 +1157,6 @@ def oracle_sql() -> dict[str, str]:
         "scalar_string_math": _SCALAR_STRING_MATH_SQL,
         "tpch_q3_shipping": _TPCH_Q3_SQL,
         "tpch_q5_volume": _TPCH_Q5_SQL,
+        "quantiles": _QUANTILES_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
     }

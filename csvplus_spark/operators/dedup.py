@@ -258,6 +258,41 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
     return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")
 
 
+def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = min doc id in the component.
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the min — O(graph diameter) iterations (near-dup clusters are
+    shallow; typical diameter ≤ 3). Each iteration is one shuffle on
+    the node id; labels are localCheckpointed to keep lineage flat.
+    This is the standard large-graph CC shape (HashToMin) — no driver
+    collect of the graph.
+    """
+    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
+    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a").agg(F.min("label").alias("nl"))
+        )
+        new_labels = labels.join(neighbor, "a", "left").select(
+            "a", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "a")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

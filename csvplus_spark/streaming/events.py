@@ -87,6 +87,35 @@ def stream_events(spark: SparkSession, source_dir: str,
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def stream_session_counts(spark: SparkSession, source_dir: str,
+                          gap: str = "10 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming session windows per user: native session_window state
+    merges sessions across micro-batches; the watermark closes sessions
+    whose end has passed it (append-mode emission, bounded state)."""
+    ev = stream_events(spark, source_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def write_stream_parquet(stream: DataFrame, path: str, checkpoint: str,
+                         trigger_available_now: bool = True):
+    """Parquet streaming sink with checkpointing: exactly-once file
+    output via the streaming commit log. Returns the StreamingQuery."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_tumbling_counts(spark: SparkSession, source_dir: str,
                            window: str = "1 hour",
                            watermark: str = "1 hour") -> DataFrame:
