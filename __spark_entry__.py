@@ -612,6 +612,65 @@ def q_dedup_clusters(spark, sf_dir):
     return dup_clusters(ngram_jaccard_pairs(docs, 0.6))
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/text.py)."""
+    from csvplus_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents").df, 3)
+
+
+def q_pivot(spark, sf_dir):
+    """PIVOT (extension, SURVEY §2.4): order counts by status × priority."""
+    o = load_table(spark, sf_dir, "orders").df
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    # pivot leaves NULL for empty cells; normalize to 0 like the oracle
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+          for i, p in enumerate(prios)],
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct (extension; rows-only check —
+    sketch estimates are engine-specific by nature)."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"))
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS score_raw
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term) AS rank,
+       ROUND(score_raw, 6) AS score
+FROM scored
+QUALIFY rank <= 3
+"""
+
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY 1
+"""
+
+
 _QUANTILES_SQL = """
 SELECT o_orderstatus,
        quantile_cont(o_totalprice, 0.25) AS q1,
@@ -1014,6 +1073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_volume": q_tpch_q5_volume,
         "quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
+        "tfidf": q_tfidf,
+        "pivot": q_pivot,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1159,4 +1221,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_volume": _TPCH_Q5_SQL,
         "quantiles": _QUANTILES_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "tfidf": _TFIDF_SQL,
+        "pivot": _PIVOT_SQL,
+        # approx_distinct: deliberately no oracle — HLL sketches are
+        # engine-specific; driver records a rows-only check
     }

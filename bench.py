@@ -37,6 +37,10 @@ HEADLINE = [
     "sim_topk",
     "events_tumbling",
     "events_session",
+    "tpch_q3_shipping",
+    "tpch_q5_volume",
+    "dedup_clusters",
+    "tfidf",
 ]
 
 

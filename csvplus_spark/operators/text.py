@@ -147,6 +147,33 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document: score = tf · ln(N/df).
+
+    Shape: one explode + two hash-aggregates (term frequency per doc,
+    document frequency per term) + a broadcast-sized join on term +
+    per-doc top-k window. All arithmetic on integers + ln (bit-identical
+    across engines), term tie-break → fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1))).collect()[0][0]
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per document with the full stats vector."""
     return df.select(

@@ -94,11 +94,17 @@ class Reader:
     # ------------------------------------------------------------------
 
     def _read_header_line(self) -> list[str]:
-        """Driver-side peek at the first physical line for the header
-        contracts Spark lacks (SURVEY §2.1). One tiny text read."""
+        """Peek at the first physical line for the header contracts
+        Spark lacks (SURVEY §2.1). Local paths use one tiny open();
+        anything else (s3://, hdfs://, …) falls back to a 1-row
+        spark.read.text — still O(1) I/O (one line of one file)."""
         paths = sorted(_glob.glob(self.path)) or [self.path]
-        with open(paths[0], "r", newline="") as f:
-            line = f.readline().rstrip("\r\n")
+        if "://" in self.path:
+            rows = self.spark.read.text(self.path).limit(1).collect()
+            line = rows[0][0] if rows else ""
+        else:
+            with open(paths[0], "r", newline="") as f:
+                line = f.readline().rstrip("\r\n")
         if not line:
             raise HeaderError("missing or empty header line")
         fields = line.split(self._delimiter)

@@ -120,3 +120,26 @@ def test_ivf_topk_recall(spark, sf_dir):
     for r in rows:
         key = (r["query_id"], r["corpus_id"])
         assert abs(full[key] - r["sim"]) < 1e-9
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").df
+    approx = {r["l_returnflag"]: r["a"] for r in li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a")).collect()}
+    exact = {r["l_returnflag"]: r["e"] for r in li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("e")).collect()}
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.05, (k, approx[k], e)
+
+
+def test_tfidf_deterministic_topk(spark, sf_dir):
+    from csvplus_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").df
+    a = tfidf_top_terms(docs, 3).collect()
+    b = tfidf_top_terms(docs, 3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
