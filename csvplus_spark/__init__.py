@@ -26,7 +26,21 @@ from .session import get_spark
 from .sources import (Reader, from_csv_text, from_file, from_parquet,
                       load_table, take_rows)
 
+def take(source) -> Frame:
+    """API-parity adapter (Take, /root/reference/csvplus.go:252-256):
+    lift a Reader, Index, or Frame into a Frame. On Spark everything is
+    already a lazy DataFrame, so this just normalizes the type."""
+    if isinstance(source, Frame):
+        return source
+    if isinstance(source, Index):
+        return source.to_frame()
+    if isinstance(source, Reader):
+        return source.to_frame()
+    raise TypeError(f"cannot adapt {type(source).__name__} to a Frame")
+
+
 __all__ = [
+    "take",
     "Frame",
     "Index",
     "Reader",

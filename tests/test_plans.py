@@ -47,3 +47,16 @@ def test_flagship_no_python_in_plan(spark, sf_dir):
     # the whole compat chain compiles to JVM expressions - no Python eval
     plan = _plan(spark, sf_dir, "flagship")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    from csvplus_spark import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_part")
+    ev.to_parquet(path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter("event_type = 'purchase'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # pruned read touches only the purchase partition
+    assert back.count() == ev.df.filter("event_type = 'purchase'").count()
