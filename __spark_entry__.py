@@ -640,6 +640,56 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"))
 
 
+def q_date_arith(spark, sf_dir):
+    """Date arithmetic catalog (extension, SURVEY §2.8): day diffs,
+    month adds, extraction."""
+    o = load_table(spark, sf_dir, "orders").df
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.unix_micros(F.add_months(d, 3).cast("timestamp")).alias("plus3m"),
+    )
+
+
+def q_null_funcs(spark, sf_dir):
+    """NULL-handling catalog (extension, SURVEY §2.8): coalesce /
+    nullif / null-aware counts over the outer-join shape."""
+    n = load_table(spark, sf_dir, "nation").df
+    s = load_table(spark, sf_dir, "supplier").df
+    j = n.join(s, n["n_nationkey"] == s["s_nationkey"], "left")
+    return j.groupBy("n_name").agg(
+        F.count("s_suppkey").alias("n_nonnull"),
+        F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.coalesce(F.round(F.sum("s_acctbal"), 2), F.lit(0.0)).alias("total_bal"),
+        F.max(F.nullif(F.lit("x"), F.lit("x"))).alias("always_null"),
+    )
+
+
+_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       EXTRACT(dow FROM o_orderdate) + 1 AS dow,
+       epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3m
+FROM orders
+"""
+
+_NULL_FUNCS_SQL = """
+SELECT n_name,
+       COUNT(s_suppkey) AS n_nonnull,
+       SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COALESCE(ROUND(SUM(s_acctbal), 2), 0.0) AS total_bal,
+       MAX(NULLIF('x', 'x')) AS always_null
+FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
 _TFIDF_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1076,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "pivot": q_pivot,
         "approx_distinct": q_approx_distinct,
+        "date_arith": q_date_arith,
+        "null_funcs": q_null_funcs,
     }
 
 
@@ -1223,6 +1275,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _CLUSTERS_SQL,
         "tfidf": _TFIDF_SQL,
         "pivot": _PIVOT_SQL,
+        "date_arith": _DATE_ARITH_SQL,
+        "null_funcs": _NULL_FUNCS_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

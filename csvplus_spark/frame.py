@@ -339,6 +339,20 @@ class Frame:
         right = F.broadcast(other) if broadcast or (broadcast is None and index.small) else other
         return self._wrap(self._df.join(right, _and(conds), "left_anti"))
 
+    def join_frame(self, other: "Frame", on: Sequence[str] | str,
+                   how: str = "inner") -> "Frame":
+        """Generic typed join (extension, SURVEY §2.3: the reference has
+        only inner-vs-index and anti; Spark gives every ``how`` free)."""
+        out = self.df.join(other.df, _as_list(on), how)
+        return Frame(out, None, self.string_mode)
+
+    def explode(self, column: str, alias: str | None = None) -> "Frame":
+        """One-to-many row expansion over an array column (UDTF shape —
+        no reference counterpart, SURVEY §2.10)."""
+        self._require([column], "explode")
+        out = self._df.withColumn(alias or column, F.explode(F.col(column)))
+        return self._wrap(out)
+
     # ------------------------------------------------------------------
     # index builders — reference csvplus.go:529-537
 
