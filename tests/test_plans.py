@@ -60,3 +60,19 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     # pruned read touches only the purchase partition
     assert back.count() == ev.df.filter("event_type = 'purchase'").count()
+
+
+def test_loaded_index_lookup_pushes_down(spark, sf_dir, tmp_path):
+    from csvplus_spark import Index, load_table
+
+    idx = load_table(spark, sf_dir, "customer", string_mode=True) \
+        .unique_index_on("c_custkey")
+    path = str(tmp_path / "cust_idx")
+    idx.write_to(path)
+    loaded = Index.load(spark, path)
+    hit = loaded.find("42")
+    plan = hit.df._jdf.queryExecution().executedPlan().toString()
+    # the point lookup reaches the parquet scan as a pushed filter →
+    # row-group min/max skipping on the key-sorted file
+    assert "PushedFilters" in plan and "c_custkey" in plan
+    assert hit.count() == 1

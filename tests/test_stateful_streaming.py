@@ -59,3 +59,32 @@ def test_running_user_stats_accumulates_across_batches(spark, sf_dir, tmp_path):
     for u, (n, t) in expect.items():
         assert got[u][0] == n, u
         assert math.isclose(got[u][1], t, rel_tol=1e-9), u
+
+
+def test_foreach_batch_upsert_latest_state(spark, sf_dir, tmp_path):
+    import glob
+    import shutil
+
+    from csvplus_spark.streaming.sinks import foreach_batch_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    # two batches: same keys appear in both; batch 2 must win
+    src = tmp_path / "in"
+    src.mkdir()
+    half = ev.df.limit(400)
+    rest = ev.df.subtract(half)
+    for i, part in enumerate([half, rest]):
+        part.withColumn("ts", (F.unix_micros("ts") * 1000)) \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        f = glob.glob(str(tmp_path / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"{i}.parquet")
+
+    stream = stream_events(spark, str(src), max_files_per_trigger=1) \
+        .select("user_id", "event_id", "value")
+    out = str(tmp_path / "state")
+    q = foreach_batch_upsert(stream, out, str(tmp_path / "ck"), ["user_id"])
+    q.awaitTermination(180)
+
+    state = spark.read.parquet(out)
+    users = ev.df.select("user_id").distinct().count()
+    assert state.count() == users  # exactly one latest row per user
