@@ -669,6 +669,38 @@ def q_null_funcs(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Banded range join (operators/rangejoin.py): for each event, how
+    many OTHER users' events happened within ±60 seconds. Equi-join on
+    time bins instead of a nested-loop range join."""
+    from csvplus_spark.operators.rangejoin import within_range_join
+
+    ev = load_table(spark, sf_dir, "events").df \
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    l = ev.select(F.col("event_id").alias("eid"), F.col("user_id").alias("uid"),
+                  F.col("us").alias("lus"))
+    r = ev.select(F.col("event_id").alias("rid"), F.col("user_id").alias("ruid"),
+                  F.col("us").alias("rus"))
+    joined = within_range_join(l, r, "lus", "rus", 60_000_000.0)
+    near = joined.filter(F.col("uid") != F.col("ruid")) \
+        .groupBy("eid").agg(F.count(F.lit(1)).alias("n_nearby"))
+    return (
+        l.join(near, "eid", "left")
+        .select(F.col("eid").alias("event_id"),
+                F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"))
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT a.event_id,
+       (SELECT COUNT(*) FROM ev b
+        WHERE b.user_id <> a.user_id
+          AND abs(b.us - a.us) <= 60000000) AS n_nearby
+FROM ev a
+"""
+
+
 _DATE_ARITH_SQL = """
 SELECT o_orderkey,
        date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
@@ -1128,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "date_arith": q_date_arith,
         "null_funcs": q_null_funcs,
+        "range_join": q_range_join,
     }
 
 
@@ -1277,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot": _PIVOT_SQL,
         "date_arith": _DATE_ARITH_SQL,
         "null_funcs": _NULL_FUNCS_SQL,
+        "range_join": _RANGE_JOIN_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

@@ -94,3 +94,18 @@ def test_to_json_array(spark, tmp_path):
     f.to_json_file(p, array=True)
     data = json.load(open(p))
     assert data == [{"v": "1"}, {"v": "2"}]
+
+
+def test_within_range_join_boundaries(spark):
+    from csvplus_spark.operators.rangejoin import within_range_join
+
+    l = spark.createDataFrame([(1, 100.0), (2, 250.0)], "lid long, lv double")
+    r = spark.createDataFrame(
+        [(10, 40.0), (11, 160.0), (12, 161.0), (13, 310.0), (14, 250.0)],
+        "rid long, rv double",
+    )
+    out = within_range_join(l, r, "lv", "rv", 60.0)
+    got = {(row["lid"], row["rid"]) for row in out.collect()}
+    # |100-40|=60 inclusive; |100-160|=60 inclusive; |100-161|=61 out;
+    # |250-310|=60 inclusive; |250-250|=0
+    assert got == {(1, 10), (1, 11), (2, 13), (2, 14)}
