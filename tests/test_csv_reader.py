@@ -90,3 +90,23 @@ def test_csv_roundtrip(spark, csv_file, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 3
     assert set(back.columns) == {"id", "name", "surname"}
+
+
+def test_multiline_quoted_fields(spark, tmp_path):
+    # Go encoding/csv accepts embedded newlines in quoted fields by
+    # default; multi_line() restores that parity
+    p = tmp_path / "ml.csv"
+    p.write_text('id,note\n1,"line one\nline two"\n2,simple\n')
+    f = from_file(spark, str(p)).multi_line().to_frame()
+    rows = {r["id"]: r["note"] for r in f.to_rows()}
+    assert rows["1"] == "line one\nline two"
+    assert rows["2"] == "simple"
+
+
+def test_typed_reader_inference(spark, tmp_path):
+    p = tmp_path / "typed.csv"
+    p.write_text("a,b\n1,2.5\n3,4.5\n")
+    f = from_file(spark, str(p)).typed().to_frame()
+    types = dict(f.df.dtypes)
+    assert types["a"] in ("int", "bigint") and types["b"] == "double"
+    assert not f.string_mode
