@@ -275,7 +275,7 @@ def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().cache()
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor = (
             edges.join(labels.withColumnRenamed("a", "b"), "b")
             .groupBy("a").agg(F.min("label").alias("nl"))
@@ -283,13 +283,17 @@ def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
         new_labels = labels.join(neighbor, "a", "left").select(
             "a", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "a")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
+        # the first sweep always changes labels on any non-trivial graph;
+        # skip its convergence probe (one fewer job per call)
+        if it > 0:
+            changed = (
+                new_labels.alias("n").join(labels.alias("o"), "a")
+                .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+            )
+            if not changed:
+                labels = new_labels
+                break
         labels = new_labels
-        if not changed:
-            break
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
