@@ -691,6 +691,42 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling + split labels over documents
+    (operators/sampling.py): language-rebalanced sample with
+    train/val/test assignment, reproducible across engines."""
+    from csvplus_spark.operators.sampling import (
+        stratified_hash_sample,
+        train_val_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").df
+    sampled = stratified_hash_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 1.0},
+    )
+    return train_val_test_split(sampled, "doc_id") \
+        .select("doc_id", "lang", "split")
+
+
+_HASH60_SQL = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
+
+_HASH_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {_HASH60_SQL.format(x="'sample' || '|' || CAST(doc_id AS VARCHAR)")} % 10000 AS sb,
+         {_HASH60_SQL.format(x="'split' || '|' || CAST(doc_id AS VARCHAR)")} % 10000 AS pb
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN pb < 1000 THEN 'val'
+            WHEN pb < 2000 THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+WHERE sb < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END
+"""
+
+
 _RANGE_JOIN_SQL = """
 WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
 SELECT a.event_id,
@@ -1161,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arith": q_date_arith,
         "null_funcs": q_null_funcs,
         "range_join": q_range_join,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -1311,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "date_arith": _DATE_ARITH_SQL,
         "null_funcs": _NULL_FUNCS_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

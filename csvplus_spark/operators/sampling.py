@@ -1,0 +1,75 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines (BASELINE.json north-star; no reference counterpart).
+
+Everything is hash-based (md5 via text.hash60), never RNG-based:
+  * reproducible across runs, engines, and partitionings (Spark's
+    df.sample depends on partition layout — useless for auditable
+    pipeline reruns);
+  * membership is a pure function of the row key, so a re-run after
+    adding data keeps every previously-sampled row in the same
+    bucket/split (stable incremental sampling).
+
+Scale: a narrow filter on a hash of the key — pushes into the scan
+pipeline, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash60
+
+#: bucket resolution: fractions are quantized to 1/10000
+BUCKETS = 10_000
+
+
+def _bucket(key_cols: Sequence[str], salt: str) -> Column:
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    return hash60(key) % BUCKETS
+
+
+def hash_sample(df: DataFrame, key_cols: Sequence[str] | str,
+                fraction: float, salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key hash."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return df.filter(_bucket(key_cols, salt) < int(fraction * BUCKETS))
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str,
+                           key_cols: Sequence[str] | str,
+                           fractions: Mapping[str, float],
+                           default_fraction: float = 0.0,
+                           salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling, e.g. language rebalancing:
+    ``{"en": 0.1, "zh": 1.0}`` downsamples English 10× and keeps all
+    Chinese — the standard data-mixing primitive."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    rate = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(int(frac * BUCKETS))
+        rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
+    rate = (rate.otherwise(F.lit(int(default_fraction * BUCKETS)))
+            if rate is not None else F.lit(int(default_fraction * BUCKETS)))
+    return df.filter(_bucket(key_cols, salt) < rate)
+
+
+def train_val_test_split(df: DataFrame, key_cols: Sequence[str] | str,
+                         val_fraction: float = 0.1, test_fraction: float = 0.1,
+                         salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Attach a deterministic 'train'/'val'/'test' label per row. The
+    same key always lands in the same split — no leakage on reruns or
+    incremental data."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    b = _bucket(key_cols, salt)
+    val_hi = int(val_fraction * BUCKETS)
+    test_hi = val_hi + int(test_fraction * BUCKETS)
+    label = (
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(out_col, label)

@@ -143,3 +143,28 @@ def test_tfidf_deterministic_topk(spark, sf_dir):
     for r in a:
         per_doc.setdefault(r["doc_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+
+
+def test_hash_sampling_deterministic_and_stable(spark, sf_dir):
+    from csvplus_spark.operators.sampling import (
+        hash_sample,
+        train_val_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").df
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert a == b and 0.1 < len(a) / docs.count() < 0.3
+    # monotone: a 10% sample is a subset of the 20% sample (same salt)
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert c <= a
+    # split labels: stable, partition all rows, no overlap
+    s = train_val_test_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # subset of the data keeps identical assignments (no leakage on rerun)
+    sub = train_val_test_split(docs.filter(F.col("doc_id") < 100), "doc_id")
+    full = {r["doc_id"]: r["split"] for r in s.filter(F.col("doc_id") < 100).collect()}
+    got = {r["doc_id"]: r["split"] for r in sub.collect()}
+    assert got == full
