@@ -33,6 +33,37 @@ from csvplus_spark.functions.predicates import any_  # noqa: E402
 SF1 = "/root/testdata/sf0.001"
 
 
+def _dec(col_name: str):
+    """Clean 2-decimal money column as exact decimal.
+
+    The driver tables store money as doubles that are always clean
+    2-decimal values (TPC-H generator), so the double→decimal cast is
+    exact and identical in Spark and DuckDB. Summing in decimal is
+    exact math; casting the final sum back to double yields the same
+    nearest-double in both engines — unlike ``round(sum(double), 2)``,
+    whose HALF_UP-vs-binary rounding diverges at boundary values
+    (round-1 `null_funcs` hash failure).
+    """
+    return F.col(col_name).cast("decimal(18,2)")
+
+
+def _dsum(col_name: str):
+    """Exact decimal sum of a clean money column, surfaced as double."""
+    return F.sum(_dec(col_name)).cast("double")
+
+
+def _drevenue():
+    """Exact decimal ``sum(extendedprice * (1 - discount))`` as double.
+
+    Both factors are clean 2-decimal doubles; the whole product/sum
+    pipeline stays in exact decimal arithmetic so both engines agree
+    bit-for-bit after the final cast to double.
+    """
+    return F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    ).cast("double")
+
+
 # ----------------------------------------------------------------------
 # flagship — the TestLongChain shape (SURVEY.md §3.1/§7.4):
 # scan → filter → project → unique index → renamed-key join → prefix
@@ -279,10 +310,9 @@ def q_agg_pricing_summary(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("sum_disc_price"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _drevenue().alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -310,7 +340,7 @@ def q_scalar_date(spark, sf_dir):
         load_table(spark, sf_dir, "orders").df
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+             _dsum("o_totalprice").alias("total_price"))
     )
 
 
@@ -446,7 +476,7 @@ def q_rollup_agg(spark, sf_dir):
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             _dsum("o_totalprice").alias("total"))
     )
 
 
@@ -461,7 +491,7 @@ def q_window_running(spark, sf_dir):
     return o.select(
         "o_custkey", "o_orderkey",
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_total"),
     )
 
 
@@ -527,7 +557,7 @@ def q_cube_agg(spark, sf_dir):
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("l_quantity"), 2).alias("qty"))
+             _dsum("l_quantity").alias("qty"))
     )
 
 
@@ -558,8 +588,7 @@ def q_tpch_q3_shipping(spark, sf_dir):
         .join(li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(_drevenue().alias("revenue"))
         .withColumn("o_orderdate", F.unix_micros(F.col("o_orderdate").cast("timestamp")))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
@@ -586,8 +615,7 @@ def q_tpch_q5_volume(spark, sf_dir):
         .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
               & (F.col("c_nationkey") == s["s_nationkey"]))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"),
+        .agg(_drevenue().alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -664,7 +692,7 @@ def q_null_funcs(spark, sf_dir):
     return j.groupBy("n_name").agg(
         F.count("s_suppkey").alias("n_nonnull"),
         F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.coalesce(F.round(F.sum("s_acctbal"), 2), F.lit(0.0)).alias("total_bal"),
+        F.coalesce(_dsum("s_acctbal"), F.lit(0.0)).alias("total_bal"),
         F.max(F.nullif(F.lit("x"), F.lit("x"))).alias("always_null"),
     )
 
@@ -751,7 +779,7 @@ _NULL_FUNCS_SQL = """
 SELECT n_name,
        COUNT(s_suppkey) AS n_nonnull,
        SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS n_null,
-       COALESCE(ROUND(SUM(s_acctbal), 2), 0.0) AS total_bal,
+       COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal,
        MAX(NULLIF('x', 'x')) AS always_null
 FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
 GROUP BY 1
@@ -799,7 +827,8 @@ FROM orders GROUP BY 1
 
 _TPCH_Q3_SQL = """
 SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate, o.o_orderpriority,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -812,7 +841,8 @@ LIMIT 10
 
 _TPCH_Q5_SQL = """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -855,7 +885,7 @@ GROUP BY token
 
 _CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       ROUND(SUM(l_quantity), 2) AS qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -901,16 +931,16 @@ FROM nation LEFT JOIN (
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 _WINDOW_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
        lag(o_orderkey) OVER w AS prev_orderkey,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -1290,9 +1320,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -1305,7 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_date": """
             SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
                    COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS total_price
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
             FROM orders GROUP BY 1
         """,
         "json_props": """
