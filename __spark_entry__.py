@@ -737,6 +737,86 @@ def q_hash_sample(spark, sf_dir):
         .select("doc_id", "lang", "split")
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Sub-quadratic embedding near-dup: sign-LSH bucket candidates
+    (8 tables × 4 deterministic md5-derived hyperplanes) + exact cosine
+    rerank (operators/dedup.py, method='lsh'). The oracle reproduces
+    the SAME buckets, so the driver verifies algorithm parity — recall
+    vs all-pairs is deliberately < 1 at this boundary-heavy threshold
+    (docs/SCALE.md §embedding)."""
+    from csvplus_spark.operators.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(
+        load_table(spark, sf_dir, "embeddings").df, 0.4, method="lsh")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """EXACT SimHash Hamming≤3 near-pairs via pigeonhole chunk blocking
+    — equi-join on (chunk, value), never a nested loop
+    (operators/dedup.py::simhash_near_pairs)."""
+    from csvplus_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents").df, 3)
+
+
+def _lsh_plane_sign(plane: int, j: int) -> int:
+    """Python twin of similarity._plane_sign: ±1 from md5('{plane}|{j}')
+    bit 0 — evaluated at SQL-build time so the oracle embeds the same
+    hyperplanes as literals."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}|{j}".encode()).hexdigest()[:15], 16)
+    return 1 if (h & 1) == 1 else -1
+
+
+def _dedup_emb_lsh_sql(threshold: float = 0.4, n_bits: int = 4,
+                       n_tables: int = 8, dim: int = 64) -> str:
+    tables_sql = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(n_bits):
+            plane = t * n_bits + i
+            lst = "[" + ", ".join(
+                str(float(_lsh_plane_sign(plane, j))) for j in range(dim)) + "]"
+            signed = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                      f"k -> ({lst})[k] * e[k]))")
+            bits.append(f"(CASE WHEN {signed} > 0 THEN CAST({1 << i} AS BIGINT)"
+                        f" ELSE CAST(0 AS BIGINT) END)")
+        tables_sql.append(
+            f"SELECT vec_id, {' + '.join(bits)} AS bucket, {t} AS tbl FROM v")
+    bt = "\nUNION ALL\n".join(tables_sql)
+    dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"k -> va.e[k] * vb.e[k]))")
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+bt AS ({bt}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM bt a JOIN bt b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v)
+SELECT c.i AS id_1, c.j AS id_2, {dot} / (na.nn * nb.nn) AS sim
+FROM cand c
+JOIN v va ON c.i = va.vec_id JOIN v vb ON c.j = vb.vec_id
+JOIN nrm na ON c.i = na.vec_id JOIN nrm nb ON c.j = nb.vec_id
+WHERE {dot} / (na.nn * nb.nn) >= {threshold}
+"""
+
+
+def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    # all-pairs in the oracle (DuckDB, sf0.01) vs chunk-blocked in Spark
+    # — identical output proves the blocking loses no pair
+    return f"""
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM ({_simhash_sql(n_bits)}) a JOIN ({_simhash_sql(n_bits)}) b
+  ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 _HASH60_SQL = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
 
 _HASH_SAMPLE_SQL = f"""
@@ -1228,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_funcs": q_null_funcs,
         "range_join": q_range_join,
         "hash_sample": q_hash_sample,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1380,6 +1462,8 @@ def oracle_sql() -> dict[str, str]:
         "null_funcs": _NULL_FUNCS_SQL,
         "range_join": _RANGE_JOIN_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
+        "dedup_embedding_lsh": _dedup_emb_lsh_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

@@ -226,10 +226,12 @@ def minhash_dedup_pairs(
         .distinct()
     )
     # join-based exact verify (codegen) — array_intersect on long arrays
-    # is interpreted and becomes the bottleneck at scale
+    # is interpreted and becomes the bottleneck at scale. No broadcast
+    # hint on cand: its size is data-dependent (can be huge on a skewed
+    # corpus); AQE broadcasts it when it is actually small.
     inter = (
         ex.alias("x")
-        .join(F.broadcast(cand), F.col("x.__id__") == F.col("d1"))
+        .join(cand, F.col("x.__id__") == F.col("d1"))
         .join(ex.alias("y"),
               (F.col("y.__id__") == F.col("d2")) & (F.col("x.__s__") == F.col("y.__s__")))
         .groupBy("d1", "d2")
@@ -303,52 +305,164 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    method: str = "grid",
+    n_blocks: int = 32,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim) with
     cosine ≥ threshold.
 
-    All-pairs within ``block_col`` blocks (global when None — the exact
-    small/medium-scale form). The 100 TB path blocks first (LSH buckets
-    via similarity.hyperplane_bits, or IVF cells) and reranks exactly —
-    precision is always exact because the similarity IS the cosine.
+    Methods (when ``block_col`` is None):
+      * ``grid`` (default) — EXACT. Every vector hashes into one of
+        ``n_blocks`` blocks; the B(B+1)/2 block pairs are enumerated as
+        a tiny broadcast grid, and the comparison space is covered by
+        ONE equi-join on (bi, bj). Same O(n²) comparisons as all-pairs
+        (unavoidable for exact recall at an arbitrary threshold — the
+        qualifying sims can sit at the decision boundary), but the work
+        is spread evenly over B(B+1)/2 independent tasks with a shuffle
+        hash join instead of one BroadcastNestedLoopJoin that ships the
+        whole table to every executor. Replication factor is B+1 per
+        side; raise ``n_blocks`` with cluster size (528 tasks at B=32).
+      * ``lsh`` — sub-quadratic: candidates share a sign-LSH bucket in
+        at least one of ``n_tables`` tables of ``n_bits`` md5-derived
+        hyperplanes (similarity.hyperplane_bits), then exact cosine
+        rerank. Deterministic (no runtime RNG) but approximate in
+        recall: a qualifying pair in no shared bucket is not returned.
+        Use for true near-dup thresholds (≥0.8) where per-bit collision
+        probability 1−θ/π makes misses vanish; the only shuffle is the
+        (table, bucket) equi-join.
+      * ``allpairs`` — the naive theta join (opt-in; small inputs only).
+
+    With ``block_col`` set, pairs are restricted to equal user-provided
+    blocks (equi-join on the block key).
     """
-    from .similarity import cosine, with_double_vec
+    from .similarity import cosine, hyperplane_bits, with_double_vec
 
     v = with_double_vec(emb, vec_col).select(
         F.col(id_col), F.col("__vec__"),
         *([F.col(block_col)] if block_col else []))
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+
+    if block_col is not None or method == "allpairs":
+        a, b = v.alias("a"), v.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        if block_col:
+            cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        return (
+            a.join(b, cond)
+            .withColumn("sim", cosine(F.col("a.__vec__"), F.col("b.__vec__")))
+            .filter(F.col("sim") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_1"),
+                    F.col(f"b.{id_col}").alias("id_2"), "sim")
+        )
+
+    if method == "lsh":
+        planes = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bits(F.col("__vec__"), dim, n_bits,
+                                plane_offset=t * n_bits).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        bt = (
+            v.select(F.col(id_col), "__vec__", F.explode(planes).alias("tb"))
+            .select(F.col(id_col), "__vec__",
+                    F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        )
+        cand = (
+            bt.alias("a")
+            .join(bt.alias("b"),
+                  (F.col("a.tbl") == F.col("b.tbl"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_1"),
+                    F.col(f"b.{id_col}").alias("id_2"),
+                    F.col("a.__vec__").alias("__v1__"),
+                    F.col("b.__vec__").alias("__v2__"))
+            .dropDuplicates(["id_1", "id_2"])
+        )
+        return (
+            cand.withColumn("sim", cosine(F.col("__v1__"), F.col("__v2__")))
+            .filter(F.col("sim") >= threshold)
+            .select("id_1", "id_2", "sim")
+        )
+
+    if method != "grid":
+        raise ValueError(f"unknown method: {method!r}")
+
+    spark = emb.sparkSession
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int")
+    vb = v.withColumn(
+        "__blk__", (hash60(F.col(id_col).cast("string")) % n_blocks).cast("int"))
+    left = vb.join(F.broadcast(grid), F.col("__blk__") == F.col("bi")) \
+        .select(F.col(id_col).alias("__id1__"), F.col("__vec__").alias("__v1__"),
+                "bi", "bj")
+    right = vb.join(F.broadcast(grid), F.col("__blk__") == F.col("bj")) \
+        .select(F.col(id_col).alias("__id2__"), F.col("__vec__").alias("__v2__"),
+                "bi", "bj")
     return (
-        a.join(b, cond)
-        .withColumn("sim", cosine(F.col("a.__vec__"), F.col("b.__vec__")))
+        left.join(right, ["bi", "bj"])
+        .filter((F.col("bi") < F.col("bj")) | (F.col("__id1__") < F.col("__id2__")))
+        .withColumn("sim", cosine(F.col("__v1__"), F.col("__v2__")))
         .filter(F.col("sim") >= threshold)
-        .select(F.col(f"a.{id_col}").alias("id_1"),
-                F.col(f"b.{id_col}").alias("id_2"), "sim")
+        .select(F.least("__id1__", "__id2__").alias("id_1"),
+                F.greatest("__id1__", "__id2__").alias("id_2"), "sim")
     )
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       n_bits: int = 32, block_col: str | None = None) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+                       n_bits: int = 32) -> DataFrame:
+    """EXACT near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    All-pairs within ``block_col`` blocks (or global for small n);
-    production path at scale is blocking on simhash byte-chunks —
-    provided here as the simple exact form with bit_count(xor).
+    Chunk blocking (pigeonhole): the ``n_bits`` hash is split into
+    ``max_hamming + 1`` contiguous chunks; two hashes within Hamming
+    distance h ≤ max_hamming differ in at most h chunks, so AT LEAST
+    ONE chunk is bitwise equal — candidates are exactly the pairs that
+    collide on some (chunk_id, chunk_value), found by ONE equi-join,
+    then verified with bit_count(xor). 100% recall by construction, no
+    nested-loop join; the only shuffle is keyed by (chunk, value),
+    which is near-uniform because simhash bits are hash votes.
     """
     from .text import simhash_table
 
     sh = simhash_table(df, text_col, id_col, n_bits)
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    pairs = a.join(b, cond)
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+    n_chunks = max_hamming + 1
+    base, rem = divmod(n_bits, n_chunks)
+    pieces, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        pieces.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+            ))
+        off += w
+    t = (
+        sh.select(F.col(id_col), "simhash", F.explode(F.array(*pieces)).alias("c"))
+        .select(F.col(id_col), "simhash",
+                F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    )
+    cand = (
+        t.alias("a")
+        .join(t.alias("b"),
+              (F.col("a.chunk") == F.col("b.chunk"))
+              & (F.col("a.val") == F.col("b.val"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_id_1"),
-                F.col(f"b.{id_col}").alias("doc_id_2"), "hamming")
+                F.col(f"b.{id_col}").alias("doc_id_2"),
+                F.col("a.simhash").alias("__h1__"),
+                F.col("b.simhash").alias("__h2__"))
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__h1__").bitwiseXOR(F.col("__h2__"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
     )

@@ -65,6 +65,44 @@ def test_simhash_deterministic_and_near(spark):
     assert (1, 2) in got and (1, 3) not in got
 
 
+def test_embedding_grid_matches_allpairs(spark, sf_dir):
+    from csvplus_spark.operators.dedup import embedding_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    grid = {(r["id_1"], r["id_2"], r["sim"])
+            for r in embedding_near_pairs(emb, 0.4).collect()}
+    naive = {(r["id_1"], r["id_2"], r["sim"])
+             for r in embedding_near_pairs(emb, 0.4, method="allpairs").collect()}
+    assert grid == naive and grid  # identical pairs AND identical sims
+
+
+def test_embedding_lsh_is_exact_subset(spark, sf_dir):
+    from csvplus_spark.operators.dedup import embedding_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    naive = {(r["id_1"], r["id_2"]): r["sim"]
+             for r in embedding_near_pairs(emb, 0.4, method="allpairs").collect()}
+    lsh = embedding_near_pairs(emb, 0.4, method="lsh").collect()
+    assert lsh, "bucketing should recover some near pairs"
+    for r in lsh:  # every LSH pair is a true pair with the exact sim
+        assert (r["id_1"], r["id_2"]) in naive
+        assert r["sim"] == naive[(r["id_1"], r["id_2"])]
+
+
+def test_simhash_chunked_matches_allpairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").df.limit(120)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    ids = sorted(sh)
+    expect = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {(r["doc_id_1"], r["doc_id_2"], r["hamming"])
+           for r in simhash_near_pairs(docs, 3).collect()}
+    assert got == expect and got  # pigeonhole blocking loses no pair
+
+
 def test_brute_force_topk_matches_numpy(spark, sf_dir):
     import numpy as np
 

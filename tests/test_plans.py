@@ -49,6 +49,13 @@ def test_flagship_no_python_in_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_near_dup_paths_avoid_nested_loop(spark, sf_dir):
+    # VERDICT r1 #3/#4: embedding near-dup (grid) and simhash near-pairs
+    # (pigeonhole chunks) must be equi-joins, never BroadcastNestedLoop
+    for q in ("dedup_embedding", "dedup_embedding_lsh", "simhash_pairs"):
+        assert "BroadcastNestedLoop" not in _plan(spark, sf_dir, q), q
+
+
 def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     from csvplus_spark import load_table
 
