@@ -174,9 +174,21 @@ class Index:
         per-pack callback.
         """
         if resolve is None:
-            order_cols = [F.col(c) for c in (order_by or self.columns)]
-            if keep == "last":
-                order_cols = [c.desc() for c in order_cols]
+            # keep='first'/'last' needs a tie-break that varies WITHIN a
+            # duplicate group; the key columns are constant there, so an
+            # undefined order would pick an arbitrary survivor
+            if order_by is not None:
+                base = [(F.col(c), True) for c in order_by]
+            elif self.frame.order:
+                base = [(self.frame._sort_key(c), asc) for c, asc in self.frame.order]
+            else:
+                raise ValueError(
+                    "resolve_duplicates(keep=...) requires a deterministic "
+                    "tie-break: pass order_by=[...] or declare an order on "
+                    "the Frame (.ordered_by(...) / .with_ingest_order())"
+                )
+            flip = keep == "last"
+            order_cols = [c.asc() if asc != flip else c.desc() for c, asc in base]
             w = Window.partitionBy(*[self._key(c) for c in self.columns]).orderBy(*order_cols)
             rn = "__cp_rn__"
             df = (

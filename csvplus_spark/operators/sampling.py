@@ -31,11 +31,17 @@ def _bucket(key_cols: Sequence[str], salt: str) -> Column:
     return hash60(key) % BUCKETS
 
 
+def _quantize(fraction: float) -> int:
+    """Nearest-bucket threshold (round, not truncate: 0.29 → 2900,
+    not 2899 from float representation error)."""
+    return int(round(fraction * BUCKETS))
+
+
 def hash_sample(df: DataFrame, key_cols: Sequence[str] | str,
                 fraction: float, salt: str = "sample") -> DataFrame:
     """Keep ~``fraction`` of rows, chosen deterministically by key hash."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    return df.filter(_bucket(key_cols, salt) < int(fraction * BUCKETS))
+    return df.filter(_bucket(key_cols, salt) < _quantize(fraction))
 
 
 def stratified_hash_sample(df: DataFrame, strata_col: str,
@@ -50,10 +56,10 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     rate = None
     for value, frac in sorted(fractions.items()):
         cond = F.col(strata_col) == value
-        lit = F.lit(int(frac * BUCKETS))
+        lit = F.lit(_quantize(frac))
         rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
-    rate = (rate.otherwise(F.lit(int(default_fraction * BUCKETS)))
-            if rate is not None else F.lit(int(default_fraction * BUCKETS)))
+    rate = (rate.otherwise(F.lit(_quantize(default_fraction)))
+            if rate is not None else F.lit(_quantize(default_fraction)))
     return df.filter(_bucket(key_cols, salt) < rate)
 
 
@@ -65,8 +71,8 @@ def train_val_test_split(df: DataFrame, key_cols: Sequence[str] | str,
     incremental data."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     b = _bucket(key_cols, salt)
-    val_hi = int(val_fraction * BUCKETS)
-    test_hi = val_hi + int(test_fraction * BUCKETS)
+    val_hi = _quantize(val_fraction)
+    test_hi = val_hi + _quantize(test_fraction)
     label = (
         F.when(b < val_hi, F.lit("val"))
         .when(b < test_hi, F.lit("test"))

@@ -48,18 +48,27 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
 
     Returns (query_id, corpus_id, rank, sim). Ties broken by corpus
     id → fully deterministic output.
+
+    ``exclude_self`` assumes queries and corpus share ONE id namespace
+    (the self-search case, the default here because queries usually ARE
+    corpus rows). Pass ``exclude_self=False`` when the two id spaces
+    are unrelated — otherwise a legitimate neighbor whose corpus id
+    happens to equal the query id is silently dropped (and a NULL id
+    never matches anything).
     """
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
     c = with_double_vec(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__"))
+    cond = F.col("query_id") != F.col("corpus_id") if exclude_self else F.lit(True)
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        c.join(F.broadcast(q), cond)
         .withColumn("sim", cosine(F.col("__qv__"), F.col("__cv__")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
@@ -94,6 +103,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partitioned corpus,
     each query probes its ``n_probe`` nearest centroids, exact rerank
@@ -137,10 +147,11 @@ def ivf_topk(
         .filter(F.col("__cr__") <= n_probe)
         .select("query_id", "__qv__", F.col("cell").alias("__cell__"))
     )
+    scored = assigned.join(probes, "__cell__")
+    if exclude_self:  # single-id-namespace assumption, see brute_force_topk
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = (
-        assigned.join(probes, "__cell__")
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .withColumn("sim", cosine(F.col("__qv__"), F.col("__vec__")))
+        scored.withColumn("sim", cosine(F.col("__qv__"), F.col("__vec__")))
         .dropDuplicates(["query_id", "corpus_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
@@ -177,6 +188,7 @@ def lsh_topk(
     n_bits: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates from ``n_tables``
     independent sign-LSH tables of ``n_bits`` bits, exact-reranked.
@@ -204,10 +216,11 @@ def lsh_topk(
 
     qb = bucketed(queries, "query_id").withColumnRenamed("__vec__", "__qv__")
     cb = bucketed(corpus, "corpus_id").withColumnRenamed("__vec__", "__cv__")
+    cand = qb.join(cb, ["table", "bucket"])
+    if exclude_self:  # single-id-namespace assumption, see brute_force_topk
+        cand = cand.filter(F.col("query_id") != F.col("corpus_id"))
     cand = (
-        qb.join(cb, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", "__qv__", "__cv__")
+        cand.select("query_id", "corpus_id", "__qv__", "__cv__")
         .dropDuplicates(["query_id", "corpus_id"])
     )
     scored = cand.withColumn("sim", cosine(F.col("__qv__"), F.col("__cv__")))

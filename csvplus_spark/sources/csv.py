@@ -39,6 +39,7 @@ class Reader:
         self._expect_header: Mapping[str, int] | None = None
         self._select: list[str] | None = None
         self._num_fields: int | None = None  # None=auto, -1=any, n=exact
+        self._width_auto = False  # per-row first-line-width contract
         self._infer = False
         self._multi_line = False
 
@@ -86,7 +87,19 @@ class Reader:
         return self
 
     def num_fields(self, n: int) -> "Reader":
+        """Exact field-count contract (csvplus.go:1060-1067): the schema
+        must be ``n`` wide AND every row must have exactly ``n`` fields —
+        a mid-file short/long row fails with its line number (lazy,
+        fused into the plan; see ``_with_width_check``)."""
         self._num_fields = n
+        return self
+
+    def num_fields_auto(self) -> "Reader":
+        """Checked auto mode (csvplus.go:1069-1071, FieldsPerRecord=0
+        semantics): the first line fixes the width, any later line with
+        a different field count fails with its line number. Opt-in
+        because the per-row check costs one extra narrow text scan."""
+        self._width_auto = True
         return self
 
     def num_fields_any(self) -> "Reader":
@@ -147,6 +160,72 @@ class Reader:
             return True, None
         return True, None
 
+    def _with_width_check(self, df):
+        """Fuse the per-row field-count contract into the plan.
+
+        Reference semantics (csvplus.go:1060-1071 via Go encoding/csv
+        FieldsPerRecord): a row whose field count breaks the contract
+        aborts the read with its line number. Spark's CSV parser
+        null-pads short rows and drops extra tokens without flagging
+        them, so the contract needs its own narrow pass: a lazy
+        line-level scan computes each line's quote-aware field count,
+        two tiny aggregates reduce that to ONE broadcastable row
+        (first offending line + its ordinal), and a conditional
+        ``raise_error`` on that row is crossJoined into the main plan —
+        no extra jobs, error at first action, message carries the
+        1-based line number (counted over non-comment, non-blank lines,
+        header included — Go csv counts the header line too).
+        """
+        import re as _re
+
+        if self._multi_line:
+            raise HeaderError(
+                "per-row field-count checks are line-based and cannot be "
+                "combined with multi_line()"
+            )
+        # delimiter outside double quotes ("" doubling keeps quote count even)
+        pat = _re.escape(self._delimiter) + '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+        txt = self.spark.read.text(self.path)
+        if self._comment:
+            txt = txt.filter(~F.col("value").startswith(self._comment))
+        txt = txt.filter(F.length("value") > 0)
+        w = txt.select(
+            F.monotonically_increasing_id().alias("__lid__"),
+            F.size(F.split("value", pat, -1)).alias("__w__"),
+        )
+        if self._num_fields is not None and self._num_fields > 0:
+            w = w.withColumn("__exp__", F.lit(self._num_fields))
+        else:  # auto: the first line fixes the width
+            first = w.orderBy("__lid__").limit(1) \
+                .select(F.col("__w__").alias("__exp__"))
+            w = w.crossJoin(F.broadcast(first))
+        bad = w.filter(F.col("__w__") != F.col("__exp__")) \
+            .agg(F.min(F.struct("__lid__", "__w__", "__exp__")).alias("__b__"))
+        chk = (
+            w.crossJoin(F.broadcast(bad))
+            .agg(
+                F.first("__b__").alias("__b__"),
+                F.sum(F.when(F.col("__lid__") <= F.col("__b__.__lid__"), 1))
+                .alias("__bline__"),
+            )
+        )
+        msg = F.concat(
+            F.lit("wrong number of fields: line "),
+            F.col("__bline__").cast("string"),
+            F.lit(" has "), F.col("__b__.__w__").cast("string"),
+            F.lit(" fields, expected "), F.col("__b__.__exp__").cast("string"),
+        )
+        first_col = df.columns[0]
+        dtype = df.schema[first_col].dataType
+        return (
+            df.crossJoin(F.broadcast(chk))
+            .withColumn(
+                first_col,
+                F.when(F.col("__b__").isNotNull(), F.raise_error(msg).cast(dtype))
+                .otherwise(F.col(first_col)))
+            .drop("__b__", "__bline__")
+        )
+
     def to_frame(self) -> Frame:
         has_header, names = self._resolve_header()
         reader = (
@@ -165,12 +244,23 @@ class Reader:
             reader = reader.option("unescapedQuoteHandling", "STOP_AT_DELIMITER")
         df = reader.csv(self.path)
         if names is not None:
-            df = df.toDF(*names[: len(df.columns)])
+            if len(df.columns) < len(names):
+                gone = [n for i, n in enumerate(names) if i >= len(df.columns)]
+                raise HeaderError(
+                    f"assumed header declares {len(names)} fields but the "
+                    f"file has only {len(df.columns)} "
+                    f"(missing: {', '.join(map(repr, gone))})"
+                )
+            # extra undeclared trailing columns keep Spark's _cN names
+            full = names + [f"_c{i}" for i in range(len(names), len(df.columns))]
+            df = df.toDF(*full)
         if self._num_fields is not None and self._num_fields > 0:
             if len(df.columns) != self._num_fields:
                 raise HeaderError(
                     f"expected {self._num_fields} fields, found {len(df.columns)}"
                 )
+        if (self._num_fields is not None and self._num_fields > 0) or self._width_auto:
+            df = self._with_width_check(df)
         if self._num_fields == -1 and not self._infer:
             # reference pads short rows with "" not NULL (csvplus.go:1122-1124)
             df = df.select(*[F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns])

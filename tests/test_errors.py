@@ -91,3 +91,56 @@ def test_misplaced_header(spark, tmp_path):
 def test_validate_error_class(frame):
     with pytest.raises(DataSourceError, match="row 2"):
         frame.validate(F.col("a") != "2", "bad a")
+
+
+# per-row field-count contract (csvplus.go:1060-1076; mid-file errors
+# pinned by csvplus_test.go's reader tests) ---------------------------
+
+
+def _rows(fr):
+    return fr.to_rows()
+
+
+def test_num_fields_short_row_mid_file(spark, tmp_path):
+    p = tmp_path / "short.csv"
+    p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8\n")
+    fr = from_file(spark, str(p)).num_fields(3).to_frame()
+    with pytest.raises(Exception, match="line 3 has 2 fields, expected 3"):
+        _rows(fr)
+
+
+def test_num_fields_long_row_mid_file(spark, tmp_path):
+    p = tmp_path / "long.csv"
+    p.write_text("a,b\n1,2\n3,4,5\n")
+    fr = from_file(spark, str(p)).num_fields(2).to_frame()
+    with pytest.raises(Exception, match="line 3 has 3 fields, expected 2"):
+        _rows(fr)
+
+
+def test_num_fields_auto_mid_file(spark, tmp_path):
+    p = tmp_path / "auto.csv"
+    p.write_text("a,b\n1,2\n3\n")
+    fr = from_file(spark, str(p)).num_fields_auto().to_frame()
+    with pytest.raises(Exception, match="line 3 has 1 fields, expected 2"):
+        _rows(fr)
+
+
+def test_num_fields_clean_file_passes(spark, tmp_path):
+    p = tmp_path / "clean.csv"
+    # quoted delimiter must NOT count as a field break
+    p.write_text('a,b\n"x,y",2\n3,4\n')
+    fr = from_file(spark, str(p)).num_fields(2).to_frame()
+    assert [r["a"] for r in _rows(fr)] == ["x,y", "3"]
+    fr2 = from_file(spark, str(p)).num_fields_auto().to_frame()
+    assert len(_rows(fr2)) == 2
+
+
+def test_assume_header_arity(spark, tmp_path):
+    p = tmp_path / "narrow.csv"
+    p.write_text("1,2\n3,4\n")
+    # declared position beyond the file's width → explicit HeaderError
+    with pytest.raises(HeaderError, match="'z'"):
+        from_file(spark, str(p)).assume_header({"a": 0, "z": 4}).to_frame()
+    # file wider than the spec → extra columns keep _cN names
+    fr = from_file(spark, str(p)).assume_header({"a": 0}).to_frame()
+    assert fr.columns == ["a", "_c1"]
