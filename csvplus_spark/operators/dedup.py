@@ -115,29 +115,20 @@ def _shingle_sizes(pairs: DataFrame) -> DataFrame:
     return pairs.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.6,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """EXACT near-dup pairs: Jaccard over word-trigram shingle sets.
-
-    Blocking on shared shingles keeps this far below n² (only pairs
-    that share ≥1 shingle are scored); the equi-join + count is one
-    shuffle keyed by shingle. Returns (doc_id_1, doc_id_2, jaccard).
-    """
-    ex = shingle_pairs(df, text_col, id_col).cache()
+def _verify_jaccard(ex: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (d1, d2) pairs via a join-based
+    intersection count over the (doc, shingle) table — all codegen, no
+    interpreted array ops (shared by the ngram and minhash paths)."""
     inter = (
-        ex.alias("a")
-        .join(ex.alias("b"),
-              (F.col("a.__s__") == F.col("b.__s__"))
-              & (F.col("a.__id__") < F.col("b.__id__")))
-        .groupBy(F.col("a.__id__").alias("d1"), F.col("b.__id__").alias("d2"))
+        ex.alias("x")
+        .join(cand, F.col("x.__id__") == F.col("d1"))
+        .join(ex.alias("y"),
+              (F.col("y.__id__") == F.col("d2")) & (F.col("x.__s__") == F.col("y.__s__")))
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = _shingle_sizes(ex)
-    out = (
+    return (
         inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.__id__"))
         .join(sizes.alias("s2"), F.col("d2") == F.col("s2.__id__"))
         .withColumn("jaccard",
@@ -146,7 +137,119 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"), "jaccard")
     )
-    return out
+
+
+#: shingles in more documents than this are "stop shingles" and are
+#: kept OUT of the blocking self-join (a trigram in 10⁶ docs would make
+#: one 10¹²-pair bucket). Pairs they alone connect are recovered by the
+#: hot-heavy fallback, so the cutoff never loses a pair — see
+#: ngram_jaccard_pairs. Tune so Σdf² over retained shingles is sane.
+HOT_SHINGLE_DF = 10_000
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_df: int = HOT_SHINGLE_DF,
+) -> DataFrame:
+    """EXACT near-dup pairs: Jaccard over word-trigram shingle sets.
+    Returns (doc_id_1, doc_id_2, jaccard).
+
+    Blocking on shared COLD shingles (document frequency ≤ ``hot_df``):
+    the self-equi-join + count computes each candidate pair's cold
+    intersection in one shuffle keyed by shingle, with Σ|bucket|²
+    bounded by the df cutoff — one stop-trigram cannot create a
+    quadratic bucket.
+
+    The cutoff provably loses no pair. A qualifying pair (Jaccard ≥ t)
+    missing from the cold join shares only hot shingles, so its whole
+    intersection is hot: |A∩B| ≥ t·|A∪B| ≥ t·n_A forces h_A ≥ t·n_A
+    (and likewise for B) — both docs are "hot-heavy" (≥ t of their
+    shingles are stop shingles). The fallback adds all pairs of the
+    hot-heavy doc set (tiny in any real corpus: these are docs made
+    almost entirely of boilerplate) as candidates with cold count 0.
+
+    Each candidate's exact intersection is then completed with its hot
+    part — a join of the hot shingle rows restricted to candidate pairs
+    (output-sized, never df²) — so reported Jaccard values are exact.
+    """
+    ex = shingle_pairs(df, text_col, id_col).cache()
+    sizes = _shingle_sizes(ex)
+
+    def _inter_join(src: DataFrame) -> DataFrame:
+        return (
+            src.alias("a")
+            .join(src.alias("b"),
+                  (F.col("a.__s__") == F.col("b.__s__"))
+                  & (F.col("a.__id__") < F.col("b.__id__")))
+            .groupBy(F.col("a.__id__").alias("d1"), F.col("b.__id__").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("__ic__"))
+        )
+
+    # eager probe for the hot set (same pattern as tfidf's N): one small
+    # map-combined aggregate job; empty on any non-boilerplate corpus
+    cap = 10_000
+    hot_vals = [r[0] for r in (
+        ex.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") > hot_df)
+        .select("__s__").limit(cap + 1).collect()
+    )]
+    if not hot_vals:
+        inter = _inter_join(ex).withColumnRenamed("__ic__", "inter")
+    else:
+        if len(hot_vals) > cap:  # hot set too big to inline → join split
+            hot_set = (
+                ex.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") > hot_df).select("__s__")
+            )
+            exh = ex.join(hot_set, "__s__").select("__id__", "__s__").cache()
+            exc = ex.join(hot_set, "__s__", "left_anti")
+        else:  # narrow codegen filters, no extra shuffle
+            is_hot = F.col("__s__").isin(hot_vals)
+            exh = ex.filter(is_hot).cache()
+            exc = ex.filter(~is_hot)
+        cold = _inter_join(exc)
+        hh = (
+            exh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__h__"))
+            .join(sizes, "__id__")
+            .filter(F.col("__h__") >= F.lit(threshold) * F.col("__n__"))
+            .select("__id__")
+        )
+        fallback = (
+            hh.alias("a")
+            .join(hh.alias("b"), F.col("a.__id__") < F.col("b.__id__"))
+            .select(F.col("a.__id__").alias("d1"), F.col("b.__id__").alias("d2"))
+            .join(cold.select("d1", "d2"), ["d1", "d2"], "left_anti")
+            .withColumn("__ic__", F.lit(0).cast("long"))
+        )
+        cand = cold.unionByName(fallback)
+        # hot part of each candidate's intersection: restricted to the
+        # candidate pairs, so cost is |cand|·(hot shingles/doc), never df²
+        ih = (
+            exh.alias("x")
+            .join(cand.select("d1", "d2"), F.col("x.__id__") == F.col("d1"))
+            .join(exh.alias("y"),
+                  (F.col("y.__id__") == F.col("d2"))
+                  & (F.col("x.__s__") == F.col("y.__s__")))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("__ih__"))
+        )
+        inter = (
+            cand.join(ih, ["d1", "d2"], "left")
+            .withColumn("inter", F.col("__ic__") + F.coalesce("__ih__", F.lit(0)))
+            .select("d1", "d2", "inter")
+        )
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.__id__"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.__id__"))
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.col("s1.__n__") + F.col("s2.__n__") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"), "jaccard")
+    )
 
 
 def minhash_signatures(
@@ -229,25 +332,7 @@ def minhash_dedup_pairs(
     # is interpreted and becomes the bottleneck at scale. No broadcast
     # hint on cand: its size is data-dependent (can be huge on a skewed
     # corpus); AQE broadcasts it when it is actually small.
-    inter = (
-        ex.alias("x")
-        .join(cand, F.col("x.__id__") == F.col("d1"))
-        .join(ex.alias("y"),
-              (F.col("y.__id__") == F.col("d2")) & (F.col("x.__s__") == F.col("y.__s__")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = _shingle_sizes(ex)
-    out = (
-        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.__id__"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.__id__"))
-        .withColumn("jaccard",
-                    F.col("inter")
-                    / (F.col("s1.__n__") + F.col("s2.__n__") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("d1").alias("doc_id_1"), F.col("d2").alias("doc_id_2"), "jaccard")
-    )
-    return out
+    return _verify_jaccard(ex, cand, threshold)
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text",

@@ -50,6 +50,38 @@ def test_minhash_matches_exact_ngram(spark, sf_dir):
     assert mh == exact  # 32 single-hash bands → miss prob ~1e-13
 
 
+def test_ngram_prefix_filter_survives_hot_shingle(spark):
+    # one stop-trigram shared by EVERY doc: naive shared-shingle
+    # blocking makes a single n² bucket; prefix filtering must push the
+    # hot shingle out of the prefixes AND still find every true pair
+    hot = "lorem ipsum dolor"
+    docs = [(i, f"{hot} unique{i} tail{i} words{i} more{i}") for i in range(40)]
+    docs += [(100, f"{hot} shared body of near duplicate text one two"),
+             (101, f"{hot} shared body of near duplicate text one three")]
+    # hot-heavy docs: their ONLY shingle is the stop trigram — reachable
+    # exclusively through the hot-heavy fallback
+    docs += [(200, hot), (201, hot)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, 0.6, hot_df=10).collect()}
+    # brute-force oracle in python
+    import itertools
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for (i1, t1), (i2, t2) in itertools.combinations(docs, 2):
+        a, b = sh(t1), sh(t2)
+        j = len(a & b) / len(a | b)
+        if j >= 0.6:
+            expect[(min(i1, i2), max(i1, i2))] = j
+    assert set(got) == set(expect) and expect
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12
+
+
 def test_simhash_deterministic_and_near(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
