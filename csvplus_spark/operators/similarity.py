@@ -94,6 +94,47 @@ def _plane_sign(plane_id: int):
     return f
 
 
+#: centroid training never needs the full corpus — 10k vectors pin 16
+#: centroids as well as 10¹⁰ vectors do
+IVF_FIT_SAMPLE = 10_000
+
+
+def _fit_centroids(corpus_vecs: DataFrame, n_clusters: int, seed: int,
+                   sample_size: int = IVF_FIT_SAMPLE):
+    """KMeans fit on a BOUNDED deterministic sample of (corpus_id,
+    __vec__) rows. At 100 TB a full-corpus fit would be an ML pass over
+    everything just to place a handful of centroids; cell QUALITY only
+    needs a representative sample."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml not available") from exc
+
+    n = corpus_vecs.count()
+    fit_src = corpus_vecs if n <= sample_size else corpus_vecs.sample(
+        fraction=min(1.0, sample_size / n), seed=seed)
+    featurized = fit_src.withColumn("__feat__", array_to_vector("__vec__"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__",
+                predictionCol="__cell__")
+    return km.fit(featurized)
+
+
+def _probe_cells(q: DataFrame, cent: DataFrame, n_probe: int) -> DataFrame:
+    """(query_id, __qv__, __cell__): each query's ``n_probe`` nearest
+    cells by centroid cosine (centroids broadcast, ties → lower cell)."""
+    qc = (
+        q.join(F.broadcast(cent))
+        .withColumn("__csim__", cosine(F.col("__qv__"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__csim__").desc(), F.col("cell"))
+    return (
+        qc.withColumn("__cr__", F.row_number().over(wq))
+        .filter(F.col("__cr__") <= n_probe)
+        .select("query_id", "__qv__", F.col("cell").alias("__cell__"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -115,18 +156,12 @@ def ivf_topk(
     rerank join is an equi-join on cell id. Training samples the
     corpus; fixed seed → reproducible cells.
     """
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pyspark.ml not available") from exc
-
     c = with_double_vec(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col("__vec__"))
+    model = _fit_centroids(c, n_clusters, seed)
+    from pyspark.ml.functions import array_to_vector
+
     featurized = c.withColumn("__feat__", array_to_vector("__vec__"))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__feat__",
-                predictionCol="__cell__")
-    model = km.fit(featurized)
     assigned = model.transform(featurized).select("corpus_id", "__vec__", "__cell__")
 
     # centroid table (tiny, broadcast): cell id + centroid array
@@ -136,22 +171,79 @@ def ivf_topk(
 
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
-    # pick n_probe nearest centroids per query (centroids broadcast)
-    qc = (
-        q.join(F.broadcast(cent))
-        .withColumn("__csim__", cosine(F.col("__qv__"), F.col("centroid")))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__csim__").desc(), F.col("cell"))
-    probes = (
-        qc.withColumn("__cr__", F.row_number().over(wq))
-        .filter(F.col("__cr__") <= n_probe)
-        .select("query_id", "__qv__", F.col("cell").alias("__cell__"))
-    )
+    probes = _probe_cells(q, cent, n_probe)
     scored = assigned.join(probes, "__cell__")
     if exclude_self:  # single-id-namespace assumption, see brute_force_topk
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
     scored = (
         scored.withColumn("sim", cosine(F.col("__qv__"), F.col("__vec__")))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "sim")
+    )
+
+
+def ivf_build(corpus: DataFrame, path: str, n_clusters: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 42, sample_size: int = IVF_FIT_SAMPLE) -> None:
+    """Persist an IVF index: corpus assignments written as parquet
+    PARTITIONED BY cell (one directory per cell) plus a centroid
+    sidecar. A later search reads only the probed cells — partition
+    pruning at the file level, visible as ``PartitionFilters`` in the
+    scan (pinned by test_plans-style guard in test_llm_ops)."""
+    import json
+    import os
+
+    from pyspark.ml.functions import array_to_vector
+
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("__vec__"))
+    model = _fit_centroids(c, n_clusters, seed, sample_size)
+    assigned = model.transform(
+        c.withColumn("__feat__", array_to_vector("__vec__"))
+    ).select("corpus_id", F.col("__vec__").alias("vec"), "__cell__")
+    assigned.write.mode("overwrite").partitionBy("__cell__").parquet(path)
+    cents = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(cents, f)
+
+
+def ivf_search(spark, path: str, queries: DataFrame, k: int = 5,
+               n_probe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               exclude_self: bool = True) -> DataFrame:
+    """Search a persisted IVF index (see :func:`ivf_build`).
+
+    The union of probed cells (a handful of ints, collected from the
+    broadcast-sized query side) becomes a static ``isin`` filter on the
+    partition column, so the parquet scan touches ~n_probe/n_clusters
+    of the data on disk; the per-query cell restriction is the
+    (query, cell) equi-join, and candidates are exact-reranked.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = json.load(f)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>")
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
+    probes = _probe_cells(q, cent, n_probe)
+    cells = [r["__cell__"] for r in probes.select("__cell__").distinct().collect()]
+    assigned = (
+        spark.read.parquet(path)
+        .filter(F.col("__cell__").isin(cells))  # partition pruning
+    )
+    scored = assigned.join(probes, "__cell__")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = (
+        scored.withColumn("sim", cosine(F.col("__qv__"), F.col("vec")))
         .dropDuplicates(["query_id", "corpus_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))

@@ -192,14 +192,54 @@ def test_ivf_topk_recall(spark, sf_dir):
         assert abs(full[key] - r["sim"]) < 1e-9
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    from csvplus_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_clusters=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_search(spark, path, q, k=3, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probed-cell filter must reach the scan as partition pruning
+    assert "PartitionFilters" in plan and "__cell__" in plan
+    rows = out.collect()
+    assert rows
+    # reranked sims are exact: cross-check against brute force
+    full = {(r["query_id"], r["corpus_id"]): r["sim"]
+            for r in brute_force_topk(q, emb, 1000).collect()}
+    for r in rows:
+        assert abs(full[(r["query_id"], r["corpus_id"])] - r["sim"]) < 1e-9
+    # and recall vs exact top-k is solid at half the cells probed
+    bf = {(r["query_id"], r["corpus_id"]) for r in brute_force_topk(q, emb, 3).collect()}
+    got = {(r["query_id"], r["corpus_id"]) for r in rows}
+    assert len(bf & got) / len(bf) >= 0.5
+
+
+def test_ivf_fit_samples_large_corpus(spark, sf_dir):
+    from csvplus_spark.operators.similarity import _fit_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    from csvplus_spark.operators.similarity import with_double_vec
+
+    c = with_double_vec(emb).select(F.col("vec_id").alias("corpus_id"), "__vec__")
+    # tiny sample_size forces the sampling path; fit must still succeed
+    m = _fit_centroids(c, n_clusters=4, seed=42, sample_size=20)
+    assert len(m.clusterCenters()) == 4
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem").df
+    # quantitative gate for the one no-oracle driver query: EVERY group's
+    # HLL estimate within 3*rsd of exact, at the driver's sf0.01
+    rsd = 0.01
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").df
     approx = {r["l_returnflag"]: r["a"] for r in li.groupBy("l_returnflag")
-              .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a")).collect()}
+              .agg(F.approx_count_distinct("l_orderkey", rsd=rsd).alias("a")).collect()}
     exact = {r["l_returnflag"]: r["e"] for r in li.groupBy("l_returnflag")
              .agg(F.countDistinct("l_orderkey").alias("e")).collect()}
+    assert set(approx) == set(exact) and len(exact) == 3
     for k, e in exact.items():
-        assert abs(approx[k] - e) / e < 0.05, (k, approx[k], e)
+        assert abs(approx[k] - e) / e < 3 * rsd, (k, approx[k], e)
 
 
 def test_tfidf_deterministic_topk(spark, sf_dir):
