@@ -188,8 +188,37 @@ class Frame:
         yields ``pandas.DataFrame`` batches (mapInPandas contract), so
         it may drop rows (Transform's empty-row drop, csvplus.go:268)
         or add columns. Vectorized over Arrow batches — never per-row.
+
+        Row lineage (SURVEY §7 H5, DataSourceError{Line} analogue): when
+        the Frame carries ingest order, a callback exception is re-raised
+        with the ingest row-id range of the batches this worker had
+        consumed, instead of a bare PythonException.
         """
-        return Frame(self._df.mapInPandas(fn, schema), None, self.string_mode)
+        if ROW_ID not in self._df.columns:
+            return Frame(self._df.mapInPandas(fn, schema), None, self.string_mode)
+        user_fn = fn
+
+        def _with_lineage(it):
+            seen = {"lo": None, "hi": None}
+
+            def feed():
+                for pdf in it:
+                    if ROW_ID in pdf.columns and len(pdf):
+                        lo, hi = int(pdf[ROW_ID].min()), int(pdf[ROW_ID].max())
+                        seen["lo"] = lo if seen["lo"] is None else min(seen["lo"], lo)
+                        seen["hi"] = hi if seen["hi"] is None else max(seen["hi"], hi)
+                    yield pdf
+
+            try:
+                yield from user_fn(feed())
+            except Exception as exc:
+                rng = ("" if seen["lo"] is None else
+                       f" (ingest row-id range [{seen['lo']}, {seen['hi']}]"
+                       " in this partition)")
+                raise RuntimeError(f"map_rows callback failed{rng}: {exc}") from exc
+
+        return Frame(self._df.mapInPandas(_with_lineage, schema), None,
+                     self.string_mode)
 
     def transform_rows(self, fn: Callable, schema) -> "Frame":
         """Alias of :meth:`map_rows` kept for reference-name parity

@@ -116,6 +116,25 @@ def write_stream_parquet(stream: DataFrame, path: str, checkpoint: str,
     return writer.start()
 
 
+def stream_sliding_counts(spark: SparkSession, source_dir: str,
+                          window_sec: int = 3600, slide_sec: int = 1800,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming sliding-window counts with a watermark for late data.
+
+    Same window semantics as the batch :func:`sliding_agg` (each event
+    lands in window/slide overlapping windows); state for a window is
+    dropped once the watermark passes its end, so memory stays bounded
+    at window/slide concurrent windows per key-partition.
+    """
+    ev = stream_events(spark, source_dir).withWatermark("ts", watermark)
+    w = F.window("ts", f"{window_sec} seconds", f"{slide_sec} seconds")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def stream_tumbling_counts(spark: SparkSession, source_dir: str,
                            window: str = "1 hour",
                            watermark: str = "1 hour") -> DataFrame:

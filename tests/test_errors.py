@@ -101,6 +101,18 @@ def _rows(fr):
     return fr.to_rows()
 
 
+def test_map_rows_failure_carries_row_lineage(frame):
+    def boom(it):
+        for pdf in it:
+            if (pdf["a"] == "2").any():
+                raise ValueError("bad value in batch")
+            yield pdf
+
+    fr = frame.map_rows(boom, "a string, b string")
+    with pytest.raises(Exception, match=r"ingest row-id range \[\d+, \d+\]"):
+        fr.to_rows()
+
+
 def test_num_fields_short_row_mid_file(spark, tmp_path):
     p = tmp_path / "short.csv"
     p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8\n")

@@ -53,6 +53,26 @@ def test_structured_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
+    from csvplus_spark.streaming.events import stream_sliding_counts
+
+    src = tmp_path / "ev_slide"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+
+    stream = stream_sliding_counts(spark, str(src), 3600, 1800, "1 hour")
+    q = (
+        stream.writeStream.format("memory").queryName("sliding_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"]: r["n_events"]
+           for r in spark.sql("SELECT * FROM sliding_test").collect()}
+    batch = sliding_agg(load_table(spark, sf_dir, "events").df, 3600, 1800)
+    expect = {r["window_start"]: r["n_events"] for r in batch.collect()}
+    assert got == expect
+
+
 def test_streaming_session_windows_append(spark, sf_dir, tmp_path):
     import shutil
 
