@@ -241,7 +241,14 @@ class Reader:
         if self._trim_leading:
             reader = reader.option("ignoreLeadingWhiteSpace", True)
         if self._lazy_quotes:
-            reader = reader.option("unescapedQuoteHandling", "STOP_AT_DELIMITER")
+            # closest univocity analogue of Go's LazyQuotes
+            # (csvplus.go:984-987). Fidelity matrix vs Go encoding/csv,
+            # pinned by test_csv_reader.py::test_lazy_quotes_fidelity:
+            #   x"y        -> x"y   (match)
+            #   "x""y"     -> x"y   (match; STOP_AT_* modes break this)
+            #   "x"y"      -> xy    (Go: x"y")   <- known divergence
+            #   "1,z,w EOF -> error (Go: accepts to EOF) <- known divergence
+            reader = reader.option("unescapedQuoteHandling", "BACK_TO_DELIMITER")
         df = reader.csv(self.path)
         if names is not None:
             if len(df.columns) < len(names):

@@ -110,3 +110,23 @@ def test_typed_reader_inference(spark, tmp_path):
     types = dict(f.df.dtypes)
     assert types["a"] in ("int", "bigint") and types["b"] == "double"
     assert not f.string_mode
+
+
+def test_lazy_quotes_fidelity(spark, tmp_path):
+    """Adversarial fixture pinning lazy_quotes() vs Go LazyQuotes
+    (csvplus.go:984-987). Two behaviors match, two diverge — the
+    divergences are documented in sources/csv.py and pinned here so a
+    silent change in Spark's parser is caught."""
+    p = tmp_path / "lq.csv"
+    p.write_text('a,b\n1,x"y\n2,"x""y"\n3,"x"y"\n')
+    f = from_file(spark, str(p)).lazy_quotes().to_frame()
+    got = {r["a"]: r["b"] for r in f.to_rows()}
+    assert got["1"] == 'x"y'   # bare quote mid-field: matches Go
+    assert got["2"] == 'x"y'   # well-formed "" escape: matches Go
+    assert got["3"] == "xy"    # stray quote in quoted field: Go gives x"y"
+    # unterminated leading quote: Go accepts the rest of input as the
+    # field; Spark's line-based parser raises instead
+    p2 = tmp_path / "lq2.csv"
+    p2.write_text('a,b\n"1,z,w\n')
+    with pytest.raises(Exception):
+        from_file(spark, str(p2)).lazy_quotes().to_frame().to_rows()
