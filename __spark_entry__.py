@@ -805,6 +805,47 @@ WHERE {dot} / (na.nn * nb.nn) >= {threshold}
 """
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash k-grams + sliding min
+    window, MOSS algorithm; operators/text.py::winnow_fingerprints)."""
+    from csvplus_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents").df, 8, 4)
+
+
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(nrm) - {k - 1})) AS pos,
+         nrm
+  FROM base
+  WHERE length(nrm) >= {k}
+),
+e AS (
+  SELECT doc_id, pos,
+         lpad(CAST({_HASH60_SQL.format(x=f"substring(nrm, CAST(pos AS INT), {k})")} AS VARCHAR), 19, '0')
+           || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS enc,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+s AS (
+  SELECT doc_id, pos, n,
+         MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
+  FROM e
+)
+SELECT DISTINCT doc_id,
+       9999999 - CAST(substring(sel, 20, 7) AS INT) AS pos,
+       CAST(substring(sel, 1, 19) AS BIGINT) AS fp
+FROM s WHERE pos <= n - {w - 1}
+"""
+
+
 def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
     # all-pairs in the oracle (DuckDB, sf0.01) vs chunk-blocked in Spark
     # — identical output proves the blocking loses no pair
@@ -1310,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "winnow": q_winnow,
     }
 
 
@@ -1464,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "dedup_embedding_lsh": _dedup_emb_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "winnow": _winnow_sql(),
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

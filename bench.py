@@ -41,6 +41,11 @@ HEADLINE = [
     "tpch_q5_volume",
     "dedup_clusters",
     "tfidf",
+    "simhash_pairs",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "hash_sample",
+    "range_join",
 ]
 
 

@@ -451,9 +451,12 @@ def embedding_near_pairs(
             )
             for t in range(n_tables)
         ])
+        # candidates carry IDs only — shipping the vectors through the
+        # bucket join + distinct would multiply shuffle payload by the
+        # vector width; they are joined back just for the rerank
         bt = (
-            v.select(F.col(id_col), "__vec__", F.explode(planes).alias("tb"))
-            .select(F.col(id_col), "__vec__",
+            v.select(F.col(id_col), F.explode(planes).alias("tb"))
+            .select(F.col(id_col),
                     F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
         )
         cand = (
@@ -463,13 +466,14 @@ def embedding_near_pairs(
                   & (F.col("a.bucket") == F.col("b.bucket"))
                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_1"),
-                    F.col(f"b.{id_col}").alias("id_2"),
-                    F.col("a.__vec__").alias("__v1__"),
-                    F.col("b.__vec__").alias("__v2__"))
-            .dropDuplicates(["id_1", "id_2"])
+                    F.col(f"b.{id_col}").alias("id_2"))
+            .distinct()
         )
+        v1 = v.select(F.col(id_col).alias("id_1"), F.col("__vec__").alias("__v1__"))
+        v2 = v.select(F.col(id_col).alias("id_2"), F.col("__vec__").alias("__v2__"))
         return (
-            cand.withColumn("sim", cosine(F.col("__v1__"), F.col("__v2__")))
+            cand.join(v1, "id_1").join(v2, "id_2")
+            .withColumn("sim", cosine(F.col("__v1__"), F.col("__v2__")))
             .filter(F.col("sim") >= threshold)
             .select("id_1", "id_2", "sim")
         )

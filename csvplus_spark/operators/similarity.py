@@ -79,19 +79,22 @@ def brute_force_topk(
     )
 
 
-def _plane_sign(plane_id: int):
-    """±component selector for deterministic hyperplane ``plane_id``.
+def _plane_signs(plane_id: int, dim: int) -> list[float]:
+    """±1 coefficients of deterministic hyperplane ``plane_id``: bit 0
+    of hash60(md5('{plane}|{j}')), evaluated in PYTHON at plan-build
+    time. Same derivation (and same values) as before, but inlined as
+    literals: the previous expression form re-ran the md5 per
+    (row × plane × element) inside an interpreted lambda — 4M md5 calls
+    for 2k vectors × 32 planes — which dominated the LSH runtime. No
+    runtime RNG either way; the DuckDB oracle embeds identical
+    literals."""
+    import hashlib
 
-    NB: pyspark higher-order functions dispatch on lambda arity, so the
-    plane id is closed over via this factory, never a default arg.
-    """
-    prefix = f"{plane_id}|"
-
-    def f(x, j):
-        coef_bit = hash60(F.concat(F.lit(prefix), j.cast("string"))).bitwiseAND(F.lit(1))
-        return F.when(coef_bit == 1, x).otherwise(-x)
-
-    return f
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{plane_id}|{j}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if (h & 1) == 1 else -1.0)
+    return out
 
 
 #: centroid training never needs the full corpus — 10k vectors pin 16
@@ -261,9 +264,11 @@ def hyperplane_bits(vec_col: F.Column, dim: int, n_bits: int = 16,
     randomness at runtime → reproducible buckets across runs/engines."""
     bucket = None
     for i in range(n_bits):
+        signs = F.array(*[F.lit(s) for s in _plane_signs(plane_offset + i, dim)])
+        # x * (±1.0) is an exact sign flip; left fold in j order keeps
+        # the sum bit-identical to the oracle's list_sum
         signed = F.aggregate(
-            F.zip_with(vec_col, F.sequence(F.lit(0), F.lit(dim - 1)),
-                       _plane_sign(plane_offset + i)),
+            F.zip_with(vec_col, signs, lambda x, s: x * s),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         bit = F.when(signed > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -291,7 +296,9 @@ def lsh_topk(
     """
     def bucketed(df: DataFrame, idname: str) -> DataFrame:
         df = with_double_vec(df, vec_col)
-        # each table uses its own plane ids (t*n_bits + i) → independent
+        # each table uses its own plane ids (t*n_bits + i) → independent.
+        # IDs only through the bucket join — vectors are joined back for
+        # the rerank so the shuffle payload stays narrow
         rows = [
             F.struct(
                 F.lit(t).alias("table"),
@@ -301,21 +308,25 @@ def lsh_topk(
             for t in range(n_tables)
         ]
         return df.select(
-            F.col(id_col).alias(idname), F.col("__vec__"),
+            F.col(id_col).alias(idname),
             F.explode(F.array(*rows)).alias("tb"),
-        ).select(idname, "__vec__", F.col("tb.table").alias("table"),
+        ).select(idname, F.col("tb.table").alias("table"),
                  F.col("tb.bucket").alias("bucket"))
 
-    qb = bucketed(queries, "query_id").withColumnRenamed("__vec__", "__qv__")
-    cb = bucketed(corpus, "corpus_id").withColumnRenamed("__vec__", "__cv__")
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(corpus, "corpus_id")
     cand = qb.join(cb, ["table", "bucket"])
     if exclude_self:  # single-id-namespace assumption, see brute_force_topk
         cand = cand.filter(F.col("query_id") != F.col("corpus_id"))
-    cand = (
-        cand.select("query_id", "corpus_id", "__qv__", "__cv__")
-        .dropDuplicates(["query_id", "corpus_id"])
+    cand = cand.select("query_id", "corpus_id").distinct()
+    qv = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
+    cv = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__"))
+    scored = (
+        cand.join(qv, "query_id").join(cv, "corpus_id")
+        .withColumn("sim", cosine(F.col("__qv__"), F.col("__cv__")))
     )
-    scored = cand.withColumn("sim", cosine(F.col("__qv__"), F.col("__cv__")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

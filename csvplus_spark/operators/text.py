@@ -147,6 +147,61 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): char ``k``-gram rolling hashes,
+    one fingerprint selected per window of ``w`` consecutive hashes
+    (minimum hash; ties broken rightmost), distinct selections kept.
+    Guarantees every match of length ≥ w+k−1 shares a fingerprint —
+    the standard local-fingerprinting primitive for plagiarism/overlap
+    detection at corpus scale.
+
+    Shape: explode positions → substring + md5 (codegen) → one sliding
+    window min per doc → distinct. The only shuffle is the per-doc
+    window; the (min,pos) pair is packed into a zero-padded decimal
+    string so the rolling min is ONE comparison, bit-identical in the
+    DuckDB oracle (same frame, same string collation on digits).
+    Returns (doc_id, pos, fp): 1-based k-gram position + 60-bit hash.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = (
+        df.select(F.col(id_col), norm.alias("__norm__"))
+        .withColumn("__ng__", F.length("__norm__") - (k - 1))
+        .filter(F.col("__ng__") >= 1)
+    )
+    grams = base.select(
+        F.col(id_col), "__norm__",
+        F.explode(F.expr("sequence(1, __ng__)")).alias("__pos__"),
+    ).select(
+        F.col(id_col), F.col("__pos__"),
+        hash60(F.expr(f"substring(__norm__, __pos__, {k})")).alias("__h__"),
+    )
+    from pyspark.sql import Window
+
+    # pack (hash asc, pos desc) into one ordered string: min == winnow pick
+    enc = F.concat(
+        F.lpad(F.col("__h__").cast("string"), 19, "0"),
+        F.lpad((F.lit(9_999_999) - F.col("__pos__")).cast("string"), 7, "0"),
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos__").rowsBetween(0, w - 1)
+    w_doc = Window.partitionBy(id_col)
+    sel = (
+        grams.withColumn("__enc__", enc)
+        .withColumn("__sel__", F.min("__enc__").over(win))
+        .withColumn("__n__", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("__pos__") <= F.col("__n__") - (w - 1))  # full windows
+        .select(F.col(id_col), F.col("__sel__"))
+        .distinct()
+    )
+    return sel.select(
+        F.col(id_col),
+        (F.lit(9_999_999) - F.substring("__sel__", 20, 7).cast("int")).alias("pos"),
+        F.substring("__sel__", 1, 19).cast("long").alias("fp"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-k TF-IDF terms per document: score = tf · ln(N/df).

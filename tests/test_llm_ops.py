@@ -242,6 +242,31 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(approx[k] - e) / e < 3 * rsd, (k, approx[k], e)
 
 
+def test_winnow_guarantee_and_determinism(spark):
+    from csvplus_spark.operators.text import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "a long shared passage of text that both documents contain verbatim"
+    df = spark.createDataFrame(
+        [(1, f"first document intro. {shared}. first tail xyz"),
+         (2, f"second doc opens differently {shared} and ends otherwise"),
+         (3, "completely unrelated content qqq www eee rrr ttt yyy")],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, k, w)
+    rows = out.collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: any shared substring of length >= w+k-1
+    # yields at least one shared fingerprint
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # deterministic across runs
+    again = {(r["doc_id"], r["pos"], r["fp"]) for r in winnow_fingerprints(df, k, w).collect()}
+    assert again == {(r["doc_id"], r["pos"], r["fp"]) for r in rows}
+
+
 def test_tfidf_deterministic_topk(spark, sf_dir):
     from csvplus_spark.operators.text import tfidf_top_terms
 
