@@ -101,11 +101,14 @@ def test_embedding_grid_matches_allpairs(spark, sf_dir):
     from csvplus_spark.operators.dedup import embedding_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").df
-    grid = {(r["id_1"], r["id_2"], r["sim"])
-            for r in embedding_near_pairs(emb, 0.4).collect()}
     naive = {(r["id_1"], r["id_2"], r["sim"])
              for r in embedding_near_pairs(emb, 0.4, method="allpairs").collect()}
-    assert grid == naive and grid  # identical pairs AND identical sims
+    # Arrow-prefiltered grid (default) AND pure-JVM grid: identical
+    # pairs and bit-identical sims vs the naive reference
+    for m in ("grid", "grid_jvm"):
+        got = {(r["id_1"], r["id_2"], r["sim"])
+               for r in embedding_near_pairs(emb, 0.4, method=m).collect()}
+        assert got == naive and got, m
 
 
 def test_embedding_lsh_is_exact_subset(spark, sf_dir):
