@@ -846,6 +846,33 @@ FROM s WHERE pos <= n - {w - 1}
 """
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting three ways (task north-star: whitespace + BPE-ish
+    regex; operators/text.py): whitespace tokens, word-regex tokens,
+    approximate subword (BPE-ish) tokens."""
+    from csvplus_spark.operators.text import (bpe_token_count, token_count,
+                                              ws_token_count)
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("n_ws"),
+        token_count("text").cast("long").alias("n_words"),
+        bpe_token_count("text").alias("n_bpe"),
+    )
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+       len(regexp_extract_all(lower(text),
+           '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')) AS n_bpe
+FROM documents
+"""
+
+
 def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
     # all-pairs in the oracle (DuckDB, sf0.01) vs chunk-blocked in Spark
     # — identical output proves the blocking loses no pair
@@ -1352,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
         "winnow": q_winnow,
+        "token_counts": q_token_counts,
     }
 
 
@@ -1507,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _dedup_emb_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "winnow": _winnow_sql(),
+        "token_counts": _TOKEN_COUNTS_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

@@ -49,6 +49,29 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish tokenizer regex (GPT-2-shaped, lowercased): contraction
+#: suffixes, space-prefixed letter/digit runs, punctuation runs,
+#: residual whitespace. Deliberately lookahead-free so Java regex
+#: (Spark) and RE2 (DuckDB) tokenize identically (both leftmost-first).
+BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def ws_token_count(col: str = "text") -> Column:
+    """Whitespace-delimited token count (0 for blank text)."""
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")) \
+        .otherwise(F.size(F.split(t, r"\s+")).cast("long"))
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """Approximate subword token count via the BPE-ish regex — the
+    cheap cross-engine stand-in for a real BPE vocab merge (which needs
+    a trained merges table; out of scope for a SQL-checkable op)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(BPE_RE), F.lit(0))
+    ).cast("long")
+
+
 def char_count(col: str = "text") -> Column:
     return F.length(F.col(col))
 

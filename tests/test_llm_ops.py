@@ -245,6 +245,26 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(approx[k] - e) / e < 3 * rsd, (k, approx[k], e)
 
 
+def test_token_count_variants(spark):
+    from csvplus_spark.operators.text import (bpe_token_count, token_count,
+                                              ws_token_count)
+
+    df = spark.createDataFrame(
+        [(1, "It's a test-case, with 42 tokens!"), (2, "   "), (3, "one")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["ws"], r["words"], r["bpe"]) for r in df.select(
+        "doc_id",
+        ws_token_count("text").alias("ws"),
+        token_count("text").alias("words"),
+        bpe_token_count("text").alias("bpe")).collect()}
+    # "It's a test-case, with 42 tokens!" → 6 ws tokens; words: it,s,a,
+    # test,case,with,42,tokens = 8; bpe: it,'s,_a,_test,-,case,',',
+    # _with,_42,_tokens,! = 11
+    assert got[1] == (6, 8, 11)
+    assert got[2] == (0, 0, 1)  # blank: 0 real tokens (1 ws-run bpe blob)
+    assert got[3] == (1, 1, 1)
+
+
 def test_winnow_guarantee_and_determinism(spark):
     from csvplus_spark.operators.text import winnow_fingerprints
 
