@@ -862,6 +862,29 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over binary blobs via Arrow mapInPandas
+    (operators/multimodal.py::extract_features): the model call is a
+    deterministic md5-derived stub, so the WHOLE Pandas-UDF pipeline —
+    Arrow binary transfer, batch iteration, exploded output — is
+    oracle-checked bit-for-bit."""
+    from csvplus_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").df
+    blobs = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("data"))
+    return extract_features(blobs, dim=8)
+
+
+_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id, CAST(j AS INT) AS feat_idx,
+       (CAST(('0x' || substring(md5(md5(text) || '|' || CAST(j AS VARCHAR)),1,15))
+             AS BIGINT) % 10000) / 10000.0 - 0.5 AS feature
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
+"""
+
+
 _TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1380,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow": q_winnow,
         "token_counts": q_token_counts,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1536,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "winnow": _winnow_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

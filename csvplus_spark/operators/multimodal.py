@@ -123,6 +123,98 @@ def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
     )
 
 
+def feature_extract_stub(dim: int = 8, real_model: bool = False) -> Callable:
+    """Batch feature extraction for mapInPandas: blob → ``dim`` floats.
+
+    STUB for the model call (no vision/audio model in this container),
+    but the fake is DETERMINISTIC and md5-derived so the full Arrow
+    pipeline is oracle-checkable bit-for-bit: feature j =
+    (hash60(md5(md5(blob_hex) || '|' || j)) % 10000)/10000 − 0.5.
+    With ``real_model=True`` it raises where the encoder call would go.
+    """
+
+    def extract(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            if real_model:
+                raise NotImplementedError(
+                    "no embedding model in this environment; plug the "
+                    "encoder (CLIP/wav2vec/...) here")
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                base = hashlib.md5(bytes(blob)).hexdigest()
+                for j in range(dim):
+                    rows.append({
+                        "media_id": mid, "feat_idx": j,
+                        "feature": (h60(f"{base}|{j}") % 10000) / 10000.0 - 0.5,
+                    })
+            yield pd.DataFrame(rows, columns=["media_id", "feat_idx", "feature"])
+
+    return extract
+
+
+FEATURE_SCHEMA = "media_id long, feat_idx int, feature double"
+
+
+def extract_features(df: DataFrame, dim: int = 8,
+                     real_model: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over (media_id, data) — the
+    mapInPandas plumbing a real encoder would use unchanged. Exploded
+    (media_id, feat_idx, feature) output; pivot/collect_list to an
+    ``array<double>`` column feeds the similarity operators directly."""
+    return df.select("media_id", "data").mapInPandas(
+        feature_extract_stub(dim, real_model), FEATURE_SCHEMA)
+
+
+def resize_stub(width: int = 64, height: int = 64,
+                real_codec: bool = False) -> Callable:
+    """Binary-in/binary-out resize plumbing: the output column is a
+    BINARY blob (deterministic fake: md5-keyed bytes of the target
+    geometry) — exercises Arrow binary transfer in BOTH directions,
+    which is the part a real resize needs from Spark."""
+
+    def resize(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if real_codec:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "plug PIL/cv2 resize here")
+            out_blobs = []
+            for blob in pdf["data"]:
+                seed = hashlib.md5(
+                    bytes(blob) + f"|{width}x{height}".encode()).digest()
+                # fake payload: seed tiled to a size-proportional stub
+                reps = max(1, (width * height) // len(seed))
+                out_blobs.append((seed * reps)[: width * height])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "data": out_blobs,
+                "width": width,
+                "height": height,
+            })
+
+    return resize
+
+
+RESIZE_SCHEMA = "media_id long, data binary, width int, height int"
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  real_codec: bool = False) -> DataFrame:
+    return df.select("media_id", "data").mapInPandas(
+        resize_stub(width, height, real_codec), RESIZE_SCHEMA)
+
+
 def repartition_for_blobs(df: DataFrame, avg_blob_bytes: int,
                           target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Size partitions by blob weight, not row count: at 100 TB a

@@ -45,6 +45,42 @@ def test_decode_real_codec_raises(media_df):
         decode_images(media_df, real_codec=True).collect()
 
 
+def test_feature_extract_feeds_similarity(media_df):
+    from csvplus_spark.operators.multimodal import extract_features
+    from csvplus_spark.operators.similarity import brute_force_topk
+
+    feats = extract_features(media_df, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32  # 4 blobs x 8 dims
+    assert all(-0.5 <= r["feature"] <= 0.5 for r in rows)
+    # pivot the exploded features into an embedding column and run ANN:
+    # the multimodal -> similarity composition end-to-end
+    emb = (feats.groupBy("media_id")
+           .agg(F.array_sort(F.collect_list(F.struct("feat_idx", "feature"))).alias("s"))
+           .select(F.col("media_id").alias("vec_id"),
+                   F.expr("transform(s, x -> x.feature)").alias("embedding")))
+    out = brute_force_topk(emb, emb, k=2)
+    assert out.count() == 8  # 4 queries x top-2
+    assert out.filter(F.col("query_id") == F.col("corpus_id")).count() == 0
+
+
+def test_resize_binary_roundtrip(media_df):
+    from csvplus_spark.operators.multimodal import resize_images
+
+    out = resize_images(media_df, 32, 16).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 16
+        assert isinstance(r["data"], (bytes, bytearray))
+        assert len(r["data"]) == 32 * 16  # size-proportional stub payload
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["data"])
+             for r in resize_images(media_df, 32, 16).collect()}
+    assert {r["media_id"]: bytes(r["data"]) for r in out} == again
+    with pytest.raises(Exception, match="codec not available"):
+        resize_images(media_df, 32, 16, real_codec=True).collect()
+
+
 def test_frame_sampling_one_to_many(media_df):
     out = sample_frames(media_df, n_frames=3)
     rows = out.collect()
