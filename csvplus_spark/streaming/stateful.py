@@ -60,3 +60,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, n_events long"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _session_closer(gap_us: int):
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        def row(start_us: int, n: int) -> dict:
+            return {"user_id": key[0],
+                    "session_start": pd.Timestamp(start_us, unit="us"),
+                    "n_events": n}
+
+        if state.hasTimedOut:
+            # watermark passed last event + gap: the session is closed
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(start_us, n)])
+            return
+
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist())
+        ts_us.sort()
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = n = None
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us, n = t, n + 1
+            else:  # gap inside the batch: close mid-batch session now
+                closed.append(row(start_us, n))
+                start_us, last_us, n = t, t, 1
+        state.update((start_us, last_us, n))
+        # event-time timeout: fires once the WATERMARK (not wall clock)
+        # passes last event + gap — late data within the gap still merges
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        yield pd.DataFrame(closed, columns=["user_id", "session_start", "n_events"])
+
+    return update
+
+
+def sessionize_with_timeout(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user sessions CLOSED by event-time timeout: the custom-state
+    twin of session_window that can carry arbitrary per-session state
+    (here start + count). State per key is one open session; the
+    timeout (watermark > last event + gap) emits and clears it, so
+    memory is O(#active users) regardless of stream length. The input
+    stream must carry a watermark on ``ts``.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    unit_us = {"second": 1_000_000, "minute": 60_000_000,
+               "hour": 3_600_000_000}[m.group(2)]
+    gap_us = int(m.group(1)) * unit_us
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_closer(gap_us),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -88,3 +88,44 @@ def test_foreach_batch_upsert_latest_state(spark, sf_dir, tmp_path):
     state = spark.read.parquet(out)
     users = ev.df.select("user_id").distinct().count()
     assert state.count() == users  # exactly one latest row per user
+
+
+def test_sessionize_with_timeout_matches_batch_sessions(spark, sf_dir, tmp_path):
+    import glob
+    import shutil
+
+    from csvplus_spark.streaming.events import session_agg
+    from csvplus_spark.streaming.stateful import sessionize_with_timeout
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "in"
+    src.mkdir()
+    half = ev.df.limit(500)
+    rest = ev.df.subtract(half)
+    for i, part in enumerate([half, rest]):
+        part.withColumn("ts", (F.unix_micros("ts") * 1000)) \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        f = glob.glob(str(tmp_path / f"s{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"{i}.parquet")
+
+    stream = stream_events(spark, str(src), max_files_per_trigger=1) \
+        .withWatermark("ts", "0 seconds")
+    q = (
+        sessionize_with_timeout(stream, "10 minutes")
+        .writeStream.format("memory").queryName("sessions_timeout")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_start"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM sessions_timeout").collect()}
+    # every emitted (closed) session must match batch session_agg truth;
+    # still-open tail sessions are legitimately absent (append semantics)
+    expect = {(r["user_id"], r["session_start"]): r["n_events"]
+              for r in session_agg(ev.df, "10 minutes").collect()}
+    assert got, "timeout must close and emit sessions"
+    for k, v in got.items():
+        assert expect[k] == v, k
