@@ -885,6 +885,28 @@ CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
 """
 
 
+def q_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization, exploded form
+    (operators/quantization.py): scale, quantized level, and exact
+    reconstruction — all bit-identical to the oracle."""
+    from csvplus_spark.operators.quantization import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings").df)
+
+
+_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
+SELECT vec_id, CAST(j AS INT) AS dim_idx, scale,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(e[j] / scale * 127 + 0.5) END AS INT) AS q,
+       (CASE WHEN scale = 0 THEN 0
+             ELSE floor(e[j] / scale * 127 + 0.5) END) * scale / 127 AS deq
+FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) t
+"""
+
+
 _TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1404,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "token_counts": q_token_counts,
         "multimodal_features": q_multimodal_features,
+        "quantize_embeddings": q_quantize,
     }
 
 
@@ -1561,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow": _winnow_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "quantize_embeddings": _QUANTIZE_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

@@ -245,6 +245,36 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(approx[k] - e) / e < 3 * rsd, (k, approx[k], e)
 
 
+def test_quantize_roundtrip_and_recall(spark, sf_dir):
+    from csvplus_spark.operators.quantization import (dequantize,
+                                                      pack_quantized,
+                                                      quantize_embeddings)
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    quant = quantize_embeddings(emb)
+    # per-component reconstruction error bounded by scale/(2*127)
+    bad = quant.join(
+        emb.select("vec_id", F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("__j__", "x")).withColumn("dim_idx", F.col("__j__") + 1),
+        ["vec_id", "dim_idx"],
+    ).filter(F.abs(F.col("deq") - F.col("x")) > F.col("scale") / 254 + 1e-12)
+    assert bad.count() == 0
+    # packed form: 64 int8 levels per vector, q within [-127, 127]
+    packed = pack_quantized(quant)
+    assert packed.count() == emb.count()
+    r = packed.limit(1).collect()[0]
+    assert len(r["qvec"]) == 64 and all(-127 <= int(x) <= 127 for x in r["qvec"])
+    # ANN over dequantized vectors still recovers exact top-k well
+    deq = dequantize(packed)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["corpus_id"])
+             for r in brute_force_topk(q, emb, 3).collect()}
+    approx = {(r["query_id"], r["corpus_id"])
+              for r in brute_force_topk(q, deq, 3).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
 def test_token_count_variants(spark):
     from csvplus_spark.operators.text import (bpe_token_count, token_count,
                                               ws_token_count)
