@@ -907,6 +907,68 @@ FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) t
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-doc repetition signals: 5-gram duplicate fraction + top
+    gram share (operators/text.py::repetition_stats)."""
+    from csvplus_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents").df, 5)
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(ts) AS t,
+         unnest(generate_series(1, len(ts))) AS i
+  FROM (SELECT doc_id, {toks} AS ts FROM documents)
+),
+g AS (
+  SELECT a.doc_id,
+         a.t || ' ' || b.t || ' ' || c.t || ' ' || d.t || ' ' || e.t AS gram
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+  JOIN tok d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+  JOIN tok e ON a.doc_id = e.doc_id AND e.i = a.i + 4
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, SUM(c) AS n_ngrams, COUNT(*) AS n_distinct, MAX(c) AS top
+  FROM pg GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_ngrams, 0) AS n_ngrams,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       CASE WHEN COALESCE(a.n_ngrams, 0) > 0
+            THEN 1.0 - a.n_distinct * 1.0 / a.n_ngrams ELSE 0.0 END AS dup_frac,
+       CASE WHEN COALESCE(a.n_ngrams, 0) > 0
+            THEN a.top * 1.0 / a.n_ngrams ELSE 0.0 END AS top_gram_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""".format(toks="regexp_extract_all(lower(text), '[a-z0-9]+')")
+
+
+def q_content_flags(spark, sf_dir):
+    """PII/boilerplate triage counts per doc
+    (operators/text.py::content_flags)."""
+    from csvplus_spark.operators.text import content_flags
+
+    return content_flags(load_table(spark, sf_dir, "documents").df)
+
+
+_CONTENT_FLAGS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS n_urls,
+       len(regexp_extract_all(lower(text),
+           '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phoneish,
+       CASE WHEN length(lower(text)) > 0
+            THEN len(regexp_extract_all(lower(text), '[{}\[\]<>;`]')) * 1.0
+                 / length(lower(text))
+            ELSE 0.0 END AS code_density
+FROM documents
+"""
+
+
 _TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1427,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "multimodal_features": q_multimodal_features,
         "quantize_embeddings": q_quantize,
+        "repetition_stats": q_repetition,
+        "content_flags": q_content_flags,
     }
 
 
@@ -1585,6 +1649,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "quantize_embeddings": _QUANTIZE_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "content_flags": _CONTENT_FLAGS_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

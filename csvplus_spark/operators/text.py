@@ -170,6 +170,87 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
+def repetition_stats(df: DataFrame, n: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition signals (Gopher/RefinedWeb-style
+    quality filters): word ``n``-gram counts per doc with the duplicate
+    fraction and the hottest n-gram's share.
+
+    Returns (id, n_ngrams, n_distinct, dup_frac, top_gram_frac):
+    dup_frac = 1 − distinct/total (0 when no n-grams). Shape: one
+    posexplode+window n-gram pass and one aggregate — the same codegen
+    form as shingle_pairs, no interpreted array lambdas.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
+    )
+    w_ = Window.partitionBy(id_col).orderBy("__pos__")
+    leads = [F.lead("__tok__", j).over(w_) for j in range(1, n)]
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("__tok__"), *leads).alias("__g__"),
+            leads[-1].alias("__last__"),
+        )
+        .filter(F.col("__last__").isNotNull())
+        .select(F.col(id_col), "__g__")
+    )
+    per_gram = grams.groupBy(id_col, "__g__").agg(F.count(F.lit(1)).alias("__c__"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("__c__").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__c__").alias("__top__"),
+    )
+    # left join keeps gram-less docs (shorter than n words) at zero
+    return (
+        df.select(F.col(id_col)).join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(F.coalesce("n_ngrams", F.lit(0)) > 0,
+                   1.0 - F.col("n_distinct") / F.col("n_ngrams"))
+            .otherwise(F.lit(0.0)).alias("dup_frac"),
+            F.when(F.coalesce("n_ngrams", F.lit(0)) > 0,
+                   F.col("__top__") / F.col("n_ngrams"))
+            .otherwise(F.lit(0.0)).alias("top_gram_frac"),
+        )
+    )
+
+
+#: RE2-safe (lookahead-free) cleaning-signal patterns — identical
+#: semantics in Java regex and DuckDB RE2
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONEISH_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+CODEISH_RE = r"[{}\[\]<>;`]"
+
+
+def content_flags(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Pattern-based cleaning signals per doc: email / URL / phone-ish
+    counts and code-punctuation density — the standard pre-training
+    PII-and-boilerplate triage columns. Pure regexp_extract_all counts
+    (codegen, no UDF), patterns chosen RE2-safe for the oracle."""
+    low = F.lower(F.col(text_col))
+
+    def cnt(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))).cast("long")
+
+    n_code = cnt(CODEISH_RE)
+    return df.select(
+        F.col(id_col),
+        cnt(EMAIL_RE).alias("n_emails"),
+        cnt(URL_RE).alias("n_urls"),
+        cnt(PHONEISH_RE).alias("n_phoneish"),
+        F.when(F.length(low) > 0, n_code / F.length(low))
+        .otherwise(F.lit(0.0)).alias("code_density"),
+    )
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

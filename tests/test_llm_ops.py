@@ -295,6 +295,31 @@ def test_token_count_variants(spark):
     assert got[3] == (1, 1, 1)
 
 
+def test_repetition_and_content_flags(spark):
+    from csvplus_spark.operators.text import content_flags, repetition_stats
+
+    rep_text = " ".join(["one two three four five"] * 4)  # heavy 5-gram repeats
+    df = spark.createDataFrame(
+        [(1, rep_text),
+         (2, "all twenty words here are fully distinct alpha bravo charlie "
+             "delta echo foxtrot golf hotel india juliet kilo lima mike"),
+         (3, "shorty")],
+        ["doc_id", "text"])
+    rep = {r["doc_id"]: r for r in repetition_stats(df, 5).collect()}
+    assert rep[1]["dup_frac"] > 0.5 and rep[1]["top_gram_frac"] > 0.2
+    assert rep[2]["dup_frac"] == 0.0 and rep[2]["n_ngrams"] == rep[2]["n_distinct"]
+    assert rep[3]["n_ngrams"] == 0 and rep[3]["dup_frac"] == 0.0
+
+    flags = {r["doc_id"]: r for r in content_flags(spark.createDataFrame(
+        [(1, "mail me at a.b@test.org or see https://x.io/y?z=1 now"),
+         (2, "call +1 (555) 123-4567 today"),
+         (3, "def f(x): return {x: [1, 2]}  # code<t>")],
+        ["doc_id", "text"])).collect()}
+    assert flags[1]["n_emails"] == 1 and flags[1]["n_urls"] == 1
+    assert flags[2]["n_phoneish"] == 1
+    assert flags[3]["code_density"] > 0.1 and flags[3]["n_emails"] == 0
+
+
 def test_winnow_guarantee_and_determinism(spark):
     from csvplus_spark.operators.text import winnow_fingerprints
 
