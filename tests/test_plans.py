@@ -69,6 +69,36 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     assert back.count() == ev.df.filter("event_type = 'purchase'").count()
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    from csvplus_spark import load_table
+    from csvplus_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").df.select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_quantity")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(o, "b_orders", "o_orderkey", 8)
+        write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                       "b_lineitem", "o_orderkey", 8)
+        # at test SF both sides fit the broadcast threshold, which hides
+        # the bucketing; disable it to see the big-table plan shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: the bucketing IS the shuffle — no Exchange at all
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # and it computes the same rows as the plain join
+        plain = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_loaded_index_lookup_pushes_down(spark, sf_dir, tmp_path):
     from csvplus_spark import Index, load_table
 
