@@ -907,6 +907,64 @@ FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) t
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-decontamination: corpus docs sharing any word trigram
+    with a probe set (here: the 10 lowest-id docs stand in for an eval
+    benchmark; self-pairs excluded) — operators/dedup.py."""
+    from csvplus_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents").df
+    probes = docs.filter(F.col("doc_id") < 10) \
+        .select(F.col("doc_id").alias("probe_id"), "text")
+    return contamination_check(docs, probes) \
+        .filter(F.col("doc_id") != F.col("probe_id"))
+
+
+_CONTAMINATION_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(generate_series(1, len(ts))) AS i
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents)
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN t c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)
+SELECT c.doc_id, p.doc_id AS probe_id, COUNT(*) AS n_shared
+FROM sh c JOIN sh p ON c.s = p.s
+WHERE p.doc_id < 10 AND c.doc_id <> p.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_canonicalize(spark, sf_dir):
+    """Near-dup cluster survivor selection: best-quality doc per
+    cluster, ties to smallest id (operators/dedup.py)."""
+    from csvplus_spark.operators.dedup import canonicalize_clusters
+
+    return canonicalize_clusters(load_table(spark, sf_dir, "documents").df)
+
+
+def _canonicalize_sql() -> str:
+    return f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+q AS (SELECT doc_id, quality FROM ({_text_stats_sql()})),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q.quality
+  FROM documents d
+  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id,
+       FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                 ORDER BY quality DESC, doc_id) AS canonical_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                          ORDER BY quality DESC, doc_id) AS keep
+FROM lab
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc repetition signals: 5-gram duplicate fraction + top
     gram share (operators/text.py::repetition_stats)."""
@@ -1491,6 +1549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize,
         "repetition_stats": q_repetition,
         "content_flags": q_content_flags,
+        "contamination": q_contamination,
+        "canonicalize": q_canonicalize,
     }
 
 
@@ -1651,6 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _QUANTIZE_SQL,
         "repetition_stats": _REPETITION_SQL,
         "content_flags": _CONTENT_FLAGS_SQL,
+        "contamination": _CONTAMINATION_SQL,
+        "canonicalize": _canonicalize_sql(),
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

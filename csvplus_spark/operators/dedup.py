@@ -335,6 +335,78 @@ def minhash_dedup_pairs(
     return _verify_jaccard(ex, cand, threshold)
 
 
+def contamination_check(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = SHINGLE_K,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    probe_text: str = "text",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Benchmark-decontamination primitive: which corpus docs share any
+    word ``k``-gram with any probe (eval-set) document, and how many.
+
+    Returns (doc_id, probe_id, n_shared) for every contaminated pair.
+    Shape: two shingle passes + ONE equi-join keyed by shingle with the
+    probe side the (small) build side — at 100 TB the corpus is never
+    shuffled by more than its shingle projection, and the probe set
+    (an eval benchmark, thousands of docs) broadcasts.
+    """
+    c = shingle_pairs(corpus, corpus_text, corpus_id) \
+        .withColumnRenamed("__id__", "__cid__")
+    p = shingle_pairs(probes, probe_text, probe_id) \
+        .withColumnRenamed("__id__", "__pid__")
+    return (
+        c.join(p, "__s__")
+        .groupBy(F.col("__cid__").alias(corpus_id),
+                 F.col("__pid__").alias(probe_id))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def canonicalize_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup end-game: pick the SURVIVOR of each near-dup cluster.
+
+    Clusters come from connected components over the exact n-gram
+    Jaccard pair graph (or caller-provided ``pairs``); singletons are
+    their own cluster. The survivor is the highest-quality doc
+    (text.quality heuristic), ties to the smallest id — the standard
+    "keep best, drop rest" step after near-dup detection.
+
+    Returns (doc_id, cluster_id, canonical_id, keep). Shapes: the CC
+    loop (see dup_clusters) + one quality pass + one per-cluster
+    window — nothing quadratic beyond the pair graph itself.
+    """
+    from pyspark.sql import Window
+
+    from .text import text_stats
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, threshold, text_col, id_col)
+    clusters = dup_clusters(pairs)
+    q = text_stats(docs, text_col, id_col).select(F.col(id_col), "quality")
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .join(q, id_col)
+    )
+    w = Window.partitionBy("cluster_id") \
+        .orderBy(F.col("quality").desc(), F.col(id_col))
+    return (
+        labeled.withColumn("canonical_id", F.first(id_col).over(w))
+        .select(F.col(id_col), "cluster_id", "canonical_id",
+                (F.col(id_col) == F.col("canonical_id")).alias("keep"))
+    )
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:
     """Docs sharing an identical SimHash → same near-dup group."""

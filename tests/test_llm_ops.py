@@ -82,6 +82,43 @@ def test_ngram_prefix_filter_survives_hot_shingle(spark):
         assert abs(got[k] - v) < 1e-12
 
 
+def test_contamination_check(spark):
+    from csvplus_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated corpus text here today"),
+         (3, "quick brown fox appears again in this doc")],
+        ["doc_id", "text"])
+    probes = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], ["probe_id", "text"])
+    got = {(r["doc_id"], r["probe_id"]): r["n_shared"]
+           for r in contamination_check(corpus, probes).collect()}
+    # docs 1 and 3 share the 'quick brown fox' trigram; doc 2 is clean
+    assert (1, 100) in got and (3, 100) in got
+    assert not any(d == 2 for d, _ in got)
+
+
+def test_canonicalize_keeps_best_quality(spark):
+    from csvplus_spark.operators.dedup import canonicalize_clusters
+
+    good = ("a genuinely long and well formed document about foxes "
+            "jumping over dogs in the quiet countryside every day")
+    near = good + " extra"
+    df = spark.createDataFrame(
+        [(1, "x!!"), (2, good), (3, near), (4, "solo doc standing alone "
+                                              "with plenty of fine words")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in canonicalize_clusters(df, threshold=0.6).collect()}
+    # 2 and 3 cluster; survivor is deterministic (equal quality → min id)
+    assert rows[2]["cluster_id"] == rows[3]["cluster_id"]
+    assert rows[2]["canonical_id"] == rows[3]["canonical_id"] == 2
+    assert rows[2]["keep"] and not rows[3]["keep"]
+    # singletons survive as themselves
+    assert rows[1]["keep"] and rows[1]["cluster_id"] == 1
+    assert rows[4]["keep"] and rows[4]["canonical_id"] == 4
+
+
 def test_simhash_deterministic_and_near(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
