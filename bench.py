@@ -46,6 +46,12 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "hash_sample",
     "range_join",
+    "winnow",
+    "token_counts",
+    "repetition_stats",
+    "content_flags",
+    "quantize_embeddings",
+    "contamination",
 ]
 
 
