@@ -522,18 +522,18 @@ class Frame:
         w.parquet(path)
 
     def write_bucketed(self, table: str, bucket_cols: Sequence[str] | str,
-                       n_buckets: int = 64, sort: bool = True) -> None:
+                       n_buckets: int = 64, sort: bool = True,
+                       single_file_buckets: bool = False) -> None:
         """Persist hash-bucketed (and key-sorted) — repeated joins /
         point lookups on ``bucket_cols`` then run shuffle-free
         (bucketed sort-merge join; partition pruning on the bucket).
         At 100 TB this is the difference between re-shuffling the fact
-        table per join and never shuffling it at all."""
-        cols = _as_list(bucket_cols)
-        w = self.df.write.mode("overwrite").format("parquet") \
-            .bucketBy(n_buckets, *cols)
-        if sort:
-            w = w.sortBy(*cols)
-        w.saveAsTable(table)
+        table per join and never shuffling it at all. Plan shape pinned
+        by tests/test_plans.py::test_bucketed_join_avoids_shuffle."""
+        from .sources.bucketed import write_bucketed
+
+        write_bucketed(self.df, table, _as_list(bucket_cols), n_buckets,
+                       sort=sort, single_file_buckets=single_file_buckets)
 
     # ------------------------------------------------------------------
     # row-helper parity (reference Row utilities, SURVEY §1.1)
