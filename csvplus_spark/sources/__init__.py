@@ -1,9 +1,12 @@
 """Sources: CSV (the reference's only source), parquet + in-memory rows
-(driver tables / TakeRows)."""
+(driver tables / TakeRows), JSONL/raw-text corpora, bucketed tables."""
 
+from .bucketed import read_bucketed, write_bucketed
 from .csv import Reader, from_file
+from .jsonl import from_jsonl, from_text
 from .memory import from_csv_text, take_rows
 from .parquet import from_parquet, load_table
 
 __all__ = ["Reader", "from_file", "from_csv_text", "take_rows",
-           "from_parquet", "load_table"]
+           "from_parquet", "load_table", "from_jsonl", "from_text",
+           "read_bucketed", "write_bucketed"]

@@ -1,0 +1,57 @@
+"""JSONL and raw-text sources — the ingestion formats LLM training
+corpora actually arrive in (one JSON doc per line; one document per
+file or per line).
+
+Both map straight onto Spark file sources, so they inherit
+splittability (JSONL splits by line), predicate/column pruning through
+the scan, and distributed reads — no custom reader loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+
+def from_jsonl(spark: SparkSession, path: str, schema: str | None = None,
+               multi_line: bool = False) -> Frame:
+    """Read JSON-lines into a typed Frame.
+
+    ``schema`` (DDL string) skips inference — at 100 TB schema
+    inference is a full extra pass, so production reads should always
+    pass it. ``multi_line=True`` reads whole-file JSON arrays instead
+    (non-splittable; one task per file — prefer JSONL).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multi_line:
+        reader = reader.option("multiLine", True)
+    df = reader.json(path)
+    return Frame(df, None, string_mode=False)
+
+
+def from_text(spark: SparkSession, path: str, whole_file: bool = False,
+              text_col: str = "text", id_col: str = "doc_id") -> Frame:
+    """Raw text as documents.
+
+    ``whole_file=False`` (default): one document per LINE, with a
+    deterministic per-line id in scan order (splittable, scales).
+    ``whole_file=True``: one document per FILE, id = file path
+    (non-splittable per file; right for file-per-doc corpora).
+    """
+    if whole_file:
+        df = (
+            spark.read.option("wholetext", True).text(path)
+            .select(F.input_file_name().alias(id_col),
+                    F.col("value").alias(text_col))
+        )
+        return Frame(df, None, string_mode=False)
+    df = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias(id_col),
+                F.col("value").alias(text_col))
+    )
+    return Frame(df, [(id_col, True)], string_mode=False)

@@ -130,3 +130,35 @@ def test_lazy_quotes_fidelity(spark, tmp_path):
     p2.write_text('a,b\n"1,z,w\n')
     with pytest.raises(Exception):
         from_file(spark, str(p2)).lazy_quotes().to_frame().to_rows()
+
+
+def test_jsonl_source(spark, tmp_path):
+    from csvplus_spark.sources.jsonl import from_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+                 '{"doc_id": 2, "text": "hola mundo", "lang": "es"}\n')
+    f = from_jsonl(spark, str(p), "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r["lang"] for r in f.to_rows()}
+    assert rows == {1: "en", 2: "es"}
+    # schema provided → no inference pass, columns typed
+    assert dict(f.df.dtypes)["doc_id"] == "bigint"
+    # composes with the text operators directly
+    from csvplus_spark.operators.text import text_stats
+    assert text_stats(f.df).count() == 2
+
+
+def test_text_source_line_and_whole_file(spark, tmp_path):
+    from csvplus_spark.sources.jsonl import from_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc line one\nsecond doc line\n")
+    (d / "b.txt").write_text("entire file is one document\nwith two lines\n")
+    lines = from_text(spark, str(d / "a.txt"))
+    assert [r["text"] for r in lines.to_rows()] == [
+        "first doc line one", "second doc line"]
+    whole = from_text(spark, str(d), whole_file=True)
+    docs = {r["doc_id"].split("/")[-1]: r["text"] for r in whole.to_rows()}
+    assert set(docs) == {"a.txt", "b.txt"}
+    assert "with two lines" in docs["b.txt"]
