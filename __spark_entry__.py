@@ -965,6 +965,100 @@ FROM lab
 """
 
 
+def q_training_set(spark, sf_dir):
+    """THE composition: quality filter → exact dedup → near-dup
+    canonicalization → decontamination (probes = docs with id < 10) →
+    deterministic split, as one lazy plan
+    (operators/pipeline.py::build_training_set). Oracle recomputes the
+    entire pipeline in SQL — every stage is hash-deterministic."""
+    from csvplus_spark.operators.pipeline import build_training_set
+
+    docs = load_table(spark, sf_dir, "documents").df
+    probes = docs.filter(F.col("doc_id") < 10) \
+        .select(F.col("doc_id").alias("probe_id"), "text")
+    return build_training_set(docs, probes, exclude_self_ids=True)
+
+
+def _training_set_sql(quality_min: float = 0.5, t: float = 0.6) -> str:
+    return f"""
+WITH RECURSIVE
+qual AS (SELECT doc_id, quality FROM ({_text_stats_sql()})),
+keepq AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN qual ON d.doc_id = qual.doc_id WHERE qual.quality >= {quality_min}
+),
+fp AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       FROM keepq),
+excanon AS (SELECT f, MIN(doc_id) AS canon FROM fp GROUP BY 1),
+ded AS (
+  SELECT keepq.doc_id, keepq.text FROM keepq
+  JOIN fp ON keepq.doc_id = fp.doc_id
+  JOIN excanon ON fp.f = excanon.f AND fp.doc_id = excanon.canon
+),
+sh AS (SELECT doc_id, {_SHINGLES} AS sh
+       FROM (SELECT doc_id, {_TOKS} AS t FROM ded)),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+npairs AS (
+  SELECT i1, i2 FROM inter
+  JOIN sh s1 ON i1 = s1.doc_id JOIN sh s2 ON i2 = s2.doc_id
+  WHERE i * 1.0 / (len(s1.sh) + len(s2.sh) - i) >= {t}
+),
+edges AS (
+  SELECT i1 AS a, i2 AS b FROM npairs
+  UNION SELECT i2, i1 FROM npairs
+),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+),
+clusters AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a),
+lab AS (
+  SELECT ded.doc_id, COALESCE(c.cluster_id, ded.doc_id) AS cluster_id,
+         qual.quality
+  FROM ded LEFT JOIN clusters c ON ded.doc_id = c.doc_id
+  JOIN qual ON ded.doc_id = qual.doc_id
+),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC, doc_id) AS canon
+    FROM lab
+  ) WHERE doc_id = canon
+),
+pex AS (
+  SELECT p.doc_id AS probe_id, unnest({_SHINGLES}) AS s
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 10) p
+),
+cont AS (
+  SELECT DISTINCT c.doc_id FROM ex c
+  JOIN pex ON c.s = pex.s AND c.doc_id <> pex.probe_id
+  JOIN surv ON c.doc_id = surv.doc_id
+),
+final AS (
+  SELECT surv.doc_id FROM surv
+  LEFT JOIN cont ON surv.doc_id = cont.doc_id
+  WHERE cont.doc_id IS NULL
+)
+SELECT doc_id,
+       CASE WHEN pb < 1000 THEN 'val'
+            WHEN pb < 2000 THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+         {_HASH60_SQL.format(x="'split' || '|' || CAST(doc_id AS VARCHAR)")}
+           % 10000 AS pb
+  FROM final
+)
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc repetition signals: 5-gram duplicate fraction + top
     gram share (operators/text.py::repetition_stats)."""
@@ -1551,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_flags": q_content_flags,
         "contamination": q_contamination,
         "canonicalize": q_canonicalize,
+        "training_set": q_training_set,
     }
 
 
@@ -1713,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "content_flags": _CONTENT_FLAGS_SQL,
         "contamination": _CONTAMINATION_SQL,
         "canonicalize": _canonicalize_sql(),
+        "training_set": _training_set_sql(),
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

@@ -1,0 +1,64 @@
+"""End-to-end training-data pipeline: the composition a user of this
+engine actually runs over a raw corpus (BASELINE.json north-star).
+
+    ingest → quality filter → exact dedup → near-dup canonicalization
+           → benchmark decontamination → deterministic split
+
+Every stage is one of the engine's first-class operators, so the whole
+pipeline stays a single lazy DataFrame plan (no driver materialization
+between stages) and — because each stage is hash-deterministic — the
+COMPLETE composition is oracle-checkable bit-for-bit (driver query
+``training_set``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_training_set(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.6,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id: str = "probe_id",
+    exclude_self_ids: bool = False,
+) -> DataFrame:
+    """Returns (id, split) for every document that survives the
+    pipeline. ``probes`` is the eval benchmark to decontaminate
+    against (sharing ANY word trigram removes the doc);
+    ``exclude_self_ids`` ignores probe rows whose id equals the doc id
+    (for demos where probes are drawn from the corpus itself).
+
+    Scale shape: quality + exact dedup are narrow/one-aggregate; the
+    near-dup stage is the skew-proofed n-gram path; decontamination is
+    one shingle equi-join with the probe side as build side; the split
+    is a pure hash filter. Nothing here collects to the driver.
+    """
+    from .dedup import (canonicalize_clusters, contamination_check,
+                        exact_dedup)
+    from .sampling import train_val_test_split
+    from .text import text_stats
+
+    stats = text_stats(docs, text_col, id_col)
+    d1 = docs.join(
+        stats.filter(F.col("quality") >= quality_min).select(id_col), id_col)
+    ex = exact_dedup(d1, text_col, id_col)
+    d2 = d1.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    canon = canonicalize_clusters(d2, threshold=jaccard_threshold,
+                                  text_col=text_col, id_col=id_col)
+    d3 = d2.join(canon.filter(F.col("keep")).select(id_col), id_col)
+    if probes is not None:
+        cont = contamination_check(d3, probes, corpus_text=text_col,
+                                   corpus_id=id_col, probe_id=probe_id)
+        if exclude_self_ids:
+            cont = cont.filter(F.col(id_col) != F.col(probe_id))
+        d3 = d3.join(cont.select(id_col).distinct(), id_col, "left_anti")
+    return train_val_test_split(
+        d3, id_col, val_fraction, test_fraction
+    ).select(F.col(id_col), "split")

@@ -119,6 +119,33 @@ def test_canonicalize_keeps_best_quality(spark):
     assert rows[4]["keep"] and rows[4]["canonical_id"] == 4
 
 
+def test_build_training_set_stages(spark):
+    from csvplus_spark.operators.pipeline import build_training_set
+
+    good = ("a genuinely long and well formed document about foxes "
+            "jumping over dogs in the quiet countryside every day")
+    docs = spark.createDataFrame(
+        [(1, "x!!"),                      # fails quality
+         (2, good), (3, good),            # exact dups → min id survives
+         (4, good + " extra"),            # near-dup of 2 → loses (same q, higher id)
+         (5, "a separate perfectly fine document describing ships and "
+             "harbors with many calm words written plainly for reading"),
+         (6, "the benchmark sentence we must never train on appears here "
+             "inside this document verbatim today unfortunately for it")],
+        ["doc_id", "text"])
+    probes = spark.createDataFrame(
+        [(100, "the benchmark sentence we must never train on")],
+        ["probe_id", "text"])
+    out = {r["doc_id"]: r["split"]
+           for r in build_training_set(docs, probes).collect()}
+    assert set(out) == {2, 5}  # 1 quality, 3 exact-dup, 4 near-dup, 6 contaminated
+    assert all(s in ("train", "val", "test") for s in out.values())
+    # deterministic end to end
+    again = {r["doc_id"]: r["split"]
+             for r in build_training_set(docs, probes).collect()}
+    assert again == out
+
+
 def test_simhash_deterministic_and_near(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
