@@ -69,6 +69,14 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     assert back.count() == ev.df.filter("event_type = 'purchase'").count()
 
 
+def test_training_pipeline_plan_clean(spark, sf_dir):
+    # the 5-stage composed pipeline must stay free of nested-loop joins,
+    # cartesian products, and row-wise Python
+    plan = _plan(spark, sf_dir, "training_set")
+    for marker in ("BroadcastNestedLoop", "CartesianProduct", "BatchEvalPython"):
+        assert marker not in plan, marker
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     from csvplus_spark import load_table
     from csvplus_spark.sources.bucketed import read_bucketed, write_bucketed
