@@ -526,6 +526,9 @@ def embedding_near_pairs(
         # candidates carry IDs only — shipping the vectors through the
         # bucket join + distinct would multiply shuffle payload by the
         # vector width; they are joined back just for the rerank
+        # NB measured: NOT cached — both self-join sides recompute the
+        # plane folds, but the cache's materialization barrier costs
+        # more than the recompute at every scale tried
         bt = (
             v.select(F.col(id_col), F.explode(planes).alias("tb"))
             .select(F.col(id_col),
