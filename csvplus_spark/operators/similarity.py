@@ -260,11 +260,16 @@ def hyperplane_bits(vec_col: F.Column, dim: int, n_bits: int = 16,
     """Sign-LSH bucket: bit i = 1 iff dot(v, r_i) > 0 where r_i is a
     deterministic ±1 hyperplane derived from md5(plane_id|j). No
     randomness at runtime → reproducible buckets across runs/engines."""
+    # Per-bit folds over literal sign arrays. (Measured alternatives:
+    # a single fold with an n_bits-wide array accumulator wins on an
+    # isolated projection benchmark but LOSES ~2× inside the real
+    # bucket-explode query — per-element struct construction and nested
+    # element_at outweigh the saved passes. Keep the simple form.)
+    # x * (±1.0) is an exact sign flip; left fold in j order keeps each
+    # sum bit-identical to the oracle's list_sum.
     bucket = None
     for i in range(n_bits):
         signs = F.array(*[F.lit(s) for s in _plane_signs(plane_offset + i, dim)])
-        # x * (±1.0) is an exact sign flip; left fold in j order keeps
-        # the sum bit-identical to the oracle's list_sum
         signed = F.aggregate(
             F.zip_with(vec_col, signs, lambda x, s: x * s),
             F.lit(0.0), lambda acc, v: acc + v,
