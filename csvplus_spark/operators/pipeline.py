@@ -62,3 +62,27 @@ def build_training_set(
     return train_val_test_split(
         d3, id_col, val_fraction, test_fraction
     ).select(F.col(id_col), "split")
+
+
+def write_training_shards(labeled: DataFrame, path: str, n_shards: int = 16,
+                          id_col: str = "doc_id",
+                          split_col: str = "split") -> None:
+    """Materialize a split-labeled dataset as dataloader-ready shards:
+    parquet partitioned by split, each split cut into ``n_shards``
+    DETERMINISTIC shards (shard = hash60(id) % n, carried as a column
+    and aligned with the file layout via repartition on it).
+
+    Deterministic sharding — unlike round-robin repartition — means a
+    re-run after appending data keeps every existing row in the same
+    shard, so downstream dataloader checkpoints stay valid.
+    """
+    from .text import hash60
+
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    (
+        labeled.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy(split_col, "shard")
+        .parquet(path)
+    )
