@@ -23,8 +23,9 @@ from .functions.casts import safe_get_value, value_as_double, value_as_int
 from .functions.predicates import all_, any_, like_, not_
 from .index import Index
 from .session import get_spark
-from .sources import (Reader, from_csv_text, from_file, from_parquet,
-                      load_table, take_rows)
+from .sources import (Reader, from_csv_text, from_file, from_jsonl,
+                      from_parquet, from_text, load_table, read_bucketed,
+                      take_rows, write_bucketed)
 
 def take(source) -> Frame:
     """API-parity adapter (Take, /root/reference/csvplus.go:252-256):
@@ -48,8 +49,12 @@ __all__ = [
     "from_file",
     "from_csv_text",
     "from_parquet",
+    "from_jsonl",
+    "from_text",
     "load_table",
     "take_rows",
+    "read_bucketed",
+    "write_bucketed",
     "like_",
     "all_",
     "any_",
