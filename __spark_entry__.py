@@ -1059,6 +1059,28 @@ FROM (
 """
 
 
+def q_lang_cap(spark, sf_dir):
+    """Quota sampling: at most 40 docs per language, deterministic by
+    key hash (operators/sampling.py::cap_per_group)."""
+    from csvplus_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    return cap_per_group(docs, "lang", "doc_id", 40)
+
+
+def _lang_cap_sql(cap: int = 40) -> str:
+    # function (not module constant): _HASH60_SQL is defined further
+    # down; oracle_sql() evaluates this at call time
+    h = _HASH60_SQL.format(x="'cap' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {cap}
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc repetition signals: 5-gram duplicate fraction + top
     gram share (operators/text.py::repetition_stats)."""
@@ -1646,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
+        "lang_cap": q_lang_cap,
     }
 
 
@@ -1809,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),
+        "lang_cap": _lang_cap_sql(),
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

@@ -63,6 +63,33 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     return df.filter(_bucket(key_cols, salt) < rate)
 
 
+def cap_per_group(df: DataFrame, group_col: str,
+                  key_cols: Sequence[str] | str, cap: int,
+                  salt: str = "cap") -> DataFrame:
+    """Quota sampling: keep at most ``cap`` rows per group (per domain,
+    per language, per source), chosen deterministically by key hash —
+    the standard guard against one domain dominating a training mix.
+
+    Selection order is (hash60(salt|key), key) within the group, so
+    membership is stable across runs/engines AND monotone: raising the
+    cap only ever ADDS rows (the kept set for cap=k is a prefix of the
+    kept set for cap=k+1). One window per group — a single shuffle
+    keyed by the group column.
+    """
+    from pyspark.sql import Window
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    h = hash60(key)
+    w = Window.partitionBy(group_col).orderBy(h, *[F.col(c) for c in key_cols])
+    rn = "__cp_cap_rn__"
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= cap)
+        .drop(rn)
+    )
+
+
 def train_val_test_split(df: DataFrame, key_cols: Sequence[str] | str,
                          val_fraction: float = 0.1, test_fraction: float = 0.1,
                          salt: str = "split", out_col: str = "split") -> DataFrame:

@@ -444,6 +444,20 @@ def test_tfidf_deterministic_topk(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
 
 
+def test_cap_per_group_monotone(spark, sf_dir):
+    from csvplus_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    k10 = {r["doc_id"] for r in cap_per_group(docs, "lang", "doc_id", 10).collect()}
+    k20 = {r["doc_id"] for r in cap_per_group(docs, "lang", "doc_id", 20).collect()}
+    per_lang = docs.groupBy("lang").count().collect()
+    assert len(k10) == sum(min(10, r["count"]) for r in per_lang)
+    assert k10 <= k20  # raising the cap only adds rows
+    # deterministic across runs
+    again = {r["doc_id"] for r in cap_per_group(docs, "lang", "doc_id", 10).collect()}
+    assert again == k10
+
+
 def test_hash_sampling_deterministic_and_stable(spark, sf_dir):
     from csvplus_spark.operators.sampling import (
         hash_sample,
