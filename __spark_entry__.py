@@ -47,21 +47,46 @@ def _dec(col_name: str):
     return F.col(col_name).cast("decimal(18,2)")
 
 
+def _cents(col_name: str):
+    """Clean 2-decimal money column as exact integer cents (long).
+
+    ``floor(x*100 + 0.5)`` is exact on clean-2dp data: ``x*100`` lands
+    within ~1e-9 of the true integer (never near .5), so half-up
+    rounding in pure double math recovers it exactly — identically in
+    Spark and DuckDB — with no per-row BigDecimal work. Spark's
+    ``floor()`` returns LongType directly, so the aggregate downstream
+    is a codegen'd long sum instead of BigDecimal accumulation (the
+    round-2 ``agg_pricing_summary`` 2.17× regression). NOTE a plain
+    ``(x*100).cast("long")`` would be WRONG: Spark truncates while
+    DuckDB rounds, and 0.29*100 = 28.999999999999996 diverges.
+    """
+    return F.floor(F.col(col_name) * 100 + F.lit(0.5))
+
+
 def _dsum(col_name: str):
-    """Exact decimal sum of a clean money column, surfaced as double."""
-    return F.sum(_dec(col_name)).cast("double")
+    """Exact money sum via integer cents, surfaced as double.
+
+    ``double(N)/100.0`` and ``decimal_sum→double`` both produce the
+    nearest double of the exact sum, so hashes match the previous
+    decimal formulation. Long sums hold to ~9e16 cents per group
+    (~2^53 for exact double conversion); beyond that (extreme 100 TB
+    groups) switch the accumulator to ``sum(cast(cents as decimal(38,0)))``.
+    """
+    return F.sum(_cents(col_name)) / F.lit(100.0)
 
 
 def _drevenue():
-    """Exact decimal ``sum(extendedprice * (1 - discount))`` as double.
+    """Exact ``sum(extendedprice * (1 - discount))`` as double.
 
-    Both factors are clean 2-decimal doubles; the whole product/sum
-    pipeline stays in exact decimal arithmetic so both engines agree
-    bit-for-bit after the final cast to double.
+    Both factors are clean 2-decimal doubles → integer units of 1e-4:
+    ``cents(price) * (100 - cents(discount))`` is exact long math and
+    sums at long-add speed in both engines. Per-row magnitude ≤ 1e9,
+    so the long sum is exact to ~9e9 rows per group; the decimal(38,0)
+    accumulator note in `_dsum` applies beyond that.
     """
     return F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
-    ).cast("double")
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    ) / F.lit(10000.0)
 
 
 # ----------------------------------------------------------------------
@@ -491,7 +516,7 @@ def q_window_running(spark, sf_dir):
     return o.select(
         "o_custkey", "o_orderkey",
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_total"),
+        (F.sum(_cents("o_totalprice")).over(run) / F.lit(100.0)).alias("running_total"),
     )
 
 
@@ -1208,7 +1233,7 @@ _NULL_FUNCS_SQL = """
 SELECT n_name,
        COUNT(s_suppkey) AS n_nonnull,
        SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS n_null,
-       COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal,
+       COALESCE(SUM(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) / 100.0, 0.0) AS total_bal,
        MAX(NULLIF('x', 'x')) AS always_null
 FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
 GROUP BY 1
@@ -1256,8 +1281,8 @@ FROM orders GROUP BY 1
 
 _TPCH_Q3_SQL = """
 SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate, o.o_orderpriority,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1270,8 +1295,8 @@ LIMIT 10
 
 _TPCH_Q5_SQL = """
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS revenue,
        COUNT(*) AS n_items
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1314,7 +1339,7 @@ GROUP BY token
 
 _CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) / 100.0 AS qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -1360,16 +1385,16 @@ FROM nation LEFT JOIN (
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 _WINDOW_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
        lag(o_orderkey) OVER w AS prev_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+       SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+             ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -1761,10 +1786,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+                   SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+                   SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS sum_disc_price,
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -1777,7 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_date": """
             SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
                    COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+                   SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price
             FROM orders GROUP BY 1
         """,
         "json_props": """

@@ -103,16 +103,28 @@ class Index:
 
         Eager (default, reference-faithful error timing): one
         distributed groupBy probe job now. Lazy: the check is fused
-        into the consuming plan as a per-key window count + conditional
-        raise_error — zero extra jobs, one extra (broadcast-sized for
-        dimensions) shuffle inside the main plan; error timing moves to
-        the first action (SURVEY §7 H5 allows this divergence).
+        into the consuming plan with ZERO shuffle on the row path —
+        the duplicate-key set (normally empty) is computed by a
+        key-only long-count HashAggregate over a second narrow scan,
+        broadcast, and left-joined back with a conditional
+        raise_error on match. This replaces the round-2 window form,
+        whose Exchange+Sort+Window on the full dimension accounted
+        for the flagship bench regression; error timing stays at the
+        first action (SURVEY §7 H5 allows this divergence). An
+        aggregate-with-first() formulation was rejected: string agg
+        buffers force SortAggregate (two extra sorts).
         """
         if lazy:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(*[self._key(c) for c in self.columns])
-            cnt = F.count(F.lit(1)).over(w)
+            cols = self.df.columns
+            cnt = "__cp_cnt__"
+            dupkeys = [f"__cp_d{i}__" for i in range(len(self.columns))]
+            dup = (
+                self.df.select(*[self._key(c).alias(d)
+                                 for c, d in zip(self.columns, dupkeys)])
+                .groupBy(*dupkeys)
+                .agg(F.count(F.lit(1)).alias(cnt))
+                .filter(F.col(cnt) > 1)
+            )
             render = F.concat(
                 F.lit("duplicate value while creating unique index: { "),
                 F.concat_ws(", ", *[
@@ -121,12 +133,17 @@ class Index:
                 ]),
                 F.lit(" }"),
             )
-            first = self.df.columns[0]
+            cond = None
+            for c, d in zip(self.columns, dupkeys):
+                eq = self._key(c).eqNullSafe(F.col(d))
+                cond = eq if cond is None else (cond & eq)
+            first = cols[0]
             dtype = self.df.schema[first].dataType
-            df = self.df.withColumn(
-                first,
-                F.when(cnt > 1, F.raise_error(render).cast(dtype)).otherwise(F.col(first)),
-            )
+            df = self.df.join(F.broadcast(dup), cond, "left").select(*[
+                F.when(F.col(cnt).isNotNull(), F.raise_error(render).cast(dtype))
+                .otherwise(F.col(c)).alias(c) if c == first else F.col(c)
+                for c in cols
+            ])
             self.frame = Frame(df, [(c, True) for c in self.columns],
                                self.frame.string_mode)
             self.unique = True

@@ -49,6 +49,21 @@ def test_flagship_no_python_in_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_flagship_plan_shape(spark, sf_dir):
+    """r2→r3 regression pin: the lazy-uniqueness check must ride a
+    broadcast dup-key probe, not an Exchange+Sort+Window on the full
+    dimension (the round-2 flagship slowdown). The only ordering node
+    allowed is the final TakeOrderedAndProject."""
+    import re
+
+    plan = _plan(spark, sf_dir, "flagship")
+    assert not re.search(r"\bWindow\b", plan), "window-based unique check returned"
+    assert not re.search(r"\bSortAggregate\b", plan), "string-buffer agg fallback"
+    assert not re.search(r"(?<!TakeOrderedAndProjec)\bSort\b", plan.replace(
+        "TakeOrderedAndProject", "")), "unexpected sort on the row path"
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_near_dup_paths_avoid_nested_loop(spark, sf_dir):
     # VERDICT r1 #3/#4: embedding near-dup (grid) and simhash near-pairs
     # (pigeonhole chunks) must be equi-joins, never BroadcastNestedLoop
