@@ -36,6 +36,24 @@ def tokens(col: str = "text") -> Column:
     return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a compute-heavy
+    first stage (per-row md5/tokenize/explode work).
+
+    A small parquet file with one row group reads as ONE partition, so
+    everything before the first shuffle runs single-threaded no matter
+    how many cores exist. When the input has fewer partitions than the
+    default parallelism, a round-robin repartition (a few MB of
+    shuffle) buys full-width execution. At real scale the input
+    already has >= cores partitions and this is a no-op — no shuffle
+    is added to a 100 TB plan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit integer hash: first 15 hex chars of md5.
 
@@ -183,17 +201,21 @@ def repetition_stats(df: DataFrame, n: int = 5, text_col: str = "text",
     """
     from pyspark.sql import Window
 
+    if n < 1:
+        raise ValueError(f"repetition_stats requires n >= 1, got {n}")
     tok = df.select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
     )
     w_ = Window.partitionBy(id_col).orderBy("__pos__")
     leads = [F.lead("__tok__", j).over(w_) for j in range(1, n)]
+    # n=1: every token is its own gram — no lead columns, no window
+    last = leads[-1] if leads else F.col("__tok__")
     grams = (
         tok.select(
             F.col(id_col),
             F.concat_ws(" ", F.col("__tok__"), *leads).alias("__g__"),
-            leads[-1].alias("__last__"),
+            last.alias("__last__"),
         )
         .filter(F.col("__last__").isNotNull())
         .select(F.col(id_col), "__g__")
@@ -262,48 +284,94 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     the standard local-fingerprinting primitive for plagiarism/overlap
     detection at corpus scale.
 
-    Shape: explode positions → substring + md5 (codegen) → one sliding
-    window min per doc → distinct. The only shuffle is the per-doc
-    window; the (min,pos) pair is packed into a zero-padded decimal
-    string so the rolling min is ONE comparison, bit-identical in the
-    DuckDB oracle (same frame, same string collation on digits).
+    Shape: explode positions → substring + md5 (codegen, JVM) → one
+    streaming per-doc sliding-min scan in mapInPandas. A document is
+    ONE source row, so its exploded k-gram rows are contiguous and
+    pos-ordered within their partition — the scan needs NO shuffle at
+    all (the round-2 form shuffled every k-gram position through a
+    global Window plus a distinct; it also packed (hash,pos) into a
+    7-digit-padded string that silently broke past 9,999,999 chars —
+    ADVICE r2 — both gone here). Per-batch numpy sliding windows,
+    rightmost-tie argmin, per-doc dedup; state carried across Arrow
+    batches inside one partition iterator.
     Returns (doc_id, pos, fp): 1-based k-gram position + 60-bit hash.
     """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     base = (
-        df.select(F.col(id_col), norm.alias("__norm__"))
+        fan_out(df.select(F.col(id_col), norm.alias("__norm__")))
         .withColumn("__ng__", F.length("__norm__") - (k - 1))
         .filter(F.col("__ng__") >= 1)
     )
+    # pos is NOT shipped to Python: grams arrive pos-ordered 1..n per
+    # doc, so the scan reconstructs positions as a running offset —
+    # one-third less Arrow transfer
     grams = base.select(
         F.col(id_col), "__norm__",
         F.explode(F.expr("sequence(1, __ng__)")).alias("__pos__"),
     ).select(
-        F.col(id_col), F.col("__pos__"),
+        F.col(id_col),
         hash60(F.expr(f"substring(__norm__, __pos__, {k})")).alias("__h__"),
     )
-    from pyspark.sql import Window
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("pos", IntegerType()),
+        StructField("fp", LongType()),
+    ])
 
-    # pack (hash asc, pos desc) into one ordered string: min == winnow pick
-    enc = F.concat(
-        F.lpad(F.col("__h__").cast("string"), 19, "0"),
-        F.lpad((F.lit(9_999_999) - F.col("__pos__")).cast("string"), 7, "0"),
-    )
-    win = Window.partitionBy(id_col).orderBy("__pos__").rowsBetween(0, w - 1)
-    w_doc = Window.partitionBy(id_col)
-    sel = (
-        grams.withColumn("__enc__", enc)
-        .withColumn("__sel__", F.min("__enc__").over(win))
-        .withColumn("__n__", F.count(F.lit(1)).over(w_doc))
-        .filter(F.col("__pos__") <= F.col("__n__") - (w - 1))  # full windows
-        .select(F.col(id_col), F.col("__sel__"))
-        .distinct()
-    )
-    return sel.select(
-        F.col(id_col),
-        (F.lit(9_999_999) - F.substring("__sel__", 20, 7).cast("int")).alias("pos"),
-        F.substring("__sel__", 1, 19).cast("long").alias("fp"),
-    )
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        def pick(H):
+            """Winnow selections over one doc's hash sequence: for each
+            full window of w, the min hash, ties broken rightmost;
+            distinct (pos, fp) pairs. n < w → no full window → empty
+            (same contract as the round-2 window form)."""
+            n = len(H)
+            if n < w:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(H, w)
+            m = win.min(axis=1)
+            # rightmost tie: last index equal to the window min
+            idx = (w - 1) - np.argmax(win[:, ::-1] == m[:, None], axis=1)
+            sel = np.arange(n - w + 1, dtype=np.int64) + idx
+            pairs = np.unique(np.stack([sel + 1, H[sel]], axis=1), axis=0)
+            return pairs[:, 0], pairs[:, 1]
+
+        carry_id, carry_h = None, []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].values
+            hs = pdf["__h__"].values.astype(np.int64)
+            cuts = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(ids)]))
+            out_id, out_pos, out_fp = [], [], []
+            for s, e in zip(starts, ends):
+                if carry_id is not None and ids[s] == carry_id:
+                    carry_h.append(hs[s:e])  # doc spans Arrow batches
+                    continue
+                if carry_id is not None:
+                    pos, fp = pick(np.concatenate(carry_h))
+                    out_id.extend([carry_id] * len(pos))
+                    out_pos.append(pos)
+                    out_fp.append(fp)
+                carry_id, carry_h = ids[s], [hs[s:e]]
+            if out_id:
+                yield pd.DataFrame({
+                    id_col: out_id,
+                    "pos": np.concatenate(out_pos),
+                    "fp": np.concatenate(out_fp),
+                })
+        if carry_id is not None:
+            pos, fp = pick(np.concatenate(carry_h))
+            yield pd.DataFrame({id_col: [carry_id] * len(pos),
+                                "pos": pos, "fp": fp})
+
+    return grams.mapInPandas(scan, out_schema)
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",

@@ -175,6 +175,12 @@ class Reader:
         no extra jobs, error at first action, message carries the
         1-based line number (counted over non-comment, non-blank lines,
         header included — Go csv counts the header line too).
+
+        The contract is PER FILE, matching Go's FieldsPerRecord
+        (csvplus.go:1060-1071): on a directory/glob read, auto mode
+        fixes the expected width from the first line of EACH file, and
+        the reported line ordinal counts within the offending file
+        (named in the message when the read spans several files).
         """
         import re as _re
 
@@ -190,27 +196,37 @@ class Reader:
             txt = txt.filter(~F.col("value").startswith(self._comment))
         txt = txt.filter(F.length("value") > 0)
         w = txt.select(
+            F.input_file_name().alias("__f__"),
             F.monotonically_increasing_id().alias("__lid__"),
             F.size(F.split("value", pat, -1)).alias("__w__"),
         )
         if self._num_fields is not None and self._num_fields > 0:
             w = w.withColumn("__exp__", F.lit(self._num_fields))
-        else:  # auto: the first line fixes the width
-            first = w.orderBy("__lid__").limit(1) \
-                .select(F.col("__w__").alias("__exp__"))
-            w = w.crossJoin(F.broadcast(first))
+        else:  # auto: the first line of EACH file fixes that file's width
+            firsts = w.groupBy("__f__").agg(
+                F.min_by("__w__", "__lid__").alias("__exp__"))
+            w = w.join(F.broadcast(firsts), "__f__")
         bad = w.filter(F.col("__w__") != F.col("__exp__")) \
-            .agg(F.min(F.struct("__lid__", "__w__", "__exp__")).alias("__b__"))
+            .agg(F.min(F.struct("__lid__", "__f__", "__w__", "__exp__")).alias("__b__"))
         chk = (
             w.crossJoin(F.broadcast(bad))
             .agg(
                 F.first("__b__").alias("__b__"),
-                F.sum(F.when(F.col("__lid__") <= F.col("__b__.__lid__"), 1))
+                # line ordinal within the offending file only
+                F.sum(F.when((F.col("__f__") == F.col("__b__.__f__"))
+                             & (F.col("__lid__") <= F.col("__b__.__lid__")), 1))
                 .alias("__bline__"),
+                F.count_distinct(F.col("__f__")).alias("__nf__"),
             )
         )
         msg = F.concat(
-            F.lit("wrong number of fields: line "),
+            F.lit("wrong number of fields: "),
+            # name the file only on multi-file reads (single-file message
+            # stays reference-identical)
+            F.when(F.col("__nf__") > 1,
+                   F.concat(F.element_at(F.split(F.col("__b__.__f__"), "/"), -1),
+                            F.lit(" "))).otherwise(F.lit("")),
+            F.lit("line "),
             F.col("__bline__").cast("string"),
             F.lit(" has "), F.col("__b__.__w__").cast("string"),
             F.lit(" fields, expected "), F.col("__b__.__exp__").cast("string"),
@@ -223,7 +239,7 @@ class Reader:
                 first_col,
                 F.when(F.col("__b__").isNotNull(), F.raise_error(msg).cast(dtype))
                 .otherwise(F.col(first_col)))
-            .drop("__b__", "__bline__")
+            .drop("__b__", "__bline__", "__nf__")
         )
 
     def to_frame(self) -> Frame:

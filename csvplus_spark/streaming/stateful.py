@@ -96,7 +96,15 @@ def _session_closer(gap_us: int):
             if start_us is None:
                 start_us, last_us, n = t, t, 1
             elif t - last_us <= gap_us:
-                last_us, n = t, n + 1
+                # late-but-within-watermark data must never move the
+                # session clock backward: a batch whose max ts is older
+                # than the stored last_us would otherwise rewind
+                # last_us, fire the timeout gap-after-a-stale-timestamp
+                # and split one true session in two. Merge against the
+                # stored extremes instead.
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
             else:  # gap inside the batch: close mid-batch session now
                 closed.append(row(start_us, n))
                 start_us, last_us, n = t, t, 1

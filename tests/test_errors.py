@@ -137,6 +137,25 @@ def test_num_fields_auto_mid_file(spark, tmp_path):
         _rows(fr)
 
 
+def test_num_fields_auto_is_per_file(spark, tmp_path):
+    """Go's FieldsPerRecord=0 contract is per file (csvplus.go:1069-71):
+    each file's first line fixes ITS width, and the reported ordinal
+    counts within the offending file, which is named on glob reads."""
+    d = tmp_path / "many"
+    d.mkdir()
+    # (one global schema across files — Spark contract; widths match)
+    (d / "a.csv").write_text("a,b\n1,2\n3,4\n")
+    (d / "b.csv").write_text("a,b\n5,6\n7,8\n")
+    fr = from_file(spark, str(d / "*.csv")).num_fields_auto().to_frame()
+    assert len(_rows(fr)) == 4
+    # a mid-file break in the SECOND file reports line 3 OF b.csv (the
+    # old global count would have said line 6) and names the file
+    (d / "b.csv").write_text("a,b\n5,6\n7,8,9\n")
+    fr2 = from_file(spark, str(d / "*.csv")).num_fields_auto().to_frame()
+    with pytest.raises(Exception, match=r"b\.csv line 3 has 3 fields, expected 2"):
+        _rows(fr2)
+
+
 def test_num_fields_clean_file_passes(spark, tmp_path):
     p = tmp_path / "clean.csv"
     # quoted delimiter must NOT count as a field break

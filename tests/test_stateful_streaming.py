@@ -90,6 +90,60 @@ def test_foreach_batch_upsert_latest_state(spark, sf_dir, tmp_path):
     assert state.count() == users  # exactly one latest row per user
 
 
+def test_sessionize_out_of_order_batch_does_not_split_session(spark, tmp_path):
+    """ADVICE r2 (medium): a late-but-within-watermark batch whose max
+    ts is OLDER than the stored last-event time must not rewind the
+    session clock. Before the fix, batch 2 below rewound last_us to
+    00:01, so batch 3's 00:11:30 event (9.5 min after the true last
+    event 00:02) read as a 10.5-min gap and one session was emitted as
+    two (double-counted n_events)."""
+    import pandas as pd
+
+    from csvplus_spark.streaming.stateful import sessionize_with_timeout
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(i, minutes):
+        rows = pd.DataFrame({
+            "event_id": range(i * 10, i * 10 + len(minutes)),
+            "ts": [int((base + pd.Timedelta(minutes=m)).value) for m in minutes],
+            "user_id": [1] * len(minutes),
+            "event_type": ["click"] * len(minutes),
+            "value": [1.0] * len(minutes),
+            "props": ["{}"] * len(minutes),
+        })
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"b{i}"))
+        import glob
+        import shutil
+        f = glob.glob(str(tmp_path / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"{i}.parquet")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    write_batch(0, [0, 2])          # session opens: start 00:00, last 00:02
+    write_batch(1, [1])             # ONLY late data: max(batch) < stored last
+    write_batch(2, [11.5, 120])     # 00:11:30 merges iff last wasn't rewound;
+    #                                 02:00 closes the session mid-batch
+
+    stream = stream_events(spark, str(src), max_files_per_trigger=1) \
+        .withWatermark("ts", "30 minutes")
+    q = (
+        sessionize_with_timeout(stream, "10 minutes")
+        .writeStream.format("memory").queryName("ooo_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = [(r["session_start"], r["n_events"])
+           for r in spark.sql("SELECT * FROM ooo_sessions").collect()]
+    # exactly ONE closed session: all four 00:xx events together
+    assert got == [(base.to_pydatetime(), 4)], got
+
+
 def test_sessionize_with_timeout_matches_batch_sessions(spark, sf_dir, tmp_path):
     import glob
     import shutil
