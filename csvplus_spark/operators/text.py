@@ -36,22 +36,59 @@ def tokens(col: str = "text") -> Column:
     return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
 
 
+#: fan_out only repartitions inputs below this size — large inputs get
+#: their parallelism from native file splitting, and shuffling them
+#: would cost more than the single-threaded head start
+FAN_OUT_MAX_BYTES = 256 * 1024 * 1024
+
+
 def fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the cluster before a compute-heavy
-    first stage (per-row md5/tokenize/explode work).
+    """Spread a SMALL narrow input across the cluster before a
+    compute-heavy first stage (per-row md5/tokenize/explode work).
 
     A small parquet file with one row group reads as ONE partition, so
     everything before the first shuffle runs single-threaded no matter
-    how many cores exist. When the input has fewer partitions than the
-    default parallelism, a round-robin repartition (a few MB of
-    shuffle) buys full-width execution. At real scale the input
-    already has >= cores partitions and this is a no-op — no shuffle
-    is added to a 100 TB plan.
+    how many cores exist. When the input is a handful of small local
+    files, a round-robin repartition (a few MB of shuffle) buys
+    full-width execution. At real scale this is a no-op by
+    construction: many files, remote storage, or > FAN_OUT_MAX_BYTES
+    all skip the shuffle — nothing is added to a 100 TB plan.
+
+    The probe is ``inputFiles()`` + local stat (~ms, file listing is
+    already cached by the scan); deliberately NOT ``df.rdd`` — that
+    compiles the physical plan a second time (~1s of cold latency per
+    query, measured).
+
+    Use it ONLY ahead of Python-heavy stages (mapInPandas /
+    applyInPandas, e.g. winnow's rolling scan) where one-partition
+    execution serializes real work. For pure-JVM codegen first stages
+    (tokenize/explode/hash) the A/B at sf0.1 showed the extra shuffle
+    LOSES ~0.5-1s per query vs just letting the single-threaded scan
+    feed the first aggregate's map side — don't sprinkle it there.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    import os
+    from urllib.parse import urlparse
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return df  # remote storage: assume cluster-scale input
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return df
+    if total > FAN_OUT_MAX_BYTES:
+        return df
+    return df.repartition(target)
 
 
 def hash60(col: Column) -> Column:
