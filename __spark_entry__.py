@@ -784,6 +784,27 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(load_table(spark, sf_dir, "documents").df, 3)
 
 
+def q_simhash_pairs60(spark, sf_dir):
+    """SimHash near-pairs at the full 60-bit hash width: Hamming≤3 on
+    60 bits is discriminating even on template corpora, so the answer
+    (and the chunk-join candidate volume) stays near-linear where the
+    32-bit table yields ~n²/6 pairs (operators/dedup.py::
+    simhash_near_pairs, VERDICT r2 item 4)."""
+    from csvplus_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents").df, 3, n_bits=60)
+
+
+def q_simhash_reps60(spark, sf_dir):
+    """Linear-size SimHash dedup: one (doc_id, rep_id) row per document
+    via connected components over the 60-bit Hamming≤3 graph — the
+    scale-honest output mode (operators/dedup.py::simhash_reps)."""
+    from csvplus_spark.operators.dedup import simhash_reps
+
+    return simhash_reps(load_table(spark, sf_dir, "documents").df, 3)
+
+
 def _lsh_plane_sign(plane: int, j: int) -> int:
     """Python twin of similarity._plane_sign: ±1 from md5('{plane}|{j}')
     bit 0 — evaluated at SQL-build time so the oracle embeds the same
@@ -1188,6 +1209,32 @@ SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
 FROM ({_simhash_sql(n_bits)}) a JOIN ({_simhash_sql(n_bits)}) b
   ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _simhash_reps_sql(n_bits: int = 60, max_hamming: int = 3) -> str:
+    # same recursive-CTE CC oracle shape as _CLUSTERS_SQL, over the
+    # all-pairs simhash graph; singletons fall out of the LEFT JOIN
+    return f"""
+WITH RECURSIVE sh AS ({_simhash_sql(n_bits)}),
+npairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM npairs
+  UNION
+  SELECT d2, d1 FROM npairs
+),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+),
+clusters AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """
 
 
@@ -1684,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs60": q_simhash_pairs60,
+        "simhash_reps60": q_simhash_reps60,
         "winnow": q_winnow,
         "token_counts": q_token_counts,
         "multimodal_features": q_multimodal_features,
@@ -1848,6 +1897,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "dedup_embedding_lsh": _dedup_emb_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "simhash_pairs60": _simhash_pairs_sql(60),
+        "simhash_reps60": _simhash_reps_sql(),
         "winnow": _winnow_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,

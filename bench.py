@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_clusters",
     "tfidf",
     "simhash_pairs",
+    "simhash_pairs60",
+    "simhash_reps60",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "hash_sample",

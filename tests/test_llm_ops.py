@@ -224,6 +224,35 @@ def test_simhash_chunked_matches_allpairs(spark, sf_dir):
     assert got == expect and got  # pigeonhole blocking loses no pair
 
 
+def test_simhash_reps_matches_cc_over_pairs(spark, sf_dir):
+    """simhash_reps' hash-collapsed CC must agree with brute-force
+    connected components over simhash_near_pairs, with singletons as
+    their own representative."""
+    docs = load_table(spark, sf_dir, "documents").df.limit(150)
+    pairs = [(r["doc_id_1"], r["doc_id_2"])
+             for r in simhash_near_pairs(docs, 3, n_bits=60).collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    # union-find reference
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    expect = {i: min(members) for r_, members in comp.items() for i in members}
+    from csvplus_spark.operators.dedup import simhash_reps
+
+    got = {r["doc_id"]: r["rep_id"] for r in simhash_reps(docs, 3).collect()}
+    assert got == expect
+
+
 def test_brute_force_topk_matches_numpy(spark, sf_dir):
     import numpy as np
 
