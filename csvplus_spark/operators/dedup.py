@@ -525,14 +525,18 @@ def embedding_near_pairs(
         ])
         # candidates carry IDs only — shipping the vectors through the
         # bucket join + distinct would multiply shuffle payload by the
-        # vector width; they are joined back just for the rerank
-        # NB measured: NOT cached — both self-join sides recompute the
-        # plane folds, but the cache's materialization barrier costs
-        # more than the recompute at every scale tried
+        # vector width; they are joined back just for the rerank.
+        # The narrow (id, tbl, bucket) table is pinned with
+        # localCheckpoint so the self-join folds each hyperplane ONCE:
+        # re-measured at sf0.1 (r3) the checkpoint wins 5.8-7.5s vs
+        # 7.5-12.8s recompute — superseding the r2 note that a .cache()
+        # barrier lost; checkpoint materializes n_tables rows/vec of
+        # three longs, negligible at any scale
         bt = (
             v.select(F.col(id_col), F.explode(planes).alias("tb"))
             .select(F.col(id_col),
                     F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            .localCheckpoint()
         )
         cand = (
             bt.alias("a")
@@ -544,11 +548,24 @@ def embedding_near_pairs(
                     F.col(f"b.{id_col}").alias("id_2"))
             .distinct()
         )
-        v1 = v.select(F.col(id_col).alias("id_1"), F.col("__vec__").alias("__v1__"))
-        v2 = v.select(F.col(id_col).alias("id_2"), F.col("__vec__").alias("__v2__"))
+        # norms are per-VECTOR, not per-pair: fold them once over the n
+        # input rows and carry the scalar through the joins, so the
+        # rerank does ONE interpreted fold per candidate (the dot)
+        # instead of three — sim = dot/(n1*n2) is the same expression
+        # shape as cosine() and the oracle, so values stay bit-identical
+        from .similarity import _dot, _norm
+
+        vn = v.withColumn("__nrm__", _norm(F.col("__vec__")))
+        v1 = vn.select(F.col(id_col).alias("id_1"),
+                       F.col("__vec__").alias("__v1__"),
+                       F.col("__nrm__").alias("__n1__"))
+        v2 = vn.select(F.col(id_col).alias("id_2"),
+                       F.col("__vec__").alias("__v2__"),
+                       F.col("__nrm__").alias("__n2__"))
         return (
             cand.join(v1, "id_1").join(v2, "id_2")
-            .withColumn("sim", cosine(F.col("__v1__"), F.col("__v2__")))
+            .withColumn("sim", _dot(F.col("__v1__"), F.col("__v2__"))
+                        / (F.col("__n1__") * F.col("__n2__")))
             .filter(F.col("sim") >= threshold)
             .select("id_1", "id_2", "sim")
         )
