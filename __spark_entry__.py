@@ -775,6 +775,64 @@ def q_dedup_embedding_lsh(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings").df, 0.4, method="lsh")
 
 
+def q_ivf_seeded(spark, sf_dir):
+    """IVF top-5 with deterministic seed centroids (16 lowest-id
+    vectors, Voronoi assignment by exact squared-L2 argmin, 4 probed
+    cells per query, exact rerank) — the oracle replays every stage
+    from the same literal seeds, so the driver verifies the full IVF
+    pipeline bit-for-bit (operators/similarity.py::ivf_seeded_topk;
+    VERDICT r2 item 7; the KMeans/persisted variant keeps its
+    PartitionFilters pruning guard in test_llm_ops)."""
+    from csvplus_spark.operators.similarity import ivf_seeded_topk
+
+    out = ivf_seeded_topk(load_table(spark, sf_dir, "embeddings").df, 5)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+_IVF_SEEDED_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, e AS c FROM v ORDER BY vec_id LIMIT 16),
+ad AS (
+  SELECT v.vec_id, cent.cell,
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                  k -> (v.e[k] - cent.c[k]) * (v.e[k] - cent.c[k]))) AS d2
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id AS corpus_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM ad) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM ad WHERE vec_id < 50) WHERE rn <= 4
+),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS n FROM v),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         list_sum(list_transform(range(1, len(vq.e) + 1),
+                  k -> vq.e[k] * vc.e[k])) / (nq.n * nc.n) AS sim_raw
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  JOIN v vq ON p.query_id = vq.vec_id
+  JOIN v vc ON a.corpus_id = vc.vec_id
+  JOIN norms nq ON p.query_id = nq.vec_id
+  JOIN norms nc ON a.corpus_id = nc.vec_id
+  WHERE p.query_id <> a.corpus_id
+)
+SELECT query_id, corpus_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, corpus_id) AS rank,
+       ROUND(sim_raw, 6) AS sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """EXACT SimHash Hamming≤3 near-pairs via pigeonhole chunk blocking
     — equi-join on (chunk, value), never a nested loop
@@ -1733,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs60": q_simhash_pairs60,
         "simhash_reps60": q_simhash_reps60,
+        "ivf_seeded": q_ivf_seeded,
         "winnow": q_winnow,
         "token_counts": q_token_counts,
         "multimodal_features": q_multimodal_features,
@@ -1899,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "simhash_pairs60": _simhash_pairs_sql(60),
         "simhash_reps60": _simhash_reps_sql(),
+        "ivf_seeded": _IVF_SEEDED_SQL,
         "winnow": _winnow_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,

@@ -188,6 +188,82 @@ def ivf_topk(
     )
 
 
+def ivf_seeded_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 50,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF top-k with DETERMINISTIC seed centroids — the cross-engine-
+    verifiable sibling of :func:`ivf_topk`.
+
+    KMeans centroids are engine-internal state no SQL oracle can
+    replay, so this variant seeds the cells with the ``n_cells``
+    lowest-id vectors (Lloyd with 0 iterations): Voronoi assignment is
+    then argmin of the exact squared-L2 fold against literal centroid
+    vectors, which DuckDB recomputes verbatim — every stage (cell
+    assignment, probe ranking, exact rerank) is bit-checkable. Same
+    physical shape as production IVF: centroids broadcast, assignment
+    narrow, the only shuffle is the (cell) rerank equi-join + the
+    per-query top-k window.
+
+    Queries are the vectors with id < ``query_max_id`` (self-search,
+    ``exclude_self`` semantics as brute_force_topk). Ties: assignment
+    and probes break on lower cell id; rank breaks on corpus id.
+    """
+    v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
+    spark = emb.sparkSession
+
+    # seed centroids: n_cells lowest-id vectors (tiny driver collect,
+    # same order of magnitude as ivf_search's probed-cell list)
+    seeds = v.orderBy(F.col(id_col)).limit(n_cells).collect()
+    cent = spark.createDataFrame(
+        [(int(r[id_col]), [float(x) for x in r["__vec__"]]) for r in seeds],
+        "cell long, centroid array<double>")
+
+    def d2(a, b):  # exact squared L2, same left-fold as the oracle
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    ad = (
+        v.join(F.broadcast(cent))
+        .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid")))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy("__d2__", "cell")
+    assign = (
+        ad.withColumn("__rn__", F.row_number().over(w_assign))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col(id_col).alias("corpus_id"),
+                F.col("__vec__").alias("__cv__"), "cell")
+    )
+    q = ad.filter(F.col(id_col) < query_max_id)
+    w_probe = Window.partitionBy(id_col).orderBy("__d2__", "cell")
+    probes = (
+        q.withColumn("__rn__", F.row_number().over(w_probe))
+        .filter(F.col("__rn__") <= n_probe)
+        .select(F.col(id_col).alias("query_id"),
+                F.col("__vec__").alias("__qv__"), "cell")
+    )
+    scored = assign.join(probes, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    # cells are disjoint (argmin assignment) → no duplicate pairs, no
+    # distinct needed
+    scored = scored.withColumn(
+        "sim", cosine(F.col("__qv__"), F.col("__cv__")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "sim")
+    )
+
+
 def ivf_build(corpus: DataFrame, path: str, n_clusters: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = 42, sample_size: int = IVF_FIT_SAMPLE) -> None:

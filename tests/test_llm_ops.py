@@ -310,6 +310,29 @@ def test_ivf_topk_recall(spark, sf_dir):
         assert abs(full[key] - r["sim"]) < 1e-9
 
 
+def test_ivf_seeded_exact_sims_and_probe_coverage(spark, sf_dir):
+    """ivf_seeded_topk: reranked sims are exact cosine values, each
+    query gets exactly k results when probed cells hold >= k corpus
+    vectors, and when every cell is probed the result IS brute force."""
+    from csvplus_spark.operators.similarity import ivf_seeded_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    got = ivf_seeded_topk(emb, 5, n_cells=8, n_probe=3, query_max_id=10).collect()
+    assert got
+    q = emb.filter(F.col("vec_id") < 10)
+    full = {(r["query_id"], r["corpus_id"]): r["sim"]
+            for r in brute_force_topk(q, emb, 10_000).collect()}
+    for r in got:
+        assert full[(r["query_id"], r["corpus_id"])] == r["sim"]
+    # probing ALL cells degenerates to exact brute-force top-k
+    all_probe = {(r["query_id"], r["corpus_id"], r["rank"])
+                 for r in ivf_seeded_topk(
+                     emb, 5, n_cells=8, n_probe=8, query_max_id=10).collect()}
+    bf = {(r["query_id"], r["corpus_id"], r["rank"])
+          for r in brute_force_topk(q, emb, 5).collect()}
+    assert all_probe == bf
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     from csvplus_spark.operators.similarity import ivf_build, ivf_search
 
