@@ -775,6 +775,18 @@ def q_dedup_embedding_lsh(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings").df, 0.4, method="lsh")
 
 
+def q_bpe_counts(spark, sf_dir):
+    """REAL merges-table BPE token counts (Sennrich merge loop, GPT-2
+    merges.txt format, trained deterministically on the 200 lowest-id
+    docs) — one Arrow mapInPandas pass with the ranks broadcast
+    (operators/bpe.py). Rows-only by nature: the iterative merge loop
+    is not SQL-expressible; counts are pinned on known strings and
+    against a driver-side reference in tests/test_llm_ops.py."""
+    from csvplus_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(load_table(spark, sf_dir, "documents").df)
+
+
 def q_ivf_seeded(spark, sf_dir):
     """IVF top-5 with deterministic seed centroids (16 lowest-id
     vectors, Voronoi assignment by exact squared-L2 argmin, 4 probed
@@ -1792,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs60": q_simhash_pairs60,
         "simhash_reps60": q_simhash_reps60,
         "ivf_seeded": q_ivf_seeded,
+        "bpe_counts": q_bpe_counts,
         "winnow": q_winnow,
         "token_counts": q_token_counts,
         "multimodal_features": q_multimodal_features,

@@ -50,6 +50,7 @@ HEADLINE = [
     "range_join",
     "winnow",
     "token_counts",
+    "bpe_counts",
     "repetition_stats",
     "content_flags",
     "quantize_embeddings",

@@ -224,6 +224,47 @@ def test_simhash_chunked_matches_allpairs(spark, sf_dir):
     assert got == expect and got  # pigeonhole blocking loses no pair
 
 
+def test_bpe_known_counts_and_roundtrip():
+    """Merge loop pinned on hand-computable strings; merges.txt
+    round-trips through the public format."""
+    from csvplus_spark.operators.bpe import (
+        encode_count, format_merges, parse_merges, train_bpe_merges)
+
+    ranks = parse_merges(["#version: 0.2", "l o", "lo w"])
+    assert ranks == {(b"l", b"o"): 0, (b"lo", b"w"): 1}
+    # "low" = [l,o,w] -> [lo,w] -> [low] = 1 token
+    assert encode_count("low", ranks) == 1
+    # " low" pre-tokenizes with the leading space: [' ',l,o,w] -> 2
+    assert encode_count("low low", ranks) == 3
+    # no applicable merges: one token per byte after pre-tokenization
+    assert encode_count("zz", {}) == 2
+    trained = train_bpe_merges(["low lower lowest low low"] * 3, 4)
+    assert trained  # learns something
+    assert parse_merges(format_merges(trained).splitlines()) == trained
+    # determinism across runs / input order
+    assert trained == train_bpe_merges(["low lower lowest low low"] * 3, 4)
+
+
+def test_bpe_distributed_matches_reference(spark, sf_dir):
+    """The mapInPandas counter must agree with the driver-side encode
+    on every document, under a corpus-trained table."""
+    from csvplus_spark.operators.bpe import bpe_token_counts, encode_count
+
+    docs = load_table(spark, sf_dir, "documents").df.limit(80)
+    got = {r["doc_id"]: r["n_tokens_bpe"]
+           for r in bpe_token_counts(docs, n_merges=50).collect()}
+    # rebuild the same table the operator trained (None → corpus fit)
+    from csvplus_spark.operators.bpe import (
+        BPE_TRAIN_CHARS, BPE_TRAIN_DOCS, train_bpe_merges)
+
+    sample = (docs.selectExpr("doc_id", f"substring(text, 1, {BPE_TRAIN_CHARS}) AS t")
+              .orderBy("doc_id").limit(BPE_TRAIN_DOCS).collect())
+    ranks = train_bpe_merges((r["t"] or "" for r in sample), 50)
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == encode_count(r["text"] or "", ranks)
+    assert len(got) == 80
+
+
 def test_simhash_reps_matches_cc_over_pairs(spark, sf_dir):
     """simhash_reps' hash-collapsed CC must agree with brute-force
     connected components over simhash_near_pairs, with singletons as
