@@ -1,0 +1,48 @@
+"""Mechanical guards over EVERY queries() plan (VERDICT r2 item 10):
+the two solved failure classes must not silently return.
+
+* rounding flake: Spark's BigDecimal HALF_UP round() disagrees with
+  DuckDB's at double boundaries, so no oracle-checked query may round
+  an aggregated double (the money queries sum exact integer cents
+  instead). ``round(sum(`` in a plan is the signature of a regression.
+* quadratic join: a BroadcastNestedLoopJoin / CartesianProduct in a
+  plan means a join lost its equi-condition — the class of bug the
+  chunk/grid/LSH blocking exists to prevent.
+"""
+
+import re
+
+import __spark_entry__ as em
+
+#: queries whose cross-product is INTENTIONAL and bounded:
+#: - sim_topk: brute-force all-pairs IS the baseline being offered
+#:   (queries-side is a 10-row broadcast; the scale path is ivf/lsh)
+#: - ivf_seeded: every vector scores against the 16-row broadcast
+#:   centroid table — a bounded fan-out, not a pair explosion
+CROSS_JOIN_OK = {"sim_topk", "ivf_seeded"}
+
+
+def test_no_unexpected_cross_join_or_rounded_sum(spark):
+    sf = "/root/testdata/sf0.001"
+    bad_join, bad_round, built = [], [], 0
+    for name, fn in sorted(em.queries().items()):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        built += 1
+        if ("BroadcastNestedLoop" in plan or "CartesianProduct" in plan) \
+                and name not in CROSS_JOIN_OK:
+            bad_join.append(name)
+        if re.search(r"round\(sum\(", plan):
+            bad_round.append(name)
+    assert not bad_join, f"unexpected cross join in: {bad_join}"
+    assert not bad_round, f"round over an aggregate in: {bad_round}"
+    assert built == len(em.queries())  # every query's plan was built
+
+
+def test_cross_join_allowlist_is_tight(spark):
+    """The allowlisted queries really do contain the pattern — if one
+    stops needing its exemption, shrink CROSS_JOIN_OK."""
+    sf = "/root/testdata/sf0.001"
+    for name in sorted(CROSS_JOIN_OK):
+        plan = em.queries()[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoop" in plan or "CartesianProduct" in plan, name
