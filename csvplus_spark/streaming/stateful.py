@@ -117,13 +117,41 @@ def _session_closer(gap_us: int):
     return update
 
 
+def rocksdb_state_conf() -> dict:
+    """Session configs for the RocksDB state store — at production
+    scale the default HDFS-backed in-memory store holds every open
+    session on-heap, so #active-keys is bounded by executor memory;
+    RocksDB spills state to local disk with changelog checkpointing and
+    bounds the heap at a block-cache. Apply BEFORE the streaming query
+    starts (state-store providers cannot change across restarts of the
+    same checkpoint):
+
+        for k, v in rocksdb_state_conf().items():
+            spark.conf.set(k, v)
+
+    Not applied by default here: tests run tiny state where RocksDB's
+    native-library startup only adds latency.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        # changelog checkpointing ships deltas, not full snapshots
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing."
+        "enabled": "true",
+        # bound the native block cache (per executor, all stores)
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    }
+
+
 def sessionize_with_timeout(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Per-user sessions CLOSED by event-time timeout: the custom-state
     twin of session_window that can carry arbitrary per-session state
     (here start + count). State per key is one open session; the
     timeout (watermark > last event + gap) emits and clears it, so
     memory is O(#active users) regardless of stream length. The input
-    stream must carry a watermark on ``ts``.
+    stream must carry a watermark on ``ts``. For large key cardinality
+    pair this with :func:`rocksdb_state_conf`.
     """
     import re
 

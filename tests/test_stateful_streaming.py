@@ -144,6 +144,59 @@ def test_sessionize_out_of_order_batch_does_not_split_session(spark, tmp_path):
     assert got == [(base.to_pydatetime(), 4)], got
 
 
+def test_sessionize_timeout_expires_idle_key_across_batches(spark, tmp_path):
+    """True hasTimedOut-path coverage: user 1's session sees events in
+    batch 0 ONLY; batches 1-3 carry other users, whose event times
+    advance the watermark past user 1's last event + gap. The session
+    must be emitted by the event-time TIMEOUT (no closing event for
+    that key ever arrives), exactly once, across >= 3 micro-batches."""
+    import pandas as pd
+
+    from csvplus_spark.streaming.stateful import sessionize_with_timeout
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_batch(i, rows):  # rows: list of (user_id, minutes)
+        pdf = pd.DataFrame({
+            "event_id": range(i * 10, i * 10 + len(rows)),
+            "ts": [int((base + pd.Timedelta(minutes=m)).value) for _, m in rows],
+            "user_id": [u for u, _ in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"b{i}"))
+        import glob
+        import shutil
+        f = glob.glob(str(tmp_path / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"{i}.parquet")
+
+    write_batch(0, [(1, 0), (1, 3)])     # user 1: start 00:00, last 00:03
+    write_batch(1, [(2, 5)])             # watermark -> 00:05 (gap not passed)
+    write_batch(2, [(2, 20)])            # watermark -> 00:20 > 00:03 + 10min
+    write_batch(3, [(2, 40)])            # one more batch; no re-emission
+
+    stream = stream_events(spark, str(src), max_files_per_trigger=1) \
+        .withWatermark("ts", "0 seconds")
+    q = (
+        sessionize_with_timeout(stream, "10 minutes")
+        .writeStream.format("memory").queryName("expiry_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = [(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.sql(
+               "SELECT * FROM expiry_sessions WHERE user_id = 1").collect()]
+    assert got == [(1, base.to_pydatetime(), 2)], got
+
+
 def test_sessionize_with_timeout_matches_batch_sessions(spark, sf_dir, tmp_path):
     import glob
     import shutil
