@@ -2,7 +2,12 @@
 Spark and its oracle_sql() on DuckDB over the same parquet, compare
 row-count + schema + order-insensitive value-hash.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes a driver-format artifact: one object per
+query with rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err (rows-only queries record err="no_oracle" with null
+matches, as the driver does).
 """
 
 from __future__ import annotations
@@ -46,8 +51,14 @@ def _hash_rows(cols, rows) -> tuple[int, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from csvplus_spark import get_spark
@@ -72,10 +83,16 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {ex}"[:200]}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             res = con.execute(sql)
@@ -84,10 +101,17 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: oracle error: {ex}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": f"oracle: {ex}"[:200]}
             continue
         sn, sh = _hash_rows(scols, srows)
         on, oh = _hash_rows(ocols, orows)
         status = "PASS" if (sn, sh) == (on, oh) and sorted(scols) == sorted(ocols) else "FAIL"
+        report[name] = {"rows_match": sn == on,
+                        "schema_match": sorted(scols) == sorted(ocols),
+                        "hash_match": sh == oh, "spark_rows": sn,
+                        "oracle_rows": on, "err": None}
         if status == "FAIL":
             failures += 1
             print(f"FAIL  {name}: spark ({sn} rows, {sh}) vs oracle ({on} rows, {oh})"
@@ -102,6 +126,12 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({sn} rows, {time.time()-t0:.1f}s)")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} entries)")
     return 1 if failures else 0
 
 
