@@ -52,6 +52,14 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("CSVPLUS_SHUFFLE_PARTITIONS", "32"))
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # local mode runs driver+executors in ONE JVM: the 1g driver
+    # default OOMs once a long session accumulates broadcasts and
+    # checkpoint blocks (bench runs 35 queries in one JVM). Only
+    # effective at JVM launch — under spark-submit the submitted
+    # --driver-memory wins, as it should on a cluster.
+    conf.setdefault(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
