@@ -417,31 +417,50 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
     return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")
 
 
-def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
-                 max_iter: int = 20) -> DataFrame:
-    """Connected components over the near-dup pair graph → (doc_id,
-    cluster_id) with cluster_id = min doc id in the component.
+def _cc_min_label(edges: DataFrame, nodes: DataFrame | None = None,
+                  max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    jumping: (a, label) where label = the smallest node id in a's
+    component.
 
-    Min-label propagation: each iteration joins labels across edges and
-    takes the min — O(graph diameter) iterations (near-dup clusters are
-    shallow; typical diameter ≤ 3). Each iteration is one shuffle on
-    the node id; labels are localCheckpointed to keep lineage flat.
-    This is the standard large-graph CC shape (HashToMin) — no driver
-    collect of the graph.
+    ``edges`` must be symmetric (a, b) rows; ``nodes`` (single column
+    ``a``) adds isolated vertices — defaults to the edge endpoints.
+
+    Each iteration does (1) a neighbor-min sweep (HashToMin step) and
+    (2) a pointer jump — every node re-reads the PREVIOUS round's label
+    of the node its new label points at (labels are always node ids and
+    only ever decrease, so the jump is well-defined and monotone; at
+    the fixpoint label[label[a]] == label[a], so convergence detection
+    is unaffected). The jump compounds the distance information travels
+    per round — near-O(log diameter) rounds instead of O(diameter). At
+    100 TB each round is a full shuffle of the label table, so cutting
+    the round count cuts the critical path; a deep chain component
+    cannot force 20 sequential shuffles. Jumping through the PREVIOUS
+    (checkpointed) table rather than the current sweep keeps each
+    round's plan a straight pipe — a self-join on the in-flight sweep
+    would compute the aggregation twice per round (measured slower than
+    no jumping at all). Labels are localCheckpointed each round to keep
+    lineage flat.
     """
-    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().cache()
-    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    if nodes is None:
+        nodes = edges.select("a").distinct()
+    labels = nodes.select("a").withColumn("label", F.col("a"))
     for it in range(max_iter):
         neighbor = (
-            edges.join(labels.withColumnRenamed("a", "b"), "b")
-            .groupBy("a").agg(F.min("label").alias("nl"))
+            edges.join(labels.withColumnRenamed("a", "b")
+                       .withColumnRenamed("label", "nl"), "b")
+            .groupBy("a").agg(F.min("nl").alias("nl"))
         )
-        new_labels = labels.join(neighbor, "a", "left").select(
+        stepped = labels.join(neighbor, "a", "left").select(
             "a", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
-        ).localCheckpoint()
+        )
+        jump = labels.select(F.col("a").alias("label"),
+                             F.col("label").alias("__jl__"))
+        new_labels = (
+            stepped.join(jump, "label", "left")
+            .select("a", F.coalesce("__jl__", F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
         # the first sweep always changes labels on any non-trivial graph;
         # skip its convergence probe (one fewer job per call)
         if it > 0:
@@ -453,6 +472,22 @@ def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
                 labels = new_labels
                 break
         labels = new_labels
+    return labels
+
+
+def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = min doc id in the component.
+
+    The standard large-graph CC shape (HashToMin + pointer jumping,
+    see _cc_min_label) — no driver collect of the graph.
+    """
+    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
+    labels = _cc_min_label(edges, max_iter=max_iter)
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -784,28 +819,21 @@ def simhash_reps(df: DataFrame, max_hamming: int = 3,
         hedges.select(F.col("h2").alias("h1"), F.col("h1").alias("h2"))
     ).localCheckpoint()
 
-    labels = nodes.withColumnRenamed("simhash", "h1")
-    for it in range(20):
-        neighbor = (
-            edges.join(labels.withColumnRenamed("h1", "h2"), "h2")
-            .groupBy("h1").agg(F.min("__lbl__").alias("__nl__"))
-        )
-        new_labels = labels.join(neighbor, "h1", "left").select(
-            "h1",
-            F.least(F.col("__lbl__"), F.coalesce("__nl__", "__lbl__"))
-            .alias("__lbl__"),
-        ).localCheckpoint()
-        if it > 0:
-            changed = (
-                new_labels.alias("n").join(labels.alias("o"), "h1")
-                .filter(F.col("n.__lbl__") != F.col("o.__lbl__"))
-                .limit(1).count()
-            )
-            if not changed:
-                labels = new_labels
-                break
-        labels = new_labels
+    # CC in HASH space (pointer jumping needs labels and node ids in
+    # the same key space), then one aggregate maps each component to
+    # its min doc id: min over component of (min doc per hash) ==
+    # min doc id in the component — identical to propagating doc-id
+    # labels directly, in O(log diameter) rounds instead of O(diameter)
+    comp = _cc_min_label(
+        edges.select(F.col("h1").alias("a"), F.col("h2").alias("b")),
+        nodes.select(F.col("simhash").alias("a")))
+    rep = (
+        comp.join(nodes.withColumnRenamed("simhash", "a"), "a")
+        .groupBy("label").agg(F.min("__lbl__").alias("rep_id"))
+    )
+    hash_rep = comp.join(rep, "label") \
+        .select(F.col("a").alias("simhash"), "rep_id")
     return (
-        sh.join(labels.withColumnRenamed("h1", "simhash"), "simhash")
-        .select(F.col(id_col), F.col("__lbl__").alias("rep_id"))
+        sh.join(hash_rep, "simhash")
+        .select(F.col(id_col), "rep_id")
     )
