@@ -1023,6 +1023,109 @@ FROM s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) t
 """
 
 
+def q_rand_proj(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection 64→8 dims
+    (operators/similarity.py::random_projection): deterministic
+    md5-derived sign matrix, no shuffle — the dim-reduction pre-step
+    before ANN/clustering at scale. Oracle embeds the same sign
+    literals, so every projected coordinate is bit-checked."""
+    from csvplus_spark.operators.similarity import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings").df)
+
+
+def _rand_proj_sql(out_dim: int = 8, dim: int = 64,
+                   plane_offset: int = 4096) -> str:
+    import math
+
+    scale = repr(math.sqrt(float(out_dim)))
+    cols = []
+    for k in range(out_dim):
+        lst = "[" + ", ".join(
+            str(float(_lsh_plane_sign(plane_offset + k, j)))
+            for j in range(dim)) + "]"
+        dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+               f"k -> ({lst})[k] * e[k]))")
+        cols.append(f"{dot} / {scale} AS p{k}")
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings)
+SELECT vec_id, {', '.join(cols)} FROM v
+"""
+
+
+def q_normalize_embeddings(spark, sf_dir):
+    """Unit-L2 normalization exploded to (vec_id, pos, val)
+    (operators/similarity.py::l2_normalize) — same left-fold norm as
+    cosine, so every normalized coordinate hash-matches the oracle."""
+    from csvplus_spark.operators.similarity import l2_normalize
+
+    return l2_normalize(load_table(spark, sf_dir, "embeddings").df)
+
+
+_NORMALIZE_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v)
+SELECT v.vec_id, CAST(j AS INT) AS pos,
+       CASE WHEN nn = 0 THEN 0.0 ELSE e[j] / nn END AS val
+FROM v JOIN n USING (vec_id)
+CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) t
+"""
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-size token chunking (32-token windows, non-overlapping)
+    for context-window preparation (operators/packing.py::chunk_docs)
+    — pure per-row codegen, zero shuffles."""
+    from csvplus_spark.operators.packing import chunk_docs
+
+    return chunk_docs(load_table(spark, sf_dir, "documents").df, 32)
+
+
+_CHUNK_DOCS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+s AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
+c AS (SELECT doc_id, ts, n, unnest(generate_series(1, n, 32)) AS start FROM s)
+SELECT doc_id, CAST((start - 1) // 32 AS INT) AS chunk_id,
+       array_to_string(ts[start : least(start + 31, n)], ' ') AS chunk_text,
+       CAST(least(32, n - start + 1) AS INT) AS n_tokens
+FROM c
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing per source shard: which
+    512-token pack each doc starts in, and at what offset
+    (operators/packing.py::pack_sequences) — the dataloader index for
+    padding-free packed pretraining batches."""
+    from csvplus_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents").df, 512)
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+  FROM t
+)
+SELECT doc_id, source, n_tokens, bf // 512 AS pack_id, bf % 512 AS pack_offset
+FROM b
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-decontamination: corpus docs sharing any word trigram
     with a probe set (here: the 10 lowest-id docs stand in for an eval
@@ -1809,6 +1912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "multimodal_features": q_multimodal_features,
         "quantize_embeddings": q_quantize,
+        "rand_proj": q_rand_proj,
+        "normalize_embeddings": q_normalize_embeddings,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
         "content_flags": q_content_flags,
         "contamination": q_contamination,
@@ -1976,6 +2083,10 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "quantize_embeddings": _QUANTIZE_SQL,
+        "rand_proj": _rand_proj_sql(),
+        "normalize_embeddings": _NORMALIZE_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "repetition_stats": _REPETITION_SQL,
         "content_flags": _CONTENT_FLAGS_SQL,
         "contamination": _CONTAMINATION_SQL,

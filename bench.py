@@ -54,6 +54,9 @@ HEADLINE = [
     "repetition_stats",
     "content_flags",
     "quantize_embeddings",
+    "rand_proj",
+    "chunk_docs",
+    "pack_sequences",
     "contamination",
 ]
 

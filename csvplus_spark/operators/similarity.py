@@ -412,3 +412,67 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", "sim")
     )
+
+
+#: plane ids below this are reserved for the LSH tables (dedup + topk);
+#: random_projection draws its sign matrix from a disjoint id range so
+#: projections are independent of every bucket function in the engine
+RANDPROJ_PLANE_OFFSET = 4096
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    plane_offset: int = RANDPROJ_PLANE_OFFSET,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): p_k = dot(v, s_k) / sqrt(out_dim), one
+    ``p{k}`` double column per output dimension.
+
+    The sign matrix is the same deterministic md5 derivation as the LSH
+    hyperplanes (_plane_signs) from a disjoint plane-id range — no
+    runtime RNG, so projections are reproducible across runs and
+    engines (the DuckDB oracle embeds identical literals). Distances
+    are preserved within (1±ε) with ε ≈ sqrt(log n / out_dim) — the
+    standard pre-step before ANN/clustering when 100 TB of wide
+    embeddings won't fit the index budget.
+
+    Shape: narrow per-row folds, no shuffle at all; the scan's column
+    pruning reads only (id, vector).
+    """
+    import math
+
+    v = with_double_vec(df, vec_col)
+    scale = math.sqrt(float(out_dim))
+    cols = []
+    for k in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in _plane_signs(plane_offset + k, dim)])
+        d = F.aggregate(F.zip_with(F.col("__vec__"), signs, lambda x, s: x * s),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        # divide (not multiply by 1/scale): both engines compute the
+        # identical IEEE sqrt, so x / sqrt(d) is bit-identical while
+        # x * (1/sqrt(d)) would round the reciprocal first
+        cols.append((d / F.lit(scale)).alias(f"p{k}"))
+    return v.select(F.col(id_col), *cols)
+
+
+def l2_normalize(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Unit-L2 embedding normalization, exploded to (id, pos, val) with
+    1-based positions — after this, cosine becomes a plain dot product
+    (the usual pre-step for ANN indexes and centroid math).
+
+    Zero vectors normalize to 0.0 rather than NaN. All per-row codegen
+    arithmetic; the norm is the same left fold as cosine(), so values
+    are bit-identical to the oracle's list_sum."""
+    v = with_double_vec(df, vec_col)
+    return (
+        v.select(F.col(id_col), _norm(F.col("__vec__")).alias("__n__"),
+                 F.posexplode("__vec__").alias("pos", "__x__"))
+        .select(F.col(id_col), (F.col("pos") + 1).cast("int").alias("pos"),
+                F.when(F.col("__n__") == 0, F.lit(0.0))
+                .otherwise(F.col("__x__") / F.col("__n__")).alias("val"))
+    )

@@ -574,3 +574,99 @@ def test_hash_sampling_deterministic_and_stable(spark, sf_dir):
     full = {r["doc_id"]: r["split"] for r in s.filter(F.col("doc_id") < 100).collect()}
     got = {r["doc_id"]: r["split"] for r in sub.collect()}
     assert got == full
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from csvplus_spark.operators.similarity import (
+        _plane_signs,
+        random_projection,
+    )
+
+    vecs = [(1, [float(i) * 0.25 - 2.0 for i in range(64)]),
+            (2, [math.sin(i) for i in range(64)])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {r["vec_id"]: [r[f"p{k}"] for k in range(8)]
+           for r in random_projection(df).collect()}
+    S = np.array([_plane_signs(4096 + k, 64) for k in range(8)])
+    for vid, v in vecs:
+        want = (S @ np.array(v)) / math.sqrt(8.0)
+        assert np.allclose(got[vid], want, rtol=1e-12)
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    # JL sanity on real embeddings: mean pairwise-distance distortion of
+    # the 64→8 projection stays bounded (not a hash, an isometry-ish map)
+    import numpy as np
+
+    from csvplus_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").df.filter(F.col("vec_id") < 40)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    proj = {r["vec_id"]: np.array([r[f"p{k}"] for k in range(8)])
+            for r in random_projection(emb).collect()}
+    ids = sorted(orig)
+    ratios = []
+    for i in range(0, len(ids), 4):
+        for j in range(i + 1, len(ids), 4):
+            d0 = np.linalg.norm(orig[ids[i]] - orig[ids[j]])
+            d1 = np.linalg.norm(proj[ids[i]] - proj[ids[j]])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    assert 0.6 < sum(ratios) / len(ratios) < 1.4
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    from csvplus_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"])
+    rows = l2_normalize(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], {})[r["pos"]] = r["val"]
+    assert by_id[1] == {1: 0.6, 2: 0.8}
+    assert by_id[2] == {1: 0.0, 2: 0.0}
+
+
+def test_chunk_docs_boundaries_and_overlap(spark):
+    from csvplus_spark.operators.packing import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(7))), (2, ""), (3, "one")],
+        ["doc_id", "text"])
+    rows = chunk_docs(df, size=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in rows}
+    # doc 1: 7 tokens -> chunks of 3/3/1; doc 2 empty -> no rows
+    assert got[(1, 0)] == ("w0 w1 w2", 3)
+    assert got[(1, 1)] == ("w3 w4 w5", 3)
+    assert got[(1, 2)] == ("w6", 1)
+    assert got[(3, 0)] == ("one", 1)
+    assert not any(d == 2 for d, _ in got)
+    # sliding windows: stride 2, size 3 over 5 tokens -> starts 1,3,5
+    df5 = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    s = {r["chunk_id"]: r["chunk_text"]
+         for r in chunk_docs(df5, size=3, stride=2).collect()}
+    assert s == {0: "a b c", 1: "c d e", 2: "e"}
+    with pytest.raises(ValueError):
+        chunk_docs(df5, size=0)
+
+
+def test_pack_sequences_offsets(spark):
+    from csvplus_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e f g"), (3, "s", "h"),
+         (4, "t", "x y")],
+        ["doc_id", "source", "text"])
+    rows = {r["doc_id"]: r for r in pack_sequences(df, capacity=5).collect()}
+    # shard s stream: doc1 tokens 0-2, doc2 tokens 3-6, doc3 token 7
+    assert (rows[1]["pack_id"], rows[1]["pack_offset"]) == (0, 0)
+    assert (rows[2]["pack_id"], rows[2]["pack_offset"]) == (0, 3)
+    assert (rows[3]["pack_id"], rows[3]["pack_offset"]) == (1, 2)
+    # shard t packs independently
+    assert (rows[4]["pack_id"], rows[4]["pack_offset"]) == (0, 0)
+    assert rows[2]["n_tokens"] == 4
