@@ -216,10 +216,43 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
 
 
 def repartition_for_blobs(df: DataFrame, avg_blob_bytes: int,
-                          target_partition_bytes: int = 128 << 20) -> DataFrame:
+                          target_partition_bytes: int = 128 << 20,
+                          approx_rows: int | None = None) -> DataFrame:
     """Size partitions by blob weight, not row count: at 100 TB a
     128 MB Arrow batch of 5 MB images is ~25 rows — the default
-    row-count heuristics would OOM the Python workers."""
+    row-count heuristics would OOM the Python workers.
+
+    The row count is ESTIMATED, never computed: callers that know their
+    table size pass ``approx_rows``; otherwise the scan's file
+    footprint (inputFiles + stat for local paths — a listing already
+    cached by the scan, no Spark job) divided by ``avg_blob_bytes``
+    stands in — blobs dominate storage, so file bytes / blob bytes ≈
+    rows within the 2× that partition sizing tolerates. Only when
+    neither is available (non-file source, remote scheme) does it fall
+    back to one eager count()."""
+    import os
+    from urllib.parse import urlparse
+
     rows_per_part = max(1, target_partition_bytes // max(1, avg_blob_bytes))
-    n = df.count()
+    n = approx_rows
+    if n is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                total = 0
+                break
+            try:
+                total += os.path.getsize(p.path)
+            except OSError:
+                total = 0
+                break
+        if total:
+            n = max(1, total // max(1, avg_blob_bytes))
+    if n is None:
+        n = df.count()
     return df.repartition(max(1, int(n / rows_per_part)))
