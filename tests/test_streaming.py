@@ -99,3 +99,38 @@ def test_streaming_session_windows_append(spark, sf_dir, tmp_path):
     expect = {(r["session_start"], r["user_id"]): r["n_events"] for r in batch.collect()}
     for k, v in got.items():
         assert expect[k] == v  # every emitted session matches batch truth
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    import datetime
+
+    from csvplus_spark.streaming.dedup import fingerprinted, stream_dedup
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    # batch 1: doc text "aaa" arrives twice (in-batch dup), "bbb" once;
+    # batch 2 (later file): "bbb" re-arrives within the horizon, "ccc" new
+    mk("b1", [(t0, 1, "aaa"), (t0 + datetime.timedelta(minutes=1), 2, "aaa"),
+              (t0 + datetime.timedelta(minutes=2), 3, "bbb")])
+    mk("b2", [(t0 + datetime.timedelta(minutes=30), 4, "bbb"),
+              (t0 + datetime.timedelta(minutes=31), 5, "ccc")])
+
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    out = stream_dedup(fingerprinted(stream), delay="1 hour")
+    q = (out.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text, count(*) AS n FROM sdedup GROUP BY text").collect()
+    got = {r["text"]: r["n"] for r in rows}
+    assert got == {"aaa": 1, "bbb": 1, "ccc": 1}
