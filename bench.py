@@ -55,9 +55,12 @@ HEADLINE = [
     "content_flags",
     "quantize_embeddings",
     "rand_proj",
+    "normalize_embeddings",
     "chunk_docs",
     "pack_sequences",
     "contamination",
+    "canonicalize",
+    "training_set",
 ]
 
 
