@@ -713,14 +713,23 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     then verified with bit_count(xor). 100% recall by construction, no
     nested-loop join; the only shuffle is keyed by (chunk, value),
     which is near-uniform because simhash bits are hash votes.
+    The chunk join and its dedup run over DISTINCT simhash values, not
+    docs: Hamming depends only on the hash, so duplicate-text docs
+    (Hamming 0) collapse into one graph node and the candidate volume
+    shrinks by the square of the duplication factor (271k doc-pairs vs
+    13.5k hash-pairs on the sf0.1 template corpus). Verified hash
+    pairs are then expanded back to doc pairs — same-hash intra pairs
+    at Hamming 0 plus cross-hash pairs via two hash-keyed joins —
+    which is output-sized work, and the expensive dropDuplicates runs
+    on the small hash-pair set instead of the doc-pair set.
     """
     from .text import simhash_table
 
-    # narrow (id, simhash) table computed ONCE: the a/b sides of the
-    # chunk self-join otherwise re-run the tokenize+aggregate pipeline
-    # twice (ReusedExchange is not guaranteed across aliases) — one
+    # narrow (id, simhash) table computed ONCE: read by the node set,
+    # the intra expansion, and both sides of the cross expansion — one
     # row per doc, 16 bytes wide, safe to pin at any scale
     sh = simhash_table(df, text_col, id_col, n_bits).localCheckpoint()
+    hashes = sh.select("simhash").distinct()
     n_chunks = max_hamming + 1
     base, rem = divmod(n_bits, n_chunks)
     pieces, off = [], 0
@@ -734,28 +743,43 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             ))
         off += w
     t = (
-        sh.select(F.col(id_col), "simhash", F.explode(F.array(*pieces)).alias("c"))
-        .select(F.col(id_col), "simhash",
+        hashes.select("simhash", F.explode(F.array(*pieces)).alias("c"))
+        .select("simhash",
                 F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
     )
-    cand = (
+    hpairs = (
         t.alias("a")
         .join(t.alias("b"),
               (F.col("a.chunk") == F.col("b.chunk"))
               & (F.col("a.val") == F.col("b.val"))
+              & (F.col("a.simhash") < F.col("b.simhash")))
+        .select(F.col("a.simhash").alias("__h1__"),
+                F.col("b.simhash").alias("__h2__"))
+        .dropDuplicates(["__h1__", "__h2__"])
+        .withColumn("hamming",
+                    F.bit_count(F.col("__h1__").bitwiseXOR(F.col("__h2__"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    intra = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.simhash") == F.col("b.simhash"))
               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_id_1"),
                 F.col(f"b.{id_col}").alias("doc_id_2"),
-                F.col("a.simhash").alias("__h1__"),
-                F.col("b.simhash").alias("__h2__"))
-        .dropDuplicates(["doc_id_1", "doc_id_2"])
+                F.lit(0).cast("integer").alias("hamming"))
     )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("__h1__").bitwiseXOR(F.col("__h2__"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_1", "doc_id_2", "hamming")
+    d1 = sh.select(F.col("simhash").alias("__h1__"),
+                   F.col(id_col).alias("__i1__"))
+    d2 = sh.select(F.col("simhash").alias("__h2__"),
+                   F.col(id_col).alias("__i2__"))
+    cross = (
+        hpairs.join(d1, "__h1__").join(d2, "__h2__")
+        .select(F.least("__i1__", "__i2__").alias("doc_id_1"),
+                F.greatest("__i1__", "__i2__").alias("doc_id_2"),
+                F.col("hamming").cast("integer").alias("hamming"))
     )
+    return intra.unionByName(cross)
 
 
 def simhash_reps(df: DataFrame, max_hamming: int = 3,
