@@ -46,3 +46,53 @@ def test_topk_matches_python(spark):
 def _neg(s):
     # descending lexicographic: invert each char
     return tuple(-ord(c) for c in s)
+
+
+def test_chunk_docs_reconstructs_token_stream(spark):
+    import re
+
+    from csvplus_spark.operators.packing import chunk_docs
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "qq"]
+    docs = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 50))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    size = 7
+    rows = chunk_docs(df, size=size).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for did, text in docs:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        chunks = sorted(got.get(did, []))
+        # non-overlapping chunks concatenate back to the exact stream
+        rebuilt = " ".join(c[1] for c in chunks).split()
+        assert rebuilt == toks, did
+        assert sum(c[2] for c in chunks) == len(toks)
+        for cid, _, n in chunks[:-1]:
+            assert n == size  # only the last chunk may be short
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    # distinct-hash expansion == naive all-pairs Hamming filter
+    from csvplus_spark.operators.dedup import simhash_near_pairs
+    from csvplus_spark.operators.text import simhash_table
+
+    rng = random.Random(23)
+    words = ["spark", "table", "row", "scan", "merge", "sort", "hash"]
+    docs = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+           for r in simhash_near_pairs(df, 3, n_bits=32).collect()}
+    hashes = {r["doc_id"]: r["simhash"]
+              for r in simhash_table(df, "text", "doc_id", 32).collect()}
+    ids = sorted(hashes)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(hashes[ids[i]] ^ hashes[ids[j]]).count("1")
+            if h <= 3:
+                want[(ids[i], ids[j])] = h
+    assert got == want
