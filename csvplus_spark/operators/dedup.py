@@ -152,7 +152,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hot_df: int = HOT_SHINGLE_DF,
+    hot_df: int | None = HOT_SHINGLE_DF,
 ) -> DataFrame:
     """EXACT near-dup pairs: Jaccard over word-trigram shingle sets.
     Returns (doc_id_1, doc_id_2, jaccard).
@@ -174,6 +174,12 @@ def ngram_jaccard_pairs(
     Each candidate's exact intersection is then completed with its hot
     part — a join of the hot shingle rows restricted to candidate pairs
     (output-sized, never df²) — so reported Jaccard values are exact.
+
+    ``hot_df=None`` skips the eager hot-set probe entirely (one small
+    map-combined aggregate, ~0.6s at sf0.1) and joins on ALL shingles
+    — correct on any corpus, but only safe at scale when the caller
+    KNOWS no shingle is hot enough to make a quadratic bucket (e.g.
+    boilerplate already stripped upstream).
     """
     ex = shingle_pairs(df, text_col, id_col).cache()
     sizes = _shingle_sizes(ex)
@@ -191,7 +197,7 @@ def ngram_jaccard_pairs(
     # eager probe for the hot set (same pattern as tfidf's N): one small
     # map-combined aggregate job; empty on any non-boilerplate corpus
     cap = 10_000
-    hot_vals = [r[0] for r in (
+    hot_vals = [] if hot_df is None else [r[0] for r in (
         ex.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
         .filter(F.col("__df__") > hot_df)
         .select("__s__").limit(cap + 1).collect()

@@ -670,3 +670,12 @@ def test_pack_sequences_offsets(spark):
     # shard t packs independently
     assert (rows[4]["pack_id"], rows[4]["pack_offset"]) == (0, 0)
     assert rows[2]["n_tokens"] == 4
+
+
+def test_ngram_hot_probe_optout_same_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").df.filter(F.col("doc_id") < 200)
+    with_probe = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+                  for r in ngram_jaccard_pairs(docs, 0.6).collect()}
+    no_probe = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, 0.6, hot_df=None).collect()}
+    assert with_probe == no_probe and with_probe
