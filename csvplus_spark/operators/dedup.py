@@ -585,21 +585,58 @@ def embedding_near_pairs(
                     F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
             .localCheckpoint()
         )
+        # per-BUCKET BLAS prefilter, exact rescore (the grid path's
+        # margin trick applied to LSH): each (tbl, bucket) group scores
+        # ALL its pairs in one numpy matmul, so vectors ship once per
+        # bucket MEMBERSHIP (n_tables rows/vec) instead of once per
+        # CANDIDATE. On template corpora where candidates approach a
+        # constant fraction of all pairs (measured 41% at sf0.1), the
+        # old shape — candidate-id joins pulling both vectors, then one
+        # interpreted fold per pair — shuffled |cand|·2·dim doubles and
+        # ran |cand| interpreted folds; this shape's shuffle is
+        # n·n_tables vector rows and the folds run only on survivors
+        # within margin of the threshold (output-sized). The margin
+        # (1e-6) dwarfs BLAS-vs-fold summation differences (~1e-14
+        # relative at dim 64); survivors are rescored with the SAME
+        # left-fold cosine as the oracle, so output values stay
+        # bit-identical. Per-task memory is bounded by the row-block
+        # loop; a pathological hot bucket still costs |bucket|² BLAS
+        # compute — inherent to LSH candidate volume, not this layout.
+        margin = 1e-6
+        id_dt = v.schema[id_col].dataType.simpleString()
+        gv = bt.join(v.select(F.col(id_col), "__vec__"), id_col)
+
+        def _bucket(pdf):
+            import numpy as np
+            import pandas as pd
+
+            A = np.stack(pdf["__vec__"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            nrm = np.linalg.norm(A, axis=1)
+            o1, o2 = [], []
+            blk = 4096
+            for s in range(0, len(A), blk):
+                S = (A[s:s + blk] @ A.T) / np.outer(nrm[s:s + blk], nrm)
+                ii, jj = np.nonzero(S >= threshold - margin)
+                ii = ii + s
+                keep = ii < jj
+                o1.append(ids[ii[keep]])
+                o2.append(ids[jj[keep]])
+            id1 = np.concatenate(o1) if o1 else np.array([], dtype=ids.dtype)
+            id2 = np.concatenate(o2) if o2 else np.array([], dtype=ids.dtype)
+            return pd.DataFrame({"id_1": np.minimum(id1, id2),
+                                 "id_2": np.maximum(id1, id2)})
+
         cand = (
-            bt.alias("a")
-            .join(bt.alias("b"),
-                  (F.col("a.tbl") == F.col("b.tbl"))
-                  & (F.col("a.bucket") == F.col("b.bucket"))
-                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_1"),
-                    F.col(f"b.{id_col}").alias("id_2"))
+            gv.groupBy("tbl", "bucket")
+            .applyInPandas(_bucket, f"id_1 {id_dt}, id_2 {id_dt}")
             .distinct()
         )
         # norms are per-VECTOR, not per-pair: fold them once over the n
         # input rows and carry the scalar through the joins, so the
-        # rerank does ONE interpreted fold per candidate (the dot)
-        # instead of three — sim = dot/(n1*n2) is the same expression
-        # shape as cosine() and the oracle, so values stay bit-identical
+        # exact rescore does ONE interpreted fold per survivor (the dot)
+        # — sim = dot/(n1*n2) is the same expression shape as cosine()
+        # and the oracle, so values stay bit-identical
         from .similarity import _dot, _norm
 
         vn = v.withColumn("__nrm__", _norm(F.col("__vec__")))
