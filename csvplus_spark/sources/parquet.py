@@ -16,7 +16,7 @@ from ..frame import Frame
 
 def from_parquet(spark: SparkSession, path: str, string_mode: bool = False) -> Frame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # Spark rejects parquet TIMESTAMP(NANOS) by default (the driver's
     # events.ts is ns-precision); read it as long and convert below.
@@ -26,10 +26,18 @@ def from_parquet(spark: SparkSession, path: str, string_mode: bool = False) -> F
     # zone, and the DuckDB oracle sees naive (UTC-equivalent) values
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    # TIMESTAMP(NANOS) columns surface as LongType named in _NANOS_COLS;
-    # truncate ns→us exactly like DuckDB's parquet reader does.
-    for c in _NANOS_COLS.intersection(df.columns):
-        if isinstance(df.schema[c].dataType, LongType):
+    for c in df.columns:
+        dt = df.schema[c].dataType
+        if isinstance(dt, TimestampNTZType):
+            # µs-precision parquet timestamps with no timezone surface as
+            # TIMESTAMP_NTZ (Spark 4 inferTimestampNTZ). unix_micros /
+            # window() / session_window() want TIMESTAMP; with the session
+            # zone pinned UTC the cast is a wall-clock identity, matching
+            # DuckDB's naive reading exactly.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif c in _NANOS_COLS and isinstance(dt, LongType):
+            # TIMESTAMP(NANOS) columns surface as LongType; truncate ns→us
+            # exactly like DuckDB's parquet reader does.
             # integer division: ns values exceed double's 53-bit mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     if string_mode:
