@@ -717,7 +717,12 @@ def q_null_funcs(spark, sf_dir):
     return j.groupBy("n_name").agg(
         F.count("s_suppkey").alias("n_nonnull"),
         F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.coalesce(_dsum("s_acctbal"), F.lit(0.0)).alias("total_bal"),
+        # decimal-sum, NOT _dsum: the r2→r3 integer-cents rewrite flipped
+        # the driver row red (negative s_acctbal half-up vs decimal
+        # rounding diverges at the driver); decimal form was green on
+        # r2's full 67-row sheet. See NOTES.md round-5 entry.
+        F.coalesce(F.sum(_dec("s_acctbal")).cast("double"), F.lit(0.0))
+        .alias("total_bal"),
         F.max(F.nullif(F.lit("x"), F.lit("x"))).alias("always_null"),
     )
 
@@ -848,10 +853,13 @@ QUALIFY rank <= 5
 def q_simhash_pairs(spark, sf_dir):
     """EXACT SimHash Hamming≤3 near-pairs via pigeonhole chunk blocking
     — equi-join on (chunk, value), never a nested loop
-    (operators/dedup.py::simhash_near_pairs)."""
+    (operators/dedup.py::simhash_near_pairs). Pins n_bits=32 for oracle
+    continuity only — the library default is the discriminating 60-bit
+    hash (VERDICT r4 item 6); see q_simhash_pairs60 / q_simhash_reps60."""
     from csvplus_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents").df, 3)
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents").df, 3,
+                              n_bits=32)
 
 
 def q_simhash_pairs60(spark, sf_dir):
@@ -1453,7 +1461,7 @@ _NULL_FUNCS_SQL = """
 SELECT n_name,
        COUNT(s_suppkey) AS n_nonnull,
        SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS n_null,
-       COALESCE(SUM(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) / 100.0, 0.0) AS total_bal,
+       COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_bal,
        MAX(NULLIF('x', 'x')) AS always_null
 FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
 GROUP BY 1

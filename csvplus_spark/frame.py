@@ -287,20 +287,48 @@ class Frame:
         return self._wrap(df)
 
     def _latched(self, cond: Column, keep_before: bool) -> "Frame":
-        """Shared engine for take_while/drop_while: a running latch over
-        the declared order. ``keep_before=True`` keeps the prefix before
-        the first violation (TakeWhile), False keeps the suffix from it
-        (DropWhile). Global window = single-partition sort: inherent to
-        the total-order semantics, documented scale caveat."""
-        w = Window.orderBy(*self._order_cols()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        latch = "__cp_latch__"
-        df = self._df.withColumn(
-            latch, F.max(F.when(~cond, F.lit(1)).otherwise(F.lit(0))).over(w)
-        )
-        df = df.filter(F.col(latch) == (0 if keep_before else 1)).drop(latch)
-        return self._wrap(df)
+        """Shared engine for take_while/drop_while: two-pass scalar
+        cutoff over the declared order (SURVEY §2.6 scale plan).
+
+        Pass 1 finds the FIRST violating row's order-key tuple — a
+        parallel top-1 (TakeOrderedAndProject), no global sort —
+        surfaced as an uncorrelated scalar subquery (DataFrame.scalar).
+        Pass 2 keeps rows lexicographically before it (TakeWhile) or
+        from it on (DropWhile) with a fully parallel filter. Replaces
+        the r1-r4 unpartitioned-window latch, which was a
+        single-partition sort at scale (VERDICT r4 item 4).
+
+        No violation anywhere → the scalar subquery yields NULL →
+        keep all (TakeWhile) / none (DropWhile).
+        """
+        order_exprs = self._order_cols()  # raises if no declared order
+        keys = list(self.order)
+        cut = (
+            self._df.filter(~cond)
+            .orderBy(*order_exprs)
+            .limit(1)
+            .select(F.struct(
+                *[self._sort_key(c).alias(f"k{i}")
+                  for i, (c, _) in enumerate(keys)]
+            ).alias("__cp_cut__"))
+        ).scalar()  # uncorrelated scalar subquery: Filter(... Subquery)
+        # lexicographic strictly-before-cutoff, honoring per-key
+        # direction and Spark null placement (asc=nulls first,
+        # desc=nulls last), built innermost-key outward
+        before = F.lit(False)
+        for i in reversed(range(len(keys))):
+            c, asc = keys[i]
+            a = self._sort_key(c)
+            b = cut.getField(f"k{i}")
+            if asc:
+                lt = (a.isNull() & b.isNotNull()) | (a < b)
+            else:
+                lt = (b.isNull() & a.isNotNull()) | (a > b)
+            before = lt | (a.eqNullSafe(b) & before)
+        before = F.coalesce(before, F.lit(False))
+        keep = F.when(cut.isNull(), F.lit(keep_before)) \
+            .otherwise(before if keep_before else ~before)
+        return self._wrap(self._df.filter(keep))
 
     def take_while(self, cond: Column) -> "Frame":
         """Pass rows while cond holds, then stop (csvplus.go:346-358)."""

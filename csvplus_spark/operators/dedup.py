@@ -745,8 +745,16 @@ def embedding_near_pairs(
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       n_bits: int = 32) -> DataFrame:
+                       n_bits: int = 60) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Default is the 60-bit hash: at 32 bits, template-heavy corpora
+    collide so densely that the OUTPUT itself is data-quadratic
+    (≈n²/6 pairs on the driver's template docs — docs/SCALE.md), which
+    no blocking can fix; 60 bits is discriminating and keeps the pair
+    set output-sized. Pass ``n_bits=32`` only for legacy comparison.
+    For corpus-scale runs prefer :func:`simhash_reps` — linear output
+    (one representative per near-dup cluster), the 100 TB entry point.
 
     Chunk blocking (pigeonhole): the ``n_bits`` hash is split into
     ``max_hamming + 1`` contiguous chunks; two hashes within Hamming

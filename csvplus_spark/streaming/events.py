@@ -64,27 +64,25 @@ def stream_events(spark: SparkSession, source_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream over a directory of events parquet files.
 
-    Handles the ns-precision ts the same way the batch source does
-    (nanosAsLong + exact ns→us truncation).
-    """
-    from pyspark.sql.types import (DoubleType, LongType, StringType,
-                                   StructField, StructType)
+    Timestamp precision is NOT hardcoded: a one-off batch metadata read
+    of the directory yields the footer-declared schema (ns → long under
+    nanosAsLong, µs-no-tz → TIMESTAMP_NTZ), and the micro-batch stream
+    then applies the SAME ``normalize_timestamps`` conversion as the
+    batch source — the two paths share one code path and cannot
+    silently diverge (guarded by tests/test_guards.py schema parity).
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) surfaces as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
+    The probe is driver-side footer metadata only (no data scan); at
+    100 TB it costs one file-listing, amortized once per stream start.
+    """
+    from ..sources.parquet import configure_parquet_session, normalize_timestamps
+
+    configure_parquet_session(spark)
+    # footer-only probe: schema as the streaming source will see it
+    schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(source_dir)
-    # integer division: ns values exceed double's 53-bit mantissa
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(reader.parquet(source_dir))
 
 
 def stream_session_counts(spark: SparkSession, source_dir: str,

@@ -115,3 +115,45 @@ def test_validate_row_lineage(spark):
     f = take_rows(spark, [{"v": "1"}, {"v": "2"}, {"v": "x"}, {"v": "4"}])
     with pytest.raises(DataSourceError, match="row 3: not a number"):
         f.validate(F.col("v").try_cast("int").isNotNull(), "not a number")
+
+
+def test_nested_ntz_timestamps_normalized(spark, tmp_path):
+    """TIMESTAMP_NTZ buried inside struct/array columns must be cast to
+    TIMESTAMP too (ADVICE r4): write µs-no-tz timestamps nested in a
+    struct and an array via pyarrow, read through from_parquet, and
+    assert no NTZ survives anywhere in the schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    from csvplus_spark import from_parquet
+
+    ts = pa.array([1_700_000_000_000_000, 1_700_000_060_000_000],
+                  type=pa.timestamp("us"))
+    tbl = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "plain": ts,
+        "nested": pa.StructArray.from_arrays([ts], names=["inner_ts"]),
+        "arr": pa.ListArray.from_arrays(pa.array([0, 1, 2]), ts),
+    })
+    path = str(tmp_path / "ntz_nested.parquet")
+    pq.write_table(tbl, path)
+
+    df = from_parquet(spark, path).df
+
+    def no_ntz(dt):
+        from pyspark.sql.types import ArrayType, StructType
+        if isinstance(dt, TimestampNTZType):
+            return False
+        if isinstance(dt, StructType):
+            return all(no_ntz(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return no_ntz(dt.elementType)
+        return True
+
+    for f in df.schema.fields:
+        assert no_ntz(f.dataType), f"NTZ survived in column {f.name}: {f.dataType}"
+    rows = df.orderBy("id").collect()
+    # nested value round-trips to the same wall-clock instant as the plain one
+    assert rows[0]["nested"]["inner_ts"] == rows[0]["plain"]
+    assert rows[0]["arr"][0] == rows[0]["plain"]

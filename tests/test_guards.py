@@ -38,6 +38,37 @@ def test_no_unexpected_cross_join_or_rounded_sum(spark):
     assert built == len(em.queries())  # every query's plan was built
 
 
+def test_take_drop_while_have_no_global_window(spark):
+    """take_while/drop_while must use the two-pass scalar cutoff
+    (top-1 + broadcast filter), never the unpartitioned-window latch —
+    a single-partition sort at scale (VERDICT r4 item 4)."""
+    sf = "/root/testdata/sf0.001"
+    for name in ("take_while", "drop_while"):
+        plan = em.queries()[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" not in plan, f"{name}: global-window latch is back"
+        assert "TakeOrderedAndProject" in plan, f"{name}: cutoff not top-1"
+
+
+def test_stream_batch_ts_schema_parity(spark, tmp_path):
+    """The streaming and batch events readers must surface the SAME ts
+    dtype — they share normalize_timestamps, and this guard goes red if
+    either path grows private schema logic again (the r4 µs regression:
+    batch learned the new footer precision, streaming didn't)."""
+    import shutil
+
+    from csvplus_spark import load_table
+    from csvplus_spark.streaming.events import stream_events
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "ev_parity"
+    src.mkdir()
+    shutil.copy(f"{sf}/events.parquet", src / "part-0.parquet")
+    batch_ts = load_table(spark, sf, "events").df.schema["ts"].dataType
+    stream_ts = stream_events(spark, str(src)).schema["ts"].dataType
+    assert stream_ts == batch_ts, (stream_ts, batch_ts)
+
+
 def test_cross_join_allowlist_is_tight(spark):
     """The allowlisted queries really do contain the pattern — if one
     stops needing its exemption, shrink CROSS_JOIN_OK."""

@@ -101,6 +101,34 @@ def test_streaming_session_windows_append(spark, sf_dir, tmp_path):
         assert expect[k] == v  # every emitted session matches batch truth
 
 
+def test_stream_dedup_events_matches_batch(spark, sf_dir, tmp_path):
+    """stream_dedup over the REAL (µs-ts) events data across ≥2
+    micro-batches: batch 2 re-delivers every event, so each re-arrival
+    is either in-state (dropped as dup) or below the watermark (dropped
+    as late) — survivors must equal the batch distinct-key truth
+    (VERDICT r4 item 7)."""
+    from csvplus_spark.streaming.dedup import stream_dedup
+    from csvplus_spark.streaming.events import stream_events
+
+    src = tmp_path / "ev_dedup"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-1.parquet")
+
+    stream = stream_events(spark, str(src), max_files_per_trigger=1)
+    out = stream_dedup(stream, keys=["event_id"], delay="1 hour")
+    q = (out.writeStream.format("memory").queryName("ev_dedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # really ran ≥2 micro-batches
+    got = sorted(r["event_id"]
+                 for r in spark.sql("SELECT event_id FROM ev_dedup_test").collect())
+    ev = load_table(spark, sf_dir, "events").df
+    expect = sorted(r["event_id"]
+                    for r in ev.select("event_id").distinct().collect())
+    assert got == expect
+
+
 def test_stream_dedup_first_arrival_wins(spark, tmp_path):
     import datetime
 
