@@ -279,12 +279,70 @@ class Frame:
         return self._wrap(df)
 
     def drop(self, n: int) -> "Frame":
-        """Skip first n rows in declared order (Drop, csvplus.go:329-342)."""
-        if self.order:
-            df = self._df.orderBy(*self._order_cols()).offset(n)
-        else:
-            df = self._df.offset(n)
-        return self._wrap(df)
+        """Skip first n rows in declared order (Drop, csvplus.go:329-342).
+
+        Scale plan (same family as :meth:`_latched`, no global sort):
+        the n-th row's order-key is a parallel top-n scalar subquery
+        (TakeOrderedAndProject), rows strictly after it pass a plain
+        parallel filter, and boundary ties are resolved exactly — a
+        second scalar counts rows strictly before the cutoff, and only
+        the tie group (bounded by the key's multiplicity; a single row
+        under the documented total-order contract) goes through a
+        row_number to keep the surplus. ``orderBy().offset(n)`` — the
+        r1-r4 form — planned a single-partition global sort.
+        """
+        if not self.order:
+            return self._wrap(self._df.offset(n))
+        if n <= 0:
+            return self._wrap(self._df)
+        kth = (
+            self._df.orderBy(*self._order_cols()).limit(n).offset(n - 1)
+            .select(self._order_key_struct().alias("__cp_cut__"))
+        ).scalar()
+        before, eq = self._lex_vs_cut(kth)
+        below = (
+            self._df.filter(before).groupBy()
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).scalar()
+        # kth NULL ⇔ fewer than n rows ⇔ result is empty
+        after_part = self._df.filter(kth.isNotNull() & ~before & ~eq)
+        ties = (
+            self._df.filter(kth.isNotNull() & eq)
+            # partitionBy the key cols: the tie group shares ONE key, so
+            # this is the same single group — but hash-partitioned (no
+            # "No Partition Defined" global-window plan)
+            .withColumn("__cp_rn__", F.row_number().over(
+                Window.partitionBy(*[self._sort_key(c) for c, _ in self.order])
+                .orderBy(F.lit(1))))
+            .filter(F.col("__cp_rn__") > (F.lit(n) - F.coalesce(below, F.lit(0))))
+            .drop("__cp_rn__")
+        )
+        return self._wrap(after_part.unionAll(ties))
+
+    def _order_key_struct(self) -> Column:
+        """The declared-order key tuple as a struct (scalar-cutoff unit)."""
+        return F.struct(*[self._sort_key(c).alias(f"k{i}")
+                          for i, (c, _) in enumerate(self.order)])
+
+    def _lex_vs_cut(self, cut: Column) -> tuple[Column, Column]:
+        """(strictly-before, all-equal) comparisons of each row's
+        declared-order key tuple against the scalar cutoff struct,
+        honoring per-key direction and Spark null placement
+        (asc=nulls first, desc=nulls last); null-safe throughout."""
+        keys = list(self.order)
+        before = F.lit(False)
+        eq = F.lit(True)
+        for i in reversed(range(len(keys))):
+            c, asc = keys[i]
+            a = self._sort_key(c)
+            b = cut.getField(f"k{i}")
+            if asc:
+                lt = (a.isNull() & b.isNotNull()) | (a < b)
+            else:
+                lt = (b.isNull() & a.isNotNull()) | (a > b)
+            before = lt | (a.eqNullSafe(b) & before)
+            eq = a.eqNullSafe(b) & eq
+        return F.coalesce(before, F.lit(False)), eq
 
     def _latched(self, cond: Column, keep_before: bool) -> "Frame":
         """Shared engine for take_while/drop_while: two-pass scalar
@@ -302,30 +360,13 @@ class Frame:
         keep all (TakeWhile) / none (DropWhile).
         """
         order_exprs = self._order_cols()  # raises if no declared order
-        keys = list(self.order)
         cut = (
             self._df.filter(~cond)
             .orderBy(*order_exprs)
             .limit(1)
-            .select(F.struct(
-                *[self._sort_key(c).alias(f"k{i}")
-                  for i, (c, _) in enumerate(keys)]
-            ).alias("__cp_cut__"))
+            .select(self._order_key_struct().alias("__cp_cut__"))
         ).scalar()  # uncorrelated scalar subquery: Filter(... Subquery)
-        # lexicographic strictly-before-cutoff, honoring per-key
-        # direction and Spark null placement (asc=nulls first,
-        # desc=nulls last), built innermost-key outward
-        before = F.lit(False)
-        for i in reversed(range(len(keys))):
-            c, asc = keys[i]
-            a = self._sort_key(c)
-            b = cut.getField(f"k{i}")
-            if asc:
-                lt = (a.isNull() & b.isNotNull()) | (a < b)
-            else:
-                lt = (b.isNull() & a.isNotNull()) | (a > b)
-            before = lt | (a.eqNullSafe(b) & before)
-        before = F.coalesce(before, F.lit(False))
+        before, _ = self._lex_vs_cut(cut)
         keep = F.when(cut.isNull(), F.lit(keep_before)) \
             .otherwise(before if keep_before else ~before)
         return self._wrap(self._df.filter(keep))

@@ -45,3 +45,39 @@ def test_topk_sorted(spark, sf_dir):
     got = [r["c_custkey"] for r in f.to_rows()]
     assert got == sorted(got)  # lexicographic
     assert len(got) == 3
+
+
+def test_drop_exact_with_boundary_ties(spark):
+    """drop(n) where the n-th position falls INSIDE a run of tied keys
+    must still drop exactly n rows (the scalar-cutoff impl resolves
+    boundary ties via a count-below + tie-group row_number)."""
+    rows = [{"k": "a", "i": "1"}, {"k": "a", "i": "2"},
+            {"k": "b", "i": "3"}, {"k": "b", "i": "4"}, {"k": "b", "i": "5"},
+            {"k": "c", "i": "6"}]
+    f = take_rows(spark, rows).ordered_by("k")
+    for n in range(0, 8):
+        got = f.drop(n).to_rows()
+        assert len(got) == max(0, 6 - n), f"n={n}"
+        # every fully-after key group survives intact
+        kept_keys = [r["k"] for r in got]
+        assert kept_keys == sorted(kept_keys), f"n={n}"
+    # boundary inside the 'b' run: exactly one b survives, plus c
+    assert sorted(r["k"] for r in f.drop(4).to_rows()) == ["b", "c"]
+
+
+def test_drop_desc_order_and_overrun(spark):
+    f = take_rows(spark, [{"v": x} for x in "abcde"]).ordered_by(
+        "v", ascending=False)
+    assert [r["v"] for r in f.drop(2).to_rows()] == ["c", "b", "a"]
+    assert f.drop(5).count() == 0
+    assert f.drop(99).count() == 0
+
+
+def test_drop_plan_has_no_global_sort_offset(spark, sf_dir):
+    """drop over a declared order must plan the parallel top-n cutoff
+    (TakeOrderedAndProject), not a single-partition global sort+offset."""
+    import __spark_entry__ as em
+
+    plan = em.queries()["drop_offset"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
