@@ -1355,6 +1355,62 @@ def q_content_flags(spark, sf_dir):
     return content_flags(load_table(spark, sf_dir, "documents").df)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Typed PII redaction (emails/URLs/IPs/phones → placeholder
+    tokens), zero-shuffle chained regexp_replace
+    (operators/text.py::pii_scrub)."""
+    from csvplus_spark.operators.text import pii_scrub
+
+    return pii_scrub(load_table(spark, sf_dir, "documents").df)
+
+
+def q_boilerplate(spark, sf_dir):
+    """Cross-doc boilerplate line removal: strip exact lines shared by
+    ≥3 distinct docs, preserve remaining line order
+    (operators/text.py::remove_boilerplate)."""
+    from csvplus_spark.operators.text import remove_boilerplate
+
+    return remove_boilerplate(load_table(spark, sf_dir, "documents").df,
+                              min_docs=3)
+
+
+_PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+           '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+           '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') <> text AS changed
+FROM documents
+"""
+
+
+_BOILERPLATE_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents
+),
+hot AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM lines WHERE line NOT IN (SELECT line FROM hot)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(c.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+"""
+
+
 _CONTENT_FLAGS_SQL = r"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text),
@@ -1926,6 +1982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
         "content_flags": q_content_flags,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate": q_boilerplate,
         "contamination": q_contamination,
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
@@ -2097,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "repetition_stats": _REPETITION_SQL,
         "content_flags": _CONTENT_FLAGS_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "boilerplate": _BOILERPLATE_SQL,
         "contamination": _CONTAMINATION_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

@@ -53,6 +53,8 @@ HEADLINE = [
     "bpe_counts",
     "repetition_stats",
     "content_flags",
+    "pii_scrub",
+    "boilerplate",
     "quantize_embeddings",
     "rand_proj",
     "normalize_embeddings",

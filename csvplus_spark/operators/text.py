@@ -421,6 +421,103 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     return grams.mapInPandas(scan, out_schema)
 
 
+#: PII scrub patterns — case-preserving (the scrub rewrites ORIGINAL
+#: text, unlike the lowercased content_flags counters) and RE2-safe so
+#: the DuckDB oracle applies byte-identical rewrites. Applied in a
+#: FIXED order: URL first (urls may embed '@' and digits), then email,
+#: then IPv4, then phone-ish (which would otherwise eat IPs).
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / URLs / IPv4s / phone-ish numbers with typed
+    placeholder tokens — the standard pre-training PII pass.
+
+    Pure chained ``regexp_replace`` (JVM codegen, no UDF, zero
+    shuffle); scale cost is one narrow map over the corpus. Returns
+    (id, scrubbed, changed).
+    """
+    out = F.col(text_col)
+    for pat, token in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.select(
+        F.col(id_col),
+        out.alias("scrubbed"),
+        (out != F.col(text_col)).alias("changed"),
+    )
+
+
+def boilerplate_lines(df: DataFrame, min_docs: int = 5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Lines whose exact text appears in ≥ ``min_docs`` DISTINCT docs
+    (headers, footers, nav chrome — the CCNet/RefinedWeb boilerplate
+    signal). Blank-after-trim lines are never counted.
+
+    Shape: split+explode, then ONE two-phase hash-aggregate keyed by
+    line text (map-side partials; near-uniform key distribution since
+    boilerplate is by definition high-frequency but the key space is
+    all distinct lines). Returns (line, n_docs).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(df: DataFrame, min_docs: int = 5,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Strip cross-doc boilerplate lines from every document, keeping
+    the remaining lines in order. Returns (id, clean_text) for EVERY
+    input doc (all-boilerplate docs yield '').
+
+    Scale shape: the boilerplate line set is small by construction
+    (lines repeated across ≥ min_docs docs), so the line-level
+    anti-join broadcasts it; reassembly is one groupBy(id) with an
+    in-memory sort of each doc's surviving (pos, line) pairs — bounded
+    by document size, no window, no global sort.
+    """
+    hot = boilerplate_lines(df, min_docs, text_col, id_col).select("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    clean = (
+        lines.join(F.broadcast(hot), "line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-k TF-IDF terms per document: score = tf · ln(N/df).

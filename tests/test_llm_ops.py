@@ -683,3 +683,44 @@ def test_ngram_hot_probe_optout_same_pairs(spark, sf_dir):
     no_probe = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
                 for r in ngram_jaccard_pairs(docs, 0.6, hot_df=None).collect()}
     assert with_probe == no_probe and with_probe
+
+
+def test_pii_scrub_order_and_tokens(spark):
+    from csvplus_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail Bob.J+x@Example.COM or visit https://a.b/c?u=1@2 now"),
+         (2, "server 10.0.0.1 tel +1 (415) 555-0101 end"),
+         (3, "clean text")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["scrubbed"], r["changed"])
+           for r in pii_scrub(docs).collect()}
+    # URL scrubbed FIRST, so the '@' inside it never becomes an email
+    assert got[1] == ("mail <EMAIL> or visit <URL> now", True)
+    # IP scrubbed before phone-ish so the dots don't feed the phone regex
+    assert got[2] == ("server <IP> tel <PHONE> end", True)
+    assert got[3] == ("clean text", False)
+
+
+def test_boilerplate_removal_keeps_order(spark):
+    from csvplus_spark.operators.text import (boilerplate_lines,
+                                              remove_boilerplate)
+
+    mk = "COMMON HEADER\n{}\nCOMMON FOOTER"
+    docs = spark.createDataFrame(
+        [(1, mk.format("unique one")), (2, mk.format("unique two")),
+         (3, mk.format("unique three")), (4, "all original\nlines here")],
+        "doc_id long, text string")
+    hot = {r["line"] for r in boilerplate_lines(docs, min_docs=3).collect()}
+    assert hot == {"COMMON HEADER", "COMMON FOOTER"}
+    got = {r["doc_id"]: r["clean_text"]
+           for r in remove_boilerplate(docs, min_docs=3).collect()}
+    assert got == {1: "unique one", 2: "unique two", 3: "unique three",
+                   4: "all original\nlines here"}
+    # every doc survives, even one that is ALL boilerplate
+    all_bp = spark.createDataFrame(
+        [(i, "SAME\nSAME") for i in range(4)], "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in remove_boilerplate(all_bp, min_docs=3).collect()}
+    # blank-after-trim joins of removed lines collapse to ''
+    assert set(out) == {0, 1, 2, 3} and all(v == "" for v in out.values())
