@@ -16,6 +16,7 @@ native-layer extension.
 from __future__ import annotations
 
 import glob as _glob
+import os as _os
 from typing import Mapping
 
 from pyspark.sql import SparkSession
@@ -121,6 +122,14 @@ class Reader:
         anything else (s3://, hdfs://, …) falls back to a 1-row
         spark.read.text — still O(1) I/O (one line of one file)."""
         paths = sorted(_glob.glob(self.path)) or [self.path]
+        if _os.path.isdir(paths[0]):
+            # directory source (the streaming landing-zone case): peek
+            # the first file inside
+            inner = sorted(p for p in _glob.glob(_os.path.join(paths[0], "*"))
+                           if _os.path.isfile(p))
+            if not inner:
+                raise HeaderError("missing or empty header line")
+            paths = inner
         if "://" in self.path:
             rows = self.spark.read.text(self.path).limit(1).collect()
             line = rows[0][0] if rows else ""
@@ -242,10 +251,9 @@ class Reader:
             .drop("__b__", "__bline__", "__nf__")
         )
 
-    def to_frame(self) -> Frame:
-        has_header, names = self._resolve_header()
+    def _apply_options(self, reader, has_header: bool):
         reader = (
-            self.spark.read.option("sep", self._delimiter)
+            reader.option("sep", self._delimiter)
             .option("header", has_header)
             .option("inferSchema", self._infer)
             .option("mode", "PERMISSIVE" if self._num_fields == -1 else "FAILFAST")
@@ -265,7 +273,11 @@ class Reader:
             #   "x"y"      -> xy    (Go: x"y")   <- known divergence
             #   "1,z,w EOF -> error (Go: accepts to EOF) <- known divergence
             reader = reader.option("unescapedQuoteHandling", "BACK_TO_DELIMITER")
-        df = reader.csv(self.path)
+        return reader
+
+    def _postprocess(self, df, names):
+        """Header-naming contract, width checks, ''-padding, and scan
+        projection — shared verbatim by the batch and streaming paths."""
         if names is not None:
             if len(df.columns) < len(names):
                 gone = [n for i, n in enumerate(names) if i >= len(df.columns)]
@@ -292,7 +304,35 @@ class Reader:
             if missing:
                 raise ColumnNotFoundError(missing, "at scan")
             df = df.select(*self._select)
+        return df
+
+    def to_frame(self) -> Frame:
+        has_header, names = self._resolve_header()
+        df = self._apply_options(self.spark.read, has_header).csv(self.path)
+        df = self._postprocess(df, names)
         return Frame(df, None, string_mode=not self._infer).with_ingest_order()
+
+    def to_stream(self, max_files_per_trigger: int | None = None):
+        """Structured Streaming twin of :meth:`to_frame`: watch ``path``
+        as a directory of arriving CSV files with the SAME option
+        surface and header/naming/width/padding contract (reference
+        format, unbounded arrival — e.g. a crawler landing zone).
+
+        CSV has no footer, so the readStream schema comes from a batch
+        probe of the files already present (driver-side metadata only);
+        every per-row contract (width check, ''-padding, projection)
+        is a Column expression, so it applies unchanged to each
+        micro-batch. Returns a streaming DataFrame (no ingest order —
+        arrival order is not meaningful across micro-batches; use
+        ``fingerprinted``/``stream_dedup`` downstream for ingest dedup).
+        """
+        has_header, names = self._resolve_header()
+        probe = self._apply_options(self.spark.read, has_header).csv(self.path)
+        reader = self._apply_options(
+            self.spark.readStream.schema(probe.schema), has_header)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return self._postprocess(reader.csv(self.path), names)
 
 
 def from_file(spark: SparkSession, path: str) -> Reader:

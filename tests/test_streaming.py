@@ -3,6 +3,8 @@
 
 import shutil
 
+import pytest
+
 from csvplus_spark import load_table
 from csvplus_spark.streaming.events import (
     session_agg,
@@ -162,3 +164,44 @@ def test_stream_dedup_first_arrival_wins(spark, tmp_path):
     rows = spark.sql("SELECT text, count(*) AS n FROM sdedup GROUP BY text").collect()
     got = {r["text"]: r["n"] for r in rows}
     assert got == {"aaa": 1, "bbb": 1, "ccc": 1}
+
+
+def test_streaming_csv_matches_batch(spark, tmp_path):
+    """Reader.to_stream(): the reference's own format as a streaming
+    source — same options/header/width/padding contract per micro-batch;
+    an availableNow run over 2 arriving files equals the batch read."""
+    from csvplus_spark import from_file
+
+    src = tmp_path / "csv_landing"
+    src.mkdir()
+    (src / "a.csv").write_text("id;name;score\n1;ann;10\n2;bo;20\n")
+    (src / "b.csv").write_text("id;name;score\n3;cy;30\n4;dee\n")  # short row
+
+    def rd(path):
+        return (from_file(spark, path).delimiter(";").num_fields_any()
+                .select_columns("id", "score"))
+
+    stream = rd(str(src)).to_stream(max_files_per_trigger=1)
+    q = (stream.writeStream.format("memory").queryName("csv_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # two files → ≥2 micro-batches
+    got = {(r["id"], r["score"])
+           for r in spark.sql("SELECT * FROM csv_stream_test").collect()}
+    batch = {(r["id"], r["score"]) for r in rd(str(src)).to_frame().to_rows()}
+    assert got == batch
+    # the short row was padded with "" not NULL, exactly like batch
+    assert ("4", "") in got
+
+
+def test_streaming_csv_expect_header_contract(spark, tmp_path):
+    from csvplus_spark import from_file
+    from csvplus_spark.errors import HeaderError
+
+    src = tmp_path / "csv_hdr"
+    src.mkdir()
+    (src / "a.csv").write_text("x,y\n1,2\n")
+    with pytest.raises(HeaderError, match="misplaced"):
+        from_file(spark, str(src)).expect_header({"y": 0}).to_stream()
+    out = from_file(spark, str(src)).expect_header({"x": 0, "y": 1}).to_stream()
+    assert out.isStreaming and out.columns == ["x", "y"]
