@@ -1355,6 +1355,68 @@ def q_content_flags(spark, sf_dir):
     return content_flags(load_table(spark, sf_dir, "documents").df)
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Data-mixture curation: per-source token budgets filled by a
+    deterministic hash-ordered doc prefix
+    (operators/sampling.py::token_budget_mix). Weight = n_chars (the
+    documents table's precomputed size column)."""
+    from csvplus_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return token_budget_mix(
+        docs, {"web": 20_000, "books": 10_000}, group_col="source",
+        weight_col="n_chars", default_budget=5_000,
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_rarity(spark, sf_dir):
+    """Corpus-trained mean inverse token frequency quality signal,
+    integer-exact across engines (operators/text.py::rarity_score)."""
+    from csvplus_spark.operators.text import rarity_score
+
+    return rarity_score(load_table(spark, sf_dir, "documents").df)
+
+
+_TOKEN_BUDGET_MIX_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substring(
+                       md5('mix' || '|' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM ranked
+WHERE run <= CASE source WHEN 'web' THEN 20000
+                         WHEN 'books' THEN 10000
+                         ELSE 5000 END
+"""
+
+
+_RARITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS ct FROM tok GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+per AS (
+  SELECT doc_id,
+         SUM(CAST(floor(t / ct) AS BIGINT)) AS s,
+         COUNT(*) AS n_tokens
+  FROM tok JOIN freq USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(CAST(p.s AS DOUBLE) / p.n_tokens, 0.0) AS rarity
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """Typed PII redaction (emails/URLs/IPs/phones → placeholder
     tokens), zero-shuffle chained regexp_replace
@@ -1984,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_flags": q_content_flags,
         "pii_scrub": q_pii_scrub,
         "boilerplate": q_boilerplate,
+        "token_budget_mix": q_token_budget_mix,
+        "rarity": q_rarity,
         "contamination": q_contamination,
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
@@ -2157,6 +2221,8 @@ def oracle_sql() -> dict[str, str]:
         "content_flags": _CONTENT_FLAGS_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "boilerplate": _BOILERPLATE_SQL,
+        "token_budget_mix": _TOKEN_BUDGET_MIX_SQL,
+        "rarity": _RARITY_SQL,
         "contamination": _CONTAMINATION_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

@@ -55,6 +55,8 @@ HEADLINE = [
     "content_flags",
     "pii_scrub",
     "boilerplate",
+    "token_budget_mix",
+    "rarity",
     "quantize_embeddings",
     "rand_proj",
     "normalize_embeddings",

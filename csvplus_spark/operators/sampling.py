@@ -106,3 +106,48 @@ def train_val_test_split(df: DataFrame, key_cols: Sequence[str] | str,
         .otherwise(F.lit("train"))
     )
     return df.withColumn(out_col, label)
+
+
+def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
+                     group_col: str = "source",
+                     weight_col: str = "n_tokens",
+                     key_cols: Sequence[str] | str = "doc_id",
+                     default_budget: int = 0,
+                     salt: str = "mix") -> DataFrame:
+    """Data-mixture curation: fill each group's token budget with a
+    deterministic document prefix — the primitive behind "train on
+    30B tokens of web + 5B of code" mixture specs.
+
+    Docs are ordered within each group by (hash60(salt|key), key) —
+    the same stable order :func:`cap_per_group` uses, so membership is
+    reproducible across runs/engines and monotone: raising a group's
+    budget only ever ADDS docs. A doc is kept while the group's
+    running token total INCLUDING it stays ≤ budget (prefix rule: the
+    first overshooting doc and everything after it is dropped, which
+    keeps the kept-set a pure function of the budget — no greedy
+    skip-ahead that would make membership depend on later rows).
+
+    Scale: integer weights, one window shuffle keyed by ``group_col``
+    (per-group partitions, parallel across groups); running sum of
+    bigints → no float-order nondeterminism.
+    """
+    from pyspark.sql import Window
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash60(key), *[F.col(c) for c in key_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    budget = None
+    for value, b in sorted(budgets.items()):
+        cond = F.col(group_col) == value
+        lit = F.lit(int(b))
+        budget = F.when(cond, lit) if budget is None else budget.when(cond, lit)
+    budget = (budget.otherwise(F.lit(int(default_budget)))
+              if budget is not None else F.lit(int(default_budget)))
+    run = "__cp_mix_run__"
+    return (
+        df.withColumn(run, F.sum(F.col(weight_col).cast("long")).over(w))
+        .filter(F.col(run) <= budget)
+        .drop(run)
+    )

@@ -518,6 +518,48 @@ def remove_boilerplate(df: DataFrame, min_docs: int = 5,
     )
 
 
+def rarity_score(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained mean inverse token frequency — a cheap
+    rare-vocabulary / OOV-ness quality signal (high = unusual words,
+    near 1 = every token is corpus-common). The self-trained stand-in
+    for an external-LM perplexity filter.
+
+    Cross-engine-exact BY CONSTRUCTION (NOTES determinism rules): the
+    per-token rarity ``floor(total_tokens / freq(token))`` is integer
+    math (double division + floor of <2^53 longs is IEEE-identical in
+    both engines), the per-doc SUM is a bigint sum (order-independent,
+    unlike float means), and only the final per-doc ratio divides once.
+    Shape: one explode, one vocab aggregate, one equi-join on term,
+    one per-doc aggregate; N(tokens) is a scalar subquery — fully lazy.
+    Returns (id, n_tokens, rarity); token-less docs get rarity 0.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__cp_ct__"))
+    total = tok.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+    per_doc = (
+        tok.join(freq, "term")
+        .select(F.col(id_col),
+                F.floor(total / F.col("__cp_ct__")).alias("__cp_r__"))
+        .groupBy(id_col)
+        .agg(F.sum("__cp_r__").alias("__cp_s__"),
+             F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(
+                F.col("__cp_s__").cast("double") / F.col("n_tokens"),
+                F.lit(0.0),
+            ).alias("rarity"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-k TF-IDF terms per document: score = tf · ln(N/df).

@@ -724,3 +724,39 @@ def test_boilerplate_removal_keeps_order(spark):
            for r in remove_boilerplate(all_bp, min_docs=3).collect()}
     # blank-after-trim joins of removed lines collapse to ''
     assert set(out) == {0, 1, 2, 3} and all(v == "" for v in out.values())
+
+
+def test_token_budget_mix_prefix_and_monotone(spark):
+    from csvplus_spark.operators.sampling import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 8 else "code", 100) for i in range(12)],
+        "doc_id long, source string, n_tokens long")
+    small = token_budget_mix(docs, {"web": 300}, weight_col="n_tokens")
+    big = token_budget_mix(docs, {"web": 500}, weight_col="n_tokens")
+    s = {r["doc_id"] for r in small.collect()}
+    b = {r["doc_id"] for r in big.collect()}
+    assert len(s) == 3 and len(b) == 5  # exact prefix fill at 100/doc
+    assert s < b                        # monotone: bigger budget ⊇ smaller
+    # default budget 0 drops unlisted groups entirely
+    assert not {r["doc_id"] for r in small.collect() if r["doc_id"] >= 8}
+    # deterministic across recomputation
+    assert {r["doc_id"] for r in token_budget_mix(
+        docs, {"web": 300}, weight_col="n_tokens").collect()} == s
+
+
+def test_rarity_score_values(spark):
+    from csvplus_spark.operators.text import rarity_score
+
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "common unique"), (3, "")],
+        "doc_id long, text string")
+    # corpus: common x4, unique x1, total 5 tokens
+    got = {r["doc_id"]: (r["n_tokens"], r["rarity"])
+           for r in rarity_score(docs).collect()}
+    # doc1: floor(5/4)=1 per token -> 3/3 = 1.0
+    assert got[1] == (3, 1.0)
+    # doc2: floor(5/4)=1, floor(5/1)=5 -> 6/2 = 3.0
+    assert got[2] == (2, 3.0)
+    # empty doc survives with rarity 0
+    assert got[3] == (0, 0.0)
