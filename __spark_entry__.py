@@ -1417,6 +1417,26 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
+def q_profile(spark, sf_dir):
+    """One-pass per-column profile of orders: rows / nulls / exact
+    distincts (operators/profile.py::profile_columns)."""
+    from csvplus_spark.operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "orders").df)
+
+
+def _profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_pii_scrub(spark, sf_dir):
     """Typed PII redaction (emails/URLs/IPs/phones → placeholder
     tokens), zero-shuffle chained regexp_replace
@@ -2048,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "token_budget_mix": q_token_budget_mix,
         "rarity": q_rarity,
+        "profile": q_profile,
         "contamination": q_contamination,
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
@@ -2223,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": _BOILERPLATE_SQL,
         "token_budget_mix": _TOKEN_BUDGET_MIX_SQL,
         "rarity": _RARITY_SQL,
+        "profile": _profile_sql(),
         "contamination": _CONTAMINATION_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

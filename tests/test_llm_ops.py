@@ -760,3 +760,14 @@ def test_rarity_score_values(spark):
     assert got[2] == (2, 3.0)
     # empty doc survives with rarity 0
     assert got[3] == (0, 0.0)
+
+
+def test_profile_columns_counts(spark):
+    from csvplus_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (3, "b", None)],
+        "id long, s string, v double")
+    got = {r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in profile_columns(df).collect()}
+    assert got == {"id": (4, 0, 3), "s": (4, 1, 2), "v": (4, 2, 1)}
