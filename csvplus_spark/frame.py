@@ -16,10 +16,11 @@ Two semantics knobs, per SURVEY.md §7:
     instead of an implicit file order.
 
 Scale notes: all combinators are narrow or Catalyst-planned (pushdown,
-pruning and join selection are free); the only intentionally
-sequential-semantics ops are take_while/drop_while, which use a global
-window — they are O(n log n) with a single-partition sort window and
-documented as such (their semantics are inherently total-order).
+pruning and join selection are free). The total-order ops
+(take_while/drop_while/drop) compile to two-pass scalar cutoffs —
+parallel top-k subquery + parallel filter — never a single-partition
+sort or global window (plan-guarded in tests/test_guards.py and
+tests/test_order_ops.py).
 """
 
 from __future__ import annotations

@@ -849,8 +849,8 @@ def simhash_reps(df: DataFrame, max_hamming: int = 3,
 
     Defaults to the 60-bit hash (all of md5's ``hash60``), which is
     discriminating at Hamming ≤ 3 even on template-heavy corpora —
-    the 32-bit default of ``simhash_near_pairs`` is kept only for
-    compatibility with small-corpus fingerprint tables.
+    ``simhash_near_pairs`` shares the 60-bit default; its 32-bit width
+    is opt-in legacy for existing small-corpus fingerprint tables.
 
     Shape: Hamming depends only on the hash, so the component graph is
     built over DISTINCT simhash values — duplicate-text docs (Hamming

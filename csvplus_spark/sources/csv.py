@@ -312,27 +312,62 @@ class Reader:
         df = self._postprocess(df, names)
         return Frame(df, None, string_mode=not self._infer).with_ingest_order()
 
-    def to_stream(self, max_files_per_trigger: int | None = None):
+    def to_stream(self, max_files_per_trigger: int | None = None,
+                  schema=None):
         """Structured Streaming twin of :meth:`to_frame`: watch ``path``
-        as a directory of arriving CSV files with the SAME option
-        surface and header/naming/width/padding contract (reference
-        format, unbounded arrival — e.g. a crawler landing zone).
+        as a directory of arriving CSV files with the same option
+        surface and header/naming/padding contract (reference format,
+        unbounded arrival — e.g. a crawler landing zone).
 
-        CSV has no footer, so the readStream schema comes from a batch
-        probe of the files already present (driver-side metadata only);
-        every per-row contract (width check, ''-padding, projection)
-        is a Column expression, so it applies unchanged to each
-        micro-batch. Returns a streaming DataFrame (no ingest order —
-        arrival order is not meaningful across micro-batches; use
-        ``fingerprinted``/``stream_dedup`` downstream for ingest dedup).
+        Schema: pass ``schema`` explicitly (StructType or DDL string)
+        for a cold start on an EMPTY landing directory and for large
+        ``typed()`` directories — without it, the schema comes from a
+        batch probe of the files already present, which for untyped
+        readers is header metadata but for ``typed()`` readers runs
+        Spark's inferSchema scan over the existing files.
+
+        Per-row width checks (``num_fields(k)``/``num_fields_auto``)
+        are BATCH-ONLY: their line-number lineage needs a static text
+        snapshot (and monotonically_increasing_id, which streaming
+        forbids) — requesting them here raises immediately instead of
+        failing at stream start. ``num_fields_any`` ''-padding and the
+        scan projection are plain Column exprs and apply per
+        micro-batch. With an explicit ``schema``, ``expect_header``'s
+        eager header-row validation is skipped (a cold start has no
+        file to validate against). Returns a streaming DataFrame (no
+        ingest order — arrival order is not meaningful across
+        micro-batches; use ``fingerprinted``/``stream_dedup``
+        downstream for ingest dedup).
         """
-        has_header, names = self._resolve_header()
-        probe = self._apply_options(self.spark.read, has_header).csv(self.path)
+        if (self._num_fields is not None and self._num_fields > 0) \
+                or self._width_auto:
+            raise HeaderError(
+                "per-row field-count checks are batch-only (line-number "
+                "lineage needs a static file snapshot); use "
+                "num_fields_any() for streams, or validate widths in a "
+                "foreachBatch sink"
+            )
+        has_header, names = self._resolve_header() if schema is None \
+            else (self._assume_header is None, self._header_names())
+        if schema is None:
+            schema = self._apply_options(
+                self.spark.read, has_header).csv(self.path).schema
         reader = self._apply_options(
-            self.spark.readStream.schema(probe.schema), has_header)
+            self.spark.readStream.schema(schema), has_header)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return self._postprocess(reader.csv(self.path), names)
+
+    def _header_names(self):
+        """assume_header positional names without touching any file
+        (the explicit-schema cold-start path)."""
+        if self._assume_header is None:
+            return None
+        width = max(self._assume_header.values()) + 1
+        names = [f"_c{i}" for i in range(width)]
+        for name, pos in self._assume_header.items():
+            names[pos] = name
+        return names
 
 
 def from_file(spark: SparkSession, path: str) -> Reader:

@@ -77,8 +77,26 @@ def stream_events(spark: SparkSession, source_dir: str,
     from ..sources.parquet import configure_parquet_session, normalize_timestamps
 
     configure_parquet_session(spark)
-    # footer-only probe: schema as the streaming source will see it
-    schema = spark.read.parquet(source_dir).schema
+    try:
+        # footer-only probe: schema as the streaming source will see it
+        schema = spark.read.parquet(source_dir).schema
+    except Exception:
+        # EMPTY landing directory (cold start before the first file
+        # arrives): fall back to the documented events layout — µs
+        # TIMESTAMP_NTZ ts, which normalize_timestamps casts the same
+        # way it would for a probed schema
+        from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                       StructField, StructType,
+                                       TimestampNTZType)
+
+        schema = StructType([
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ])
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

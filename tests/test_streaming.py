@@ -205,3 +205,33 @@ def test_streaming_csv_expect_header_contract(spark, tmp_path):
         from_file(spark, str(src)).expect_header({"y": 0}).to_stream()
     out = from_file(spark, str(src)).expect_header({"x": 0, "y": 1}).to_stream()
     assert out.isStreaming and out.columns == ["x", "y"]
+
+
+def test_streaming_cold_start_empty_dirs(spark, tmp_path):
+    """Streams must be creatable on an EMPTY landing directory (the
+    canonical cold start): events falls back to the documented layout;
+    CSV takes an explicit schema; batch-only width checks raise an
+    honest error instead of a streaming AnalysisException."""
+    from csvplus_spark import from_file
+    from csvplus_spark.errors import HeaderError
+    from csvplus_spark.streaming.events import stream_events
+
+    ev_dir = tmp_path / "empty_events"
+    ev_dir.mkdir()
+    ev = stream_events(spark, str(ev_dir))
+    assert ev.isStreaming and str(ev.schema["ts"].dataType) == "TimestampType()"
+
+    csv_dir = tmp_path / "empty_csv"
+    csv_dir.mkdir()
+    st = from_file(spark, str(csv_dir)).assume_header({"a": 0, "b": 1}) \
+        .to_stream(schema="_c0 string, _c1 string")
+    assert st.isStreaming and st.columns == ["a", "b"]
+    # stream actually runs once a file arrives
+    (csv_dir / "f.csv").write_text("1,2\n3,4\n")
+    q = (st.writeStream.format("memory").queryName("cold_csv")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) AS n FROM cold_csv").collect()[0]["n"] == 2
+
+    with pytest.raises(HeaderError, match="batch-only"):
+        from_file(spark, str(csv_dir)).num_fields(2).to_stream()
