@@ -530,6 +530,46 @@ def q_intersect(spark, sf_dir):
     return c.intersect(s)
 
 
+def q_except_all(spark, sf_dir):
+    """EXCEPT ALL multiset difference (extension, SURVEY §2.7): each
+    supplier key cancels ONE occurrence among lineitem supplier keys —
+    multiplicities survive. Aggregated to stay output-stable."""
+    li = load_table(spark, sf_dir, "lineitem").df \
+        .select(F.col("l_suppkey").cast("int").alias("suppkey"))
+    s = load_table(spark, sf_dir, "supplier").df \
+        .select(F.col("s_suppkey").cast("int").alias("suppkey"))
+    return (li.exceptAll(s)
+            .groupBy("suppkey").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL multiset intersection (extension, SURVEY §2.7):
+    min(multiplicity) copies per duplicated orders key pair."""
+    a = load_table(spark, sf_dir, "orders").df \
+        .select(F.col("o_custkey").cast("int").alias("custkey"))
+    b = load_table(spark, sf_dir, "lineitem").df \
+        .select(F.col("l_orderkey").cast("int").alias("custkey"))
+    return (a.intersectAll(b)
+            .groupBy("custkey").agg(F.count(F.lit(1)).alias("n")))
+
+
+_EXCEPT_ALL_SQL = """
+SELECT suppkey, COUNT(*) AS n FROM (
+  SELECT CAST(l_suppkey AS INTEGER) AS suppkey FROM lineitem
+  EXCEPT ALL
+  SELECT CAST(s_suppkey AS INTEGER) FROM supplier
+) GROUP BY 1
+"""
+
+_INTERSECT_ALL_SQL = """
+SELECT custkey, COUNT(*) AS n FROM (
+  SELECT CAST(o_custkey AS INTEGER) AS custkey FROM orders
+  INTERSECT ALL
+  SELECT CAST(l_orderkey AS INTEGER) FROM lineitem
+) GROUP BY 1
+"""
+
+
 def q_agg_distinct(spark, sf_dir):
     """Exact distinct-count aggregates (extension, SURVEY §2.4)."""
     li = load_table(spark, sf_dir, "lineitem").df
@@ -2031,6 +2071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "window_running": q_window_running,
         "intersect": q_intersect,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
         "agg_distinct": q_agg_distinct,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
@@ -2209,6 +2251,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": _ROLLUP_SQL,
         "window_running": _WINDOW_RUNNING_SQL,
         "intersect": _INTERSECT_SQL,
+        "except_all": _EXCEPT_ALL_SQL,
+        "intersect_all": _INTERSECT_ALL_SQL,
         "agg_distinct": _AGG_DISTINCT_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "multimodal_meta": _MULTIMODAL_SQL,

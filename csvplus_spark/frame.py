@@ -498,7 +498,14 @@ class Frame:
         return Frame(self.df.intersect(other.df), None, self.string_mode)
 
     def except_all(self, other: "Frame") -> "Frame":
+        """Multiset difference (SQL EXCEPT ALL): each match removes ONE
+        occurrence, so duplicate multiplicities survive arithmetic."""
         return Frame(self.df.exceptAll(other.df), None, self.string_mode)
+
+    def intersect_all(self, other: "Frame") -> "Frame":
+        """Multiset intersection (SQL INTERSECT ALL): keeps
+        min(multiplicity_left, multiplicity_right) copies per row."""
+        return Frame(self.df.intersectAll(other.df), None, self.string_mode)
 
     # ------------------------------------------------------------------
     # partitioning control (scale knobs; no reference counterpart)

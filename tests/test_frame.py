@@ -157,3 +157,14 @@ def test_nested_ntz_timestamps_normalized(spark, tmp_path):
     # nested value round-trips to the same wall-clock instant as the plain one
     assert rows[0]["nested"]["inner_ts"] == rows[0]["plain"]
     assert rows[0]["arr"][0] == rows[0]["plain"]
+
+
+def test_multiset_ops_multiplicities(spark):
+    from csvplus_spark import take_rows
+
+    a = take_rows(spark, [{"v": x} for x in ["a", "a", "a", "b", "c"]])
+    b = take_rows(spark, [{"v": x} for x in ["a", "b", "b"]])
+    ex = sorted(r["v"] for r in a.except_all(b).to_rows())
+    assert ex == ["a", "a", "c"]  # one 'a' cancelled, 'b' fully cancelled
+    ix = sorted(r["v"] for r in a.intersect_all(b).to_rows())
+    assert ix == ["a", "b"]  # min multiplicity per value
