@@ -570,6 +570,61 @@ SELECT custkey, COUNT(*) AS n FROM (
 """
 
 
+def q_top_ties(spark, sf_dir):
+    """FETCH FIRST n ROWS WITH TIES over orders by day: the first
+    n rows PLUS every row tying the n-th day — a deterministic set
+    where plain LIMIT is tie-arbitrary (frame.py::top_with_ties,
+    scalar-cutoff plan)."""
+    f = (
+        load_table(spark, sf_dir, "orders")
+        .with_columns(day=F.date_trunc("day", F.col("o_orderdate")))
+        .select_columns("o_orderkey", "day")
+        .ordered_by("day")
+        .top_with_ties(99)
+    )
+    # timestamps compare as integers cross-engine (NOTES invariant);
+    # n=99 lands mid-day at sf0.01 (cumulative day counts ... 95, 100),
+    # so the tie surplus is real: 100 rows come back for n=99
+    return f.df.select(
+        "o_orderkey", F.unix_micros(F.col("day")).alias("day_us"))
+
+
+_TOP_TIES_SQL = """
+WITH t AS (SELECT o_orderkey, date_trunc('day', o_orderdate) AS day
+           FROM orders)
+SELECT o_orderkey, epoch_us(day) AS day_us
+FROM t
+WHERE day <= (SELECT day FROM t ORDER BY day LIMIT 1 OFFSET 98)
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Explicit skew salting (operators/skew.py::salted_join): lineitem
+    probe salted over 8 buckets, supplier build replicated 8× — must
+    be result-identical to the plain join the oracle runs."""
+    from csvplus_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").df \
+        .select("l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf_dir, "supplier").df \
+        .select("s_suppkey", "s_nationkey")
+    j = salted_join(li, s.withColumnRenamed("s_suppkey", "l_suppkey"),
+                    on="l_suppkey", n_salts=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+_SKEW_SALTED_JOIN_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_items,
+       SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0
+         AS total_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
 def q_agg_distinct(spark, sf_dir):
     """Exact distinct-count aggregates (extension, SURVEY §2.4)."""
     li = load_table(spark, sf_dir, "lineitem").df
@@ -2073,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect": q_intersect,
         "except_all": q_except_all,
         "intersect_all": q_intersect_all,
+        "skew_salted_join": q_skew_salted_join,
+        "top_ties": q_top_ties,
         "agg_distinct": q_agg_distinct,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
@@ -2253,6 +2310,8 @@ def oracle_sql() -> dict[str, str]:
         "intersect": _INTERSECT_SQL,
         "except_all": _EXCEPT_ALL_SQL,
         "intersect_all": _INTERSECT_ALL_SQL,
+        "skew_salted_join": _SKEW_SALTED_JOIN_SQL,
+        "top_ties": _TOP_TIES_SQL,
         "agg_distinct": _AGG_DISTINCT_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "multimodal_meta": _MULTIMODAL_SQL,

@@ -279,6 +279,25 @@ class Frame:
             df = self._df.limit(n)
         return self._wrap(df)
 
+    def top_with_ties(self, n: int) -> "Frame":
+        """SQL ``FETCH FIRST n ROWS WITH TIES`` over the declared
+        order: the first n rows plus every row tying the n-th row's
+        order key — a deterministic SET even when the order has ties
+        (plain :meth:`top` picks an arbitrary tie subset). Same
+        scalar-cutoff family as drop/take_while: parallel top-n
+        subquery + parallel filter, no global window. Fewer than n
+        rows → keep all."""
+        self._order_cols()  # raises if no declared order
+        if n <= 0:
+            return self._wrap(self._df.limit(0))
+        kth = (
+            self._df.orderBy(*self._order_cols()).limit(n).offset(n - 1)
+            .select(self._order_key_struct().alias("__cp_cut__"))
+        ).scalar()
+        before, eq = self._lex_vs_cut(kth)
+        keep = F.when(kth.isNull(), F.lit(True)).otherwise(before | eq)
+        return self._wrap(self._df.filter(keep))
+
     def drop(self, n: int) -> "Frame":
         """Skip first n rows in declared order (Drop, csvplus.go:329-342).
 

@@ -81,3 +81,18 @@ def test_drop_plan_has_no_global_sort_offset(spark, sf_dir):
     plan = em.queries()["drop_offset"](spark, sf_dir)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_top_with_ties(spark):
+    rows = [{"k": "a", "i": "1"}, {"k": "b", "i": "2"}, {"k": "b", "i": "3"},
+            {"k": "b", "i": "4"}, {"k": "c", "i": "5"}]
+    f = take_rows(spark, rows).ordered_by("k")
+    # n=2 lands inside the 'b' run: ALL b ties come back
+    got = sorted(r["i"] for r in f.top_with_ties(2).to_rows())
+    assert got == ["1", "2", "3", "4"]
+    # exact boundary: no surplus
+    assert f.top_with_ties(1).count() == 1
+    assert f.top_with_ties(0).count() == 0
+    assert f.top_with_ties(99).count() == 5  # n > rows keeps all
+    plan = f.top_with_ties(2).df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # scalar-cutoff, not a rank window
