@@ -57,6 +57,9 @@ HEADLINE = [
     "boilerplate",
     "token_budget_mix",
     "rarity",
+    "profile",
+    "top_ties",
+    "skew_salted_join",
     "quantize_embeddings",
     "rand_proj",
     "normalize_embeddings",

@@ -24,7 +24,7 @@ from .functions.predicates import all_, any_, like_, not_
 from .index import Index
 from .session import get_spark
 from .sources import (Reader, from_csv_text, from_file, from_jsonl,
-                      from_parquet, from_text, load_table, read_bucketed,
+                      from_orc, from_parquet, from_text, load_table, read_bucketed,
                       take_rows, write_bucketed)
 
 def take(source) -> Frame:
@@ -50,6 +50,7 @@ __all__ = [
     "from_csv_text",
     "from_parquet",
     "from_jsonl",
+    "from_orc",
     "from_text",
     "load_table",
     "take_rows",

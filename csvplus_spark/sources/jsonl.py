@@ -55,3 +55,19 @@ def from_text(spark: SparkSession, path: str, whole_file: bool = False,
                 F.col("value").alias(text_col))
     )
     return Frame(df, [(id_col, True)], string_mode=False)
+
+
+def from_orc(spark: SparkSession, path: str, string_mode: bool = False) -> Frame:
+    """ORC scan — the other columnar interchange format warehouses
+    hand over. Same Catalyst benefits as parquet (predicate pushdown,
+    column pruning, stripe-level min/max skipping) and the same
+    timestamp normalization, so a corpus delivered as ORC behaves
+    identically to the parquet path.
+    """
+    from .parquet import configure_parquet_session, normalize_timestamps
+
+    configure_parquet_session(spark)
+    df = normalize_timestamps(spark.read.orc(path))
+    if string_mode:
+        df = df.select(*[df[c].cast("string").alias(c) for c in df.columns])
+    return Frame(df, None, string_mode)

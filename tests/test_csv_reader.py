@@ -162,3 +162,22 @@ def test_text_source_line_and_whole_file(spark, tmp_path):
     docs = {r["doc_id"].split("/")[-1]: r["text"] for r in whole.to_rows()}
     assert set(docs) == {"a.txt", "b.txt"}
     assert "with two lines" in docs["b.txt"]
+
+
+def test_orc_roundtrip_matches_parquet_semantics(spark, sf_dir, tmp_path):
+    """from_orc: write the events table (µs timestamps) as ORC, read it
+    back, and assert identical typed values to the parquet path —
+    including the shared timestamp normalization."""
+    from csvplus_spark import from_orc, load_table
+
+    ev = load_table(spark, sf_dir, "events").df.limit(200)
+    orc = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(orc)
+    back = from_orc(spark, orc).df
+    assert str(back.schema["ts"].dataType) == "TimestampType()"
+    import pyspark.sql.functions as F
+    a = {r["event_id"]: r["us"]
+         for r in ev.select("event_id", F.unix_micros("ts").alias("us")).collect()}
+    b = {r["event_id"]: r["us"]
+         for r in back.select("event_id", F.unix_micros("ts").alias("us")).collect()}
+    assert a == b and len(a) == 200

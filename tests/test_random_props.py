@@ -96,3 +96,40 @@ def test_simhash_pairs_match_bruteforce(spark):
             if h <= 3:
                 want[(ids[i], ids[j])] = h
     assert got == want
+
+
+def test_cutoff_order_ops_match_python_oracle(spark):
+    """Randomized guard for the round-5 scalar-cutoff rewrites of
+    drop/top_with_ties/take_while/drop_while: random keys WITH
+    DUPLICATES and random n, compared against a sorted-list oracle.
+    drop/take/drop_while compare as multisets of keys (tie picks are
+    arbitrary by contract); top_with_ties compares exactly (its result
+    set is deterministic even under ties)."""
+    from collections import Counter
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n_rows = rng.randint(1, 30)
+        vals = [str(rng.randint(0, 6)) for _ in range(n_rows)]
+        f = take_rows(spark, [{"v": v} for v in vals]).ordered_by("v")
+        sv = sorted(vals)
+        for n in (0, 1, rng.randint(0, n_rows + 2), n_rows, n_rows + 3):
+            got_drop = [r["v"] for r in f.drop(n).to_rows()]
+            assert Counter(got_drop) == Counter(sv[n:]), (trial, n, vals)
+            got_ties = [r["v"] for r in f.top_with_ties(n).to_rows()]
+            if n == 0 or n > len(sv):
+                expect_ties = [] if n == 0 else sv
+            else:
+                kth = sv[n - 1]
+                expect_ties = [v for v in sv if v <= kth]
+            assert Counter(got_ties) == Counter(expect_ties), (trial, n, vals)
+        # latched while-ops with a mid-range threshold
+        th = str(rng.randint(0, 6))
+        pred = F.col("v") < th
+        cut = 0
+        while cut < len(sv) and sv[cut] < th:
+            cut += 1
+        tw = [r["v"] for r in f.take_while(pred).to_rows()]
+        dw = [r["v"] for r in f.drop_while(pred).to_rows()]
+        assert Counter(tw) == Counter(sv[:cut]), (trial, th, vals)
+        assert Counter(dw) == Counter(sv[cut:]), (trial, th, vals)

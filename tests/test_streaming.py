@@ -235,3 +235,45 @@ def test_streaming_cold_start_empty_dirs(spark, tmp_path):
 
     with pytest.raises(HeaderError, match="batch-only"):
         from_file(spark, str(csv_dir)).num_fields(2).to_stream()
+
+
+def test_streaming_csv_ingest_pipeline_end_to_end(spark, tmp_path):
+    """Full ingest composition: CSV landing zone → to_stream() →
+    fingerprinted → stream_dedup → exactly-once checkpointed parquet.
+    Re-delivered docs across micro-batches are dropped; the sink holds
+    exactly the distinct corpus."""
+    from csvplus_spark import from_file
+    from csvplus_spark.streaming.dedup import fingerprinted, stream_dedup
+    from csvplus_spark.streaming.events import write_stream_parquet
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "b1.csv").write_text(
+        "ts,doc_id,text\n"
+        "2024-01-01 00:00:00,1,alpha doc\n"
+        "2024-01-01 00:01:00,2,beta doc\n")
+    (land / "b2.csv").write_text(
+        "ts,doc_id,text\n"
+        "2024-01-01 00:20:00,3,alpha doc\n"     # re-delivery of text 1
+        "2024-01-01 00:21:00,4,gamma doc\n")
+
+    raw = from_file(spark, str(land)).to_stream(max_files_per_trigger=1)
+    typed = raw.select(F.col("ts").cast("timestamp").alias("ts"),
+                       F.col("doc_id"), F.col("text"))
+    deduped = stream_dedup(fingerprinted(typed), delay="1 hour")
+    q = write_stream_parquet(deduped, str(tmp_path / "clean"),
+                             str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1
+    out = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r["text"] for r in out.select("text").collect()) == \
+        ["alpha doc", "beta doc", "gamma doc"]
+    # restart with the same checkpoint: exactly-once, no re-emission
+    raw2 = from_file(spark, str(land)).to_stream(max_files_per_trigger=1)
+    typed2 = raw2.select(F.col("ts").cast("timestamp").alias("ts"),
+                         F.col("doc_id"), F.col("text"))
+    q2 = write_stream_parquet(stream_dedup(fingerprinted(typed2), delay="1 hour"),
+                              str(tmp_path / "clean"), str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
