@@ -21,6 +21,12 @@ def take_rows(spark: SparkSession, rows: Iterable[Mapping], schema=None,
         cols = sorted({k for r in rows for k in r})
         schema = ", ".join(f"{c} string" for c in cols)
         rows = [{c: (None if r.get(c) is None else str(r.get(c))) for c in cols} for r in rows]
+    if schema is None and not rows:
+        # TakeRows() with no rows is a valid empty source in the
+        # reference (csvplus.go:218-222) — zero columns, zero rows
+        from pyspark.sql.types import StructType
+
+        schema = StructType([])
     df = spark.createDataFrame(rows, schema=schema)
     return Frame(df, None, string_mode).with_ingest_order()
 

@@ -168,3 +168,12 @@ def test_multiset_ops_multiplicities(spark):
     assert ex == ["a", "a", "c"]  # one 'a' cancelled, 'b' fully cancelled
     ix = sorted(r["v"] for r in a.intersect_all(b).to_rows())
     assert ix == ["a", "b"]  # min multiplicity per value
+
+
+def test_take_rows_empty_source(spark):
+    """TakeRows() with no rows is a valid empty source in the reference
+    (csvplus.go:218-222) — must not crash on schema inference."""
+    from csvplus_spark import take_rows
+
+    f = take_rows(spark, [])
+    assert f.count() == 0 and f.to_rows() == []
