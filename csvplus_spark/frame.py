@@ -413,7 +413,8 @@ class Frame:
         conds = []
         for pc, ic in zip(probe, index_cols):
             left = self._df[pc]
-            right = other_df[ic]
+            ren = f"__cp_ix_{ic}__"
+            right = other_df[ren] if ren in other_df.columns else other_df[ic]
             if self.string_mode:
                 left, right = left.cast("string"), right.cast("string")
             # plain SQL equality (nulls never match) — matches both the
@@ -421,6 +422,16 @@ class Frame:
             # csvplus.go:556) and the ANSI-SQL oracle semantics
             conds.append(left == right)
         return conds, probe
+
+    def _index_side(self, index: "Index") -> DataFrame:
+        """The index DataFrame with every column renamed to a
+        collision-proof temp name. The aliases mint FRESH expression
+        ids, so joining a Frame against an index built from that SAME
+        Frame resolves instead of raising an ambiguous-self-join
+        AnalysisException (review r5)."""
+        other = index.df
+        return other.select(
+            *[other[c].alias(f"__cp_ix_{c}__") for c in other.columns])
 
     def join(self, index: "Index", *probe_cols: str, broadcast: bool | None = None) -> "Frame":
         """Inner equi-join against an Index; possibly 1-to-many.
@@ -439,20 +450,21 @@ class Frame:
         replacement for the reference's per-row binary search
         (csvplus.go:893-897).
         """
-        other = index.df
+        other = self._index_side(index)
         conds, _ = self._join_conditions(other, index, probe_cols)
         right = F.broadcast(other) if broadcast or (broadcast is None and index.small) else other
         joined = self._df.join(right, _and(conds), "inner")
         # probe side wins name collisions; keep both sides otherwise
         probe_names = set(self._df.columns)
-        out = [other[c].alias(c) for c in other.columns if c not in probe_names]
+        out = [other[f"__cp_ix_{c}__"].alias(c)
+               for c in index.df.columns if c not in probe_names]
         out += [self._df[c] for c in self._df.columns]
         return self._wrap(joined.select(*out))
 
     def except_(self, index: "Index", *probe_cols: str, broadcast: bool | None = None) -> "Frame":
         """Left anti join: pass rows whose key is NOT in the index,
         unchanged (Except, csvplus.go:588-608)."""
-        other = index.df
+        other = self._index_side(index)
         conds, _ = self._join_conditions(other, index, probe_cols)
         right = F.broadcast(other) if broadcast or (broadcast is None and index.small) else other
         return self._wrap(self._df.join(right, _and(conds), "left_anti"))
@@ -644,10 +656,16 @@ class Frame:
 
     def select_existing(self, *columns: str) -> "Frame":
         """Projection keeping only the named columns that exist; never
-        errors — Row.SelectExisting (csvplus.go:108-118)."""
+        errors — Row.SelectExisting (csvplus.go:108-118). When NONE of
+        the names exist the result is a zero-column frame, regardless
+        of hidden lineage columns (review r5: the old fallback returned
+        the whole frame only when no hidden columns were present)."""
         keep = [c for c in _as_list(columns) if c in self._df.columns]
-        keep += [c for c in self._df.columns if c.startswith("__cp_")]
-        return self._wrap(self._df.select(*keep)) if keep else self._wrap(self._df)
+        hidden = [c for c in self._df.columns if c.startswith("__cp_")]
+        # hidden lineage columns always ride along (ordered_df drops
+        # them at the sink) so the declared order survives even a
+        # select-nothing projection
+        return self._wrap(self._df.select(*(keep + hidden)))
 
     def row_string(self, name: str = "row_json") -> "Frame":
         """Canonical per-row rendering, keys sorted — Row.String

@@ -137,11 +137,15 @@ class Index:
             for c, d in zip(self.columns, dupkeys):
                 eq = self._key(c).eqNullSafe(F.col(d))
                 cond = eq if cond is None else (cond & eq)
-            first = cols[0]
-            dtype = self.df.schema[first].dataType
+            # the conditional error rides EVERY column: a single-column
+            # carrier gets pruned when a consumer drops that column —
+            # e.g. a natural join whose probe-wins policy excludes the
+            # index's key column (review r5: duplicate-keyed lazy index
+            # joined silently instead of raising DuplicateKeyError)
             df = self.df.join(F.broadcast(dup), cond, "left").select(*[
-                F.when(F.col(cnt).isNotNull(), F.raise_error(render).cast(dtype))
-                .otherwise(F.col(c)).alias(c) if c == first else F.col(c)
+                F.when(F.col(cnt).isNotNull(),
+                       F.raise_error(render).cast(self.df.schema[c].dataType))
+                .otherwise(F.col(c)).alias(c)
                 for c in cols
             ])
             self.frame = Frame(df, [(c, True) for c in self.columns],

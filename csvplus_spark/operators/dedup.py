@@ -50,19 +50,6 @@ def _minhash_coefficients(n: int = 64) -> list[tuple[int, int]]:
 MINHASH_COEF = _minhash_coefficients()
 
 
-def shingles(col: str = "text", k: int = SHINGLE_K) -> F.Column:
-    """Distinct word k-gram shingles (space-joined), 1-based indexing
-    to mirror DuckDB list semantics exactly."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array().cast("array<string>")))
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: every doc mapped
     to the smallest doc id sharing its fingerprint (canonical id).
@@ -74,11 +61,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .select(F.col(id_col), F.col("canonical_id"),
                 (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"))
     )
-
-
-def _shingle_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("__id__"),
-                     shingles(text_col).alias("__sh__"))
 
 
 def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

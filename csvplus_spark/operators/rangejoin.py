@@ -28,8 +28,20 @@ def within_range_join(
 ) -> DataFrame:
     """Join rows where |left_on − right_on| ≤ max_distance (numeric
     columns; cast timestamps to epoch first). Returns the joined frame;
-    callers project/aggregate as needed."""
+    callers project/aggregate as needed.
+
+    ``how`` ∈ {inner, left}: the RIGHT side is the exploded one, so
+    right/full-outer would surface each right row's 2 non-matching bin
+    copies as spurious null-left rows — flip the inputs instead of
+    asking for a right join (review r5).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"within_range_join supports how='inner'/'left', got {how!r}; "
+            "swap the inputs for right-outer semantics")
     band = float(max_distance)
+    if not band > 0:
+        raise ValueError(f"max_distance must be > 0, got {max_distance!r}")
     lbin = F.floor(F.col(left_on) / band)
     rbin = F.floor(F.col(right_on) / band)
     lhs = left.withColumn("__bin__", lbin)

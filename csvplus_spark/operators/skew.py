@@ -30,7 +30,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``on`` with the left side salted and the right side
     replicated ``n_salts``×. Semantically identical to
-    ``left.join(right, on, how)`` for inner/left joins."""
+    ``left.join(right, on, how)`` for inner/left joins — right/full
+    would emit each right row's unmatched salt replicas as spurious
+    null-left rows, so they are rejected (review r5)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}; put the "
+            "replicated (small) side on the right or use a plain join")
     on = [on] if isinstance(on, str) else list(on)
     salt = "__cp_salt__"
     # deterministic spread: hash of the full left row tuple mod n

@@ -138,7 +138,14 @@ class Reader:
                 line = f.readline().rstrip("\r\n")
         if not line:
             raise HeaderError("missing or empty header line")
-        fields = line.split(self._delimiter)
+        # quote-aware split: a quoted header cell may CONTAIN the
+        # delimiter (review r5: a,"b,c",d must yield 3 names, matching
+        # the scan's own parse) — same delimiter-outside-quotes regex
+        # the width check uses
+        import re as _re
+
+        pat = _re.escape(self._delimiter) + '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+        fields = _re.split(pat, line)
         if self._trim_leading:
             fields = [x.lstrip() for x in fields]
         return [x.strip('"') for x in fields]
@@ -240,16 +247,18 @@ class Reader:
             F.lit(" has "), F.col("__b__.__w__").cast("string"),
             F.lit(" fields, expected "), F.col("__b__.__exp__").cast("string"),
         )
-        first_col = df.columns[0]
-        dtype = df.schema[first_col].dataType
-        return (
-            df.crossJoin(F.broadcast(chk))
-            .withColumn(
-                first_col,
-                F.when(F.col("__b__").isNotNull(), F.raise_error(msg).cast(dtype))
-                .otherwise(F.col(first_col)))
-            .drop("__b__", "__bline__", "__nf__")
-        )
+        # the conditional error is fused into EVERY column — wiring it
+        # into just one lets Catalyst prune the check away whenever a
+        # downstream projection drops that column (review r5: a
+        # select_columns("b") over a width-violating file returned rows
+        # silently). Reading ANY column now trips the contract; only a
+        # pure count(*) (no columns materialized) can skip it.
+        return df.crossJoin(F.broadcast(chk)).select(*[
+            F.when(F.col("__b__").isNotNull(),
+                   F.raise_error(msg).cast(df.schema[c].dataType))
+            .otherwise(F.col(c)).alias(c)
+            for c in df.columns
+        ])
 
     def _apply_options(self, reader, has_header: bool):
         reader = (
@@ -360,9 +369,14 @@ class Reader:
 
     def _header_names(self):
         """assume_header positional names without touching any file
-        (the explicit-schema cold-start path)."""
+        (the explicit-schema cold-start path). Validates positions like
+        the batch path — a negative index must raise, not silently
+        overwrite the last slot (review r5)."""
         if self._assume_header is None:
             return None
+        for name, pos in self._assume_header.items():
+            if pos < 0:
+                raise HeaderError(f"invalid column index for {name!r}: {pos}")
         width = max(self._assume_header.values()) + 1
         names = [f"_c{i}" for i in range(width)]
         for name, pos in self._assume_header.items():

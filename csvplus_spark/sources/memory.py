@@ -49,6 +49,14 @@ def from_csv_text(spark: SparkSession, text: str, delimiter: str = ",",
     else:
         names = [f"_c{i}" for i in range(len(rows[0]))]
         data = rows
+    for ln, r in enumerate(data, start=2 if header else 1):
+        if len(r) > len(names):
+            # Go encoding/csv (FieldsPerRecord auto) rejects over-wide
+            # rows; silently dropping surplus fields loses data
+            # (review r5)
+            raise ValueError(
+                f"record on line {ln}: wrong number of fields: "
+                f"{len(r)} > {len(names)}")
     dicts = [
         {n: (r[i] if i < len(r) else "") for i, n in enumerate(names)}
         for r in data

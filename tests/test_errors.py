@@ -175,3 +175,76 @@ def test_assume_header_arity(spark, tmp_path):
     # file wider than the spec → extra columns keep _cN names
     fr = from_file(spark, str(p)).assume_header({"a": 0}).to_frame()
     assert fr.columns == ["a", "_c1"]
+
+
+def test_width_check_survives_column_pruning(spark, tmp_path):
+    """The per-row width contract must fire even when the consumer
+    projects AWAY the first column — the conditional raise_error rides
+    every column so Catalyst cannot prune the check (review r5)."""
+    import pytest
+
+    p = tmp_path / "w.csv"
+    p.write_text("a,b,c\n1,2,3\n4,5\n")
+    from csvplus_spark import from_file
+
+    fr = from_file(spark, str(p)).num_fields(3).to_frame()
+    with pytest.raises(Exception, match="wrong number of fields"):
+        fr.select_columns("b").to_rows()
+
+
+def test_lazy_unique_check_survives_natural_join(spark):
+    """lazy unique_index_on joined naturally (probe wins the key column,
+    dropping the index's copy) must still raise on duplicate keys
+    (review r5)."""
+    import pytest
+
+    from csvplus_spark import take_rows
+
+    f = take_rows(spark, [{"k": "1", "v": "a"}, {"k": "1", "v": "b"}])
+    idx = f.unique_index_on("k", lazy_check=True)
+    probe = take_rows(spark, [{"k": "1", "x": "p"}])
+    with pytest.raises(Exception, match="duplicate value"):
+        probe.join(idx).to_rows()
+
+
+def test_quoted_header_with_delimiter(spark, tmp_path):
+    """expect_header must parse quoted header cells containing the
+    delimiter the same way the scan does (review r5)."""
+    p = tmp_path / "q.csv"
+    p.write_text('a,"b,c",d\n1,2,3\n')
+    from csvplus_spark import from_file
+
+    f = from_file(spark, str(p)).expect_header({"a": 0, "b,c": 1, "d": 2}).to_frame()
+    assert f.count() == 1
+
+
+def test_from_csv_text_rejects_overwide_rows(spark):
+    import pytest
+
+    from csvplus_spark import from_csv_text
+
+    with pytest.raises(ValueError, match="wrong number of fields"):
+        from_csv_text(spark, "a,b\n1,2,3\n")
+
+
+def test_self_join_against_own_index(spark):
+    from csvplus_spark import take_rows
+
+    f = take_rows(spark, [{"k": "1", "v": "x"}, {"k": "2", "v": "y"}])
+    assert f.join(f.index_on("k")).count() == 2
+    assert f.except_(f.index_on("k")).count() == 0
+
+
+def test_rangejoin_and_salted_join_reject_bad_modes(spark):
+    import pytest
+
+    from csvplus_spark.operators.rangejoin import within_range_join
+    from csvplus_spark.operators.skew import salted_join
+
+    df = spark.range(3).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="inner"):
+        within_range_join(df, df, "x", "x", 1.0, how="right")
+    with pytest.raises(ValueError, match="max_distance"):
+        within_range_join(df, df, "x", "x", 0.0)
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(df, df, "x", how="full")
