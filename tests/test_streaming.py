@@ -277,3 +277,59 @@ def test_streaming_csv_ingest_pipeline_end_to_end(spark, tmp_path):
                               str(tmp_path / "clean"), str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (streaming/joins.py):
+    purchases joined to clicks of the same user within ±10 min, run
+    over ≥2 micro-batches, must equal the batch interval join."""
+    from pyspark.sql import functions as F
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.joins import stream_interval_join
+
+    src = tmp_path / "ev_ssj"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "p0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "p1.parquet")  # re-delivery
+
+    ev = stream_events(spark, str(src), max_files_per_trigger=1)
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    j = stream_interval_join(purchases, clicks, "user_id", within="10 minutes")
+    q = (j.select("user_id", F.unix_micros("ts").alias("p_us"),
+                  F.unix_micros("r_ts").alias("c_us"), "r_click_id")
+         .writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1
+    got = sorted((r["user_id"], r["p_us"], r["c_us"], r["r_click_id"])
+                 for r in spark.sql("SELECT * FROM ssj_test").collect())
+
+    bev = load_table(spark, sf_dir, "events").df
+    bp = bev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+    bc = bev.filter(F.col("event_type") == "click") \
+        .select(F.col("user_id").alias("cu"), F.unix_micros("ts").alias("c_us"),
+                F.col("event_id").alias("click_id"))
+    b = bp.join(bc, (F.col("user_id") == F.col("cu"))
+                & (F.abs(F.col("c_us") - F.col("p_us")) <= 600_000_000))
+    # both sides delivered twice -> each match appears 2x2 = 4 times
+    expect = sorted(
+        (r["user_id"], r["p_us"], r["c_us"], r["click_id"])
+        for r in b.collect() for _ in range(4))
+    assert got == expect and got
+
+
+def test_stream_interval_join_rejects_bad_mode(spark, sf_dir, tmp_path):
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.joins import stream_interval_join
+
+    src = tmp_path / "ev_ssj2"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "p0.parquet")
+    ev = stream_events(spark, str(src))
+    with pytest.raises(ValueError, match="inner/left"):
+        stream_interval_join(ev, ev, "user_id", how="full")
