@@ -451,6 +451,41 @@ def q_events_tumbling(spark, sf_dir):
     return out.withColumn("window_start", F.unix_micros("window_start"))
 
 
+def q_stream_tumbling(spark, sf_dir):
+    """GENUINE Structured Streaming behind the oracle gate: run the
+    readStream tumbling-count path (streaming/events.py
+    ::stream_tumbling_counts, availableNow over the events parquet)
+    to a memory sink and hash-match the materialized result against
+    the same DuckDB SQL the batch form matches. Counts only — no
+    float aggregation — so micro-batch execution order cannot affect
+    the hash."""
+    import os
+    import tempfile
+
+    from csvplus_spark.streaming.events import stream_tumbling_counts
+
+    # the file stream source wants a DIRECTORY; expose the single
+    # events parquet through a symlink in a scratch dir (no copy)
+    src = tempfile.mkdtemp(prefix="cp_stream_gate_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    stream = stream_tumbling_counts(spark, src, "1 hour", "1 hour")
+    name = "cp_stream_tumbling_gate"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start"),
+        "event_type", "n_events")
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding 1h/30min event-time windows."""
     from csvplus_spark.streaming.events import sliding_agg
@@ -2119,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "sim_topk": q_sim_topk,
         "events_tumbling": q_events_tumbling,
+        "stream_tumbling": q_stream_tumbling,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "asof_join": q_asof_join,
@@ -2301,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "sim_topk": _SIM_TOPK_SQL,
         "events_tumbling": _TUMBLING_SQL,
+        "stream_tumbling": _STREAM_TUMBLING_SQL,
         "events_sliding": _SLIDING_SQL,
         "events_session": _SESSION_SQL,
         "asof_join": _ASOF_SQL,
