@@ -633,6 +633,38 @@ WHERE day <= (SELECT day FROM t ORDER BY day LIMIT 1 OFFSET 98)
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot ingest dedup (operators/dedup.py::
+    incremental_dedup): docs with doc_id < 250 are "yesterday's
+    corpus"; the rest are the new batch — re-crawled texts are
+    dropped, and the survivors dedup among themselves."""
+    from csvplus_spark.operators.dedup import incremental_dedup
+    from csvplus_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").df
+    seen = docs.filter(F.col("doc_id") < 250) \
+        .select(fingerprint("text").alias("fingerprint"))
+    new = docs.filter(F.col("doc_id") >= 250)
+    return incremental_dedup(new, seen)
+
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+seen AS (SELECT fp FROM fp WHERE doc_id < 250),
+fresh AS (
+  SELECT doc_id, fp FROM fp
+  WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM seen)
+),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fresh GROUP BY 1)
+SELECT f.doc_id, c.canonical_id, f.doc_id = c.canonical_id AS is_canonical
+FROM fresh f JOIN canon c ON f.fp = c.fp
+"""
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Explicit skew salting (operators/skew.py::salted_join): lineitem
     probe salted over 8 buckets, supplier build replicated 8× — must
@@ -2166,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_all": q_intersect_all,
         "skew_salted_join": q_skew_salted_join,
         "top_ties": q_top_ties,
+        "incremental_dedup": q_incremental_dedup,
         "agg_distinct": q_agg_distinct,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
@@ -2349,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_all": _INTERSECT_ALL_SQL,
         "skew_salted_join": _SKEW_SALTED_JOIN_SQL,
         "top_ties": _TOP_TIES_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "agg_distinct": _AGG_DISTINCT_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "multimodal_meta": _MULTIMODAL_SQL,

@@ -323,6 +323,39 @@ def minhash_dedup_pairs(
     return _verify_jaccard(ex, cand, threshold)
 
 
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seen_fp_col: str = "fingerprint") -> DataFrame:
+    """Cross-snapshot exact dedup: drop new docs whose normalized-text
+    fingerprint already exists in a previously-admitted corpus, then
+    dedup the survivors among themselves (keep min id per fingerprint).
+
+    The ingest-side sibling of :func:`exact_dedup` — a nightly crawl
+    batch checked against yesterday's corpus. ``seen`` is either a
+    fingerprint column written by an earlier run or raw docs (any frame
+    exposing ``seen_fp_col``; use ``fingerprinted`` or
+    ``exact_dedup``'s output to produce one). Uses the SAME md5
+    fingerprint as batch exact dedup and streaming ``stream_dedup``,
+    so all three admission paths agree on document identity.
+
+    Scale: one anti-join keyed by the 32-char fingerprint (the seen
+    side is fingerprints only — narrow), then one groupBy over the
+    surviving batch. No driver state, no full-corpus rescan: the seen
+    table is whatever fingerprint artifact the previous run persisted.
+    """
+    from .text import fingerprint
+
+    fp = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    fresh = fp.join(seen.select(F.col(seen_fp_col).alias("fp")),
+                    "fp", "left_anti")
+    canon = fresh.groupBy("fp").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        fresh.join(canon, "fp")
+        .select(F.col(id_col), F.col("canonical_id"),
+                (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"))
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     probes: DataFrame,

@@ -771,3 +771,21 @@ def test_profile_columns_counts(spark):
     got = {r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
            for r in profile_columns(df).collect()}
     assert got == {"id": (4, 0, 3), "s": (4, 1, 2), "v": (4, 2, 1)}
+
+
+def test_incremental_dedup_across_snapshots(spark):
+    from csvplus_spark.operators.dedup import incremental_dedup
+    from csvplus_spark.operators.text import fingerprint
+
+    old = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string") \
+        .select(fingerprint("text").alias("fingerprint"))
+    new = spark.createDataFrame(
+        [(10, "Seen   BEFORE"),      # re-crawl, normalizes to old fp
+         (11, "brand new"), (12, "brand new"),  # in-batch dup pair
+         (13, "also unique")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in incremental_dedup(new, old).collect()}
+    # 10 dropped entirely (already seen); 11 canonical over 12
+    assert got == {11: (11, True), 12: (11, False), 13: (13, True)}
