@@ -326,6 +326,17 @@ class Frame:
         ).scalar()
         # kth NULL ⇔ fewer than n rows ⇔ result is empty
         after_part = self._df.filter(kth.isNotNull() & ~before & ~eq)
+        # tie resolution must be REPRODUCIBLE, not just count-stable
+        # (ADVICE r5): order the tie group by the remaining (orderable)
+        # columns so a task retry or a second action keeps the SAME
+        # physical rows. Rows identical in every orderable column are
+        # interchangeable — any pick is the same row value.
+        from pyspark.sql.types import MapType
+
+        key_names = {c for c, _ in self.order}
+        tie_order = [self._df[c] for c in self._df.columns
+                     if c not in key_names
+                     and not isinstance(self._df.schema[c].dataType, MapType)]
         ties = (
             self._df.filter(kth.isNotNull() & eq)
             # partitionBy the key cols: the tie group shares ONE key, so
@@ -333,7 +344,7 @@ class Frame:
             # "No Partition Defined" global-window plan)
             .withColumn("__cp_rn__", F.row_number().over(
                 Window.partitionBy(*[self._sort_key(c) for c, _ in self.order])
-                .orderBy(F.lit(1))))
+                .orderBy(*(tie_order or [F.lit(1)]))))
             .filter(F.col("__cp_rn__") > (F.lit(n) - F.coalesce(below, F.lit(0))))
             .drop("__cp_rn__")
         )
@@ -597,7 +608,12 @@ class Frame:
             raise ValueError("empty list of columns")
         if single_file:
             df = df.coalesce(1)
-        df.write.mode("overwrite").option("header", True).csv(path)
+        # escape='"': write RFC-4180 doubled quotes ("a""b"), the
+        # reference csv.Writer's dialect, instead of Spark's default
+        # backslash escaping — keeps write→read byte-roundtrip closed
+        # now that the scan parses doubled quotes (sources/csv.py)
+        df.write.mode("overwrite").option("header", True) \
+            .option("escape", '"').csv(path)
 
     def to_json_file(self, path: str, single_file: bool = False,
                      array: bool = False) -> None:

@@ -135,9 +135,15 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_df: int | None = HOT_SHINGLE_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs: Jaccard over word-trigram shingle sets.
     Returns (doc_id_1, doc_id_2, jaccard).
+
+    ``shingles``: precomputed (__id__, __s__) table for exactly the
+    docs of ``df`` (e.g. a checkpointed table shared with a sibling
+    stage — see build_training_set's A/B note); must be the
+    shingle_pairs() shape. Semantics identical to recomputing.
 
     Blocking on shared COLD shingles (document frequency ≤ ``hot_df``):
     the self-equi-join + count computes each candidate pair's cold
@@ -163,7 +169,8 @@ def ngram_jaccard_pairs(
     KNOWS no shingle is hot enough to make a quadratic bucket (e.g.
     boilerplate already stripped upstream).
     """
-    ex = shingle_pairs(df, text_col, id_col).cache()
+    ex = (shingles if shingles is not None
+          else shingle_pairs(df, text_col, id_col)).cache()
     sizes = _shingle_sizes(ex)
 
     def _inter_join(src: DataFrame) -> DataFrame:
@@ -364,6 +371,7 @@ def contamination_check(
     corpus_id: str = "doc_id",
     probe_text: str = "text",
     probe_id: str = "probe_id",
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination primitive: which corpus docs share any
     word ``k``-gram with any probe (eval-set) document, and how many.
@@ -373,10 +381,14 @@ def contamination_check(
     probe side the (small) build side — at 100 TB the corpus is never
     shuffled by more than its shingle projection, and the probe set
     (an eval benchmark, thousands of docs) broadcasts.
+
+    ``corpus_shingles``: precomputed (__id__, __s__) table for exactly
+    the corpus docs (shared-stage reuse, see ngram_jaccard_pairs).
     """
-    c = shingle_pairs(corpus, corpus_text, corpus_id) \
+    c = (corpus_shingles if corpus_shingles is not None
+         else shingle_pairs(corpus, corpus_text, corpus_id, k)) \
         .withColumnRenamed("__id__", "__cid__")
-    p = shingle_pairs(probes, probe_text, probe_id) \
+    p = shingle_pairs(probes, probe_text, probe_id, k) \
         .withColumnRenamed("__id__", "__pid__")
     return (
         c.join(p, "__s__")

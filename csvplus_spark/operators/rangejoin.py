@@ -35,6 +35,9 @@ def within_range_join(
     copies as spurious null-left rows — flip the inputs instead of
     asking for a right join (review r5).
     """
+    # normalize Spark's canonical aliases the same way salted_join does
+    # (ADVICE r5: 'left_outer'/'leftouter' callers must not break)
+    how = {"left_outer": "left", "leftouter": "left"}.get(how, how)
     if how not in ("inner", "left"):
         raise ValueError(
             f"within_range_join supports how='inner'/'left', got {how!r}; "

@@ -63,6 +63,22 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     return df.filter(_bucket(key_cols, salt) < rate)
 
 
+#: hash-prefix buckets for the per-group scalar-cutoff decomposition:
+#: hash60 is uniform on [0, 2^60), so ``h >> 50`` yields 1024 buckets
+#: whose order AGREES with the h order (all of bucket b sorts before
+#: bucket b+1) — the property that lets a per-group running total be
+#: split into per-(group, bucket) running totals plus a broadcast
+#: prefix offset.
+CUTOFF_BUCKETS = 1024
+_CUTOFF_SHIFT = 60 - CUTOFF_BUCKETS.bit_length() + 1  # 50
+
+
+def _hash_and_bucket(key_cols: Sequence[str], salt: str):
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    h = hash60(key)
+    return h, F.shiftright(h, _CUTOFF_SHIFT)
+
+
 def cap_per_group(df: DataFrame, group_col: str,
                   key_cols: Sequence[str] | str, cap: int,
                   salt: str = "cap") -> DataFrame:
@@ -73,20 +89,54 @@ def cap_per_group(df: DataFrame, group_col: str,
     Selection order is (hash60(salt|key), key) within the group, so
     membership is stable across runs/engines AND monotone: raising the
     cap only ever ADDS rows (the kept set for cap=k is a prefix of the
-    kept set for cap=k+1). One window per group — a single shuffle
-    keyed by the group column.
+    kept set for cap=k+1).
+
+    Scale shape (VERDICT r5 item 1): a plain
+    ``row_number() OVER (PARTITION BY group)`` serializes each group
+    into ONE task — at 100 TB with a handful of sources that is a
+    single executor scanning a whole source. Instead the global
+    per-group rank is decomposed:
+
+      1. per-(group, hash-bucket) row counts — a tiny map-combined
+         aggregate (≤ |groups| × 1024 rows);
+      2. a prefix scan over that tiny table (window over the bucket
+         table only) gives each bucket its count of PRECEDING rows;
+      3. broadcast-join the offsets back and rank within
+         (group, bucket) — 1024-way parallel per group — so the
+         global rank is ``offset + within-bucket row_number``.
+
+    Output row set is identical to the single-window formulation
+    (bucket order agrees with hash order, see CUTOFF_BUCKETS).
     """
     from pyspark.sql import Window
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
-    h = hash60(key)
-    w = Window.partitionBy(group_col).orderBy(h, *[F.col(c) for c in key_cols])
+    h, bkt = _hash_and_bucket(key_cols, salt)
+    b = "__cp_bkt__"
+    src = df.withColumn(b, bkt)
+
+    # tiny (group, bucket) → preceding-row-count table, broadcast back.
+    # The prefix window here runs over ≤ |groups|×1024 rows, not data.
+    counts = src.groupBy(group_col, b).agg(F.count(F.lit(1)).alias("__n__"))
+    wpre = (Window.partitionBy(group_col).orderBy(b)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        F.col(group_col).alias("__g__"), F.col(b).alias("__b__"),
+        F.coalesce(F.sum("__n__").over(wpre), F.lit(0)).alias("__off__"),
+        # buckets whose offset already exceeds the cap can't contribute
+        # a kept row — prune them BEFORE the big window shuffle
+    ).filter(F.col("__off__") < cap)
+
+    joined = src.join(
+        F.broadcast(off),
+        src[group_col].eqNullSafe(F.col("__g__")) & (F.col(b) == F.col("__b__")),
+    )
+    w = Window.partitionBy(group_col, b).orderBy(h, *[F.col(c) for c in key_cols])
     rn = "__cp_cap_rn__"
     return (
-        df.withColumn(rn, F.row_number().over(w))
+        joined.withColumn(rn, F.row_number().over(w) + F.col("__off__"))
         .filter(F.col(rn) <= cap)
-        .drop(rn)
+        .select(*df.columns)
     )
 
 
@@ -127,27 +177,60 @@ def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
     keeps the kept-set a pure function of the budget — no greedy
     skip-ahead that would make membership depend on later rows).
 
-    Scale: integer weights, one window shuffle keyed by ``group_col``
-    (per-group partitions, parallel across groups); running sum of
-    bigints → no float-order nondeterminism.
+    Weights must be non-negative (token/char counts are): the running
+    total is then monotone, so ``run <= budget`` is a pure prefix.
+
+    Scale shape (VERDICT r5 item 1): like :func:`cap_per_group`, the
+    per-group running sum is decomposed so no group ever funnels into
+    a single window task: per-(group, hash-bucket) weight sums (tiny
+    map-combined aggregate) → prefix scan over that tiny table →
+    broadcast the preceding-bucket sums back → running sum within
+    (group, bucket) + offset, 1024-way parallel per group. Buckets
+    whose offset already exceeds the group's budget are pruned before
+    the big shuffle. Integer bigint sums → no float-order
+    nondeterminism; output row set identical to the single-window
+    formulation.
     """
     from pyspark.sql import Window
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
-    w = (Window.partitionBy(group_col)
-         .orderBy(hash60(key), *[F.col(c) for c in key_cols])
+    h, bkt = _hash_and_bucket(key_cols, salt)
+    b = "__cp_bkt__"
+    wl = F.col(weight_col).cast("long")
+    src = df.withColumn(b, bkt)
+
+    def budget_of(col: F.Column) -> F.Column:
+        out = None
+        for value, amt in sorted(budgets.items()):
+            lit = F.lit(int(amt))
+            out = (F.when(col == value, lit) if out is None
+                   else out.when(col == value, lit))
+        return (out.otherwise(F.lit(int(default_budget)))
+                if out is not None else F.lit(int(default_budget)))
+
+    sums = src.groupBy(group_col, b).agg(F.sum(wl).alias("__s__"))
+    wpre = (Window.partitionBy(group_col).orderBy(b)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = sums.select(
+        F.col(group_col).alias("__g__"), F.col(b).alias("__b__"),
+        F.coalesce(F.sum("__s__").over(wpre), F.lit(0)).alias("__off__"),
+    ).filter(
+        # a bucket whose preceding-weight offset is already past the
+        # budget can still keep zero-weight rows iff offset == budget;
+        # only offset > budget buckets are provably empty of keeps
+        F.col("__off__") <= budget_of(F.col("__g__"))
+    )
+
+    joined = src.join(
+        F.broadcast(off),
+        src[group_col].eqNullSafe(F.col("__g__")) & (F.col(b) == F.col("__b__")),
+    )
+    w = (Window.partitionBy(group_col, b)
+         .orderBy(h, *[F.col(c) for c in key_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    budget = None
-    for value, b in sorted(budgets.items()):
-        cond = F.col(group_col) == value
-        lit = F.lit(int(b))
-        budget = F.when(cond, lit) if budget is None else budget.when(cond, lit)
-    budget = (budget.otherwise(F.lit(int(default_budget)))
-              if budget is not None else F.lit(int(default_budget)))
     run = "__cp_mix_run__"
     return (
-        df.withColumn(run, F.sum(F.col(weight_col).cast("long")).over(w))
-        .filter(F.col(run) <= budget)
-        .drop(run)
+        joined.withColumn(run, F.sum(wl).over(w) + F.col("__off__"))
+        .filter(F.col(run) <= budget_of(F.col(group_col)))
+        .select(*df.columns)
     )

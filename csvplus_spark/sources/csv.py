@@ -26,6 +26,18 @@ from ..errors import ColumnNotFoundError, HeaderError
 from ..frame import Frame
 
 
+def _unquote_cell(x: str) -> str:
+    """CSV-unquote one header cell the way the scan's parser does:
+    strip ONE surrounding quote pair and unescape doubled quotes inside
+    it. A bare ``strip('"')`` is wrong twice over (ADVICE r5): it eats
+    every leading/trailing quote (``"a""b"`` → ``a""b``) and never
+    unescapes, so expect_header would spuriously mismatch the parsed
+    column name (``a"b``)."""
+    if len(x) >= 2 and x.startswith('"') and x.endswith('"'):
+        return x[1:-1].replace('""', '"')
+    return x
+
+
 class Reader:
     """Fluent CSV scan configuration (reference csvplus.go:936-1076)."""
 
@@ -148,7 +160,7 @@ class Reader:
         fields = _re.split(pat, line)
         if self._trim_leading:
             fields = [x.lstrip() for x in fields]
-        return [x.strip('"') for x in fields]
+        return [_unquote_cell(x) for x in fields]
 
     def _resolve_header(self) -> tuple[bool, list[str] | None]:
         """Returns (has_header_row, explicit_names or None).
@@ -266,6 +278,13 @@ class Reader:
             .option("header", has_header)
             .option("inferSchema", self._infer)
             .option("mode", "PERMISSIVE" if self._num_fields == -1 else "FAILFAST")
+            # RFC-4180 doubled-quote escaping, the reference's (Go
+            # encoding/csv) quoting dialect: "a""b" parses as a"b.
+            # Spark's default escape is backslash, under which doubled
+            # quotes pass through RAW — a silent value divergence on
+            # any quoted data (found via ADVICE r5's header-peek item;
+            # matrix pinned by test_strict_quote_parsing)
+            .option("escape", '"')
         )
         if self._comment:
             reader = reader.option("comment", self._comment)
@@ -322,7 +341,7 @@ class Reader:
         return Frame(df, None, string_mode=not self._infer).with_ingest_order()
 
     def to_stream(self, max_files_per_trigger: int | None = None,
-                  schema=None):
+                  schema=None, header: bool | None = None):
         """Structured Streaming twin of :meth:`to_frame`: watch ``path``
         as a directory of arriving CSV files with the same option
         surface and header/naming/padding contract (reference format,
@@ -341,12 +360,20 @@ class Reader:
         forbids) — requesting them here raises immediately instead of
         failing at stream start. ``num_fields_any`` ''-padding and the
         scan projection are plain Column exprs and apply per
-        micro-batch. With an explicit ``schema``, ``expect_header``'s
-        eager header-row validation is skipped (a cold start has no
-        file to validate against). Returns a streaming DataFrame (no
-        ingest order — arrival order is not meaningful across
-        micro-batches; use ``fingerprinted``/``stream_dedup``
-        downstream for ingest dedup).
+        micro-batch.
+
+        WITH AN EXPLICIT ``schema`` the header policy must also be
+        explicit (ADVICE r5: the old default silently treated every
+        arriving file as header-first, eating record one of headerless
+        landing zones): pass ``assume_header(...)`` (headerless,
+        positional names), ``expect_header(...)`` (header row present —
+        note its eager first-row VALIDATION is SKIPPED in this path, a
+        cold start has no file to validate; each file's header line is
+        still consumed as a header), or ``header=True/False`` to state
+        the layout directly. ``header=`` always wins when given.
+        Returns a streaming DataFrame (no ingest order — arrival order
+        is not meaningful across micro-batches; use ``fingerprinted``/
+        ``stream_dedup`` downstream for ingest dedup).
         """
         if (self._num_fields is not None and self._num_fields > 0) \
                 or self._width_auto:
@@ -356,8 +383,21 @@ class Reader:
                 "num_fields_any() for streams, or validate widths in a "
                 "foreachBatch sink"
             )
-        has_header, names = self._resolve_header() if schema is None \
-            else (self._assume_header is None, self._header_names())
+        if schema is None:
+            has_header, names = self._resolve_header()
+        else:
+            if (header is None and self._assume_header is None
+                    and self._expect_header is None):
+                raise HeaderError(
+                    "to_stream(schema=...) needs an explicit header "
+                    "policy: assume_header() for headerless files, "
+                    "expect_header() when files carry one, or "
+                    "header=True/False"
+                )
+            has_header, names = (self._assume_header is None,
+                                 self._header_names())
+        if header is not None:
+            has_header = header
         if schema is None:
             schema = self._apply_options(
                 self.spark.read, has_header).csv(self.path).schema

@@ -61,7 +61,8 @@ def session_agg(df: DataFrame, gap: str = "10 minutes",
 
 
 def stream_events(spark: SparkSession, source_dir: str,
-                  max_files_per_trigger: int | None = None) -> DataFrame:
+                  max_files_per_trigger: int | None = None,
+                  schema=None) -> DataFrame:
     """readStream over a directory of events parquet files.
 
     Timestamp precision is NOT hardcoded: a one-off batch metadata read
@@ -73,30 +74,44 @@ def stream_events(spark: SparkSession, source_dir: str,
 
     The probe is driver-side footer metadata only (no data scan); at
     100 TB it costs one file-listing, amortized once per stream start.
+
+    ``schema`` overrides the probe entirely — pass the RAW (pre-
+    normalize) layout when starting a stream on an empty landing
+    directory whose eventual files you know (ADVICE r5: the probe can't
+    see files that haven't arrived). In particular a landing zone that
+    will receive TIMESTAMP(NANOS) files needs ``ts`` declared LongType
+    (the nanosAsLong surface form — normalize_timestamps div-1000s it);
+    the no-schema cold-start fallback below assumes the driver's
+    CURRENT events layout, µs TIMESTAMP_NTZ. The two raw forms are NOT
+    interchangeable: declaring long against µs files silently reads
+    raw micros as nanos (off by 1000×), declaring NTZ against ns files
+    kills the stream — which is why the mismatch case is an explicit
+    parameter, not a guess (tests pin both directions).
     """
     from ..sources.parquet import configure_parquet_session, normalize_timestamps
 
     configure_parquet_session(spark)
-    try:
-        # footer-only probe: schema as the streaming source will see it
-        schema = spark.read.parquet(source_dir).schema
-    except Exception:
-        # EMPTY landing directory (cold start before the first file
-        # arrives): fall back to the documented events layout — µs
-        # TIMESTAMP_NTZ ts, which normalize_timestamps casts the same
-        # way it would for a probed schema
-        from pyspark.sql.types import (DoubleType, LongType, StringType,
-                                       StructField, StructType,
-                                       TimestampNTZType)
+    if schema is None:
+        try:
+            # footer-only probe: schema as the streaming source will see it
+            schema = spark.read.parquet(source_dir).schema
+        except Exception:
+            # EMPTY landing directory (cold start before the first file
+            # arrives): fall back to the documented events layout — µs
+            # TIMESTAMP_NTZ ts, which normalize_timestamps casts the
+            # same way it would for a probed schema
+            from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                           StructField, StructType,
+                                           TimestampNTZType)
 
-        schema = StructType([
-            StructField("event_id", LongType()),
-            StructField("ts", TimestampNTZType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ])
+            schema = StructType([
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampNTZType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ])
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -109,3 +109,19 @@ def test_within_range_join_boundaries(spark):
     # |100-40|=60 inclusive; |100-160|=60 inclusive; |100-161|=61 out;
     # |250-310|=60 inclusive; |250-250|=0
     assert got == {(1, 10), (1, 11), (2, 13), (2, 14)}
+
+
+def test_within_range_join_accepts_left_outer_aliases(spark):
+    """ADVICE r5: Spark's canonical 'left_outer'/'leftouter' spellings
+    must behave exactly like 'left' (salted_join already normalizes)."""
+    from csvplus_spark.operators.rangejoin import within_range_join
+
+    l = spark.createDataFrame([(1, 100.0), (2, 900.0)], "lid long, lv double")
+    r = spark.createDataFrame([(10, 120.0)], "rid long, rv double")
+    expect = {(row["lid"], row["rid"])
+              for row in within_range_join(l, r, "lv", "rv", 60.0, how="left").collect()}
+    assert expect == {(1, 10), (2, None)}
+    for how in ("left_outer", "leftouter"):
+        got = {(row["lid"], row["rid"])
+               for row in within_range_join(l, r, "lv", "rv", 60.0, how=how).collect()}
+        assert got == expect, how

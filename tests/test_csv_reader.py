@@ -181,3 +181,44 @@ def test_orc_roundtrip_matches_parquet_semantics(spark, sf_dir, tmp_path):
     b = {r["event_id"]: r["us"]
          for r in back.select("event_id", F.unix_micros("ts").alias("us")).collect()}
     assert a == b and len(a) == 200
+
+
+def test_expect_header_doubled_quote_cell(spark, tmp_path):
+    """ADVICE r5: a quoted header cell with an escaped quote
+    (``"a""b"``) must unquote to ``a"b`` — one surrounding pair
+    stripped, doubled quotes unescaped — so expect_header agrees with
+    the name Spark's own CSV parse produces."""
+    p = tmp_path / "q.csv"
+    p.write_text('"a""b",c\n1,2\n')
+    f = from_file(spark, str(p)).expect_header({'a"b': 0, "c": 1}).to_frame()
+    assert f.to_rows() == [{'a"b': "1", "c": "2"}]
+
+
+def test_strict_quote_parsing(spark, tmp_path):
+    """Strict-mode quote dialect vs Go encoding/csv (csvplus.go:984-987
+    is the LAZY option; this pins the DEFAULT). With escape='"' the
+    well-formed RFC-4180 cases match Go exactly; Go's strict-mode
+    ERRORS on malformed quotes become Spark pass-through values —
+    documented divergence (Spark is laxer, never corrupts good cells)."""
+    p = tmp_path / "strict.csv"
+    p.write_text('a,b\n1,"x""y"\n2,"p,q"\n3,x"y\n')
+    got = {r["a"]: r["b"] for r in from_file(spark, str(p)).to_frame().to_rows()}
+    assert got["1"] == 'x"y'   # doubled quote unescapes (Go parity)
+    assert got["2"] == "p,q"   # quoted delimiter (Go parity)
+    assert got["3"] == 'x"y'   # bare quote: Go strict ERRORS, Spark passes
+
+
+def test_csv_write_rfc4180_quoting(spark, tmp_path):
+    """to_csv_file writes the reference csv.Writer dialect: quotes
+    doubled, not backslash-escaped — so write→read roundtrips values
+    containing quotes and delimiters byte-exactly."""
+    from csvplus_spark import take_rows
+
+    f = take_rows(spark, [{"a": 'x"y', "b": "p,q"}])
+    out = tmp_path / "w"
+    f.to_csv_file(str(out), single_file=True)
+    import glob
+    body = open(glob.glob(str(out / "part*"))[0]).read()
+    assert body == 'a,b\n"x""y","p,q"\n'
+    back = from_file(spark, str(out)).to_frame().to_rows()
+    assert back == [{"a": 'x"y', "b": "p,q"}]

@@ -40,9 +40,35 @@ def test_decode_stub_deterministic(media_df):
         assert 16 <= w <= 271 and 16 <= h <= 271
 
 
-def test_decode_real_codec_raises(media_df):
-    with pytest.raises(Exception, match="codec not available"):
+def test_decode_real_codec_raises_without_pillow(media_df):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed: env-gate does not fire")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="no image codec importable"):
         decode_images(media_df, real_codec=True).collect()
+
+
+def test_real_codec_smoke_with_pillow(spark, tmp_path):
+    """VERDICT r5 item 8: when Pillow IS available, real_codec=True
+    must push a real PNG through the SAME mapInPandas path — decode
+    yields true geometry, resize yields a re-decodable PNG blob."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from csvplus_spark.operators.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21), (250, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "media_id long, data binary")
+    got = decode_images(df, real_codec=True).collect()[0]
+    assert (got["width"], got["height"], got["n_pixels"]) == (37, 21, 777)
+
+    out = resize_images(df, 8, 6, real_codec=True).collect()[0]
+    with Image.open(io.BytesIO(bytes(out["data"]))) as im:
+        assert im.size == (8, 6)
 
 
 def test_feature_extract_feeds_similarity(media_df):
@@ -77,8 +103,11 @@ def test_resize_binary_roundtrip(media_df):
     again = {r["media_id"]: bytes(r["data"])
              for r in resize_images(media_df, 32, 16).collect()}
     assert {r["media_id"]: bytes(r["data"]) for r in out} == again
-    with pytest.raises(Exception, match="codec not available"):
-        resize_images(media_df, 32, 16, real_codec=True).collect()
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception, match="no image codec importable"):
+            resize_images(media_df, 32, 16, real_codec=True).collect()
 
 
 def test_frame_sampling_one_to_many(media_df):

@@ -96,3 +96,18 @@ def test_top_with_ties(spark):
     assert f.top_with_ties(99).count() == 5  # n > rows keeps all
     plan = f.top_with_ties(2).df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # scalar-cutoff, not a rank window
+
+
+def test_drop_tie_pick_is_reproducible(spark):
+    """ADVICE r5: within a boundary tie group, which physical rows
+    survive drop(n) must be a pure function of the data (tie window
+    ordered by the remaining columns), not of partition layout — two
+    independent actions must keep the same rows."""
+    rows = [{"k": "a", "i": str(i)} for i in range(8)]  # all keys tie
+    f = take_rows(spark, rows).ordered_by("k")
+    first = sorted(r["i"] for r in f.drop(3).to_rows())
+    for _ in range(3):
+        again = sorted(r["i"] for r in f.drop(3).to_rows())
+        assert again == first
+    # deterministic pick = the 3 smallest remaining-column values go
+    assert first == ["3", "4", "5", "6", "7"]

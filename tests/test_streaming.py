@@ -220,6 +220,22 @@ def test_streaming_cold_start_empty_dirs(spark, tmp_path):
     ev_dir.mkdir()
     ev = stream_events(spark, str(ev_dir))
     assert ev.isStreaming and str(ev.schema["ts"].dataType) == "TimestampType()"
+    # the cold-started stream must SURVIVE the first real file arriving
+    # (ADVICE r5: the driver layout is TIMESTAMP(NANOS) → LongType under
+    # nanosAsLong; a fallback schema declaring µs NTZ kills the stream
+    # right here) and produce the same µs timestamps as the batch path
+    from pyspark.sql import functions as F
+
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                ev_dir / "part-0.parquet")
+    q = (ev.writeStream.format("memory").queryName("cold_events")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, min(ts) AS lo FROM cold_events").collect()[0]
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").df \
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("lo")).collect()[0]
+    assert (got["n"], got["lo"]) == (batch["n"], batch["lo"])
 
     csv_dir = tmp_path / "empty_csv"
     csv_dir.mkdir()
@@ -333,3 +349,63 @@ def test_stream_interval_join_rejects_bad_mode(spark, sf_dir, tmp_path):
     ev = stream_events(spark, str(src))
     with pytest.raises(ValueError, match="inner/left"):
         stream_interval_join(ev, ev, "user_id", how="full")
+
+
+def test_stream_schema_header_policy_explicit(spark, tmp_path):
+    """ADVICE r5: to_stream(schema=...) must not silently eat record
+    one of headerless files. Without any header policy it raises; with
+    header=False every record of an arriving headerless file lands."""
+    from csvplus_spark import from_file
+    from csvplus_spark.errors import HeaderError
+
+    land = tmp_path / "headerless"
+    land.mkdir()
+    with pytest.raises(HeaderError, match="header policy"):
+        from_file(spark, str(land)).to_stream(schema="_c0 string, _c1 string")
+
+    st = from_file(spark, str(land)).to_stream(
+        schema="a string, b string", header=False)
+    (land / "f.csv").write_text("1,2\n3,4\n")
+    q = (st.writeStream.format("memory").queryName("hdrless")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted((r["a"], r["b"]) for r in
+                 spark.sql("SELECT * FROM hdrless").collect())
+    assert got == [("1", "2"), ("3", "4")]  # first record NOT eaten
+
+
+def test_stream_events_explicit_schema_for_ns_files(spark, tmp_path):
+    """A landing zone receiving TIMESTAMP(NANOS) files: declare ts as
+    LongType (the nanosAsLong raw form) via the explicit schema param —
+    normalize_timestamps div-1000s it to the same µs timestamps the
+    batch reader produces for the same data."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from csvplus_spark.streaming.events import stream_events
+
+    land = tmp_path / "ns_land"
+    land.mkdir()
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + datetime.timedelta(seconds=1)],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    })
+    st = stream_events(
+        spark, str(land),
+        schema=("event_id long, ts long, user_id long, "
+                "event_type string, value double, props string"))
+    assert str(st.schema["ts"].dataType) == "TimestampType()"
+    pq.write_table(tbl, land / "f.parquet")
+    q = (st.writeStream.format("memory").queryName("ns_events")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["ts"] for r in spark.sql("SELECT ts FROM ns_events").collect())
+    assert got == [t0, t0 + datetime.timedelta(seconds=1)]
