@@ -93,6 +93,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
+            # untimed GC between queries: heavy Python-UDF neighbors
+            # leave JVM GC debt that distorts the NEXT query's timing
+            # by ±30% (NOTES round-6 variance caveat); collecting it
+            # outside the timed section measures the plan, not the
+            # neighborhood
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -65,6 +65,17 @@ def main() -> int:
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
+    # bound the oracle, don't trust it: at 10x scale the blocking-free
+    # quadratic oracle SQL for the pair queries can eat all RAM (the
+    # in-memory DB has no spill path by default — observed 108 GB RSS
+    # on the sf1 dedup_ngram oracle). A memory cap + temp dir turns
+    # that into disk spill instead of an OOM-kill of the whole sweep.
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", ".localdata", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET memory_limit='"
+                + os.environ.get("CSVPLUS_ORACLE_MEM", "48GB") + "'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

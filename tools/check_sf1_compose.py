@@ -1,0 +1,248 @@
+"""Compositional sf1 correctness for the pair/cluster operators whose
+DuckDB oracles are quadratic (VERDICT r5 item 3 triage).
+
+The 10x dataset (tools/make_scaled_sf.py) is TEN KEY-SHIFTED COPIES of
+sf0.1 with identical payloads: doc c of base doc d has id d + c*OFF and
+the SAME text/embedding. Every similarity function here depends only on
+the payload, so the EXACT expected sf1 answer is derivable from the
+already-oracle-validated sf0.1 output:
+
+  * pair queries (ngram/minhash/simhash pairs, embedding pairs) —
+    each base pair (a, b, v) expands to the 100 copy combinations
+    (a + i*OFF, b + k*OFF, v) with the value UNCHANGED (same payloads
+    -> bit-identical arithmetic), plus the 45 intra-copy self pairs
+    per eligible base doc at the identity value (jaccard 1.0 /
+    hamming 0 / sim cosine(v, v)). Eligibility = the doc participates
+    in the operator's candidate space at all (>=1 shingle for the
+    shingle family, >=1 token for simhash, self-sim >= threshold for
+    embeddings — copies always share every LSH bucket/band since the
+    signature is a pure function of the payload).
+  * labeling queries (reps/clusters/canonicalize) — an sf1 component
+    is exactly the copy-closure of a base component, so its min-id /
+    best-quality representative is the BASE representative (copy 0
+    sorts first at equal quality).
+  * training_set — exact dedup keeps the min id per fingerprint, which
+    eliminates every non-zero copy before any later stage, so the sf1
+    output must equal the sf0.1 output bit-for-bit.
+
+Comparison is a Spark-side order-insensitive digest (count + two
+salted xxhash64 sums over the canonicalized row string), so nothing
+quadratic is ever collected to the driver.
+
+Usage: python tools/check_sf1_compose.py [--json OUT.json] \
+           [--base /root/testdata/sf0.1] [--big /root/repo/.localdata/sf1] \
+           [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OFF = 10_000_000
+COPIES = 10
+
+
+def digest(df: DataFrame) -> tuple:
+    """Order-insensitive content digest: (rows, sum xxh64(row), sum
+    salted xxh64(row)) over the row canonicalized as sorted-by-name
+    columns cast to string with an explicit NULL token."""
+    cols = sorted(df.columns)
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("␀")))
+    s = F.concat_ws("\x1f", *parts)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(s)).alias("h1"),
+        F.sum(F.xxhash64(F.lit("salt2"), s)).alias("h2"),
+    ).collect()[0]
+    return (row["n"] or 0, row["h1"], row["h2"], tuple(cols))
+
+
+def _combos(spark, cross: bool) -> DataFrame:
+    """(i, k) copy combinations: all 100 for cross-pair expansion, or
+    the 45 ordered i<k pairs for intra-copy self pairs."""
+    rows = [(i, k) for i in range(COPIES) for k in range(COPIES)
+            if cross or i < k]
+    return F.broadcast(spark.createDataFrame(rows, "i long, k long"))
+
+
+def expand_pairs(base: DataFrame, id1: str, id2: str) -> DataFrame:
+    """All 100 copy combinations of each base pair, reoriented so
+    id1 < id2 (offsets dominate the base ids, so orientation flips
+    exactly when i > k)."""
+    spark = base.sparkSession
+    val_cols = [c for c in base.columns if c not in (id1, id2)]
+    a = F.col(id1) + F.col("i") * F.lit(OFF)
+    b = F.col(id2) + F.col("k") * F.lit(OFF)
+    return (
+        base.crossJoin(_combos(spark, cross=True))
+        .select(F.least(a, b).alias(id1), F.greatest(a, b).alias(id2),
+                *val_cols)
+    )
+
+
+def self_pairs(ids: DataFrame, id1: str, id2: str, **values) -> DataFrame:
+    """The 45 intra-copy pairs per eligible base id. ``ids`` has one
+    column (the base id); ``values`` are extra literal/carried columns
+    (pass a Column or a ready value column name present in ids)."""
+    spark = ids.sparkSession
+    key = ids.columns[0]
+    out = (
+        ids.crossJoin(_combos(spark, cross=False))
+        .select((F.col(key) + F.col("i") * F.lit(OFF)).alias(id1),
+                (F.col(key) + F.col("k") * F.lit(OFF)).alias(id2),
+                *[v.alias(name) if isinstance(v, F.Column) else F.col(v).alias(name)
+                  for name, v in values.items()])
+    )
+    return out
+
+
+def expand_rows(base: DataFrame, shift_cols: list[str]) -> DataFrame:
+    """Every base row repeated once per copy with ``shift_cols``
+    shifted by c*OFF and everything else unchanged."""
+    spark = base.sparkSession
+    copies = F.broadcast(spark.createDataFrame(
+        [(c,) for c in range(COPIES)], "c long"))
+    sel = [
+        (F.col(c) + F.col("c") * F.lit(OFF)).alias(c) if c in shift_cols
+        else F.col(c)
+        for c in base.columns
+    ]
+    return base.crossJoin(copies).select(*sel)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    json_out = None
+    base_dir, big_dir = "/root/testdata/sf0.1", "/root/repo/.localdata/sf1"
+    only = set()
+    while args:
+        if args[0] == "--json":
+            json_out = args[1]; args = args[2:]
+        elif args[0] == "--base":
+            base_dir = args[1]; args = args[2:]
+        elif args[0] == "--big":
+            big_dir = args[1]; args = args[2:]
+        else:
+            only.add(args.pop(0))
+
+    import __spark_entry__ as e
+    from csvplus_spark import get_spark, load_table
+    from csvplus_spark.operators.dedup import shingle_pairs
+    from csvplus_spark.operators.similarity import cosine, with_double_vec
+    from csvplus_spark.operators.text import simhash_table
+
+    spark = get_spark("sf1-compose-check")
+    qs = e.queries()
+
+    docs_base = load_table(spark, base_dir, "documents").df
+    # eligibility sets, computed once from the base tables
+    shingled = shingle_pairs(docs_base).select(
+        F.col("__id__").alias("doc_id")).distinct().localCheckpoint()
+    tokened = simhash_table(docs_base).select("doc_id").localCheckpoint()
+    emb_base = with_double_vec(load_table(spark, base_dir, "embeddings").df)
+    emb_self = emb_base.select(
+        "vec_id", cosine(F.col("__vec__"), F.col("__vec__")).alias("sim")
+    ).filter(F.col("sim") >= 0.4).localCheckpoint()
+
+    def run(name):
+        return qs[name](spark, base_dir)
+
+    def expected_for(name) -> DataFrame:
+        if name == "dedup_ngram":
+            return expand_pairs(run(name), "doc_id_1", "doc_id_2").unionByName(
+                self_pairs(shingled, "doc_id_1", "doc_id_2",
+                           jaccard=F.lit(1.0)))
+        if name == "dedup_minhash":
+            return expand_pairs(run(name), "doc_id_1", "doc_id_2").unionByName(
+                self_pairs(shingled, "doc_id_1", "doc_id_2",
+                           jaccard=F.lit(1.0)))
+        if name == "simhash":
+            return expand_rows(run(name), ["doc_id"])
+        if name in ("simhash_pairs", "simhash_pairs60"):
+            return expand_pairs(run(name), "doc_id_1", "doc_id_2").unionByName(
+                self_pairs(tokened, "doc_id_1", "doc_id_2",
+                           hamming=F.lit(0).cast("integer")))
+        if name == "simhash_reps60":
+            out = run(name)
+            # (doc_id, rep_id): copies join their base component, whose
+            # min id is the base rep (copy 0 of it)
+            return expand_rows(out, ["doc_id"])
+        if name == "dedup_clusters":
+            out = run(name)
+            in_pairs = out.select("doc_id")
+            singles = shingled.join(in_pairs, "doc_id", "left_anti") \
+                .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            return expand_rows(out.unionByName(singles), ["doc_id"])
+        if name == "canonicalize":
+            out = run(name)
+            s = out.join(shingled, "doc_id")
+            lonely = out.join(shingled, "doc_id", "left_anti")
+            exp = expand_rows(s, ["doc_id"]).unionByName(
+                expand_rows(lonely, ["doc_id", "cluster_id", "canonical_id"]))
+            return exp.withColumn(
+                "keep", F.col("doc_id") == F.col("canonical_id"))
+        if name == "training_set":
+            return run(name)  # copies die in exact dedup: sf1 == base
+        if name in ("dedup_embedding", "dedup_embedding_lsh"):
+            return expand_pairs(run(name), "id_1", "id_2").unionByName(
+                self_pairs(emb_self.select("vec_id", "sim"), "id_1", "id_2",
+                           sim="sim"))
+        raise KeyError(name)
+
+    names = ["dedup_ngram", "dedup_minhash", "simhash", "simhash_pairs",
+             "simhash_pairs60", "simhash_reps60", "dedup_clusters",
+             "canonicalize", "training_set", "dedup_embedding",
+             "dedup_embedding_lsh"]
+    report, failures = {}, 0
+    for name in names:
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            exp = digest(expected_for(name))
+            t_exp = time.time() - t0
+            t1 = time.time()
+            act = digest(qs[name](spark, big_dir))
+            t_act = time.time() - t1
+            ok = exp == act
+        except Exception as ex:
+            print(f"FAIL  {name}: error: {ex}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"compose: {ex}"[:200]}
+            failures += 1
+            continue
+        report[name] = {
+            "rows_match": act[0] == exp[0],
+            "schema_match": act[3] == exp[3],
+            "hash_match": act[1:3] == exp[1:3],
+            "spark_rows": act[0], "oracle_rows": exp[0],
+            "err": None if ok else "compositional digest mismatch",
+        }
+        if ok:
+            print(f"PASS  {name} ({act[0]} rows; expected {t_exp:.1f}s"
+                  f" + sf1 {t_act:.1f}s)")
+        else:
+            failures += 1
+            print(f"FAIL  {name}: sf1 {act[:3]} vs expected {exp[:3]}")
+    spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
+    print("sf1-compose:", "ALL PASS" if not failures else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
