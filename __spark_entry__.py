@@ -827,6 +827,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dup_clusters(ngram_jaccard_pairs(docs, 0.6))
 
 
+def q_dedup_clusters_fast(spark, sf_dir):
+    """Duplication-immune near-dup clusters: exact-duplicate collapse →
+    rep-space ngram pair graph → CC → member expansion
+    (operators/dedup.py::dup_clusters_collapsed). Byte-identical output
+    to q_dedup_clusters (shares its oracle); pair-graph and CC cost
+    shrink by the corpus duplication factor (squared for pairs)."""
+    from csvplus_spark.operators.dedup import dup_clusters_collapsed
+
+    return dup_clusters_collapsed(load_table(spark, sf_dir, "documents").df, 0.6)
+
+
 def q_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (operators/text.py)."""
     from csvplus_spark.operators.text import tfidf_top_terms
@@ -2209,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_volume": q_tpch_q5_volume,
         "quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_fast": q_dedup_clusters_fast,
         "tfidf": q_tfidf,
         "pivot": q_pivot,
         "approx_distinct": q_approx_distinct,
@@ -2393,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_volume": _TPCH_Q5_SQL,
         "quantiles": _QUANTILES_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "dedup_clusters_fast": _CLUSTERS_SQL,
         "tfidf": _TFIDF_SQL,
         "pivot": _PIVOT_SQL,
         "date_arith": _DATE_ARITH_SQL,

@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_volume",
     "dedup_clusters",
+    "dedup_clusters_fast",
     "tfidf",
     "simhash_pairs",
     "simhash_pairs60",

@@ -530,6 +530,76 @@ def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def dup_clusters_collapsed(docs: DataFrame, threshold: float = 0.6,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           max_iter: int = 20) -> DataFrame:
+    """``dup_clusters(ngram_jaccard_pairs(docs))`` with exact-duplicate
+    collapse: byte-identical output, duplication-immune cost.
+
+    On a crawl corpus a large fraction of documents are EXACT copies,
+    and every copy of a doc carries the same shingle set — so the pair
+    graph blows up by the duplication factor SQUARED (10 copies → ×100
+    pairs; measured at the 10× validation scale: 250,600 ngram pairs
+    from 25,060) while adding zero information. This is the hash-space
+    trick `simhash_near_pairs`/`simhash_reps` use (dedup over DISTINCT
+    simhash values), applied to the ngram family: collapse docs to one
+    representative per normalized-text fingerprint (min id, the
+    `exact_dedup` canonical), build the shingle pair graph and run CC
+    over REPRESENTATIVES only, then expand members back with two
+    output-sized equi-joins.
+
+    Identity argument (why the output is byte-identical):
+      * Jaccard depends only on the shingle SET, so J(a, b) for any
+        copies a, b equals J(rep_a, rep_b) — the rep-space pair graph
+        is the full graph quotiented by fingerprint, and connectivity
+        quotients with it (copies are pairwise J=1 edges whenever the
+        doc has ≥1 shingle).
+      * cluster_id = min doc id in the full component = min over its
+        fingerprints of (min member id) = min rep id in the rep-space
+        component — exactly the CC label over reps.
+      * membership: a doc appears in ``dup_clusters`` output iff it is
+        in ≥1 pair, i.e. its rep is in a rep-space pair (a true
+        near-dup) OR its fingerprint has ≥2 members with ≥1 shingle
+        (the copies' own J=1 pairs).
+
+    Scale: the collapse itself is `exact_dedup` (one fingerprint
+    aggregate); everything quadratic-ish downstream (Σdf² blocking
+    join, CC rounds) sees the DEDUPLICATED corpus. With duplication
+    factor f the candidate volume drops ×f², the CC node set ×f.
+    Equality with the uncollapsed form is pinned by
+    tests/test_dedup.py::test_dup_clusters_collapsed_identity and the
+    driver query `dedup_clusters_fast` (same oracle as
+    `dedup_clusters`).
+    """
+    ex = exact_dedup(docs, text_col, id_col)
+    reps = docs.join(
+        ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    labels = dup_clusters(
+        ngram_jaccard_pairs(reps, threshold, text_col, id_col),
+        max_iter=max_iter)
+
+    sizes = ex.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("__m__"))
+    shingled = shingle_pairs(reps, text_col, id_col) \
+        .select(F.col("__id__").alias("canonical_id")).distinct()
+    rep_lbl = (
+        sizes
+        .join(labels.withColumnRenamed("doc_id", "canonical_id"),
+              "canonical_id", "left")
+        .join(shingled.withColumn("__sh__", F.lit(True)),
+              "canonical_id", "left")
+        .filter(F.col("cluster_id").isNotNull()
+                | ((F.col("__m__") >= 2) & F.col("__sh__").isNotNull()))
+        .select("canonical_id",
+                F.coalesce("cluster_id", F.col("canonical_id"))
+                .alias("cluster_id"))
+    )
+    return (
+        ex.select(F.col(id_col).alias("doc_id"), "canonical_id")
+        .join(rep_lbl, "canonical_id")
+        .select("doc_id", "cluster_id")
+    )
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

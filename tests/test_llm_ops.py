@@ -789,3 +789,34 @@ def test_incremental_dedup_across_snapshots(spark):
            for r in incremental_dedup(new, old).collect()}
     # 10 dropped entirely (already seen); 11 canonical over 12
     assert got == {11: (11, True), 12: (11, False), 13: (13, True)}
+
+
+def test_dup_clusters_collapsed_identity(spark, sf_dir):
+    """The exact-collapse clusters path must be byte-identical to
+    dup_clusters(ngram_jaccard_pairs(docs)) — on the raw corpus AND on
+    a corpus with injected exact duplicates (where the collapse
+    actually removes work): copies join their base component via their
+    own Jaccard-1 pairs, and the min-id label is preserved because the
+    representative IS the min member."""
+    from csvplus_spark.operators.dedup import (dup_clusters,
+                                               dup_clusters_collapsed)
+
+    base = load_table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    # 3 exact copies of every doc (shifted ids), plus a no-shingle doc
+    # pair (two tokens -> empty shingle set, must stay OUT of output)
+    dup = base.unionByName(
+        base.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+    ).unionByName(spark.createDataFrame(
+        [(900_001, "tiny doc"), (900_002, "tiny doc")],
+        "doc_id long, text string"))
+    for docs in (base, dup):
+        want = {(r["doc_id"], r["cluster_id"]) for r in
+                dup_clusters(ngram_jaccard_pairs(docs, 0.6)).collect()}
+        got = {(r["doc_id"], r["cluster_id"]) for r in
+               dup_clusters_collapsed(docs, 0.6).collect()}
+        assert got == want
+    # the duplicated corpus must include every copy, labelled by the
+    # base component (representative = smallest id)
+    assert all(cid < 100_000 for _, cid in got)
