@@ -404,6 +404,7 @@ def canonicalize_clusters(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse: bool = False,
 ) -> DataFrame:
     """Dedup end-game: pick the SURVIVOR of each near-dup cluster.
 
@@ -416,14 +417,28 @@ def canonicalize_clusters(
     Returns (doc_id, cluster_id, canonical_id, keep). Shapes: the CC
     loop (see dup_clusters) + one quality pass + one per-cluster
     window — nothing quadratic beyond the pair graph itself.
+
+    ``collapse=True`` computes clusters through the exact-duplicate
+    collapse (:func:`dup_clusters_collapsed`) — identical clusters,
+    pair-graph cost shrunk by the duplication factor squared. Flip it
+    for crawl-shaped corpora with meaningful exact duplication
+    (measured cold at the 10×-duplicated validation scale: 9.2s vs
+    33.9s); leave it off for already-deduplicated input, where the
+    extra fingerprint pass only adds cost (~10% at sf0.1, and ~3.5s
+    inside build_training_set's lazy plan, which re-evaluates the
+    upstream stages once more per added reference).
     """
     from pyspark.sql import Window
 
     from .text import text_stats
 
-    if pairs is None:
-        pairs = ngram_jaccard_pairs(docs, threshold, text_col, id_col)
-    clusters = dup_clusters(pairs)
+    if pairs is not None:
+        clusters = dup_clusters(pairs)
+    elif collapse:
+        clusters = dup_clusters_collapsed(docs, threshold, text_col, id_col)
+    else:
+        clusters = dup_clusters(
+            ngram_jaccard_pairs(docs, threshold, text_col, id_col))
     q = text_stats(docs, text_col, id_col).select(F.col(id_col), "quality")
     labeled = (
         docs.select(F.col(id_col))

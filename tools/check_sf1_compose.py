@@ -177,7 +177,7 @@ def main() -> int:
             # (doc_id, rep_id): copies join their base component, whose
             # min id is the base rep (copy 0 of it)
             return expand_rows(out, ["doc_id"])
-        if name == "dedup_clusters":
+        if name in ("dedup_clusters", "dedup_clusters_fast"):
             out = run(name)
             in_pairs = out.select("doc_id")
             singles = shingled.join(in_pairs, "doc_id", "left_anti") \
@@ -201,8 +201,8 @@ def main() -> int:
 
     names = ["dedup_ngram", "dedup_minhash", "simhash", "simhash_pairs",
              "simhash_pairs60", "simhash_reps60", "dedup_clusters",
-             "canonicalize", "training_set", "dedup_embedding",
-             "dedup_embedding_lsh"]
+             "dedup_clusters_fast", "canonicalize", "training_set",
+             "dedup_embedding", "dedup_embedding_lsh"]
     report, failures = {}, 0
     for name in names:
         if only and name not in only:
