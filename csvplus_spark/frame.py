@@ -331,12 +331,24 @@ class Frame:
         # columns so a task retry or a second action keeps the SAME
         # physical rows. Rows identical in every orderable column are
         # interchangeable — any pick is the same row value.
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _orderable(dt) -> bool:
+            # Spark cannot sort on maps at ANY nesting depth
+            # (array<map>, struct<...,map,...> are equally invalid
+            # ordering types) — recurse, don't just check the top level
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
 
         key_names = {c for c, _ in self.order}
         tie_order = [self._df[c] for c in self._df.columns
                      if c not in key_names
-                     and not isinstance(self._df.schema[c].dataType, MapType)]
+                     and _orderable(self._df.schema[c].dataType)]
         ties = (
             self._df.filter(kth.isNotNull() & eq)
             # partitionBy the key cols: the tie group shares ONE key, so

@@ -582,20 +582,24 @@ def dup_clusters_collapsed(docs: DataFrame, threshold: float = 0.6,
     join, CC rounds) sees the DEDUPLICATED corpus. With duplication
     factor f the candidate volume drops ×f², the CC node set ×f.
     Equality with the uncollapsed form is pinned by
-    tests/test_dedup.py::test_dup_clusters_collapsed_identity and the
-    driver query `dedup_clusters_fast` (same oracle as
+    tests/test_llm_ops.py::test_dup_clusters_collapsed_identity and
+    the driver query `dedup_clusters_fast` (same oracle as
     `dedup_clusters`).
     """
     ex = exact_dedup(docs, text_col, id_col)
     reps = docs.join(
         ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    # ONE shingle table, shared: ngram_jaccard_pairs caches exactly
+    # this frame, so the membership check below reads the cache instead
+    # of re-running tokenize + posexplode + distinct over the reps
+    sp = shingle_pairs(reps, text_col, id_col)
     labels = dup_clusters(
-        ngram_jaccard_pairs(reps, threshold, text_col, id_col),
+        ngram_jaccard_pairs(reps, threshold, text_col, id_col,
+                            shingles=sp),
         max_iter=max_iter)
 
     sizes = ex.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("__m__"))
-    shingled = shingle_pairs(reps, text_col, id_col) \
-        .select(F.col("__id__").alias("canonical_id")).distinct()
+    shingled = sp.select(F.col("__id__").alias("canonical_id")).distinct()
     rep_lbl = (
         sizes
         .join(labels.withColumnRenamed("doc_id", "canonical_id"),

@@ -101,9 +101,11 @@ def cap_per_group(df: DataFrame, group_col: str,
          aggregate (≤ |groups| × 1024 rows);
       2. a prefix scan over that tiny table (window over the bucket
          table only) gives each bucket its count of PRECEDING rows;
-      3. broadcast-join the offsets back and rank within
-         (group, bucket) — 1024-way parallel per group — so the
-         global rank is ``offset + within-bucket row_number``.
+      3. join the offsets back (AQE broadcasts the tiny table for
+         few-group quotas; high-cardinality group columns take a
+         plain shuffle join) and rank within (group, bucket) —
+         1024-way parallel per group — so the global rank is
+         ``offset + within-bucket row_number``.
 
     Output row set is identical to the single-window formulation
     (bucket order agrees with hash order, see CUTOFF_BUCKETS).
@@ -127,8 +129,13 @@ def cap_per_group(df: DataFrame, group_col: str,
         # a kept row — prune them BEFORE the big window shuffle
     ).filter(F.col("__off__") < cap)
 
+    # no broadcast HINT: off is ≤ |groups|×1024 rows — tiny for the
+    # few-groups case (AQE broadcasts it at runtime) but a forced
+    # broadcast would FAIL for a high-cardinality group column (per-
+    # domain quotas over millions of domains); the equi-join shape is
+    # correct either way
     joined = src.join(
-        F.broadcast(off),
+        off,
         src[group_col].eqNullSafe(F.col("__g__")) & (F.col(b) == F.col("__b__")),
     )
     w = Window.partitionBy(group_col, b).orderBy(h, *[F.col(c) for c in key_cols])
@@ -184,8 +191,9 @@ def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
     per-group running sum is decomposed so no group ever funnels into
     a single window task: per-(group, hash-bucket) weight sums (tiny
     map-combined aggregate) → prefix scan over that tiny table →
-    broadcast the preceding-bucket sums back → running sum within
-    (group, bucket) + offset, 1024-way parallel per group. Buckets
+    join the preceding-bucket sums back (AQE-broadcast when small) →
+    running sum within (group, bucket) + offset, 1024-way parallel
+    per group. Buckets
     whose offset already exceeds the group's budget are pruned before
     the big shuffle. Integer bigint sums → no float-order
     nondeterminism; output row set identical to the single-window
@@ -196,7 +204,18 @@ def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     h, bkt = _hash_and_bucket(key_cols, salt)
     b = "__cp_bkt__"
-    wl = F.col(weight_col).cast("long")
+    # ENFORCE the non-negative contract (the bucket pruning below is
+    # only sound for monotone running sums): a negative weight under
+    # the old single-window form could re-admit rows after an
+    # overshoot, which the pruned form would silently drop — fail loud
+    # instead of diverging silently
+    wl0 = F.col(weight_col).cast("long")
+    wl = F.when(
+        wl0 < 0,
+        F.raise_error(F.concat(F.lit("token_budget_mix: negative weight in "
+                                     + weight_col + ": "),
+                               wl0.cast("string")))
+    ).otherwise(wl0)
     src = df.withColumn(b, bkt)
 
     def budget_of(col: F.Column) -> F.Column:
@@ -221,8 +240,10 @@ def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
         F.col("__off__") <= budget_of(F.col("__g__"))
     )
 
+    # no broadcast hint — see cap_per_group: forced broadcast breaks
+    # the high-cardinality-group case; AQE broadcasts when truly small
     joined = src.join(
-        F.broadcast(off),
+        off,
         src[group_col].eqNullSafe(F.col("__g__")) & (F.col(b) == F.col("__b__")),
     )
     w = (Window.partitionBy(group_col, b)
@@ -230,7 +251,13 @@ def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = "__cp_mix_run__"
     return (
-        joined.withColumn(run, F.sum(wl).over(w) + F.col("__off__"))
+        # coalesce: a row whose window prefix is all-NULL weights gets
+        # a NULL running sum — treat null weights as consuming zero
+        # budget (kept while the bucket offset fits) instead of
+        # silently dropping rows based on where the hash order put them
+        joined.withColumn(run,
+                          F.coalesce(F.sum(wl).over(w), F.lit(0))
+                          + F.col("__off__"))
         .filter(F.col(run) <= budget_of(F.col(group_col)))
         .select(*df.columns)
     )

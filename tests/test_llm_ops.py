@@ -820,3 +820,21 @@ def test_dup_clusters_collapsed_identity(spark, sf_dir):
     # the duplicated corpus must include every copy, labelled by the
     # base component (representative = smallest id)
     assert all(cid < 100_000 for _, cid in got)
+
+
+def test_token_budget_mix_rejects_negative_weights(spark):
+    """The bucket-pruned decomposition is only sound for monotone
+    running sums — negative weights must fail loud, not silently
+    diverge from the single-window semantics."""
+    from csvplus_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "web", 50), (2, "web", -10), (3, "web", 40)],
+        "doc_id long, source string, n_tokens long")
+    with pytest.raises(Exception, match="negative weight"):
+        token_budget_mix(df, {"web": 100}).count()
+    # null weights stay legal (ignored by the sums, as before)
+    df2 = spark.createDataFrame(
+        [(1, "web", 50), (2, "web", None), (3, "web", 40)],
+        "doc_id long, source string, n_tokens long")
+    assert token_budget_mix(df2, {"web": 100}).count() == 3

@@ -111,3 +111,24 @@ def test_drop_tie_pick_is_reproducible(spark):
         assert again == first
     # deterministic pick = the 3 smallest remaining-column values go
     assert first == ["3", "4", "5", "6", "7"]
+
+
+def test_drop_ties_with_nested_unorderable_columns(spark):
+    """Nested unorderable types (array<map>, struct with a map field)
+    must be excluded from the tie window's ordering just like top-level
+    maps — Spark rejects sort orders on them at ANY nesting depth."""
+    from pyspark.sql import functions as F
+
+    from csvplus_spark import Frame
+
+    df = spark.createDataFrame(
+        [(1, [{"a": "x"}], ("p", {"m": "v"})),
+         (1, [{"b": "y"}], ("q", {"n": "w"})),
+         (2, [{"c": "z"}], ("r", {"o": "u"}))],
+        "k long, am array<map<string,string>>, "
+        "st struct<s:string, m:map<string,string>>")
+    f = Frame(df, [("k", "asc")], string_mode=False)
+    assert f.drop(1).df.count() == 2   # crashed pre-fix: INVALID_ORDERING_TYPE
+    # all columns unorderable except the key -> lit(1) fallback path
+    f2 = Frame(df.select("k", "am"), [("k", "asc")], string_mode=False)
+    assert f2.drop(2).df.count() == 1
