@@ -486,13 +486,15 @@ def _cc_min_label(edges: DataFrame, nodes: DataFrame | None = None,
     jumping through the PREVIOUS (checkpointed) table rather than the
     current sweep keeps each round's plan a straight pipe (a self-join
     on the in-flight sweep computes the aggregation twice per round —
-    slower than no jumping at all), and the jump only starts at round
-    2: shallow star-shaped graphs (typical near-dup clusters, diameter
-    ≤ 3) converge before a jump could help, so they never pay its join,
-    while deep chains still compress (measured on the 60-bit simhash
-    Hamming graph at sf0.1: 11 rounds plain → 8 with jump-from-2, 7
-    with jump-always; wall-time 5.5s → ~3.9s). Labels are
-    localCheckpointed each round to keep lineage flat.
+    slower than no jumping at all), and the jump starts at round 1 —
+    at round 0 the previous table is the identity labeling, so the
+    jump is a pure no-op join. Start-round A/B on the 60-bit simhash
+    Hamming graph at sf0.1 (deep chains, 11 rounds plain):
+    jump-from-2 4.7s, jump-from-1 3.9s, jump-from-0 3.6s; on the
+    shallow ngram cluster graph (diameter ≤ 3, CC cost isolated from
+    pair generation): 0.85s / 0.81s / 1.0s — jump-from-1 is the only
+    setting that wins on deep graphs without taxing shallow ones.
+    Labels are localCheckpointed each round to keep lineage flat.
     """
     if nodes is None:
         nodes = edges.select("a").distinct()
@@ -506,7 +508,7 @@ def _cc_min_label(edges: DataFrame, nodes: DataFrame | None = None,
         stepped = labels.join(neighbor, "a", "left").select(
             "a", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
         )
-        if it >= 2:
+        if it >= 1:
             jump = labels.select(F.col("a").alias("label"),
                                  F.col("label").alias("__jl__"))
             stepped = (
