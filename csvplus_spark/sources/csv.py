@@ -26,6 +26,16 @@ from ..errors import ColumnNotFoundError, HeaderError
 from ..frame import Frame
 
 
+def _delim_outside_quotes(delimiter: str) -> str:
+    """Regex matching ``delimiter`` only OUTSIDE double-quoted cells
+    ("" doubling keeps the quote count even). The header peek's split
+    and the width check's field count MUST agree on the quoting
+    dialect — one pattern, two call sites (review r6)."""
+    import re as _re
+
+    return _re.escape(delimiter) + '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
 def _unquote_cell(x: str) -> str:
     """CSV-unquote one header cell the way the scan's parser does:
     strip ONE surrounding quote pair and unescape doubled quotes inside
@@ -142,12 +152,26 @@ class Reader:
             if not inner:
                 raise HeaderError("missing or empty header line")
             paths = inner
+        def _skip(ln: str) -> bool:
+            # the header is the first line Spark's parser would treat
+            # as one: blank lines and comment lines are skipped by the
+            # scan, so the peek must skip them too (review r6 — a file
+            # starting with '#generated\n' must validate against the
+            # REAL header, not the comment)
+            return ln == "" or (self._comment is not None
+                                and ln.startswith(self._comment))
+
         if "://" in self.path:
-            rows = self.spark.read.text(self.path).limit(1).collect()
-            line = rows[0][0] if rows else ""
+            rows = self.spark.read.text(self.path).limit(64).collect()
+            line = next((r[0] for r in rows if not _skip(r[0])), "")
         else:
+            line = ""
             with open(paths[0], "r", newline="") as f:
-                line = f.readline().rstrip("\r\n")
+                for raw in f:
+                    cand = raw.rstrip("\r\n")
+                    if not _skip(cand):
+                        line = cand
+                        break
         if not line:
             raise HeaderError("missing or empty header line")
         # quote-aware split: a quoted header cell may CONTAIN the
@@ -156,8 +180,7 @@ class Reader:
         # the width check uses
         import re as _re
 
-        pat = _re.escape(self._delimiter) + '(?=(?:[^"]*"[^"]*")*[^"]*$)'
-        fields = _re.split(pat, line)
+        fields = _re.split(_delim_outside_quotes(self._delimiter), line)
         if self._trim_leading:
             fields = [x.lstrip() for x in fields]
         return [_unquote_cell(x) for x in fields]
@@ -170,13 +193,10 @@ class Reader:
         expect_header = header row + positional validation.
         """
         if self._assume_header is not None:
-            width = max(self._assume_header.values()) + 1
-            names = [f"_c{i}" for i in range(width)]
-            for name, pos in self._assume_header.items():
-                if pos < 0:
-                    raise HeaderError(f"invalid column index for {name!r}: {pos}")
-                names[pos] = name
-            return False, names
+            # ONE implementation of the positional-naming contract —
+            # shared with the explicit-schema to_stream path (review
+            # r6: the two copies had to be kept in sync by hand)
+            return False, self._header_names()
         if self._expect_header is not None:
             actual = self._read_header_line()
             for name, pos in self._expect_header.items():
@@ -210,39 +230,46 @@ class Reader:
         the reported line ordinal counts within the offending file
         (named in the message when the read spans several files).
         """
-        import re as _re
-
         if self._multi_line:
             raise HeaderError(
                 "per-row field-count checks are line-based and cannot be "
                 "combined with multi_line()"
             )
-        # delimiter outside double quotes ("" doubling keeps quote count even)
-        pat = _re.escape(self._delimiter) + '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+        pat = _delim_outside_quotes(self._delimiter)
         txt = self.spark.read.text(self.path)
         if self._comment:
             txt = txt.filter(~F.col("value").startswith(self._comment))
         txt = txt.filter(F.length("value") > 0)
+        # file order must be PROVABLE, not assumed: FileSourceScan
+        # orders partitions by split size, not file offset, so a bare
+        # monotonically_increasing_id can rank a later split's lines
+        # before an earlier split's (review r6). The _metadata
+        # file_block_start column gives each row its split's byte
+        # offset; (block_start, within-partition id) sorts lines in
+        # true file order regardless of how splits were scheduled.
         w = txt.select(
             F.input_file_name().alias("__f__"),
-            F.monotonically_increasing_id().alias("__lid__"),
+            F.struct(
+                F.col("_metadata.file_block_start").alias("bs"),
+                F.monotonically_increasing_id().alias("lid"),
+            ).alias("__ord__"),
             F.size(F.split("value", pat, -1)).alias("__w__"),
         )
         if self._num_fields is not None and self._num_fields > 0:
             w = w.withColumn("__exp__", F.lit(self._num_fields))
         else:  # auto: the first line of EACH file fixes that file's width
             firsts = w.groupBy("__f__").agg(
-                F.min_by("__w__", "__lid__").alias("__exp__"))
+                F.min_by("__w__", "__ord__").alias("__exp__"))
             w = w.join(F.broadcast(firsts), "__f__")
         bad = w.filter(F.col("__w__") != F.col("__exp__")) \
-            .agg(F.min(F.struct("__lid__", "__f__", "__w__", "__exp__")).alias("__b__"))
+            .agg(F.min(F.struct("__ord__", "__f__", "__w__", "__exp__")).alias("__b__"))
         chk = (
             w.crossJoin(F.broadcast(bad))
             .agg(
                 F.first("__b__").alias("__b__"),
                 # line ordinal within the offending file only
                 F.sum(F.when((F.col("__f__") == F.col("__b__.__f__"))
-                             & (F.col("__lid__") <= F.col("__b__.__lid__")), 1))
+                             & (F.col("__ord__") <= F.col("__b__.__ord__")), 1))
                 .alias("__bline__"),
                 F.count_distinct(F.col("__f__")).alias("__nf__"),
             )

@@ -50,15 +50,14 @@ def from_csv_text(spark: SparkSession, text: str, delimiter: str = ",",
         names = [f"_c{i}" for i in range(len(rows[0]))]
         data = rows
     for ln, r in enumerate(data, start=2 if header else 1):
-        if len(r) > len(names):
-            # Go encoding/csv (FieldsPerRecord auto) rejects over-wide
-            # rows; silently dropping surplus fields loses data
-            # (review r5)
+        if len(r) != len(names):
+            # Go encoding/csv (FieldsPerRecord auto) rejects ANY width
+            # mismatch — over-wide drops data silently, short rows are
+            # equally an error (review r6: the old short-row "" padding
+            # made this entry point disagree with the file Reader's
+            # FAILFAST default on the same content)
             raise ValueError(
                 f"record on line {ln}: wrong number of fields: "
-                f"{len(r)} > {len(names)}")
-    dicts = [
-        {n: (r[i] if i < len(r) else "") for i, n in enumerate(names)}
-        for r in data
-    ]
+                f"{len(r)} != {len(names)}")
+    dicts = [{n: r[i] for i, n in enumerate(names)} for r in data]
     return take_rows(spark, dicts, schema=", ".join(f"`{n}` string" for n in names))

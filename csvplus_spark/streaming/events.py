@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def tumbling_agg(df: DataFrame, window: str = "1 hour",
@@ -95,11 +96,14 @@ def stream_events(spark: SparkSession, source_dir: str,
         try:
             # footer-only probe: schema as the streaming source will see it
             schema = spark.read.parquet(source_dir).schema
-        except Exception:
-            # EMPTY landing directory (cold start before the first file
-            # arrives): fall back to the documented events layout — µs
-            # TIMESTAMP_NTZ ts, which normalize_timestamps casts the
-            # same way it would for a probed schema
+        except AnalysisException:
+            # ONLY the missing/empty-path analysis error means "cold
+            # start before the first file arrives" — a transient
+            # listing/IO failure must PROPAGATE, not silently swap in
+            # the fallback layout (a wrong guess here kills the stream
+            # or misreads timestamps 1000×). Fallback = the documented
+            # events layout, µs TIMESTAMP_NTZ ts, which
+            # normalize_timestamps casts the same way as a probed schema
             from pyspark.sql.types import (DoubleType, LongType, StringType,
                                            StructField, StructType,
                                            TimestampNTZType)

@@ -15,6 +15,8 @@ unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -26,21 +28,39 @@ def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates(key_cols)
-        try:
-            current = spark.read.parquet(path)
-        except Exception:
+        # first batch only: the bootstrap overwrite must be gated on the
+        # target genuinely NOT EXISTING, never on a failed read — a
+        # transient read error answered with mode("overwrite") would
+        # silently replace the whole accumulated table with one
+        # micro-batch. Existence is checked directly; any OTHER read
+        # failure propagates and fails the batch (the streaming commit
+        # log replays it).
+        prev = path + "__prev__"
+        if os.path.exists(prev) and not os.path.exists(path):
+            # crash window below (between the two renames) — roll back
+            os.rename(prev, path)
+        if not os.path.exists(path):
             batch.write.mode("overwrite").parquet(path)
             return
+        current = spark.read.parquet(path)
         merged = current.join(batch.select(*key_cols), key_cols, "left_anti") \
             .unionByName(batch)
-        # write to a temp dir then swap: plain parquet has no atomic
-        # overwrite-while-reading; the swap keeps the window tiny
+        # write to a temp dir, then swap via two renames: the old table
+        # is moved ASIDE (not deleted) before the new one moves in, so
+        # a crash at any point leaves either the old or the new table
+        # recoverable — the rollback above heals the one-rename window
+        # on the next batch. Plain parquet has no atomic
+        # overwrite-while-reading; a transactional table format would
+        # replace this whole dance with MERGE.
         tmp = path + "__tmp__"
         merged.write.mode("overwrite").parquet(tmp)
         import shutil
 
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        os.rename(path, prev)
+        os.rename(tmp, path)
+        shutil.rmtree(prev)
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

@@ -63,56 +63,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
 
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, n_events long"
-SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+SESSION_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def _session_closer(gap_us: int):
     def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        """Per-key session maintenance with WATERMARK-FINAL emission.
+
+        State buffers EVERY session that late-but-within-watermark data
+        could still touch, as parallel (start, last, n) arrays; a
+        session is emitted only once watermark > last + gap, at which
+        point no admissible event (ts ≥ watermark) can merge with it
+        forward (t ≥ wm ≥ last+gap) or backward (t ≥ wm > start+gap).
+        This fixes two review-r6 defects of the emit-on-mid-batch-gap
+        form: a stray late event hours before the open session no
+        longer rewinds it (it opens its OWN buffered session — merge is
+        by interval distance, not t ≤ last+gap, whose negative deltas
+        matched everything older), and a late event can no longer
+        re-open an overlapping copy of an already-emitted session.
+        """
         import pandas as pd
 
-        def row(start_us: int, n: int) -> dict:
-            return {"user_id": key[0],
-                    "session_start": pd.Timestamp(start_us, unit="us"),
-                    "n_events": n}
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
-        if state.hasTimedOut:
-            # watermark passed last event + gap: the session is closed
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame([row(start_us, n)])
-            return
+        sessions: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = list(zip(starts, lasts, ns))
 
         ts_us: list[int] = []
-        for pdf in pdfs:
-            ts_us.extend(
-                pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist())
-        ts_us.sort()
-        closed = []
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = n = None
-        for t in ts_us:
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                # late-but-within-watermark data must never move the
-                # session clock backward: a batch whose max ts is older
-                # than the stored last_us would otherwise rewind
-                # last_us, fire the timeout gap-after-a-stale-timestamp
-                # and split one true session in two. Merge against the
-                # stored extremes instead.
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-            else:  # gap inside the batch: close mid-batch session now
-                closed.append(row(start_us, n))
-                start_us, last_us, n = t, t, 1
-        state.update((start_us, last_us, n))
-        # event-time timeout: fires once the WATERMARK (not wall clock)
-        # passes last event + gap — late data within the gap still merges
-        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
-        yield pd.DataFrame(closed, columns=["user_id", "session_start", "n_events"])
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us.extend(
+                    pdf["ts"].values.astype("datetime64[us]")
+                    .astype("int64").tolist())
+
+        # interval sweep: stored sessions + new points, sorted by
+        # start; adjacent items merge when the gap between them closes
+        # (a new point can legitimately BRIDGE two stored sessions)
+        items = sessions + [(t, t, 1) for t in ts_us]
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged: list[tuple[int, int, int]] = []
+        for s, l, n in items:
+            if merged and s - merged[-1][1] <= gap_us:
+                ps, pl, pn = merged[-1]
+                merged[-1] = (ps, max(pl, l), pn + n)
+            else:
+                merged.append((s, l, n))
+
+        # emission must be STRICT: an admissible event can arrive with
+        # ts == wm exactly, and merge uses `t - last <= gap`, so a
+        # session with last + gap == wm could still absorb it — only
+        # last + gap < wm is final
+        final = [x for x in merged if x[1] + gap_us < wm_us]
+        keep = [x for x in merged if x[1] + gap_us >= wm_us]
+        if keep:
+            state.update(([s for s, _, _ in keep],
+                          [l for _, l, _ in keep],
+                          [n for _, _, n in keep]))
+            # event-time timeout at the earliest possible close; must
+            # be strictly beyond the current watermark (guaranteed by
+            # the keep predicate, +1ms guards the floor-division edge)
+            state.setTimeoutTimestamp(
+                max((min(l for _, l, _ in keep) + gap_us) // 1000,
+                    wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+        if final:
+            yield pd.DataFrame(
+                [{"user_id": key[0],
+                  "session_start": pd.Timestamp(s, unit="us"),
+                  "n_events": n} for s, l, n in final])
 
     return update
 
@@ -155,9 +176,13 @@ def sessionize_with_timeout(events: DataFrame, gap: str = "10 minutes") -> DataF
     """
     import re
 
-    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", gap)
+    if m is None:
+        raise ValueError(
+            f"unsupported gap {gap!r}: expected '<n> second(s)|minute(s)"
+            f"|hour(s)|day(s)'")
     unit_us = {"second": 1_000_000, "minute": 60_000_000,
-               "hour": 3_600_000_000}[m.group(2)]
+               "hour": 3_600_000_000, "day": 86_400_000_000}[m.group(2)]
     gap_us = int(m.group(1)) * unit_us
     return (
         events.select("user_id", "ts")

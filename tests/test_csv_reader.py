@@ -222,3 +222,22 @@ def test_csv_write_rfc4180_quoting(spark, tmp_path):
     assert body == 'a,b\n"x""y","p,q"\n'
     back = from_file(spark, str(out)).to_frame().to_rows()
     assert back == [{"a": 'x"y', "b": "p,q"}]
+
+
+def test_expect_header_skips_comment_and_blank_lines(spark, tmp_path):
+    """Review r6: the header peek must validate against the first line
+    Spark's parser treats as the header — comment lines and blank
+    lines before it are skipped by the scan and must be skipped by the
+    peek too (previously '#generated' was compared against the
+    expected names and a valid file raised HeaderError)."""
+    p = str(tmp_path / "commented.csv")
+    with open(p, "w") as f:
+        f.write("#generated by tool\n\nid,name\n1,ann\n2,bob\n")
+    rows = (from_file(spark, p).comment_char("#")
+            .expect_header({"id": 0, "name": 1})
+            .to_frame().to_rows())
+    assert [r["name"] for r in rows] == ["ann", "bob"]
+    # and a genuinely wrong header still fails AFTER the skip
+    with pytest.raises(HeaderError):
+        from_file(spark, p).comment_char("#") \
+            .expect_header({"name": 0}).to_frame()

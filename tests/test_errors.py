@@ -248,3 +248,37 @@ def test_rangejoin_and_salted_join_reject_bad_modes(spark):
         within_range_join(df, df, "x", "x", 0.0)
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(df, df, "x", how="full")
+
+
+def test_num_fields_auto_multi_split_file(spark, tmp_path):
+    """Review r6: on a file large enough to span several input splits,
+    auto mode must fix the expected width from the file's TRUE first
+    line — split scheduling order (by size, not offset) must not leak
+    into the per-file width contract or the reported line ordinal."""
+    p = str(tmp_path / "wide.csv")
+    with open(p, "w") as f:
+        f.write("a,b,c\n")                       # 3 fields fixes the width
+        for i in range(4000):
+            f.write(f"{i},x{i},y{i}\n")
+        f.write("only,two\n")                    # line 4002 violates
+        for i in range(1000):
+            f.write(f"{i},z{i},w{i}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        from csvplus_spark import from_file
+
+        with pytest.raises(Exception, match="line 4002 has 2 fields, expected 3"):
+            from_file(spark, p).num_fields_auto().to_frame().to_rows()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_from_csv_text_rejects_short_rows(spark):
+    """Review r6: short rows are a width error exactly like over-wide
+    ones (Go csv auto FieldsPerRecord; the file Reader's FAILFAST
+    default) — not data to be silently padded."""
+    from csvplus_spark import from_csv_text
+
+    with pytest.raises(ValueError, match="wrong number of fields"):
+        from_csv_text(spark, "a,b\n1\n")

@@ -1,5 +1,7 @@
 """applyInPandasWithState: state must carry across micro-batches."""
 
+import pytest
+
 from csvplus_spark import load_table
 from csvplus_spark.streaming.events import stream_events
 from csvplus_spark.streaming.stateful import running_user_stats
@@ -236,3 +238,114 @@ def test_sessionize_with_timeout_matches_batch_sessions(spark, sf_dir, tmp_path)
     assert got, "timeout must close and emit sessions"
     for k, v in got.items():
         assert expect[k] == v, k
+
+
+def test_sessionize_stray_late_event_forms_own_session(spark, tmp_path):
+    """Review r6: a late-but-within-watermark event HOURS before the
+    open session must not merge into it (the old `t - last <= gap`
+    check was true for any negative delta, rewinding session_start);
+    it opens its own buffered session and both are emitted separately.
+    Also pins the no-overlap invariant: emission is watermark-final,
+    so a late event can never re-open a copy of an emitted session."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.stateful import sessionize_with_timeout
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_batch(i, minutes):
+        rows = pd.DataFrame({
+            "event_id": range(i * 10, i * 10 + len(minutes)),
+            "ts": [int((base + pd.Timedelta(minutes=m)).value) for m in minutes],
+            "user_id": [1] * len(minutes),
+            "event_type": ["click"] * len(minutes),
+            "value": [1.0] * len(minutes),
+            "props": ["{}"] * len(minutes),
+        })
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"b{i}"))
+        f = glob.glob(str(tmp_path / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"{i}.parquet")
+
+    write_batch(0, [0, 5])        # open session 12:00-12:05
+    write_batch(1, [-120])        # stray event 10:00, within 4h watermark
+    write_batch(2, [300])         # 17:00 advances the watermark past both
+
+    stream = stream_events(spark, str(src), max_files_per_trigger=1) \
+        .withWatermark("ts", "4 hours")
+    q = (
+        sessionize_with_timeout(stream, "10 minutes")
+        .writeStream.format("memory").queryName("stray_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted((r["session_start"], r["n_events"]) for r in
+                 spark.sql("SELECT * FROM stray_sessions").collect())
+    want = [((base - pd.Timedelta(hours=2)).to_pydatetime(), 1),
+            (base.to_pydatetime(), 2)]
+    assert got == want, got
+
+
+def test_sessionize_rejects_unsupported_gap(spark, sf_dir):
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.stateful import sessionize_with_timeout
+
+    with pytest.raises(ValueError, match="unsupported gap"):
+        sessionize_with_timeout(None, "500 milliseconds")
+
+
+def test_foreach_batch_upsert_recovers_interrupted_swap(spark, sf_dir, tmp_path):
+    """Review r6: the upsert sink's swap renames the old table aside
+    before moving the new one in; a crash between the two renames
+    leaves only `path__prev__`, which the next batch must roll back
+    instead of treating as a cold-start overwrite (the old code's bare
+    `except` answered ANY read failure by overwriting the accumulated
+    table with one micro-batch)."""
+    import glob
+    import os
+    import shutil
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.sinks import foreach_batch_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "target")
+
+    first = ev.df.limit(200)
+    first.withColumn("ts", F.unix_micros("ts") * 1000) \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s0"))
+    shutil.copy(glob.glob(str(tmp_path / "s0" / "part-*.parquet"))[0],
+                src / "0.parquet")
+    q = foreach_batch_upsert(
+        stream_events(spark, str(src)), out, str(tmp_path / "ck1"), ["user_id"])
+    q.awaitTermination(120)
+    n0 = spark.read.parquet(out).count()
+    assert n0 > 0
+
+    # simulate a crash in the one-rename window: old table moved aside,
+    # new one never arrived
+    os.rename(out, out + "__prev__")
+    second = ev.df.subtract(ev.df.limit(200)).limit(100)
+    second.withColumn("ts", F.unix_micros("ts") * 1000) \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    shutil.copy(glob.glob(str(tmp_path / "s1" / "part-*.parquet"))[0],
+                src / "1.parquet")
+    q2 = foreach_batch_upsert(
+        stream_events(spark, str(src)), out, str(tmp_path / "ck2"), ["user_id"])
+    q2.awaitTermination(120)
+    merged = spark.read.parquet(out)
+    # the pre-crash rows survived the rollback (not just batch 2's)
+    assert merged.count() >= n0
+    assert not os.path.exists(out + "__prev__")
