@@ -2168,6 +2168,148 @@ QUALIFY rank <= 5
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality rules: integer-count rule evaluation + the
+    combined pass flag (operators/text.py::gopher_rules)."""
+    from csvplus_spark.operators.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents").df)
+
+
+def q_novel_bigrams(spark, sf_dir):
+    """Per-doc novel-bigram ownership vs the whole corpus
+    (operators/text.py::novel_bigram_stats)."""
+    from csvplus_spark.operators.text import novel_bigram_stats
+
+    return novel_bigram_stats(load_table(spark, sf_dir, "documents").df)
+
+
+def q_source_mix(spark, sf_dir):
+    """Corpus composition per (source, lang): docs, tokens, token
+    share (operators/text.py::source_mix)."""
+    from csvplus_spark.operators.text import source_mix
+
+    return source_mix(load_table(spark, sf_dir, "documents").df)
+
+
+def q_knn_label(spark, sf_dir):
+    """kNN label propagation over the embeddings table: majority label
+    of the 10 exact cosine neighbors, vote ties to the smallest label
+    (operators/similarity.py::knn_label_vote)."""
+    from csvplus_spark.operators.similarity import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    return knn_label_vote(emb, emb, k=10)
+
+
+_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_word_chars,
+         len(list_filter(toks, x -> NOT regexp_matches(x, '[0-9]'))) AS n_alpha_words,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_word_chars AS BIGINT) AS sum_word_chars,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+       CASE WHEN n_words > 0
+            THEN CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len,
+       (n_words BETWEEN 50 AND 100000
+        AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_hits >= 2) AS passes_gopher
+FROM a
+"""
+
+
+_NOVEL_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bg GROUP BY doc_id),
+db AS (SELECT DISTINCT doc_id, bigram FROM bg),
+fr AS (SELECT bigram, COUNT(*) AS nd FROM db GROUP BY bigram),
+per AS (
+  SELECT db.doc_id,
+         COUNT(*) AS n_distinct_bigrams,
+         COALESCE(SUM(CASE WHEN fr.nd = 1 THEN 1 ELSE 0 END), 0) AS n_owned
+  FROM db JOIN fr USING (bigram)
+  GROUP BY db.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COALESCE(per.n_owned, 0) AS BIGINT) AS n_owned,
+       CASE WHEN COALESCE(per.n_distinct_bigrams, 0) > 0
+            THEN CAST(per.n_owned AS DOUBLE) / CAST(per.n_distinct_bigrams AS DOUBLE)
+            ELSE 0.0 END AS owned_ratio
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+_SOURCE_MIX_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         COALESCE(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 0)
+           AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM c) AS token_share
+FROM c
+"""
+
+
+_KNN_LABEL_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS n FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (nq.n * nc.n) AS sim_raw
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+),
+nn AS (
+  SELECT query_id, corpus_id FROM pairs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim_raw DESC, corpus_id) <= 10
+),
+cnt AS (
+  SELECT nn.query_id, e.label, COUNT(*) AS votes
+  FROM nn JOIN embeddings e ON nn.corpus_id = e.vec_id
+  GROUP BY nn.query_id, e.label
+)
+SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+FROM cnt
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY votes DESC, label) = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": q_flagship,
@@ -2253,6 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
+        "gopher_quality": q_gopher_quality,
+        "novel_bigrams": q_novel_bigrams,
+        "source_mix": q_source_mix,
+        "knn_label": q_knn_label,
     }
 
 
@@ -2436,6 +2582,10 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),
+        "gopher_quality": _GOPHER_SQL,
+        "novel_bigrams": _NOVEL_BIGRAMS_SQL,
+        "source_mix": _SOURCE_MIX_SQL,
+        "knn_label": _KNN_LABEL_SQL,
         # approx_distinct: deliberately no oracle — HLL sketches are
         # engine-specific; driver records a rows-only check
     }

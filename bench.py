@@ -69,6 +69,10 @@ HEADLINE = [
     "contamination",
     "canonicalize",
     "training_set",
+    "gopher_quality",
+    "novel_bigrams",
+    "source_mix",
+    "knn_label",
 ]
 
 

@@ -652,3 +652,137 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_case.otherwise(F.lit("und")).alias("lang_pred"),
         "fingerprint",
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition/quality filters —
+    public paper): per-doc word count bounds, mean word length bounds,
+    alphabetic-word fraction, and stop-word presence, plus the combined
+    pass flag a curation pipeline filters on.
+
+    Cross-engine-exact BY CONSTRUCTION (NOTES determinism rules): every
+    rule is evaluated on INTEGER counts (the 0.8 alpha fraction becomes
+    ``5*n_alpha >= 4*n_words``; the [3,10] mean-length band becomes
+    ``3*n <= chars <= 10*n``); the only double in the output is one
+    final division for ``mean_word_len``. Shape: one tokenize+explode,
+    one hash-aggregate keyed by doc — identical to text_stats; no
+    window, no collect.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(text_col)).alias("__tok__"),
+    )
+    agg = tok.groupBy(id_col).agg(
+        F.count("__tok__").alias("n_words"),
+        F.coalesce(F.sum(F.length("__tok__")), F.lit(0)).alias("sum_word_chars"),
+        F.count(F.when(~F.col("__tok__").rlike("[0-9]"), 1)).alias("n_alpha_words"),
+        F.count(F.when(F.col("__tok__").isin(LANG_STOPWORDS["en"]), 1))
+        .alias("n_stop_hits"),
+    )
+    n = F.col("n_words")
+    chars = F.col("sum_word_chars")
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (chars >= 3 * n) & (chars <= 10 * n)
+        & (5 * F.col("n_alpha_words") >= 4 * n)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return agg.select(
+        F.col(id_col),
+        n,
+        chars,
+        F.col("n_alpha_words"),
+        F.col("n_stop_hits"),
+        F.when(n > 0, chars / n).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def novel_bigram_stats(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc novel-bigram ownership: how much of a document's bigram
+    vocabulary appears NOWHERE else in the corpus. High ownership =
+    original text; near-zero = template/boilerplate — the bigram-level
+    sibling of the exact-line boilerplate detector and a cheap
+    cross-doc repetition signal (WebText/CCNet-style corpus stats).
+
+    Integer-exact: counts of bigrams/distinct bigrams/owned bigrams are
+    bigints; ``owned_ratio`` is one final division. Shape: adjacent
+    pairs via lead() over (doc, pos) — the window key is the
+    high-cardinality doc id, never a corpus-wide partition — then one
+    distinct, one groupBy(bigram) doc-frequency aggregate, one equi-join
+    back. No all-pairs, no broadcast of anything data-sized.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos__")
+    bg = (
+        tok.withColumn("__nxt__", F.lead("__tok__").over(w))
+        .filter(F.col("__nxt__").isNotNull())
+        .select(F.col(id_col),
+                F.concat_ws(" ", "__tok__", "__nxt__").alias("__bg__"))
+    )
+    tot = bg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_bigrams"))
+    db = bg.distinct()
+    docfreq = db.groupBy("__bg__").agg(F.count(F.lit(1)).alias("__nd__"))
+    per = (
+        db.join(docfreq, "__bg__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.count(F.when(F.col("__nd__") == 1, 1)).alias("n_owned"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(tot, id_col, "left")
+        .join(per, id_col, "left")
+    )
+    nd = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        F.coalesce(F.col("n_owned"), F.lit(0)).alias("n_owned"),
+        F.when(nd > 0,
+               F.coalesce(F.col("n_owned"), F.lit(0)) / nd)
+        .otherwise(F.lit(0.0)).alias("owned_ratio"),
+    )
+
+
+def source_mix(df: DataFrame, text_col: str = "text",
+               group_cols: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Corpus composition report: per (source, lang) doc and token
+    counts plus each cell's share of total corpus tokens — the
+    first thing a mixture-curation pass (token_budget_mix's planner)
+    looks at.
+
+    ``token_share`` divides two bigints ONCE (both engines promote to
+    double identically); the denominator is a scalar subquery — fully
+    lazy, zero collects. Shape: one map-combined aggregate into a
+    handful of groups; low-cardinality keys are safe in an AGGREGATE
+    (partial combine on every partition) — it is per-group WINDOWS that
+    serialize, which this op never uses.
+    """
+    n_tok = token_count(text_col)
+    total = df.groupBy().agg(
+        F.coalesce(F.sum(n_tok), F.lit(0)).alias("t")).scalar()
+    return (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(n_tok), F.lit(0)).alias("n_tokens"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / total).alias("token_share"),
+        )
+    )

@@ -838,3 +838,104 @@ def test_token_budget_mix_rejects_negative_weights(spark):
         [(1, "web", 50), (2, "web", None), (3, "web", 40)],
         "doc_id long, source string, n_tokens long")
     assert token_budget_mix(df2, {"web": 100}).count() == 3
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    """The pass flag evaluates on integer counts: a doc exactly at the
+    0.8 alpha fraction and the 3.0 mean-length boundary must pass
+    (inclusive bounds), one token below must fail."""
+    from csvplus_spark.operators.text import gopher_rules
+
+    # 50 words, all length 3 (mean exactly 3.0), 40 alpha (exactly 0.8)
+    passing = " ".join(
+        ["the", "and"] + ["abc"] * 38 + ["x99"] * 10)
+    rows = gopher_rules(spark.createDataFrame(
+        [(1, passing), (2, "short doc"), (3, "")],
+        "doc_id long, text string")).orderBy("doc_id").collect()
+    r1, r2, r3 = rows
+    assert r1["n_words"] == 50 and r1["n_alpha_words"] == 40
+    assert r1["passes_gopher"] is True            # 5*40 >= 4*50 exactly
+    assert r2["passes_gopher"] is False           # word count below 50
+    assert r3["n_words"] == 0 and r3["mean_word_len"] == 0.0
+    assert r3["passes_gopher"] is False
+
+
+def test_novel_bigram_ownership(spark):
+    """Bigrams shared across docs are not owned; a doc's unique
+    bigrams are; token-less and single-token docs report zeros."""
+    from csvplus_spark.operators.text import novel_bigram_stats
+
+    got = {r["doc_id"]: r for r in novel_bigram_stats(spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red fox sleeps"), (3, "one"), (4, "")],
+        "doc_id long, text string")).collect()}
+    # doc 1: bigrams {red fox, fox jumps}; "red fox" shared with doc 2
+    assert (got[1]["n_bigrams"], got[1]["n_distinct_bigrams"],
+            got[1]["n_owned"]) == (2, 2, 1)
+    assert got[1]["owned_ratio"] == 0.5
+    assert got[2]["n_owned"] == 1
+    assert (got[3]["n_bigrams"], got[3]["owned_ratio"]) == (0, 0.0)
+    assert (got[4]["n_bigrams"], got[4]["owned_ratio"]) == (0, 0.0)
+
+
+def test_source_mix_shares_sum_to_one(spark, sf_dir):
+    from csvplus_spark import load_table
+    from csvplus_spark.operators.text import source_mix
+
+    rows = source_mix(load_table(spark, sf_dir, "documents").df).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    assert all(r["n_tokens"] >= 0 and r["n_docs"] > 0 for r in rows)
+
+
+def test_knn_label_vote_majority_and_tie(spark):
+    """Majority label wins; an even split breaks to the smallest
+    label; exclude_self keeps a vector from voting for itself."""
+    from csvplus_spark.operators.similarity import knn_label_vote
+
+    # 2D points: query 0 at origin-ish; two clusters on the x axis
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.9, 0.1], 2), (2, [0.95, 0.05], 2),   # near, label 2
+        (3, [0.8, 0.2], 5),                           # near, label 5
+        (4, [-1.0, 0.0], 7),                          # far
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["query_id"]: r for r in
+           knn_label_vote(df, df, k=3).collect()}
+    assert got[0]["pred_label"] == 2 and got[0]["votes"] == 2
+    # k=4 for query 0: labels {2,2,5,7} -> 2 still; for query 4 with
+    # k=4 the vote is {9,2,2,5} -> 2
+    got4 = {r["query_id"]: r for r in
+            knn_label_vote(df, df, k=4).collect()}
+    assert got4[4]["pred_label"] == 2
+    # tie: two labels with equal votes -> smallest label
+    tie = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0),
+         (1, [0.99, 0.01], 8), (2, [0.98, 0.02], 3)],
+        "vec_id long, embedding array<float>, label int")
+    t = {r["query_id"]: r for r in knn_label_vote(tie, tie, k=2).collect()}
+    assert t[0]["pred_label"] == 3 and t[0]["votes"] == 1
+
+
+def test_grid_topk_matches_brute_force(spark, sf_dir):
+    """grid_topk's BLAS-prefiltered exact top-k must be byte-identical
+    to brute_force_topk — ranks, tie order, and sim VALUES (the
+    superset-then-fold-rescore argument in its docstring)."""
+    from csvplus_spark import load_table
+    from csvplus_spark.operators.similarity import (brute_force_topk,
+                                                    grid_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    a = brute_force_topk(emb, emb, k=7).collect()
+    b = grid_topk(emb, emb, k=7, n_blocks=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[2])) \
+        == sorted(map(tuple, b), key=lambda t: (t[0], t[2]))
+    # and with self-matches allowed (rank 1 = self at sim 1.0)
+    a2 = {(r["query_id"], r["rank"]): r["corpus_id"] for r in
+          brute_force_topk(emb.limit(50), emb, k=3,
+                           exclude_self=False).collect()}
+    b2 = {(r["query_id"], r["rank"]): r["corpus_id"] for r in
+          grid_topk(emb.limit(50), emb, k=3, n_blocks=4,
+                    exclude_self=False).collect()}
+    assert a2 == b2
