@@ -2168,6 +2168,48 @@ QUALIFY rank <= 5
 """
 
 
+def q_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: top customers by lost revenue on returned
+    items — fact ⋈ fact on the shuffle key, broadcast dims, agg by
+    customer attributes, exact-cents revenue, deterministic top-20."""
+    c = load_table(spark, sf_dir, "customer").df
+    n = load_table(spark, sf_dir, "nation").df
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    lo, hi = "1997-01-01", "1997-07-01"
+    return (
+        o.filter((F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")))
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == li["l_orderkey"])
+        # customer scales with SF — no broadcast HINT (AQE broadcasts
+        # it at test scale; at 100 TB it takes a shuffle join on the
+        # already-shuffled o_custkey side); nation is a fixed 25 rows
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_drevenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_TPCH_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality rules: integer-count rule evaluation + the
     combined pass flag (operators/text.py::gopher_rules)."""
@@ -2395,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
+        "tpch_q10_returns": q_tpch_q10_returns,
         "gopher_quality": q_gopher_quality,
         "novel_bigrams": q_novel_bigrams,
         "source_mix": q_source_mix,
@@ -2582,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),
+        "tpch_q10_returns": _TPCH_Q10_SQL,
         "gopher_quality": _GOPHER_SQL,
         "novel_bigrams": _NOVEL_BIGRAMS_SQL,
         "source_mix": _SOURCE_MIX_SQL,

@@ -39,6 +39,7 @@ HEADLINE = [
     "events_session",
     "tpch_q3_shipping",
     "tpch_q5_volume",
+    "tpch_q10_returns",
     "dedup_clusters",
     "dedup_clusters_fast",
     "tfidf",
