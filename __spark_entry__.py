@@ -2210,6 +2210,47 @@ LIMIT 20
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Cross-snapshot corpus diff (operators/dedup.py::snapshot_diff).
+    Both snapshots derive deterministically from the documents table:
+    'previous' = doc_id % 3 != 0; 'current' = doc_id % 7 != 0 with the
+    text of every doc_id % 5 == 0 doc amended — exercising all four
+    statuses."""
+    from csvplus_spark.operators.dedup import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").df
+    prev = docs.filter(F.col("doc_id") % 3 != 0)
+    cur = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" amended")))
+        .otherwise(F.col("text")))
+    return snapshot_diff(cur, prev)
+
+
+_SNAPSHOT_DIFF_SQL = r"""
+WITH prev AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_previous
+  FROM documents WHERE doc_id % 3 <> 0
+),
+cur AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END
+         )), '\s+', ' ', 'g')) AS fp_current
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+       CASE WHEN prev.doc_id IS NULL THEN 'added'
+            WHEN cur.doc_id IS NULL THEN 'removed'
+            WHEN fp_current = fp_previous THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       fp_current, fp_previous
+FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality rules: integer-count rule evaluation + the
     combined pass flag (operators/text.py::gopher_rules)."""
@@ -2438,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
         "tpch_q10_returns": q_tpch_q10_returns,
+        "snapshot_diff": q_snapshot_diff,
         "gopher_quality": q_gopher_quality,
         "novel_bigrams": q_novel_bigrams,
         "source_mix": q_source_mix,
@@ -2626,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),
         "tpch_q10_returns": _TPCH_Q10_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "gopher_quality": _GOPHER_SQL,
         "novel_bigrams": _NOVEL_BIGRAMS_SQL,
         "source_mix": _SOURCE_MIX_SQL,

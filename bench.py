@@ -70,6 +70,7 @@ HEADLINE = [
     "contamination",
     "canonicalize",
     "training_set",
+    "snapshot_diff",
     "gopher_quality",
     "novel_bigrams",
     "source_mix",

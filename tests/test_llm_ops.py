@@ -939,3 +939,20 @@ def test_grid_topk_matches_brute_force(spark, sf_dir):
           grid_topk(emb.limit(50), emb, k=3, n_blocks=4,
                     exclude_self=False).collect()}
     assert a2 == b2
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses; cosmetic whitespace/case drift counts as
+    unchanged (shared fingerprint normalization)."""
+    from csvplus_spark.operators.dedup import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [(1, "stable text"), (2, "old wording"), (3, "to be dropped")],
+        "doc_id long, text string")
+    cur = spark.createDataFrame(
+        [(1, "  Stable   TEXT "),   # cosmetic drift only
+         (2, "new wording"),
+         (4, "brand new doc")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(cur, prev).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
