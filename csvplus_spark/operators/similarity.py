@@ -575,6 +575,12 @@ def grid_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     cell is a dense BLAS call, candidates are output-sized, and the
     final per-query window sees ≤ n_blocks·k rows — no |q|-task funnel,
     no corpus-wide broadcast.
+
+    Edge: zero-norm vectors have undefined cosine (NaN) in BOTH paths;
+    brute_force_topk would rank their NaN sims (Spark orders NaN above
+    every number), the BLAS prefilter drops them (NaN fails every
+    comparison). Filter zero vectors out first (normalize_embeddings
+    does) — neither ordering of an undefined similarity is meaningful.
     """
     spark = queries.sparkSession
     q = with_double_vec(queries, vec_col).select(

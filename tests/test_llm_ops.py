@@ -956,3 +956,25 @@ def test_snapshot_diff_statuses(spark):
         "doc_id long, text string")
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(cur, prev).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_grid_topk_random_property(spark):
+    """Randomized equality vs brute_force_topk: duplicate vectors
+    (exact sim ties → corpus-id tie-break), k larger than some blocks,
+    k ≥ corpus, and non-square query/corpus sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    base = rng.normal(size=(40, 8)).astype("float32")
+    # plant exact duplicates (rows 0-4 duplicated as 40-44)
+    vecs = np.vstack([base, base[:5]])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from csvplus_spark.operators.similarity import (brute_force_topk,
+                                                    grid_topk)
+
+    for k, nq in ((3, 45), (50, 45), (7, 10)):
+        q = df if nq == 45 else df.limit(nq)
+        a = sorted(map(tuple, brute_force_topk(q, df, k=k).collect()))
+        b = sorted(map(tuple, grid_topk(q, df, k=k, n_blocks=4).collect()))
+        assert a == b, f"k={k} nq={nq}"
