@@ -2244,7 +2244,7 @@ cur AS (
 SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
        CASE WHEN prev.doc_id IS NULL THEN 'added'
             WHEN cur.doc_id IS NULL THEN 'removed'
-            WHEN fp_current = fp_previous THEN 'unchanged'
+            WHEN fp_current IS NOT DISTINCT FROM fp_previous THEN 'unchanged'
             ELSE 'changed' END AS status,
        fp_current, fp_previous
 FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id

@@ -1061,13 +1061,21 @@ def snapshot_diff(current: DataFrame, previous: DataFrame,
     """
     from .text import fingerprint
 
-    cur = current.select(F.col(id_col), fingerprint(text_col).alias("fp_current"))
-    prev = previous.select(F.col(id_col), fingerprint(text_col).alias("fp_previous"))
+    # presence is tracked by explicit flags, NOT fingerprint nullness:
+    # a NULL-text doc has a NULL fingerprint while being genuinely
+    # present, and must not masquerade as added/removed (review r6);
+    # fp comparison is null-safe for the same reason (NULL text in
+    # both snapshots = unchanged)
+    cur = current.select(F.col(id_col), fingerprint(text_col).alias("fp_current"),
+                         F.lit(True).alias("__in_cur__"))
+    prev = previous.select(F.col(id_col), fingerprint(text_col).alias("fp_previous"),
+                           F.lit(True).alias("__in_prev__"))
     j = cur.join(prev, id_col, "full_outer")
     status = (
-        F.when(F.col("fp_previous").isNull(), F.lit("added"))
-        .when(F.col("fp_current").isNull(), F.lit("removed"))
-        .when(F.col("fp_current") == F.col("fp_previous"), F.lit("unchanged"))
+        F.when(F.col("__in_prev__").isNull(), F.lit("added"))
+        .when(F.col("__in_cur__").isNull(), F.lit("removed"))
+        .when(F.col("fp_current").eqNullSafe(F.col("fp_previous")),
+              F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"),

@@ -534,15 +534,16 @@ def knn_label_vote(queries: DataFrame, corpus: DataFrame, k: int = 10,
         "corpus_id")
     cnts = labeled.groupBy("query_id", label_col).agg(
         F.count(F.lit(1)).alias("votes"))
+    # max votes first, then min label among the tied winners — two
+    # aggregates + one equi-join, so the tie-break works for ANY
+    # orderable label type (string categories included; an arithmetic
+    # -label trick would null out or reject non-numeric labels)
+    mv = cnts.groupBy("query_id").agg(F.max("votes").alias("votes"))
     return (
-        cnts.groupBy("query_id")
-        .agg(F.max(F.struct(F.col("votes"),
-                            (-F.col(label_col)).alias("__nl__"))).alias("__m__"))
-        .select(
-            F.col("query_id"),
-            (-F.col("__m__.__nl__")).alias("pred_label"),
-            F.col("__m__.votes").alias("votes"),
-        )
+        cnts.join(mv, ["query_id", "votes"])
+        .groupBy("query_id", "votes")
+        .agg(F.min(label_col).alias("pred_label"))
+        .select("query_id", "pred_label", "votes")
     )
 
 
@@ -605,9 +606,9 @@ def grid_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     grid_q = spark.createDataFrame(
         [(i, j) for i in range(nq_blocks) for j in range(n_blocks)],
         "gq int, gc int")
-    grid_c = spark.createDataFrame(
-        [(i, j) for i in range(nq_blocks) for j in range(n_blocks)],
-        "gq2 int, gc2 int")
+    # same grid, renamed columns, so left/right stay unambiguous to
+    # the analyzer in the cogroup below
+    grid_c = grid_q.toDF("gq2", "gc2")
     left = ql.join(F.broadcast(grid_q), F.col("__qb__") == F.col("gq")) \
         .select("query_id", "__qv__", "gq", "gc")
     right = cl.join(F.broadcast(grid_c), F.col("__cb__") == F.col("gc2")) \

@@ -162,8 +162,26 @@ class Reader:
                                 and ln.startswith(self._comment))
 
         if "://" in self.path:
-            rows = self.spark.read.text(self.path).limit(64).collect()
-            line = next((r[0] for r in rows if not _skip(r[0])), "")
+            # remote peek must PROVE file order, exactly like the width
+            # check (review r6): a bare limit() samples whichever split
+            # the scheduler reads first (splits are ordered by SIZE),
+            # so the "first line" could come from the middle of a big
+            # file. Order by (file, split byte offset, within-split id)
+            # — a TakeOrdered over one small projection — and walk the
+            # first file's lines in true order.
+            rows = (
+                self.spark.read.text(self.path)
+                .select(F.col("value"),
+                        F.input_file_name().alias("__f__"),
+                        F.col("_metadata.file_block_start").alias("__bs__"),
+                        F.monotonically_increasing_id().alias("__lid__"))
+                .orderBy("__f__", "__bs__", "__lid__")
+                .limit(1024).collect()
+            )
+            first_file = rows[0]["__f__"] if rows else None
+            line = next((r["value"] for r in rows
+                         if r["__f__"] == first_file and not _skip(r["value"])),
+                        "")
         else:
             line = ""
             with open(paths[0], "r", newline="") as f:

@@ -41,15 +41,22 @@ def from_csv_text(spark: SparkSession, text: str, delimiter: str = ",",
     import csv as _csv
     import io
 
-    rows = list(_csv.reader(io.StringIO(text), delimiter=delimiter))
-    if not rows:
+    # blank lines are SKIPPED, not width-checked: Go encoding/csv skips
+    # empty records entirely and the file Reader's width check filters
+    # length==0 lines — pasted text with a trailing/interior blank line
+    # must parse the same way here (review r6). Physical line numbers
+    # are kept for error messages.
+    numbered = [(ln, r) for ln, r in
+                enumerate(_csv.reader(io.StringIO(text), delimiter=delimiter),
+                          start=1) if r]
+    if not numbered:
         raise ValueError("empty CSV input")
     if header:
-        names, data = rows[0], rows[1:]
+        names, data = numbered[0][1], numbered[1:]
     else:
-        names = [f"_c{i}" for i in range(len(rows[0]))]
-        data = rows
-    for ln, r in enumerate(data, start=2 if header else 1):
+        names = [f"_c{i}" for i in range(len(numbered[0][1]))]
+        data = numbered
+    for ln, r in data:
         if len(r) != len(names):
             # Go encoding/csv (FieldsPerRecord auto) rejects ANY width
             # mismatch — over-wide drops data silently, short rows are
@@ -59,5 +66,5 @@ def from_csv_text(spark: SparkSession, text: str, delimiter: str = ",",
             raise ValueError(
                 f"record on line {ln}: wrong number of fields: "
                 f"{len(r)} != {len(names)}")
-    dicts = [{n: r[i] for i, n in enumerate(names)} for r in data]
+    dicts = [{n: r[i] for i, n in enumerate(names)} for _, r in data]
     return take_rows(spark, dicts, schema=", ".join(f"`{n}` string" for n in names))

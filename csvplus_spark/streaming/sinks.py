@@ -15,9 +15,33 @@ unchanged.
 
 from __future__ import annotations
 
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+
+class _Fs:
+    """Thin Hadoop FileSystem wrapper: exists/rename/delete that honor
+    the path's OWN scheme (hdfs://, s3a://, file:, bare local). The
+    python os/shutil calls this replaces see only the driver's local
+    filesystem — on a cluster or a remote store they answer `exists` =
+    False for a table that very much exists, which would turn the
+    bootstrap-overwrite branch into silent truncation of the
+    accumulated table (review r6)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark.sparkContext._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._Path(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
 
 
 def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
@@ -32,14 +56,16 @@ def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
         # target genuinely NOT EXISTING, never on a failed read — a
         # transient read error answered with mode("overwrite") would
         # silently replace the whole accumulated table with one
-        # micro-batch. Existence is checked directly; any OTHER read
-        # failure propagates and fails the batch (the streaming commit
-        # log replays it).
+        # micro-batch. Existence/renames go through the path's own
+        # Hadoop FileSystem so the gate is correct for remote stores
+        # and cluster drivers too; any OTHER read failure propagates
+        # and fails the batch (the streaming commit log replays it).
+        fs = _Fs(spark, path)
         prev = path + "__prev__"
-        if os.path.exists(prev) and not os.path.exists(path):
+        if fs.exists(prev) and not fs.exists(path):
             # crash window below (between the two renames) — roll back
-            os.rename(prev, path)
-        if not os.path.exists(path):
+            fs.rename(prev, path)
+        if not fs.exists(path):
             batch.write.mode("overwrite").parquet(path)
             return
         current = spark.read.parquet(path)
@@ -50,17 +76,16 @@ def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
         # a crash at any point leaves either the old or the new table
         # recoverable — the rollback above heals the one-rename window
         # on the next batch. Plain parquet has no atomic
-        # overwrite-while-reading; a transactional table format would
-        # replace this whole dance with MERGE.
+        # overwrite-while-reading (and object-store renames are
+        # per-file copies, not atomic either); a transactional table
+        # format would replace this whole dance with MERGE.
         tmp = path + "__tmp__"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(prev):
-            shutil.rmtree(prev)
-        os.rename(path, prev)
-        os.rename(tmp, path)
-        shutil.rmtree(prev)
+        if fs.exists(prev):
+            fs.delete(prev)
+        fs.rename(path, prev)
+        fs.rename(tmp, path)
+        fs.delete(prev)
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

@@ -63,6 +63,12 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
 
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, n_events long"
+#: COMPATIBILITY: this state layout replaced the earlier scalar
+#: (start_us, last_us, n) schema when emission became watermark-final.
+#: applyInPandasWithState has no state-schema migration — a checkpoint
+#: written by the old layout cannot be resumed by this operator; drain
+#: the old query (advance the watermark past every open session) or
+#: start from a fresh checkpoint.
 SESSION_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 

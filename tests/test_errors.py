@@ -282,3 +282,38 @@ def test_from_csv_text_rejects_short_rows(spark):
 
     with pytest.raises(ValueError, match="wrong number of fields"):
         from_csv_text(spark, "a,b\n1\n")
+
+
+def test_from_csv_text_skips_blank_lines(spark):
+    """Review r6 follow-up: blank lines are skipped (Go csv skips empty
+    records; the file Reader filters them) — not width errors — and
+    error messages keep PHYSICAL line numbers across skipped blanks."""
+    from csvplus_spark import from_csv_text
+
+    rows = from_csv_text(spark, "a,b\n1,2\n\n3,4\n\n").to_rows()
+    assert rows == [{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]
+    with pytest.raises(ValueError, match="line 4"):
+        from_csv_text(spark, "a,b\n1,2\n\nonly-one\n")
+
+
+def test_expect_header_on_file_uri_multi_split(spark, tmp_path):
+    """Review r6 follow-up: the remote-scheme header peek must read the
+    TRUE first line — with many small splits a bare limit() samples
+    whichever split is scheduled first (splits order by size)."""
+    from csvplus_spark import from_file
+
+    p = tmp_path / "big.csv"
+    with open(p, "w") as f:
+        f.write("#generated\n")
+        f.write("id,name\n")
+        for i in range(4000):
+            f.write(f"{i},n{i}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        n = (from_file(spark, f"file://{p}").comment_char("#")
+             .expect_header({"id": 0, "name": 1})
+             .to_frame().df.count())
+        assert n == 4000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -978,3 +978,31 @@ def test_grid_topk_random_property(spark):
         a = sorted(map(tuple, brute_force_topk(q, df, k=k).collect()))
         b = sorted(map(tuple, grid_topk(q, df, k=k, n_blocks=4).collect()))
         assert a == b, f"k={k} nq={nq}"
+
+
+def test_knn_label_vote_string_labels(spark):
+    """Review r6 follow-up: the vote tie-break must work for ANY
+    orderable label type — string categories tie to the
+    lexicographically smallest."""
+    from csvplus_spark.operators.similarity import knn_label_vote
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "zebra"),
+         (1, [0.99, 0.01], "spam"), (2, [0.98, 0.02], "ham")],
+        "vec_id long, embedding array<float>, label string")
+    got = {r["query_id"]: r for r in knn_label_vote(df, df, k=2).collect()}
+    assert got[0]["pred_label"] == "ham" and got[0]["votes"] == 1
+
+
+def test_snapshot_diff_null_text(spark):
+    """Review r6 follow-up: presence comes from the join side, not
+    fingerprint nullness — a NULL-text doc present in both snapshots
+    is unchanged, not added/removed."""
+    from csvplus_spark.operators.dedup import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [(1, None), (2, "text"), (3, None)], "doc_id long, text string")
+    cur = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(cur, prev).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
