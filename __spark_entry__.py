@@ -2210,6 +2210,58 @@ LIMIT 20
 """
 
 
+def q_expectations(spark, sf_dir):
+    """Column-level data-quality gate over orders
+    (operators/profile.py::check_expectations): one aggregate job,
+    integer violation counts."""
+    from csvplus_spark.operators.profile import check_expectations
+
+    return check_expectations(
+        load_table(spark, sf_dir, "orders").df,
+        {
+            "o_orderkey": {"not_null": True, "unique": True},
+            "o_totalprice": {"min": 0.0},
+            "o_orderstatus": {"allowed": ["F", "O", "P"]},
+            "o_orderpriority": {"regex": "[1-5]-[A-Z ]+"},
+        })
+
+
+_EXPECTATIONS_SQL = """
+SELECT 'o_orderkey' AS col_name, 'not_null' AS rule,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', 'unique',
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', 'min',
+       CAST(SUM(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', 'allowed',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('F', 'O', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('F', 'O', 'P')
+           THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', 'regex',
+       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                      AND NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z ]+)')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderpriority IS NOT NULL
+                 AND NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z ]+)')
+           THEN 1 ELSE 0 END) = 0
+FROM orders
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Cross-snapshot corpus diff (operators/dedup.py::snapshot_diff).
     Both snapshots derive deterministically from the documents table:
@@ -2480,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_cap": q_lang_cap,
         "tpch_q10_returns": q_tpch_q10_returns,
         "snapshot_diff": q_snapshot_diff,
+        "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
         "novel_bigrams": q_novel_bigrams,
         "source_mix": q_source_mix,
@@ -2669,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_cap": _lang_cap_sql(),
         "tpch_q10_returns": _TPCH_Q10_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,
         "novel_bigrams": _NOVEL_BIGRAMS_SQL,
         "source_mix": _SOURCE_MIX_SQL,

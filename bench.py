@@ -71,6 +71,7 @@ HEADLINE = [
     "canonicalize",
     "training_set",
     "snapshot_diff",
+    "expectations",
     "gopher_quality",
     "novel_bigrams",
     "source_mix",

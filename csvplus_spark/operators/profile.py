@@ -42,3 +42,79 @@ def profile_columns(df: DataFrame) -> DataFrame:
         F.col("p.n_nulls").alias("n_nulls"),
         F.col("p.n_distinct").alias("n_distinct"),
     )
+
+
+def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
+    """Column-level data-quality gate: evaluate declarative
+    expectations in ONE aggregate job and return a violations report —
+    (col_name, rule, n_violations, passed), one row per (column, rule).
+
+    ``rules`` maps column name → dict of expectations:
+      * ``not_null``: True — no NULLs
+      * ``min`` / ``max``: inclusive value bounds (NULLs don't violate
+        bounds — pair with not_null to forbid them)
+      * ``allowed``: list of permitted values (NULL not counted)
+      * ``regex``: full-match pattern for string columns
+      * ``unique``: True — no duplicated non-NULL values
+
+    The row-level sibling of the reference's Validate (csvplus.go:
+    300-310, which fails on the FIRST bad row): this reports EVERY
+    violation count, the shape a pipeline health dashboard wants.
+
+    Scale: all rules compile into one map-combined aggregate (the
+    uniqueness rule adds a count_distinct → the same Expand shape as
+    profile_columns); counts are integers, so the report is
+    cross-engine exact. Unknown columns or rule names raise
+    immediately — a silently skipped expectation is a fake green.
+    """
+    aggs = []
+    specs = []  # (col, rule, agg_alias_builder)
+    for col, cr in rules.items():
+        if col not in df.columns:
+            raise ValueError(f"check_expectations: unknown column {col!r}")
+        for rule, arg in cr.items():
+            i = len(specs)
+            a = f"__ex_{i}__"
+            if rule == "not_null":
+                aggs.append(F.sum(
+                    F.when(df[col].isNull(), 1).otherwise(0)).alias(a))
+            elif rule == "min":
+                aggs.append(F.sum(
+                    F.when(df[col] < F.lit(arg), 1).otherwise(0)).alias(a))
+            elif rule == "max":
+                aggs.append(F.sum(
+                    F.when(df[col] > F.lit(arg), 1).otherwise(0)).alias(a))
+            elif rule == "allowed":
+                aggs.append(F.sum(
+                    F.when(df[col].isNotNull() & ~df[col].isin(list(arg)), 1)
+                    .otherwise(0)).alias(a))
+            elif rule == "regex":
+                aggs.append(F.sum(
+                    F.when(df[col].isNotNull()
+                           & ~df[col].rlike(f"^(?:{arg})$"), 1)
+                    .otherwise(0)).alias(a))
+            elif rule == "unique":
+                # violations = non-null rows beyond one per distinct value
+                aggs.append((F.count(df[col]) - F.count_distinct(df[col]))
+                            .alias(a))
+            else:
+                raise ValueError(
+                    f"check_expectations: unknown rule {rule!r} for {col!r}")
+            specs.append((col, rule, a))
+    if not specs:
+        raise ValueError("check_expectations: no rules given")
+    one = df.agg(*aggs)
+    per_rule = F.explode(F.array(*[
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.col(a), F.lit(0)).cast("long").alias("n_violations"),
+        )
+        for col, rule, a in specs
+    ])).alias("e")
+    return one.select(per_rule).select(
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.rule").alias("rule"),
+        F.col("e.n_violations").alias("n_violations"),
+        (F.col("e.n_violations") == 0).alias("passed"),
+    )

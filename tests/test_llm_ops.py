@@ -1006,3 +1006,38 @@ def test_snapshot_diff_null_text(spark):
         [(1, None), (2, None), (4, None)], "doc_id long, text string")
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(cur, prev).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_check_expectations_rules(spark):
+    """Every rule kind counts its violations; NULLs violate only
+    not_null; unknown columns/rules raise instead of silently passing."""
+    from csvplus_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A", "ok"), (2, -1.0, "A", "ok"),
+         (2, 5.0, "X", "bad!"), (None, None, None, None)],
+        "k long, v double, s string, t string")
+    got = {(r["col_name"], r["rule"]): (r["n_violations"], r["passed"])
+           for r in check_expectations(df, {
+               "k": {"not_null": True, "unique": True},
+               "v": {"min": 0.0, "max": 9.0},
+               "s": {"allowed": ["A", "B"]},
+               "t": {"regex": "[a-z]+"},
+           }).collect()}
+    assert got == {
+        ("k", "not_null"): (1, False),
+        ("k", "unique"): (1, False),       # two k=2 rows, NULL ignored
+        ("v", "min"): (1, False),
+        ("v", "max"): (1, False),
+        ("s", "allowed"): (1, False),
+        ("t", "regex"): (1, False),
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown column"):
+        check_expectations(df, {"nope": {"not_null": True}})
+    with _pt.raises(ValueError, match="unknown rule"):
+        check_expectations(df, {"k": {"sorted": True}})
+    # all-green case
+    ok = check_expectations(df.filter("k = 1"), {"k": {"unique": True}})
+    assert [(r["n_violations"], r["passed"]) for r in ok.collect()] == [(0, True)]
