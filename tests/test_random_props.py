@@ -133,3 +133,81 @@ def test_cutoff_order_ops_match_python_oracle(spark):
         dw = [r["v"] for r in f.drop_while(pred).to_rows()]
         assert Counter(tw) == Counter(sv[:cut]), (trial, th, vals)
         assert Counter(dw) == Counter(sv[cut:]), (trial, th, vals)
+
+
+def test_gopher_rules_match_python_oracle(spark):
+    import re
+
+    rng = random.Random(17)
+    words = ["the", "and", "abc", "x99", "longishword", "a", "zz", "12345"]
+    docs = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 80))))
+            for i in range(60)]
+    from csvplus_spark.operators.text import gopher_rules
+
+    got = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    for i, text in docs:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        n, chars = len(toks), sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if not re.search("[0-9]", t))
+        nstop = sum(1 for t in toks if t in stop)
+        r = got[i]
+        assert (r["n_words"], r["sum_word_chars"],
+                r["n_alpha_words"], r["n_stop_hits"]) == (n, chars, alpha, nstop)
+        assert r["passes_gopher"] == (
+            50 <= n <= 100000 and 3 * n <= chars <= 10 * n
+            and 5 * alpha >= 4 * n and nstop >= 2)
+
+
+def test_novel_bigrams_match_python_oracle(spark):
+    import re
+    from collections import Counter
+
+    rng = random.Random(19)
+    vocab = ["red", "fox", "dog", "run", "sit"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(40)]
+    from csvplus_spark.operators.text import novel_bigram_stats
+
+    got = {r["doc_id"]: r for r in novel_bigram_stats(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    per_doc = {}
+    df_count = Counter()
+    for i, text in docs:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_doc[i] = bgs
+        df_count.update(set(bgs))
+    for i, _ in docs:
+        bgs = per_doc[i]
+        distinct = set(bgs)
+        owned = sum(1 for b in distinct if df_count[b] == 1)
+        r = got[i]
+        assert (r["n_bigrams"], r["n_distinct_bigrams"], r["n_owned"]) \
+            == (len(bgs), len(distinct), owned)
+
+
+def test_snapshot_diff_matches_python_oracle(spark):
+    rng = random.Random(23)
+    ids = list(range(50))
+    prev = {i: f"text {rng.randrange(5)}" for i in ids if rng.random() < 0.7}
+    cur = {i: (prev[i] if i in prev and rng.random() < 0.5
+               else f"text {rng.randrange(5)}")
+           for i in ids if rng.random() < 0.7}
+    from csvplus_spark.operators.dedup import snapshot_diff
+
+    pf = spark.createDataFrame(list(prev.items()), "doc_id long, text string")
+    cf = spark.createDataFrame(list(cur.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(cf, pf).collect()}
+    for i in set(prev) | set(cur):
+        if i not in prev:
+            want = "added"
+        elif i not in cur:
+            want = "removed"
+        else:
+            want = "unchanged" if prev[i] == cur[i] else "changed"
+        assert got[i] == want, i
+    assert set(got) == set(prev) | set(cur)
