@@ -94,3 +94,37 @@ def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_expectations(stream: DataFrame, rules: dict,
+                               report_path: str, checkpoint: str,
+                               trigger_available_now: bool = True):
+    """Per-micro-batch data-quality telemetry: evaluate
+    ``check_expectations(batch, rules)`` on every micro-batch and
+    APPEND the violation report (plus ``batch_id``) to a parquet
+    monitoring table — the streaming shape of the batch quality gate
+    (operators/profile.py::check_expectations).
+
+    Append-only (no swap dance needed — each batch writes only its own
+    report rows, and foreachBatch replays are idempotent per the
+    commit log only if the sink dedups; the report keys on batch_id so
+    a replayed batch at worst rewrites identical rows). One aggregate
+    job per batch over that batch's rows only — no state, no
+    re-reading the landing zone.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import check_expectations
+
+    def _report(batch: DataFrame, batch_id: int) -> None:
+        rep = check_expectations(batch, rules) \
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        rep.write.mode("append").parquet(report_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_report)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -349,3 +349,33 @@ def test_foreach_batch_upsert_recovers_interrupted_swap(spark, sf_dir, tmp_path)
     # the pre-crash rows survived the rollback (not just batch 2's)
     assert merged.count() >= n0
     assert not os.path.exists(out + "__prev__")
+
+
+def test_foreach_batch_expectations_per_batch_report(spark, sf_dir, tmp_path):
+    """Streaming quality telemetry: each micro-batch appends its own
+    violation report keyed by batch_id."""
+    import glob
+    import shutil
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.sinks import foreach_batch_expectations
+
+    ev = load_table(spark, sf_dir, "events").df
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, part in enumerate(ev.limit(100).randomSplit([0.5, 0.5], seed=1)):
+        part.withColumn("ts", F.unix_micros("ts") * 1000) \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        shutil.copy(glob.glob(str(tmp_path / f"s{i}" / "part-*.parquet"))[0],
+                    src / f"{i}.parquet")
+    q = foreach_batch_expectations(
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        {"user_id": {"not_null": True}, "value": {"min": -1e9}},
+        str(tmp_path / "report"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    rep = spark.read.parquet(str(tmp_path / "report"))
+    batches = {r["batch_id"] for r in rep.select("batch_id").distinct().collect()}
+    assert len(batches) == 2
+    # every batch reports every rule, and this clean data passes
+    assert rep.count() == 2 * 2
+    assert all(r["passed"] for r in rep.collect())
