@@ -940,6 +940,41 @@ def q_hash_sample(spark, sf_dir):
         .select("doc_id", "lang", "split")
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Cross-doc repeated 5-token spans with token positions
+    (operators/text.py::repeated_spans) — the detection half of
+    exact-substring dedup (ExactSubstr-lite)."""
+    from csvplus_spark.operators.text import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return repeated_spans(docs, k=5, min_docs=2)
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle order for training dataloaders
+    (operators/sampling.py::global_order_index): 0-based position in
+    (hash60, key) order via the bucket-prefix-sum decomposition — no
+    single-task global window."""
+    from csvplus_spark.operators.sampling import global_order_index
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    return global_order_index(docs, "doc_id", salt="shuffle", out_col="pos")
+
+
+def q_quality_topfrac(spark, sf_dir):
+    """Quality-percentile curation (operators/sampling.py::
+    top_fraction_by_score): keep the best 25% of each language by
+    quality score, ties hash-broken — same scalar-cutoff scale shape
+    as cap_per_group, ordered by (score DESC, hash)."""
+    from csvplus_spark.operators.sampling import top_fraction_by_score
+    from csvplus_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").df
+    scored = docs.select(
+        "doc_id", "lang", quality_score("text").alias("quality"))
+    return top_fraction_by_score(scored, "quality", "lang", 0.25, "doc_id")
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Sub-quadratic embedding near-dup: sign-LSH bucket candidates
     (8 tables × 4 deterministic md5-derived hyperplanes) + exact cosine
@@ -1466,6 +1501,54 @@ def q_lang_cap(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "lang")
     return cap_per_group(docs, "lang", "doc_id", 40)
+
+
+def _repeated_spans_sql(k: int = 5, min_docs: int = 2) -> str:
+    # DuckDB arrays are 1-based: Spark's 0-based token offset p maps
+    # to i = p + 1; a k-token span starting at i needs i + k - 1 <= len
+    span = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace("t[i+0]", "t[i]")
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, {span} AS span
+  FROM tk, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+),
+c AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+  FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+)
+SELECT sp.doc_id, sp.pos, sp.span, c.n_docs
+FROM sp JOIN c USING (span)
+"""
+
+
+def _global_shuffle_sql() -> str:
+    h = _HASH60_SQL.format(x="'shuffle' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 AS pos
+FROM documents
+"""
+
+
+def _quality_topfrac_sql(fraction: float = 0.25) -> str:
+    h = _HASH60_SQL.format(x="'topfrac' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_text_stats_sql()})),
+d AS (
+  SELECT doc.doc_id AS doc_id, doc.lang AS lang, q.quality AS quality,
+         {_HASH60_SQL.format(x="'topfrac' || '|' || CAST(doc.doc_id AS VARCHAR)")} AS h
+  FROM documents doc JOIN q ON doc.doc_id = q.doc_id
+),
+r AS (
+  SELECT doc_id, lang, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY quality DESC NULLS LAST, h, doc_id) AS rn,
+         CEIL({fraction} * COUNT(*) OVER (PARTITION BY lang)) AS keep
+  FROM d
+)
+SELECT doc_id, lang, quality FROM r WHERE rn <= keep
+"""
 
 
 def _lang_cap_sql(cap: int = 40) -> str:
@@ -2194,6 +2277,45 @@ def q_tpch_q10_returns(spark, sf_dir):
     )
 
 
+def q_tpch_q18_bigorders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders (quantity-sum HAVING
+    semi-join) joined back to customer detail. Scale notes: the
+    HAVING aggregate groups lineitem by l_orderkey — the SAME key the
+    subsequent joins shuffle on, so the whole plan is one exchange of
+    lineitem + one of orders (AQE broadcasts the tiny qualifying-order
+    list at test scale); customer takes no broadcast hint (scales with
+    SF). l_quantity is integral-valued double → sums are exact."""
+    c = load_table(spark, sf_dir, "customer").df
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250) b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 _TPCH_Q10_SQL = """
 SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
        SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
@@ -2530,7 +2652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
+        "global_shuffle": q_global_shuffle,
+        "repeated_spans": q_repeated_spans,
+        "quality_topfrac": q_quality_topfrac,
         "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q18_bigorders": q_tpch_q18_bigorders,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -2720,7 +2846,11 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),
+        "global_shuffle": _global_shuffle_sql(),
+        "repeated_spans": _repeated_spans_sql(),
+        "quality_topfrac": _quality_topfrac_sql(),
         "tpch_q10_returns": _TPCH_Q10_SQL,
+        "tpch_q18_bigorders": _TPCH_Q18_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -76,6 +76,10 @@ HEADLINE = [
     "novel_bigrams",
     "source_mix",
     "knn_label",
+    "tpch_q18_bigorders",
+    "global_shuffle",
+    "quality_topfrac",
+    "repeated_spans",
 ]
 
 

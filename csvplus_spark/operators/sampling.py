@@ -147,6 +147,112 @@ def cap_per_group(df: DataFrame, group_col: str,
     )
 
 
+def global_order_index(df: DataFrame, key_cols: Sequence[str] | str,
+                       salt: str = "shuffle",
+                       out_col: str = "pos") -> DataFrame:
+    """Deterministic global shuffle order for training: attach each
+    row's 0-based position in ``(hash60(salt|key), key)`` order — the
+    "shuffle the corpus once, reproducibly" primitive a dataloader
+    needs (same key → same position across runs, engines, and
+    partitionings; changing ``salt`` yields an independent permutation).
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY h)`` funnels
+    ALL data into ONE window task. Instead the rank is decomposed via
+    the same order-compatible hash buckets as :func:`cap_per_group`:
+    per-bucket counts (tiny map-combined aggregate, ≤1024 rows) →
+    prefix scan over that tiny table → broadcast offsets back →
+    ``row_number`` within each bucket (1024-way parallel) + offset.
+    Output is identical to the single-window formulation because
+    bucket order agrees with hash order (see CUTOFF_BUCKETS).
+    """
+    from pyspark.sql import Window
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h, bkt = _hash_and_bucket(key_cols, salt)
+    b = "__cp_bkt__"
+    src = df.withColumn(b, bkt)
+
+    counts = src.groupBy(b).agg(F.count(F.lit(1)).alias("__n__"))
+    wpre = Window.orderBy(b).rowsBetween(Window.unboundedPreceding, -1)
+    off = counts.select(
+        F.col(b).alias("__b__"),
+        F.coalesce(F.sum("__n__").over(wpre), F.lit(0)).alias("__off__"),
+    )
+    joined = src.join(off, F.col(b) == F.col("__b__"))
+    w = Window.partitionBy(b).orderBy(h, *[F.col(c) for c in key_cols])
+    return (
+        joined.withColumn(out_col,
+                          F.row_number().over(w).cast("long")
+                          + F.col("__off__") - 1)
+        .select(*df.columns, out_col)
+    )
+
+
+def top_fraction_by_score(df: DataFrame, score_col: str, group_col: str,
+                          fraction: float,
+                          key_cols: Sequence[str] | str,
+                          salt: str = "topfrac") -> DataFrame:
+    """Quality-percentile curation: keep the top ``fraction`` of each
+    group's rows by ``score_col`` (descending), ties broken by
+    ``(hash60(salt|key), key)`` — "keep the best 20% of each language
+    by quality score", the selection half of a filtering pipeline.
+
+    Per-group keep count is ``ceil(fraction * n_group)`` (every
+    non-empty group keeps ≥1 row for fraction > 0); membership is
+    deterministic and monotone in ``fraction``.
+
+    Scale shape: ranking by score within a low-cardinality group is
+    the same one-task-per-group trap as :func:`cap_per_group`, so the
+    rank is decomposed over order-compatible composite buckets
+    ``(score DESC, hash-bucket ASC)``: per-(group, score, bucket)
+    counts (map-combined aggregate — tiny for discrete scores, still
+    ≤ |distinct scores|×1024 per group otherwise) → prefix scan over
+    that aggregate → broadcast offsets → ``row_number`` within
+    (group, score, bucket) + offset. Identical output to the
+    single-window form; buckets past the keep count are pruned before
+    the data-scale shuffle.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"top_fraction_by_score: fraction {fraction} not in [0, 1]")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h, bkt = _hash_and_bucket(key_cols, salt)
+    b = "__cp_bkt__"
+    s = F.col(score_col)
+    src = df.withColumn(b, bkt)
+
+    counts = src.groupBy(group_col, score_col, b).agg(
+        F.count(F.lit(1)).alias("__n__"))
+    # per-group keep target: ceil(fraction * n) on exact longs
+    tgt = counts.groupBy(group_col).agg(
+        F.ceil(F.lit(float(fraction)) * F.sum("__n__")).cast("long").alias("__keep__"))
+    wpre = (Window.partitionBy(group_col).orderBy(s.desc(), F.col(b))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = (
+        counts.withColumn("__off__",
+                          F.coalesce(F.sum("__n__").over(wpre), F.lit(0)))
+        .join(tgt, group_col)
+        .filter(F.col("__off__") < F.col("__keep__"))
+        .select(F.col(group_col).alias("__g__"),
+                F.col(score_col).alias("__s__"), F.col(b).alias("__b__"),
+                "__off__", "__keep__")
+    )
+    joined = src.join(
+        off,
+        src[group_col].eqNullSafe(F.col("__g__"))
+        & s.eqNullSafe(F.col("__s__")) & (F.col(b) == F.col("__b__")),
+    )
+    w = (Window.partitionBy(group_col, score_col, b)
+         .orderBy(h, *[F.col(c) for c in key_cols]))
+    rn = "__cp_tf_rn__"
+    return (
+        joined.withColumn(rn, F.row_number().over(w) + F.col("__off__"))
+        .filter(F.col(rn) <= F.col("__keep__"))
+        .select(*df.columns)
+    )
+
+
 def train_val_test_split(df: DataFrame, key_cols: Sequence[str] | str,
                          val_fraction: float = 0.1, test_fraction: float = 0.1,
                          salt: str = "split", out_col: str = "split") -> DataFrame:

@@ -700,6 +700,54 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated k-token spans with positions — the
+    detection half of exact-substring dedup (Lee et al. 2021's
+    ExactSubstr at token-window granularity): every k-token window
+    whose text occurs in ≥ ``min_docs`` distinct documents, as
+    ``(doc_id, pos, span, n_docs)`` with ``pos`` the 0-based token
+    offset, precise enough to cut the span out of the source.
+
+    Complements :func:`novel_bigram_stats` (per-doc summary) with the
+    position-level report.
+
+    Scale: posexplode + per-doc lead window (high-cardinality doc key
+    — safe), one hash-partitioned aggregate keyed by the span string
+    (uniform; a span seen in d docs contributes d rows, never d²),
+    and one equi-join back. The doc-frequency aggregate is map-side
+    combined; no driver state, no all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"repeated_spans: k must be >= 1, got {k}")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__pos__")
+    leads = [F.lead("__tok__", j).over(w) for j in range(1, k)]
+    last = leads[-1] if leads else F.col("__tok__")
+    spans = (
+        tok.select(
+            "doc_id",
+            F.col("__pos__").cast("long").alias("pos"),
+            F.concat_ws(" ", F.col("__tok__"), *leads).alias("span"),
+            last.alias("__last__"),
+        )
+        .filter(F.col("__last__").isNotNull())
+        .drop("__last__")
+    )
+    freq = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(freq, "span").select("doc_id", "pos", "span", "n_docs")
+
+
 def novel_bigram_stats(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Per-doc novel-bigram ownership: how much of a document's bigram

@@ -59,7 +59,8 @@ def test_group_quota_windows_are_bucket_partitioned(spark):
     group-only prefix window is allowed because its input is the tiny
     (group, bucket) aggregate, which the HashAggregate assertion pins."""
     sf = "/root/testdata/sf0.001"
-    for name in ("lang_cap", "token_budget_mix"):
+    for name in ("lang_cap", "token_budget_mix", "global_shuffle",
+                 "quality_topfrac"):
         plan = em.queries()[name](spark, sf)._jdf.queryExecution() \
             .executedPlan().toString()
         data_windows = [

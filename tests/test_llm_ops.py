@@ -1041,3 +1041,101 @@ def test_check_expectations_rules(spark):
     # all-green case
     ok = check_expectations(df.filter("k = 1"), {"k": {"unique": True}})
     assert [(r["n_violations"], r["passed"]) for r in ok.collect()] == [(0, True)]
+
+
+def test_global_order_index_matches_single_window(spark, sf_dir):
+    """Bucket-prefix-sum global position == the naive one-task
+    row_number() over the full hash order, and positions are a
+    permutation of 0..n-1 (operators/sampling.py::global_order_index)."""
+    from pyspark.sql import Window
+
+    from csvplus_spark.operators.sampling import global_order_index
+    from csvplus_spark.operators.text import hash60
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    got = {(r["doc_id"], r["pos"])
+           for r in global_order_index(docs, "doc_id").collect()}
+    h = hash60(F.concat_ws("|", F.lit("shuffle"), F.col("doc_id").cast("string")))
+    naive = {(r["doc_id"], r["pos"]) for r in docs.withColumn(
+        "pos", F.row_number().over(Window.orderBy(h, "doc_id")).cast("long") - 1
+    ).collect()}
+    assert got == naive
+    n = docs.count()
+    assert {p for _, p in got} == set(range(n))
+    # a different salt yields a different permutation of the same ids
+    other = {(r["doc_id"], r["pos"])
+             for r in global_order_index(docs, "doc_id", salt="epoch2").collect()}
+    assert other != got and {d for d, _ in other} == {d for d, _ in got}
+
+
+def test_top_fraction_by_score_matches_single_window(spark, sf_dir):
+    """Scalar-cutoff top-fraction == the naive per-group window form;
+    monotone in fraction; fraction=1 keeps all; every non-empty group
+    keeps ceil(frac*n) rows (operators/sampling.py)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from csvplus_spark.operators.sampling import top_fraction_by_score
+    from csvplus_spark.operators.text import hash60, quality_score
+
+    docs = load_table(spark, sf_dir, "documents").df
+    scored = docs.select("doc_id", "lang",
+                         quality_score("text").alias("quality"))
+    got = {r["doc_id"]
+           for r in top_fraction_by_score(scored, "quality", "lang", 0.25,
+                                          "doc_id").collect()}
+    h = hash60(F.concat_ws("|", F.lit("topfrac"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), h, "doc_id")
+    naive_df = (scored
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("keep", F.ceil(F.lit(0.25) * F.count(F.lit(1))
+                                           .over(Window.partitionBy("lang"))))
+                .filter(F.col("rn") <= F.col("keep")))
+    assert got == {r["doc_id"] for r in naive_df.collect()}
+    per_lang = {r["lang"]: r["count"] for r in scored.groupBy("lang").count().collect()}
+    kept_per_lang = {
+        r["lang"]: r["count"]
+        for r in top_fraction_by_score(scored, "quality", "lang", 0.25, "doc_id")
+        .groupBy("lang").count().collect()
+    }
+    assert kept_per_lang == {g: math.ceil(0.25 * n) for g, n in per_lang.items()}
+    half = {r["doc_id"]
+            for r in top_fraction_by_score(scored, "quality", "lang", 0.5,
+                                           "doc_id").collect()}
+    assert got <= half  # monotone: raising the fraction only adds rows
+    all_ = top_fraction_by_score(scored, "quality", "lang", 1.0, "doc_id")
+    assert all_.count() == scored.count()
+
+
+def test_repeated_spans_positions_and_threshold(spark):
+    """repeated_spans reports every k-token window shared by >= min_docs
+    docs with exact 0-based token offsets; unique spans are absent
+    (operators/text.py::repeated_spans)."""
+    from csvplus_spark.operators.text import repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumps far away"),
+            (3, "entirely unrelated content here today friends"),
+            (4, "the quick brown fox jumps over everything"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["pos"], r["span"], r["n_docs"])
+           for r in repeated_spans(df, k=5, min_docs=2).collect()}
+    # "quick brown fox jumps" 4-grams extended to 5: docs 1/2/4 share
+    # "quick brown fox jumps over"? doc 2 has "jumps far" — only 1 & 4
+    # share the 5-token span starting at "the"(0) and "quick"(1)
+    assert (1, 0, "the quick brown fox jumps", 2) in got
+    assert (4, 0, "the quick brown fox jumps", 2) in got
+    assert (1, 1, "quick brown fox jumps over", 2) in got
+    assert (4, 1, "quick brown fox jumps over", 2) in got
+    # doc 2's window differs at token 5 → not repeated
+    assert not any(d == 2 for d, *_ in got)
+    assert not any(d == 3 for d, *_ in got)
+    # all reported spans really are k tokens and shared by >= 2 docs
+    assert all(len(s.split(" ")) == 5 and n >= 2 for _, _, s, n in got)
+    # min_docs=3 drops everything (no span is in three docs)
+    assert repeated_spans(df, k=5, min_docs=3).count() == 0
