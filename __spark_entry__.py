@@ -950,6 +950,16 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_spans(docs, k=5, min_docs=2)
 
 
+def q_remove_spans(spark, sf_dir):
+    """ExactSubstr removal step (operators/text.py::
+    remove_repeated_spans): rewrite every doc with cross-doc repeated
+    5-token spans cut from the normalized token stream."""
+    from csvplus_spark.operators.text import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return remove_repeated_spans(docs, k=5, min_docs=2)
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global shuffle order for training dataloaders
     (operators/sampling.py::global_order_index): 0-based position in
@@ -1519,6 +1529,42 @@ c AS (
 )
 SELECT sp.doc_id, sp.pos, sp.span, c.n_docs
 FROM sp JOIN c USING (span)
+"""
+
+
+def _remove_spans_sql(k: int = 5, min_docs: int = 2) -> str:
+    span = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace("t[i+0]", "t[i]")
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, {span} AS span
+  FROM tk, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+),
+c AS (
+  SELECT span FROM sp GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+cover AS (
+  SELECT DISTINCT sp.doc_id, sp.pos + j AS cpos
+  FROM sp JOIN c USING (span), UNNEST(range(0, {k})) AS g(j)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN cover
+    ON tok.doc_id = cover.doc_id AND tok.pos = cover.cpos
+  WHERE cover.cpos IS NULL
+)
+SELECT d.doc_id,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+) r ON d.doc_id = r.doc_id
 """
 
 
@@ -2654,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_cap": q_lang_cap,
         "global_shuffle": q_global_shuffle,
         "repeated_spans": q_repeated_spans,
+        "remove_spans": q_remove_spans,
         "quality_topfrac": q_quality_topfrac,
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q18_bigorders": q_tpch_q18_bigorders,
@@ -2848,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_cap": _lang_cap_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "remove_spans": _remove_spans_sql(),
         "quality_topfrac": _quality_topfrac_sql(),
         "tpch_q10_returns": _TPCH_Q10_SQL,
         "tpch_q18_bigorders": _TPCH_Q18_SQL,

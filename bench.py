@@ -80,6 +80,7 @@ HEADLINE = [
     "global_shuffle",
     "quality_topfrac",
     "repeated_spans",
+    "remove_spans",
 ]
 
 

@@ -748,6 +748,59 @@ def repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
     return spans.join(freq, "span").select("doc_id", "pos", "span", "n_docs")
 
 
+def remove_repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring dedup, removal step: cut every token covered by
+    a cross-document repeated k-token span (see :func:`repeated_spans`)
+    and reassemble the survivors in order — Lee et al. 2021's
+    ExactSubstr applied at token-window granularity.
+
+    Output is ``(doc_id, cleaned_text)`` for EVERY input doc (a doc
+    whose tokens are all covered yields ``''``). The rewrite operates
+    on the normalized token stream (lowercased, punctuation-split) —
+    the same stream every other text operator here uses — not on raw
+    byte offsets; the cleaned text is whitespace-joined tokens.
+
+    Scale: coverage positions come from one sequence-explode of the
+    repeated-span table (output-sized, never corpus²); removal is a
+    left-anti equi-join on (doc, pos); reassembly is one groupBy(doc)
+    with an array_sort(collect_list(struct)) — per-doc lists are
+    token-bounded, and the doc key is high-cardinality so the
+    aggregate parallelizes.
+    """
+    spans = repeated_spans(df, k=k, min_docs=min_docs,
+                           text_col=text_col, id_col=id_col)
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"),
+                                 F.col("pos") + F.lit(k - 1))).alias("pos"),
+        ).distinct()
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("a"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform("a", lambda s: s["tok"]))
+            .alias("cleaned_text"),
+        )
+    )
+    # every input doc appears, even when fully covered or token-free
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"))
+    )
+
+
 def novel_bigram_stats(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Per-doc novel-bigram ownership: how much of a document's bigram

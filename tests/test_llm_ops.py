@@ -1139,3 +1139,29 @@ def test_repeated_spans_positions_and_threshold(spark):
     assert all(len(s.split(" ")) == 5 and n >= 2 for _, _, s, n in got)
     # min_docs=3 drops everything (no span is in three docs)
     assert repeated_spans(df, k=5, min_docs=3).count() == 0
+
+
+def test_remove_repeated_spans_surgical(spark):
+    """Removal cuts exactly the covered token positions (overlapping
+    spans union), keeps survivors in order, emits every doc — fully
+    covered docs come back as '' (operators/text.py)."""
+    from csvplus_spark.operators.text import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one two three four five omega"),
+            (2, "prefix one two three four five suffix"),
+            (3, "totally original text with no twins at all"),
+            (4, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cleaned_text"]
+           for r in remove_repeated_spans(df, k=5, min_docs=2).collect()}
+    # docs 1/2/4 share "one two three four five": covered in each,
+    # survivors keep their order
+    assert got[1] == "alpha omega"
+    assert got[2] == "prefix suffix"
+    assert got[4] == ""                 # fully covered doc still present
+    assert got[3] == "totally original text with no twins at all"
+    assert set(got) == {1, 2, 3, 4}
