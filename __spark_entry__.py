@@ -425,6 +425,16 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_dedup_pairs(load_table(spark, sf_dir, "documents").df, 0.6)
 
 
+def q_dedup_minhash_fast(spark, sf_dir):
+    """minhash_dedup_pairs with exact-duplicate collapse — output
+    byte-identical to `dedup_minhash` (same oracle), candidate volume
+    duplication-immune (operators/dedup.py)."""
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs_collapsed
+
+    return minhash_dedup_pairs_collapsed(
+        load_table(spark, sf_dir, "documents").df, 0.6)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (operators/text.py)."""
     from csvplus_spark.operators.text import simhash_table
@@ -2639,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "simhash": q_simhash,
         "sim_topk": q_sim_topk,
         "events_tumbling": q_events_tumbling,
@@ -2836,6 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram": _NGRAM_SQL,
         "dedup_minhash": _MINHASH_SQL,
+        "dedup_minhash_fast": _MINHASH_SQL,
         "simhash": _simhash_sql(),
         "sim_topk": _SIM_TOPK_SQL,
         "events_tumbling": _TUMBLING_SQL,

@@ -81,6 +81,7 @@ HEADLINE = [
     "quality_topfrac",
     "repeated_spans",
     "remove_spans",
+    "dedup_minhash_fast",
 ]
 
 

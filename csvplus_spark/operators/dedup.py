@@ -300,6 +300,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified.
 
@@ -311,7 +312,8 @@ def minhash_dedup_pairs(
     stays tiny. False candidates cost time, never correctness.
     """
     # ONE shingle pass shared by the band path and the exact verify
-    ex = shingle_pairs(df, text_col, id_col).cache()
+    ex = (shingles if shingles is not None
+          else shingle_pairs(df, text_col, id_col)).cache()
     bands = minhash_bands(df, num_hashes, rows_per_band, text_col, id_col,
                           pairs=ex).cache()
     cand = (
@@ -328,6 +330,77 @@ def minhash_dedup_pairs(
     # hint on cand: its size is data-dependent (can be huge on a skewed
     # corpus); AQE broadcasts it when it is actually small.
     return _verify_jaccard(ex, cand, threshold)
+
+
+def minhash_dedup_pairs_collapsed(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` with exact-duplicate collapse:
+    byte-identical output, duplication-immune candidate volume — the
+    `dup_clusters_collapsed` trick applied to the MinHash family.
+
+    On a crawl corpus with duplication factor f, every copy of a doc
+    carries the same signature, so LSH candidate volume (and the
+    verify join behind it) blows up ×f² while adding zero information
+    (measured: `dedup_minhash` 28s at the 10× point, 32s at 30× —
+    both dominated by copy×copy candidates). Collapse to one
+    representative per normalized-text fingerprint, run band + verify
+    over reps only, then expand with output-sized joins.
+
+    Identity argument:
+      * signatures/bands depend only on the text → candidate (a, b)
+        exists in the plain path iff (rep_a, rep_b) is a candidate in
+        rep space; exact Jaccard depends only on the shingle set →
+        J(a, b) = J(rep_a, rep_b). Cross-cluster pairs are therefore
+        exactly the rep pairs expanded over both memberships.
+      * copies collide in EVERY band (identical signatures), so the
+        plain path emits every intra-cluster pair at J = 1.0 —
+        provided the doc has ≥1 shingle (shingle-free docs never
+        reach the band table). The expansion adds those directly.
+
+    OPT-IN, not the default (same policy as
+    ``canonicalize_clusters(collapse=True)``): on an
+    already-deduplicated corpus the fingerprint pass is pure overhead.
+    Equality is pinned by
+    tests/test_llm_ops.py::test_minhash_collapsed_identity and the
+    driver query `dedup_minhash_fast` (same oracle as
+    `dedup_minhash`).
+    """
+    ex = exact_dedup(df, text_col, id_col)
+    reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    # ONE shingle table over reps, shared by band + verify + the
+    # membership check below
+    sp = shingle_pairs(reps, text_col, id_col)
+    rep_pairs = minhash_dedup_pairs(reps, threshold, num_hashes,
+                                    rows_per_band, text_col, id_col,
+                                    shingles=sp)
+    members = ex.select(F.col("canonical_id").alias("__r__"),
+                        F.col(id_col).alias("__m__"))
+    cross = (
+        rep_pairs
+        .join(members.alias("ma"), F.col("doc_id_1") == F.col("ma.__r__"))
+        .join(members.alias("mb"), F.col("doc_id_2") == F.col("mb.__r__"))
+        .select(F.least("ma.__m__", "mb.__m__").alias("doc_id_1"),
+                F.greatest("ma.__m__", "mb.__m__").alias("doc_id_2"),
+                "jaccard")
+    )
+    shingled = sp.select(F.col("__id__").alias("__r__")).distinct()
+    mm = members.join(shingled, "__r__")
+    intra = (
+        mm.alias("p")
+        .join(mm.alias("q"),
+              (F.col("p.__r__") == F.col("q.__r__"))
+              & (F.col("p.__m__") < F.col("q.__m__")))
+        .select(F.col("p.__m__").alias("doc_id_1"),
+                F.col("q.__m__").alias("doc_id_2"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def incremental_dedup(new_docs: DataFrame, seen: DataFrame,

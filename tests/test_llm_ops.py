@@ -1165,3 +1165,34 @@ def test_remove_repeated_spans_surgical(spark):
     assert got[4] == ""                 # fully covered doc still present
     assert got[3] == "totally original text with no twins at all"
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_minhash_collapsed_identity(spark, sf_dir):
+    """minhash_dedup_pairs_collapsed == minhash_dedup_pairs on a corpus
+    with injected exact duplicates (incl. a shingle-free twin pair that
+    must stay absent from both outputs)."""
+    from csvplus_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_collapsed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    base = docs.limit(40)
+    copies = base.limit(12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    copies2 = base.limit(5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    # two exact copies with <5 tokens: no 3-token shingle? ("tiny tiny")
+    # has zero 3-shingles — the plain path must not pair them, so the
+    # collapsed path must not either
+    twins = spark.createDataFrame(
+        [(9_000_001, "tiny tiny"), (9_000_002, "tiny tiny")],
+        "doc_id long, text string")
+    corpus = base.unionByName(copies).unionByName(copies2).unionByName(twins)
+    plain = {(r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+             for r in minhash_dedup_pairs(corpus, 0.6).collect()}
+    fast = {(r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+            for r in minhash_dedup_pairs_collapsed(corpus, 0.6).collect()}
+    assert fast == plain
+    assert len(plain) >= 17          # the injected copies alone pair up
+    assert not any(d1 == 9_000_001 for d1, _, _ in plain)
