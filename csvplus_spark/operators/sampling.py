@@ -164,6 +164,10 @@ def global_order_index(df: DataFrame, key_cols: Sequence[str] | str,
     ``row_number`` within each bucket (1024-way parallel) + offset.
     Output is identical to the single-window formulation because
     bucket order agrees with hash order (see CUTOFF_BUCKETS).
+
+    ``key_cols`` must identify rows uniquely: rows sharing the full
+    key sort as exact ties, so their relative positions (like any
+    engine's ROW_NUMBER over ties) are arbitrary.
     """
     from pyspark.sql import Window
 
@@ -205,12 +209,18 @@ def top_fraction_by_score(df: DataFrame, score_col: str, group_col: str,
     the same one-task-per-group trap as :func:`cap_per_group`, so the
     rank is decomposed over order-compatible composite buckets
     ``(score DESC, hash-bucket ASC)``: per-(group, score, bucket)
-    counts (map-combined aggregate — tiny for discrete scores, still
-    ≤ |distinct scores|×1024 per group otherwise) → prefix scan over
-    that aggregate → broadcast offsets → ``row_number`` within
-    (group, score, bucket) + offset. Identical output to the
-    single-window form; buckets past the keep count are pruned before
-    the data-scale shuffle.
+    counts (map-combined aggregate) → prefix scan over that aggregate
+    → broadcast offsets → ``row_number`` within (group, score,
+    bucket) + offset. Identical output to the single-window form;
+    buckets past the keep count are pruned before the data-scale
+    shuffle.
+
+    CONTRACT: ``score_col`` must be discrete-ish — the prefix scan is
+    per-group serial over |distinct scores|×1024 rows, tiny for flag
+    sums / integer counts / quantized scores but data-sized for a raw
+    continuous score. Quantize first (``F.round(score, 3)`` keeps the
+    decomposition exact for the quantized ordering); the heuristic
+    quality/rarity scores in this package are already coarse.
     """
     from pyspark.sql import Window
 

@@ -211,3 +211,77 @@ def test_snapshot_diff_matches_python_oracle(spark):
             want = "unchanged" if prev[i] == cur[i] else "changed"
         assert got[i] == want, i
     assert set(got) == set(prev) | set(cur)
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_global_order_index_matches_python_oracle(spark):
+    """Random unique keys: positions equal Python's sort on
+    (md5-hash60, key) — the cross-engine contract of
+    operators/sampling.py::global_order_index."""
+    rng = random.Random(17)
+    for trial in range(3):
+        ids = rng.sample(range(100_000), rng.randint(1, 120))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        from csvplus_spark.operators.sampling import global_order_index
+
+        got = {r["doc_id"]: r["pos"]
+               for r in global_order_index(df, "doc_id").collect()}
+        order = sorted(ids, key=lambda i: (_h60(f"shuffle|{i}"), i))
+        assert got == {i: p for p, i in enumerate(order)}
+
+
+def test_top_fraction_matches_python_oracle(spark):
+    """Random discrete scores + random fraction: kept set equals the
+    Python oracle's per-group prefix of (score desc, hash, key)."""
+    import math
+
+    rng = random.Random(19)
+    for trial in range(3):
+        n = rng.randint(1, 150)
+        rows = [(i, rng.choice("abc"), float(rng.randint(0, 4)) / 4)
+                for i in rng.sample(range(100_000), n)]
+        frac = rng.choice([0.1, 0.33, 0.5, 0.9])
+        df = spark.createDataFrame(rows, "doc_id long, g string, score double")
+        from csvplus_spark.operators.sampling import top_fraction_by_score
+
+        got = {r["doc_id"] for r in
+               top_fraction_by_score(df, "score", "g", frac, "doc_id").collect()}
+        expect = set()
+        for g in "abc":
+            grp = [(i, s) for i, gg, s in rows if gg == g]
+            grp.sort(key=lambda t: (-t[1], _h60(f"topfrac|{t[0]}"), t[0]))
+            expect |= {i for i, _ in grp[: math.ceil(frac * len(grp))]}
+        assert got == expect
+
+
+def test_repeated_spans_matches_python_oracle(spark):
+    """Random tiny vocab corpora: reported (doc, pos, span, n_docs)
+    rows equal a brute-force Python scan."""
+    rng = random.Random(23)
+    for trial in range(3):
+        docs = []
+        for i in range(rng.randint(2, 12)):
+            docs.append((i, " ".join(rng.choice("abc")
+                                     for _ in range(rng.randint(0, 9)))))
+        k = rng.choice([2, 3])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        from csvplus_spark.operators.text import repeated_spans
+
+        got = {(r["doc_id"], r["pos"], r["span"], r["n_docs"])
+               for r in repeated_spans(df, k=k, min_docs=2).collect()}
+        spans = {}
+        occ = []
+        for i, t in docs:
+            toks = t.split() if t else []
+            for p in range(len(toks) - k + 1):
+                s = " ".join(toks[p:p + k])
+                spans.setdefault(s, set()).add(i)
+                occ.append((i, p, s))
+        expect = {(i, p, s, len(spans[s])) for i, p, s in occ
+                  if len(spans[s]) >= 2}
+        assert got == expect
