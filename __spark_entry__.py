@@ -417,6 +417,16 @@ def q_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents").df, 0.6)
 
 
+def q_dedup_ngram_fast(spark, sf_dir):
+    """ngram_jaccard_pairs with exact-duplicate collapse — output
+    byte-identical to `dedup_ngram` (same oracle), Σdf² blocking cost
+    measured over the deduplicated corpus (operators/dedup.py)."""
+    from csvplus_spark.operators.dedup import ngram_jaccard_pairs_collapsed
+
+    return ngram_jaccard_pairs_collapsed(
+        load_table(spark, sf_dir, "documents").df, 0.6)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs (32 single-hash bands), exact-verified
     at Jaccard >= 0.6 (operators/dedup.py)."""
@@ -2648,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_ngram_fast": q_dedup_ngram_fast,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "simhash": q_simhash,
@@ -2846,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram": _NGRAM_SQL,
+        "dedup_ngram_fast": _NGRAM_SQL,
         "dedup_minhash": _MINHASH_SQL,
         "dedup_minhash_fast": _MINHASH_SQL,
         "simhash": _simhash_sql(),

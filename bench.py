@@ -82,6 +82,7 @@ HEADLINE = [
     "repeated_spans",
     "remove_spans",
     "dedup_minhash_fast",
+    "dedup_ngram_fast",
 ]
 
 

@@ -379,6 +379,18 @@ def minhash_dedup_pairs_collapsed(
     rep_pairs = minhash_dedup_pairs(reps, threshold, num_hashes,
                                     rows_per_band, text_col, id_col,
                                     shingles=sp)
+    return _expand_rep_pairs(ex, rep_pairs, sp, id_col)
+
+
+def _expand_rep_pairs(ex: DataFrame, rep_pairs: DataFrame,
+                      rep_shingles: DataFrame, id_col: str) -> DataFrame:
+    """Expand a representative-space verified pair list back to doc
+    space: cross-cluster rep pairs over both memberships (jaccard
+    carries over — identical shingle sets) + intra-cluster pairs at
+    J = 1.0 for clusters whose rep has ≥1 shingle (shingle-free docs
+    never reach any blocking/banding table in the plain paths).
+    Both joins are output-sized. Shared by the minhash and ngram
+    collapsed variants."""
     members = ex.select(F.col("canonical_id").alias("__r__"),
                         F.col(id_col).alias("__m__"))
     cross = (
@@ -389,7 +401,7 @@ def minhash_dedup_pairs_collapsed(
                 F.greatest("ma.__m__", "mb.__m__").alias("doc_id_2"),
                 "jaccard")
     )
-    shingled = sp.select(F.col("__id__").alias("__r__")).distinct()
+    shingled = rep_shingles.select(F.col("__id__").alias("__r__")).distinct()
     mm = members.join(shingled, "__r__")
     intra = (
         mm.alias("p")
@@ -401,6 +413,30 @@ def minhash_dedup_pairs_collapsed(
                 F.lit(1.0).alias("jaccard"))
     )
     return cross.unionByName(intra)
+
+
+def ngram_jaccard_pairs_collapsed(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with exact-duplicate collapse —
+    byte-identical output, Σdf² candidate volume measured over the
+    DEDUPLICATED corpus (duplication factor f cuts it ×f²; this pair
+    family scaled 8.3× at the 10× validation point and its cluster
+    sibling hit the 30× disk wall precisely because of copy×copy
+    shingle blocking). Identity argument and policy are
+    :func:`minhash_dedup_pairs_collapsed`'s; the lossless hot-shingle
+    cutoff holds in rep space like any other corpus. OPT-IN; pinned
+    by tests/test_llm_ops.py::test_ngram_collapsed_identity and the
+    driver query `dedup_ngram_fast` (same oracle as `dedup_ngram`)."""
+    ex = exact_dedup(df, text_col, id_col)
+    reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    sp = shingle_pairs(reps, text_col, id_col)
+    rep_pairs = ngram_jaccard_pairs(reps, threshold, text_col, id_col,
+                                    shingles=sp)
+    return _expand_rep_pairs(ex, rep_pairs, sp, id_col)
 
 
 def incremental_dedup(new_docs: DataFrame, seen: DataFrame,

@@ -1196,3 +1196,28 @@ def test_minhash_collapsed_identity(spark, sf_dir):
     assert fast == plain
     assert len(plain) >= 17          # the injected copies alone pair up
     assert not any(d1 == 9_000_001 for d1, _, _ in plain)
+
+
+def test_ngram_collapsed_identity(spark, sf_dir):
+    """ngram_jaccard_pairs_collapsed == ngram_jaccard_pairs on a corpus
+    with injected exact duplicates + a shingle-free twin pair."""
+    from csvplus_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_collapsed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id", "text")
+    base = docs.limit(40)
+    copies = base.limit(12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    twins = spark.createDataFrame(
+        [(9_000_001, "tiny tiny"), (9_000_002, "tiny tiny")],
+        "doc_id long, text string")
+    corpus = base.unionByName(copies).unionByName(twins)
+    plain = {(r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+             for r in ngram_jaccard_pairs(corpus, 0.6).collect()}
+    fast = {(r["doc_id_1"], r["doc_id_2"], r["jaccard"])
+            for r in ngram_jaccard_pairs_collapsed(corpus, 0.6).collect()}
+    assert fast == plain
+    assert len(plain) >= 12
+    assert not any(d1 == 9_000_001 for d1, _, _ in plain)
