@@ -427,6 +427,16 @@ def q_dedup_ngram_fast(spark, sf_dir):
         load_table(spark, sf_dir, "documents").df, 0.6)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py::semantic_dedup): seed-Voronoi
+    cells as blocking, within-cell cosine >= 0.4 pairs, connected
+    components, min-id canonical per component — keep/drop decision
+    for every vector."""
+    from csvplus_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings").df, 0.4)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs (32 single-hash bands), exact-verified
     at Jaccard >= 0.6 (operators/dedup.py)."""
@@ -1996,6 +2006,53 @@ GROUP BY 1
 """
 
 
+def _semantic_dedup_sql(threshold: float = 0.4, n_cells: int = 16) -> str:
+    # mirrors operators/dedup.py::semantic_dedup stage by stage: the
+    # seed-Voronoi CTEs are _IVF_SEEDED_SQL's, the pair cosine is
+    # _DEDUP_EMB_SQL's fold, the CC is _CLUSTERS_SQL's recursive CTE
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, e AS c FROM v ORDER BY vec_id LIMIT {n_cells}),
+ad AS (
+  SELECT v.vec_id, cent.cell,
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                  k -> (v.e[k] - cent.c[k]) * (v.e[k] - cent.c[k]))) AS d2
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM ad) WHERE rn = 1
+),
+n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v),
+pairs AS (
+  SELECT aa.vec_id AS a, bb.vec_id AS b
+  FROM assign aa JOIN assign bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+  JOIN v va ON aa.vec_id = va.vec_id
+  JOIN v vb ON bb.vec_id = vb.vec_id
+  JOIN n na ON aa.vec_id = na.vec_id
+  JOIN n nb ON bb.vec_id = nb.vec_id
+  WHERE list_sum(list_transform(range(1, len(va.e) + 1), k -> va.e[k] * vb.e[k]))
+          / (na.nn * nb.nn) >= {threshold}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+),
+lbl AS (SELECT a AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY a)
+SELECT v.vec_id,
+       COALESCE(l.cluster_id, v.vec_id) AS canonical_id,
+       v.vec_id = COALESCE(l.cluster_id, v.vec_id) AS is_canonical
+FROM v LEFT JOIN lbl l ON v.vec_id = l.vec_id
+"""
+
+
 _DEDUP_EMB_SQL = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
 n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn FROM v)
@@ -2661,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_fast": q_dedup_ngram_fast,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_fast": q_dedup_minhash_fast,
+        "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "sim_topk": q_sim_topk,
         "events_tumbling": q_events_tumbling,
@@ -2860,6 +2918,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_fast": _NGRAM_SQL,
         "dedup_minhash": _MINHASH_SQL,
         "dedup_minhash_fast": _MINHASH_SQL,
+        "semantic_dedup": _semantic_dedup_sql(),
         "simhash": _simhash_sql(),
         "sim_topk": _SIM_TOPK_SQL,
         "events_tumbling": _TUMBLING_SQL,

@@ -83,6 +83,7 @@ HEADLINE = [
     "remove_spans",
     "dedup_minhash_fast",
     "dedup_ngram_fast",
+    "semantic_dedup",
 ]
 
 

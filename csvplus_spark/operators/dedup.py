@@ -439,6 +439,83 @@ def ngram_jaccard_pairs_collapsed(
     return _expand_rep_pairs(ex, rep_pairs, sp, id_col)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic dedup where CLUSTERING IS THE BLOCKING — assign vectors
+    to cells, compare pairwise only within a cell, connect pairs above
+    ``threshold``, keep one representative (min id) per component.
+    Returns ``(vec_id, canonical_id, is_canonical)`` for EVERY vector
+    (singletons are their own canonical) — the same keep/drop contract
+    as :func:`exact_dedup`, over meaning instead of bytes.
+
+    Cells use the deterministic seed-Voronoi assignment of
+    ``ivf_seeded_topk`` (n_cells lowest-id vectors as centroids, exact
+    squared-L2 argmin) so every stage — assignment, pair cosine, CC —
+    is replayable by the SQL oracle; a production run swaps in KMeans
+    centroids (``ivf_build``) without changing any downstream shape.
+
+    Scale: centroids broadcast (n_cells rows), assignment is narrow,
+    the within-cell self-join is an equi-join on cell — per-cell cost
+    is |cell|², the paper's own design point (cells per corpus grow
+    with n so |cell| stays bounded; LAION-scale runs use ~11k cells).
+    CC is the shared HashToMin + pointer-jump loop. No all-pairs, no
+    driver state beyond the n_cells seed collect.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine, with_double_vec
+
+    v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
+    spark = emb.sparkSession
+    seeds = v.orderBy(F.col(id_col)).limit(n_cells).collect()
+    cent = spark.createDataFrame(
+        [(int(r[id_col]), [float(x) for x in r["__vec__"]]) for r in seeds],
+        "cell long, centroid array<double>")
+
+    def d2(a, b):  # exact squared L2, same left-fold as the oracle
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    ad = (v.join(F.broadcast(cent))
+          .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid"))))
+    w = Window.partitionBy(id_col).orderBy("__d2__", "cell")
+    assign = (
+        ad.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col(id_col).alias("__sid__"), F.col("__vec__"), "cell")
+    )
+    pairs = (
+        assign.alias("a")
+        .join(assign.alias("b"),
+              (F.col("a.cell") == F.col("b.cell"))
+              & (F.col("a.__sid__") < F.col("b.__sid__")))
+        .withColumn("__sim__", cosine(F.col("a.__vec__"), F.col("b.__vec__")))
+        .filter(F.col("__sim__") >= threshold)
+        .select(F.col("a.__sid__").alias("doc_id_1"),
+                F.col("b.__sid__").alias("doc_id_2"))
+    )
+    labels = dup_clusters(pairs, max_iter=max_iter) \
+        .withColumnRenamed("doc_id", id_col)
+    return (
+        emb.select(F.col(id_col))
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("canonical_id"),
+            (F.col(id_col) == F.coalesce("cluster_id", F.col(id_col)))
+            .alias("is_canonical"),
+        )
+    )
+
+
 def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       seen_fp_col: str = "fingerprint") -> DataFrame:

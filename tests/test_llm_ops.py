@@ -1221,3 +1221,35 @@ def test_ngram_collapsed_identity(spark, sf_dir):
     assert fast == plain
     assert len(plain) >= 12
     assert not any(d1 == 9_000_001 for d1, _, _ in plain)
+
+
+def test_semantic_dedup_keep_drop(spark):
+    """SemDeDup contract: near-identical vectors in one cell collapse
+    to the min id; distant vectors stay their own canonical; every
+    input id appears exactly once (operators/dedup.py::semantic_dedup)."""
+    from csvplus_spark.operators.dedup import semantic_dedup
+
+    # seeds are the n_cells LOWEST ids: put the distinct directions
+    # first so each near-dup group shares its seed's cell (with seeds
+    # drawn from inside a twin pair the twins land in separate cells —
+    # the documented blocking tradeoff of cluster-as-blocking)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (11, [0.999, 0.01, 0.0]),   # ~same direction as 1
+        (12, [0.0, 0.995, 0.02]),   # ~same direction as 2
+        (20, [-1.0, 0.0, 0.0]),     # anti-parallel to 1: sim < 0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in semantic_dedup(df, threshold=0.9, n_cells=3).collect()}
+    assert set(got) == {1, 2, 3, 11, 12, 20}
+    assert got[1] == (1, True) and got[11] == (1, False)
+    assert got[2] == (2, True) and got[12] == (2, False)
+    assert got[3] == (3, True)
+    assert got[20] == (20, True)    # negative similarity never pairs
+    # survivors = one per semantic group
+    assert sorted(i for i, (c, k) in got.items() if k) == [1, 2, 3, 20]
