@@ -427,6 +427,16 @@ def q_dedup_ngram_fast(spark, sf_dir):
         load_table(spark, sf_dir, "documents").df, 0.6)
 
 
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnostics over lineitem's suppkey (operators/
+    profile.py::key_skew_report): top-20 heaviest keys with share and
+    skew factor — the measurement step before salted_join."""
+    from csvplus_spark.operators.profile import key_skew_report
+
+    li = load_table(spark, sf_dir, "lineitem").df
+    return key_skew_report(li, "l_suppkey", 20)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/dedup.py::semantic_dedup): seed-Voronoi
     cells as blocking, within-cell cosine >= 0.4 pairs, connected
@@ -2719,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "semantic_dedup": q_semantic_dedup,
+        "skew_report": q_skew_report,
         "simhash": q_simhash,
         "sim_topk": q_sim_topk,
         "events_tumbling": q_events_tumbling,
@@ -2919,6 +2930,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _MINHASH_SQL,
         "dedup_minhash_fast": _MINHASH_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
+        "skew_report": """
+WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c)
+SELECT c.l_suppkey, c.n,
+       c.n * 1.0 / t.total AS share,
+       c.n * t.nkeys * 1.0 / t.total AS skew
+FROM c, t
+ORDER BY c.n DESC, c.l_suppkey
+LIMIT 20
+""",
         "simhash": _simhash_sql(),
         "sim_topk": _SIM_TOPK_SQL,
         "events_tumbling": _TUMBLING_SQL,

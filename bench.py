@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_minhash_fast",
     "dedup_ngram_fast",
     "semantic_dedup",
+    "skew_report",
 ]
 
 

@@ -118,3 +118,34 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
         F.col("e.n_violations").alias("n_violations"),
         (F.col("e.n_violations") == 0).alias("passed"),
     )
+
+
+def key_skew_report(df: DataFrame, key_cols, top_n: int = 20) -> DataFrame:
+    """Join/groupBy-key skew diagnostics — the measure-first companion
+    to ``operators.skew.salted_join``: the ``top_n`` heaviest key
+    values with row count, share of all rows, and skew factor
+    (count ÷ mean count per distinct key; 1.0 = perfectly uniform).
+    A key with skew ≫ #partitions is the straggler that needs salting
+    or AQE skew-join handling.
+
+    Scale: one map-combined count aggregate keyed by the key, one
+    single-row global aggregate broadcast back, and a ``top_n``
+    TakeOrdered — no window over the data, no driver state.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total__"),
+        F.count(F.lit(1)).alias("__nkeys__"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n",
+            (F.col("n") / F.col("__total__")).alias("share"),
+            (F.col("n") * F.col("__nkeys__") / F.col("__total__"))
+            .alias("skew"),
+        )
+        .orderBy(F.col("n").desc(), *key_cols)
+        .limit(top_n)
+    )

@@ -1253,3 +1253,20 @@ def test_semantic_dedup_keep_drop(spark):
     assert got[20] == (20, True)    # negative similarity never pairs
     # survivors = one per semantic group
     assert sorted(i for i, (c, k) in got.items() if k) == [1, 2, 3, 20]
+
+
+def test_key_skew_report_values(spark):
+    """Exact counts/share/skew on a hand-built skewed key set
+    (operators/profile.py::key_skew_report)."""
+    from csvplus_spark.operators.profile import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] * 1 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["k"], r["n"], r["share"], r["skew"])
+           for r in key_skew_report(df, "k", 3).collect()]
+    # 12 rows, 4 keys → mean 3 rows/key
+    assert got == [
+        ("hot", 6, 6 / 12, 6 * 4 / 12),
+        ("warm", 3, 3 / 12, 3 * 4 / 12),
+        ("b", 2, 2 / 12, 2 * 4 / 12),
+    ]
