@@ -427,6 +427,22 @@ def q_dedup_ngram_fast(spark, sf_dir):
         load_table(spark, sf_dir, "documents").df, 0.6)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the seeded-IVF search against exact brute force
+    (operators/similarity.py::ann_recall) — both sides deterministic,
+    so the oracle replays the full evaluation."""
+    from csvplus_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_seeded_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    exact = brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, 5)
+    approx = ivf_seeded_topk(emb, 5)
+    return ann_recall(exact, approx)
+
+
 def q_skew_report(spark, sf_dir):
     """Key-skew diagnostics over lineitem's suppkey (operators/
     profile.py::key_skew_report): top-20 heaviest keys with share and
@@ -2016,6 +2032,72 @@ GROUP BY 1
 """
 
 
+_ANN_RECALL_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS n FROM v),
+cent AS (SELECT vec_id AS cell, e AS c FROM v ORDER BY vec_id LIMIT 16),
+ad AS (
+  SELECT v.vec_id, cent.cell,
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                  k -> (v.e[k] - cent.c[k]) * (v.e[k] - cent.c[k]))) AS d2
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id AS corpus_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM ad) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM ad WHERE vec_id < 50) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         list_sum(list_transform(range(1, len(vq.e) + 1),
+                  k -> vq.e[k] * vc.e[k])) / (nq.n * nc.n) AS sim_raw
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  JOIN v vq ON p.query_id = vq.vec_id
+  JOIN v vc ON a.corpus_id = vc.vec_id
+  JOIN norms nq ON p.query_id = nq.vec_id
+  JOIN norms nc ON a.corpus_id = nc.vec_id
+  WHERE p.query_id <> a.corpus_id
+),
+approx AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_raw DESC, corpus_id) AS rnk
+    FROM scored) WHERE rnk <= 5
+),
+exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i])) / (nq.n * nc.n) DESC,
+                      c.vec_id) AS rnk
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    JOIN norms nq ON q.vec_id = nq.vec_id
+    JOIN norms nc ON c.vec_id = nc.vec_id
+    WHERE q.vec_id < 50) WHERE rnk <= 5
+)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(a.corpus_id) AS n_hits,
+       COUNT(a.corpus_id) * 1.0 / COUNT(*) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
+GROUP BY e.query_id
+"""
+
+
 def _semantic_dedup_sql(threshold: float = 0.4, n_cells: int = 16) -> str:
     # mirrors operators/dedup.py::semantic_dedup stage by stage: the
     # seed-Voronoi CTEs are _IVF_SEEDED_SQL's, the pair cosine is
@@ -2730,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "semantic_dedup": q_semantic_dedup,
         "skew_report": q_skew_report,
+        "ann_recall": q_ann_recall,
         "simhash": q_simhash,
         "sim_topk": q_sim_topk,
         "events_tumbling": q_events_tumbling,
@@ -2930,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _MINHASH_SQL,
         "dedup_minhash_fast": _MINHASH_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
+        "ann_recall": _ANN_RECALL_SQL,
         "skew_report": """
 WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
 t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c)

@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_ngram_fast",
     "semantic_dedup",
     "skew_report",
+    "ann_recall",
 ]
 
 

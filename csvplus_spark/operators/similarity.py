@@ -659,3 +659,34 @@ def grid_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", "sim")
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame,
+               query_col: str = "query_id",
+               item_col: str = "corpus_id") -> DataFrame:
+    """Recall@k of an ANN result against the exact result — the
+    standard evaluation primitive for the IVF/LSH family: per query,
+    how many of the exact top-k did the approximate search return.
+
+    Output: ``(query_id, n_exact, n_hits, recall)``; queries the
+    approximate side missed entirely score 0.0 rather than vanishing.
+
+    Scale: both inputs are top-k tables (k rows per query), so every
+    join/aggregate here is k-bounded per query — evaluation cost is
+    independent of corpus size.
+    """
+    e = exact.select(F.col(query_col), F.col(item_col))
+    a = approx.select(F.col(query_col), F.col(item_col))
+    hits = (e.join(a, [query_col, item_col])
+            .groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per_q.join(hits, query_col, "left")
+        .select(
+            F.col(query_col),
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"))
+            .alias("recall"),
+        )
+    )

@@ -1270,3 +1270,19 @@ def test_key_skew_report_values(spark):
         ("warm", 3, 3 / 12, 3 * 4 / 12),
         ("b", 2, 2 / 12, 2 * 4 / 12),
     ]
+
+
+def test_ann_recall_values(spark):
+    """Exact recall arithmetic incl. the zero-hit query
+    (operators/similarity.py::ann_recall)."""
+    from csvplus_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, corpus_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21), (3, 77)],
+        "query_id long, corpus_id long")
+    got = {r["query_id"]: (r["n_exact"], r["n_hits"], r["recall"])
+           for r in ann_recall(exact, approx).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
