@@ -2492,6 +2492,73 @@ def q_tpch_q10_returns(spark, sf_dir):
     )
 
 
+def q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: one-table filter + aggregate — everything lives
+    in the scan pipeline (pushed filters, pruned columns, map-side
+    partial agg); exact-cents revenue so the single output value
+    hash-matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    lo, hi = "1996-01-01", "1997-01-01"
+    cents_p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents_d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            & (cents_d >= 5) & (cents_d <= 7)
+            & (F.col("l_quantity") < 24))
+        .agg((F.sum(cents_p * cents_d) / F.lit(10000.0)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_TPCH_Q6_SQL = """
+SELECT SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+           * CAST(floor(l_discount*100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — lineitem ⋈ part on the
+    partkey, conditional aggregate. part scales with SF, so no
+    broadcast hint (AQE broadcasts at test scale); exact-cents
+    numerator/denominator, the ratio is one double division."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df
+    lo, hi = "1996-03-01", "1996-04-01"
+    rev = (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+           * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(hi).cast("timestamp")))
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct"),
+             (F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_TPCH_Q14_SQL = """
+SELECT 100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+             THEN CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))
+             ELSE 0 END)
+       / SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) AS promo_pct,
+       SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 def q_tpch_q18_bigorders(spark, sf_dir):
     """TPC-H Q18 shape: large-volume orders (quantity-sum HAVING
     semi-join) joined back to customer detail. Scale notes: the
@@ -2878,6 +2945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topfrac": q_quality_topfrac,
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q18_bigorders": q_tpch_q18_bigorders,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q14_promo": q_tpch_q14_promo,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -3087,6 +3156,8 @@ LIMIT 20
         "quality_topfrac": _quality_topfrac_sql(),
         "tpch_q10_returns": _TPCH_Q10_SQL,
         "tpch_q18_bigorders": _TPCH_Q18_SQL,
+        "tpch_q6_forecast": _TPCH_Q6_SQL,
+        "tpch_q14_promo": _TPCH_Q14_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -86,6 +86,8 @@ HEADLINE = [
     "semantic_dedup",
     "skew_report",
     "ann_recall",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
 ]
 
 
