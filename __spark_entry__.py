@@ -1634,7 +1634,6 @@ FROM documents
 
 
 def _quality_topfrac_sql(fraction: float = 0.25) -> str:
-    h = _HASH60_SQL.format(x="'topfrac' || '|' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH q AS (SELECT doc_id, quality FROM ({_text_stats_sql()})),
 d AS (

@@ -371,7 +371,11 @@ def minhash_dedup_pairs_collapsed(
     driver query `dedup_minhash_fast` (same oracle as
     `dedup_minhash`).
     """
-    ex = exact_dedup(df, text_col, id_col)
+    # cache: ex feeds BOTH the reps filter (driving the whole band +
+    # verify lineage) and the member expansion — uncached it re-runs
+    # the fingerprint scan per branch (same convention as the shared
+    # shingle table)
+    ex = exact_dedup(df, text_col, id_col).cache()
     reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
     # ONE shingle table over reps, shared by band + verify + the
     # membership check below
@@ -431,7 +435,7 @@ def ngram_jaccard_pairs_collapsed(
     cutoff holds in rep space like any other corpus. OPT-IN; pinned
     by tests/test_llm_ops.py::test_ngram_collapsed_identity and the
     driver query `dedup_ngram_fast` (same oracle as `dedup_ngram`)."""
-    ex = exact_dedup(df, text_col, id_col)
+    ex = exact_dedup(df, text_col, id_col).cache()  # see minhash variant
     reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
     sp = shingle_pairs(reps, text_col, id_col)
     rep_pairs = ngram_jaccard_pairs(reps, threshold, text_col, id_col,
@@ -472,22 +476,10 @@ def semantic_dedup(
     """
     from pyspark.sql import Window
 
-    from .similarity import cosine, with_double_vec
+    from .similarity import cosine, seed_voronoi_distances, with_double_vec
 
     v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
-    spark = emb.sparkSession
-    seeds = v.orderBy(F.col(id_col)).limit(n_cells).collect()
-    cent = spark.createDataFrame(
-        [(int(r[id_col]), [float(x) for x in r["__vec__"]]) for r in seeds],
-        "cell long, centroid array<double>")
-
-    def d2(a, b):  # exact squared L2, same left-fold as the oracle
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    ad = (v.join(F.broadcast(cent))
-          .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid"))))
+    ad = seed_voronoi_distances(v, n_cells, id_col)
     w = Window.partitionBy(id_col).orderBy("__d2__", "cell")
     assign = (
         ad.withColumn("__rn__", F.row_number().over(w))
@@ -508,13 +500,19 @@ def semantic_dedup(
         import pandas as pd
 
         if len(pdf) < 2:
-            return pd.DataFrame({"id_1": pd.Series(dtype="int64"),
-                                 "id_2": pd.Series(dtype="int64")})
+            return pd.DataFrame({"id_1": pd.Series(dtype=object),
+                                 "id_2": pd.Series(dtype=object)})
         A = np.stack(pdf["__vec__"].to_numpy())
         with np.errstate(divide="ignore", invalid="ignore"):
             n = np.linalg.norm(A, axis=1)
             S = (A @ A.T) / np.outer(n, n)
-        ii, jj = np.nonzero(S >= threshold - margin)
+        # complement filter (`NOT (S < t)`) so degenerate entries are
+        # DEFERRED to the exact rescore rather than decided here: a
+        # zero-norm (failed-embedding) pair is NaN in numpy but NULL
+        # in both Spark and DuckDB (0.0/0.0), and the engines' final
+        # `sim >= t` drops NULL — the prefilter must never be the
+        # place where float-edge semantics are decided
+        ii, jj = np.nonzero(~(S < threshold - margin))
         keep = ii < jj
         ids = pdf["__sid__"].to_numpy()
         return pd.DataFrame({"id_1": ids[ii[keep]], "id_2": ids[jj[keep]]})

@@ -239,10 +239,14 @@ def top_fraction_by_score(df: DataFrame, score_col: str, group_col: str,
         F.ceil(F.lit(float(fraction)) * F.sum("__n__")).cast("long").alias("__keep__"))
     wpre = (Window.partitionBy(group_col).orderBy(s.desc(), F.col(b))
             .rowsBetween(Window.unboundedPreceding, -1))
+    # null-SAFE group join (same as the data join below): a NULL group
+    # is a group like any other — the name join's NULL != NULL would
+    # silently drop every row of it, violating the >=1-row contract
+    tgt = tgt.select(F.col(group_col).alias("__tg__"), "__keep__")
     off = (
         counts.withColumn("__off__",
                           F.coalesce(F.sum("__n__").over(wpre), F.lit(0)))
-        .join(tgt, group_col)
+        .join(tgt, F.col(group_col).eqNullSafe(F.col("__tg__")))
         .filter(F.col("__off__") < F.col("__keep__"))
         .select(F.col(group_col).alias("__g__"),
                 F.col(score_col).alias("__s__"), F.col(b).alias("__b__"),

@@ -215,6 +215,32 @@ def ivf_topk(
     )
 
 
+def seed_voronoi_distances(v: DataFrame, n_cells: int,
+                           id_col: str = "vec_id") -> DataFrame:
+    """Per-(vector, seed-cell) exact squared-L2 distances — the shared
+    deterministic assignment stage of :func:`ivf_seeded_topk` and
+    ``dedup.semantic_dedup`` (one copy so the two stay oracle-parity
+    identical). ``v`` must carry ``__vec__`` (see with_double_vec);
+    cells are seeded with the ``n_cells`` lowest-id vectors (tiny
+    driver collect), broadcast, and folded with the same left-fold d²
+    the SQL oracle uses. Ids are passed through untouched, so any
+    orderable id type works."""
+    spark = v.sparkSession
+    seeds = v.orderBy(F.col(id_col)).limit(n_cells).collect()
+    id_dt = v.schema[id_col].dataType.simpleString()
+    cent = spark.createDataFrame(
+        [(r[id_col], [float(x) for x in r["__vec__"]]) for r in seeds],
+        f"cell {id_dt}, centroid array<double>")
+
+    def d2(a, b):  # exact squared L2, same left-fold as the oracle
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    return (v.join(F.broadcast(cent))
+            .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid"))))
+
+
 def ivf_seeded_topk(
     emb: DataFrame,
     k: int = 5,
@@ -243,24 +269,7 @@ def ivf_seeded_topk(
     and probes break on lower cell id; rank breaks on corpus id.
     """
     v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
-    spark = emb.sparkSession
-
-    # seed centroids: n_cells lowest-id vectors (tiny driver collect,
-    # same order of magnitude as ivf_search's probed-cell list)
-    seeds = v.orderBy(F.col(id_col)).limit(n_cells).collect()
-    cent = spark.createDataFrame(
-        [(int(r[id_col]), [float(x) for x in r["__vec__"]]) for r in seeds],
-        "cell long, centroid array<double>")
-
-    def d2(a, b):  # exact squared L2, same left-fold as the oracle
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    ad = (
-        v.join(F.broadcast(cent))
-        .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid")))
-    )
+    ad = seed_voronoi_distances(v, n_cells, id_col)
     w_assign = Window.partitionBy(id_col).orderBy("__d2__", "cell")
     assign = (
         ad.withColumn("__rn__", F.row_number().over(w_assign))

@@ -1286,3 +1286,37 @@ def test_ann_recall_values(spark):
     got = {r["query_id"]: (r["n_exact"], r["n_hits"], r["recall"])
            for r in ann_recall(exact, approx).collect()}
     assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
+
+
+def test_top_fraction_null_group_kept(spark):
+    """A NULL group is a group like any other: its rows flow through
+    the null-safe offset/target joins and keep ceil(frac*n) rows
+    (review-s3 fix: the target join was name-based and dropped them)."""
+    from csvplus_spark.operators.sampling import top_fraction_by_score
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "en", 0.5), (3, None, 1.0), (4, None, 0.5)],
+        "doc_id long, g string, score double")
+    got = {r["doc_id"]
+           for r in top_fraction_by_score(df, "score", "g", 0.5,
+                                          "doc_id").collect()}
+    # each group keeps ceil(0.5*2) = 1 row: the score-1.0 one
+    assert got == {1, 3}
+
+
+def test_semantic_dedup_string_ids(spark):
+    """semantic_dedup works for non-integer id columns end to end
+    (review-s3 fix: seeds/centroid schema were hardcoded to long)."""
+    from csvplus_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]),
+         ("x", [0.999, 0.01]), ("z", [0.0, 0.0])],
+        "vec_id string, embedding array<float>")
+    got = {r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in semantic_dedup(df, threshold=0.9, n_cells=2,
+                                   id_col="vec_id").collect()}
+    assert got["a"] == ("a", True) and got["x"] == ("a", False)
+    assert got["b"] == ("b", True)
+    # zero vector: cosine is NULL in both engines → never pairs
+    assert got["z"] == ("z", True)
