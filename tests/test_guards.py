@@ -19,7 +19,10 @@ import __spark_entry__ as em
 #:   (queries-side is a 10-row broadcast; the scale path is ivf/lsh)
 #: - ivf_seeded: every vector scores against the 16-row broadcast
 #:   centroid table — a bounded fan-out, not a pair explosion
-CROSS_JOIN_OK = {"sim_topk", "ivf_seeded"}
+#: sanctioned tiny-broadcast fusions only: sim_topk/ivf_seeded/
+#: ann_recall broadcast the bounded query/centroid set; skew_report
+#: broadcasts one single-row totals aggregate
+CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ann_recall", "skew_report"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):
