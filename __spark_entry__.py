@@ -1016,6 +1016,15 @@ def q_remove_spans(spark, sf_dir):
     return remove_repeated_spans(docs, k=5, min_docs=2)
 
 
+def q_unigram_lm(spark, sf_dir):
+    """Corpus-unigram LM quality score (operators/text.py::
+    unigram_logprob): mean ln P(token) per doc, position-ordered fold,
+    round(6) — the self-trained perplexity-filter proxy."""
+    from csvplus_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents").df)
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global shuffle order for training dataloaders
     (operators/sampling.py::global_order_index): 0-based position in
@@ -1621,6 +1630,28 @@ LEFT JOIN (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
   FROM kept GROUP BY doc_id
 ) r ON d.doc_id = r.doc_id
+"""
+
+
+def _unigram_lm_sql(ndigits: int = 6) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+freq AS (SELECT term, COUNT(*) AS ct FROM tok GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+per AS (
+  SELECT doc_id,
+         list(ln(freq.ct / (SELECT t FROM tot)) ORDER BY pos) AS lps
+  FROM tok JOIN freq USING (term)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(len(p.lps), 0) AS n_tokens,
+       COALESCE(ROUND(list_sum(p.lps) / len(p.lps), {ndigits}), 0.0) AS lp_mean
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
@@ -2939,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
         "global_shuffle": q_global_shuffle,
+        "unigram_lm": q_unigram_lm,
         "repeated_spans": q_repeated_spans,
         "remove_spans": q_remove_spans,
         "quality_topfrac": q_quality_topfrac,
@@ -3150,6 +3182,7 @@ LIMIT 20
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),
         "global_shuffle": _global_shuffle_sql(),
+        "unigram_lm": _unigram_lm_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "remove_spans": _remove_spans_sql(),
         "quality_topfrac": _quality_topfrac_sql(),

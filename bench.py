@@ -88,6 +88,7 @@ HEADLINE = [
     "ann_recall",
     "tpch_q6_forecast",
     "tpch_q14_promo",
+    "unigram_lm",
 ]
 
 

@@ -887,3 +887,52 @@ def source_mix(df: DataFrame, text_col: str = "text",
             (F.col("n_tokens") / total).alias("token_share"),
         )
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", ndigits: int = 6) -> DataFrame:
+    """Corpus-unigram LM quality score — mean ``ln P(token)`` per doc
+    under the corpus's own MLE unigram model (the self-trained proxy
+    for a CCNet-style external-LM perplexity filter; more negative =
+    rarer vocabulary). Returns ``(doc_id, n_tokens, lp_mean)``;
+    token-less docs score 0.0. No smoothing is needed: every scored
+    token is in the vocabulary by construction.
+
+    Determinism (NOTES rules): float addition is not associative, so
+    the per-doc sum is a LEFT FOLD over the position-ordered logprob
+    list (a shuffle-order SUM would differ run to run), and the mean
+    is rounded to ``ndigits`` — libm ``log`` differs across engines in
+    the last ulp, ~1e-16 relative, which the rounding absorbs.
+
+    Shape: one explode, one vocab aggregate, total-N as a scalar
+    subquery, one term equi-join, one per-doc aggregate whose
+    collect_list is bounded by document length. Fully lazy.
+    """
+    tok = df.select(F.col(id_col),
+                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__ct__"))
+    total = tok.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+    per_doc = (
+        tok.join(freq, "term")
+        .select(F.col(id_col), "pos",
+                F.log(F.col("__ct__") / total).alias("__lp__"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "__lp__")))
+             .alias("__a__"))
+    )
+    fold = F.aggregate(F.col("__a__"), F.lit(0.0),
+                       lambda acc, s: acc + s["__lp__"])
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            # size(NULL) is -1 under legacy sizeOfNull — coalesce the
+            # ARRAY, not the size
+            F.size(F.coalesce(F.col("__a__"), F.array())).cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.round(fold / F.size("__a__"), ndigits),
+                       F.lit(0.0)).alias("lp_mean"),
+        )
+    )

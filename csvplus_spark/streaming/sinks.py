@@ -43,6 +43,10 @@ class _Fs:
     def delete(self, p: str) -> None:
         self._fs.delete(self._Path(p), True)
 
+    def length(self, p: str) -> int:
+        """Total bytes under ``p`` (recursive)."""
+        return self._fs.getContentSummary(self._Path(p)).getLength()
+
 
 def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
                          key_cols: list[str], trigger_available_now: bool = True):

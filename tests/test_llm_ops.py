@@ -1320,3 +1320,39 @@ def test_semantic_dedup_string_ids(spark):
     assert got["b"] == ("b", True)
     # zero vector: cosine is NULL in both engines → never pairs
     assert got["z"] == ("z", True)
+
+
+def test_unigram_logprob_values(spark):
+    """Hand-computed MLE unigram logprobs (operators/text.py)."""
+    import math
+
+    from csvplus_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["lp_mean"])
+           for r in unigram_logprob(df).collect()}
+    # corpus: a:2 b:2 c:1, total 5
+    la, lb, lc = (math.log(2 / 5), math.log(2 / 5), math.log(1 / 5))
+    assert got[1] == (3, round((la + la + lb) / 3, 6))
+    assert got[2] == (2, round((lb + lc) / 2, 6))
+    assert got[3] == (0, 0.0)
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    """Compaction preserves rows exactly, cuts the file count, and is
+    idempotent (operators/maintenance.py::compact_parquet)."""
+    from csvplus_spark.operators.maintenance import compact_parquet
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(p)
+    before = spark.read.parquet(p).collect()
+    n_before, n_after = compact_parquet(spark, p, target_bytes=1 << 30)
+    assert n_before == 40 and n_after < 40
+    after = spark.read.parquet(p).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # second call: already compact → untouched
+    again = compact_parquet(spark, p, target_bytes=1 << 30)
+    assert again == (n_after, n_after)
