@@ -1016,6 +1016,15 @@ def q_remove_spans(spark, sf_dir):
     return remove_repeated_spans(docs, k=5, min_docs=2)
 
 
+def q_bm25(spark, sf_dir):
+    """Top-3 BM25 terms per doc (operators/text.py::bm25_top_terms) —
+    Okapi scoring with corpus scalars (N, avgdl) as scalar
+    subqueries."""
+    from csvplus_spark.operators.text import bm25_top_terms
+
+    return bm25_top_terms(load_table(spark, sf_dir, "documents").df, 3)
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-unigram LM quality score (operators/text.py::
     unigram_logprob): mean ln P(token) per doc, position-ordered fold,
@@ -1630,6 +1639,31 @@ LEFT JOIN (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
   FROM kept GROUP BY doc_id
 ) r ON d.doc_id = r.doc_id
+"""
+
+
+_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ad AS (SELECT COUNT(*) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS a FROM tok),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ln((nd.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.a)) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad
+)
+SELECT doc_id, term, tf, df,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank,
+       ROUND(score, 6) AS score
+FROM s
+QUALIFY rank <= 3
 """
 
 
@@ -2971,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_cap": q_lang_cap,
         "global_shuffle": q_global_shuffle,
         "unigram_lm": q_unigram_lm,
+        "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
         "remove_spans": q_remove_spans,
         "quality_topfrac": q_quality_topfrac,
@@ -3183,6 +3218,7 @@ LIMIT 20
         "lang_cap": _lang_cap_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "unigram_lm": _unigram_lm_sql(),
+        "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),
         "remove_spans": _remove_spans_sql(),
         "quality_topfrac": _quality_topfrac_sql(),

@@ -89,6 +89,7 @@ HEADLINE = [
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "unigram_lm",
+    "bm25",
 ]
 
 

@@ -591,6 +591,49 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def bm25_top_terms(df: DataFrame, k: int = 3, k1: float = 1.2,
+                   b: float = 0.75, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k BM25 terms per document (Robertson/Okapi) — the
+    retrieval-grade sibling of :func:`tfidf_top_terms`:
+
+        idf  = ln((N − df + 0.5) / (df + 0.5) + 1)
+        s    = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Same one-lazy-plan shape as TF-IDF (explode → tf/df aggregates →
+    term join → per-doc top-k window, N and avgdl as scalar
+    subqueries); every input to the float math is an integer or a
+    corpus scalar, the score is a single expression per (doc, term) —
+    no order-dependent float summation — and round(6) absorbs libm
+    ulps. Ties break on term.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    avgdl = tok.groupBy().agg(
+        (F.count(F.lit(1)) /
+         F.count_distinct(F.col(id_col)).cast("double")).alias("a")).scalar()
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    scored = (
+        tf.join(dfreq, "term").join(dl, id_col)
+        .withColumn("score", idf * F.col("tf") * (k1 + 1.0) / denom)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank",
+                F.round("score", 6).alias("score"))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per document with the full stats vector.
 

@@ -1356,3 +1356,35 @@ def test_compact_parquet_roundtrip(spark, tmp_path):
     # second call: already compact → untouched
     again = compact_parquet(spark, p, target_bytes=1 << 30)
     assert again == (n_after, n_after)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 score arithmetic on a 3-doc corpus vs a hand-built Python
+    oracle (operators/text.py::bm25_top_terms)."""
+    import math
+
+    from csvplus_spark.operators.text import bm25_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "cat bird bird bird")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["rank"], r["score"])
+           for r in bm25_top_terms(df, k=10).collect()}
+
+    corpus = {1: ["cat", "cat", "dog"], 2: ["dog", "fish"],
+              3: ["cat", "bird", "bird", "bird"]}
+    n = 3.0
+    avgdl = sum(len(t) for t in corpus.values()) / 3.0
+    dfreq = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for (d, term), (tf, dfv, rank, score) in got.items():
+        assert dfv == dfreq[term] and tf == corpus[d].count(term)
+        idf = math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        dl = len(corpus[d])
+        exp = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        assert score == round(exp, 6), (d, term)
+    # rare term outranks common one within its doc
+    assert got[(2, "fish")][2] < got[(2, "dog")][2]
+    assert got[(3, "bird")][2] < got[(3, "cat")][2]
