@@ -285,3 +285,66 @@ def test_repeated_spans_matches_python_oracle(spark):
         expect = {(i, p, s, len(spans[s])) for i, p, s in occ
                   if len(spans[s]) >= 2}
         assert got == expect
+
+
+def test_remove_repeated_spans_matches_python_oracle(spark):
+    """Random tiny-vocab corpora, k in {1,2,3}: removal output equals
+    a brute-force Python reimplementation (coverage-union semantics)."""
+    rng = random.Random(29)
+    from csvplus_spark.operators.text import remove_repeated_spans
+
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice("abc")
+                             for _ in range(rng.randint(0, 8))))
+                for i in range(rng.randint(2, 10))]
+        k = rng.choice([1, 2, 3])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r["cleaned_text"]
+               for r in remove_repeated_spans(df, k=k, min_docs=2).collect()}
+        spans = {}
+        for i, t in docs:
+            toks = t.split() if t else []
+            for p in range(len(toks) - k + 1):
+                spans.setdefault(" ".join(toks[p:p + k]), set()).add(i)
+        expect = {}
+        for i, t in docs:
+            toks = t.split() if t else []
+            covered = set()
+            for p in range(len(toks) - k + 1):
+                if len(spans[" ".join(toks[p:p + k])]) >= 2:
+                    covered.update(range(p, p + k))
+            expect[i] = " ".join(tok for j, tok in enumerate(toks)
+                                 if j not in covered)
+        assert got == expect
+
+
+def test_unigram_logprob_matches_python_oracle(spark):
+    """Random corpora: (n_tokens, lp_mean) equals a Python MLE unigram
+    model with position-ordered summation and round(6)."""
+    import math
+
+    from csvplus_spark.operators.text import unigram_logprob
+
+    rng = random.Random(31)
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice("abcde")
+                             for _ in range(rng.randint(0, 12))))
+                for i in range(rng.randint(1, 12))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["lp_mean"])
+               for r in unigram_logprob(df).collect()}
+        freq = {}
+        total = 0
+        for _, t in docs:
+            for tok in (t.split() if t else []):
+                freq[tok] = freq.get(tok, 0) + 1
+                total += 1
+        for i, t in docs:
+            toks = t.split() if t else []
+            if not toks:
+                assert got[i] == (0, 0.0)
+                continue
+            s = 0.0
+            for tok in toks:           # position order, left fold
+                s += math.log(freq[tok] / total)
+            assert got[i] == (len(toks), round(s / len(toks), 6)), i
