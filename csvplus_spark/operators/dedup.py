@@ -478,6 +478,8 @@ def semantic_dedup(
 
     from .similarity import cosine, seed_voronoi_distances, with_double_vec
 
+    if n_cells < 1:
+        raise ValueError(f"semantic_dedup: n_cells must be >= 1, got {n_cells}")
     v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
     ad = seed_voronoi_distances(v, n_cells, id_col)
     w = Window.partitionBy(id_col).orderBy("__d2__", "cell")

@@ -22,11 +22,17 @@ from ..streaming.sinks import _Fs
 
 
 def compact_parquet(spark: SparkSession, path: str,
-                    target_bytes: int = 128 << 20) -> tuple[int, int]:
+                    target_bytes: int = 128 << 20,
+                    partition_by: list[str] | None = None) -> tuple[int, int]:
     """Compact the parquet dataset at ``path`` toward ``target_bytes``
     per file. Returns ``(files_before, files_after)``; a dataset whose
     file count is already at or below the target count is left
     UNTOUCHED (no rewrite, no swap — idempotent by inspection).
+
+    For a hive-partitioned table pass ``partition_by`` — the rewrite
+    then repartitions by the partition columns (so each output task
+    writes into one directory) and preserves the directory layout;
+    omitting it on a partitioned table would flatten the layout.
 
     The rewrite is one repartition job (shuffle sized by the data, no
     driver materialization); the swap is rename-based and heals the
@@ -45,7 +51,13 @@ def compact_parquet(spark: SparkSession, path: str,
     if n_out >= n_before:
         return n_before, n_before
     tmp = path + "__tmp__"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        (df.repartition(n_out, *[F.col(c) for c in partition_by])
+         .write.mode("overwrite").partitionBy(*partition_by).parquet(tmp))
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     if fs.exists(prev):
         fs.delete(prev)
     fs.rename(path, prev)

@@ -1388,3 +1388,24 @@ def test_bm25_hand_computed(spark):
     # rare term outranks common one within its doc
     assert got[(2, "fish")][2] < got[(2, "dog")][2]
     assert got[(3, "bird")][2] < got[(3, "cat")][2]
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    """partition_by compaction preserves the hive layout and the rows
+    (operators/maintenance.py)."""
+    import os
+
+    from csvplus_spark.operators.maintenance import compact_parquet
+
+    p = str(tmp_path / "ptbl")
+    df = spark.range(0, 4_000).selectExpr("id", "id % 3 AS part")
+    df.repartition(30).write.partitionBy("part").parquet(p)
+    before = spark.read.parquet(p).collect()
+    n_before, n_after = compact_parquet(spark, p, target_bytes=1 << 30,
+                                        partition_by=["part"])
+    assert n_after < n_before
+    # hive layout survived
+    assert sorted(d for d in os.listdir(p) if d.startswith("part=")) == \
+        ["part=0", "part=1", "part=2"]
+    after = spark.read.parquet(p).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
