@@ -113,6 +113,7 @@ def main() -> None:
     # before, OS cache state); the min of two runs measures the plan,
     # not the neighborhood
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
             # untimed GC between queries: heavy Python-UDF neighbors
@@ -129,6 +130,7 @@ def main() -> None:
                 qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
                 t = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
+                cold.setdefault(name, t)
             except Exception as exc:  # one broken query must not kill the bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 timings[name] = -1.0
@@ -139,6 +141,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # first-pass wall times: cold-vs-warm split for variance triage
+        # (extra key — the driver reads metric/value/queries/sf only)
+        "queries_cold": cold,
         "sf": sf,
     }))
     spark.stop()
