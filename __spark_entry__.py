@@ -1660,7 +1660,8 @@ s AS (
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad
 )
 SELECT doc_id, term, tf, df,
-       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank,
+       ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY ROUND(score, 6) DESC, term) AS rank,
        ROUND(score, 6) AS score
 FROM s
 QUALIFY rank <= 3
@@ -1684,7 +1685,8 @@ per AS (
 )
 SELECT d.doc_id,
        COALESCE(len(p.lps), 0) AS n_tokens,
-       COALESCE(ROUND(list_sum(p.lps) / len(p.lps), {ndigits}), 0.0) AS lp_mean
+       COALESCE(ROUND(list_reduce(p.lps, (x, y) -> x + y) / len(p.lps),
+                      {ndigits}), 0.0) AS lp_mean
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
@@ -2042,7 +2044,8 @@ scored AS (
   FROM tf JOIN dfq USING (term) CROSS JOIN n
 )
 SELECT doc_id, term, tf, df,
-       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term) AS rank,
+       ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY ROUND(score_raw, 6) DESC, term) AS rank,
        ROUND(score_raw, 6) AS score
 FROM scored
 QUALIFY rank <= 3

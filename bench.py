@@ -130,10 +130,13 @@ def main() -> None:
                 qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
                 t = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
-                cold.setdefault(name, t)
+                if _pass == 0:
+                    cold[name] = t
             except Exception as exc:  # one broken query must not kill the bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 timings[name] = -1.0
+                if _pass == 0:
+                    cold[name] = -1.0  # a pass-2 success is WARM, not cold
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
     print(json.dumps({

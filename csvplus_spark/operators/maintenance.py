@@ -6,10 +6,10 @@ incremental upserts each leave files far below the scan-efficient
 size, and at 100 TB a table of 1 MB files turns every query into
 footer/open overhead and starves the scheduler with million-split
 scans. Compaction rewrites the dataset into ~target-size files and
-swaps it in with the same crash-recoverable two-rename dance the
-streaming upsert sink uses (streaming/sinks.py — plain parquet has no
-atomic overwrite; a transactional table format would replace the
-dance with OPTIMIZE).
+swaps it in with the crash-recoverable two-rename dance shared with
+the streaming upsert sink (streaming/sinks.py::replace_dataset —
+plain parquet has no atomic overwrite; a transactional table format
+would replace this with OPTIMIZE).
 """
 
 from __future__ import annotations
@@ -17,8 +17,9 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
-from ..streaming.sinks import _Fs
+from ..streaming.sinks import _Fs, heal_swap, replace_dataset
 
 
 def compact_parquet(spark: SparkSession, path: str,
@@ -27,40 +28,45 @@ def compact_parquet(spark: SparkSession, path: str,
     """Compact the parquet dataset at ``path`` toward ``target_bytes``
     per file. Returns ``(files_before, files_after)``; a dataset whose
     file count is already at or below the target count is left
-    UNTOUCHED (no rewrite, no swap — idempotent by inspection).
+    UNTOUCHED (no rewrite, no swap — idempotent by inspection; crash
+    leftovers from an interrupted earlier swap are healed/cleaned
+    first, so the early return never strands a ``__prev__`` copy).
 
     For a hive-partitioned table pass ``partition_by`` — the rewrite
-    then repartitions by the partition columns (so each output task
-    writes into one directory) and preserves the directory layout;
-    omitting it on a partitioned table would flatten the layout.
-
-    The rewrite is one repartition job (shuffle sized by the data, no
-    driver materialization); the swap is rename-based and heals the
-    mid-swap crash window on the next call, exactly like the upsert
-    sink it is modeled on.
+    then shuffles on (partition columns, salt) so each hive partition
+    is split across ``ceil(n_out / n_partitions)`` writer tasks: the
+    layout is preserved AND big partitions still honor the target size
+    (hashing on the partition columns alone would funnel each
+    partition value into ONE task → one arbitrarily large file and a
+    straggler). Omitting ``partition_by`` on a partitioned table would
+    flatten the layout.
     """
     fs = _Fs(spark, path)
-    prev = path + "__prev__"
-    if fs.exists(prev) and not fs.exists(path):
-        # crashed between the two renames of an earlier swap — heal
-        fs.rename(prev, path)
+    heal_swap(fs, path)
     df = spark.read.parquet(path)
     n_before = len(df.inputFiles())
     total = fs.length(path)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_out >= n_before:
         return n_before, n_before
-    tmp = path + "__tmp__"
-    if partition_by:
-        from pyspark.sql import functions as F
 
-        (df.repartition(n_out, *[F.col(c) for c in partition_by])
-         .write.mode("overwrite").partitionBy(*partition_by).parquet(tmp))
+    if partition_by:
+        n_parts = df.select(*partition_by).distinct().count()
+        splits = max(1, math.ceil(n_out / max(1, n_parts)))
+        # layout-only salt: spreads each partition value over `splits`
+        # writer tasks; xxhash64 of the full row is deterministic but
+        # carries no cross-engine contract (file layout never does)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(splits))
+        out = df.repartition(n_out, *[F.col(c) for c in partition_by], salt)
+
+        def write_tmp(tmp: str) -> None:
+            out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    if fs.exists(prev):
-        fs.delete(prev)
-    fs.rename(path, prev)
-    fs.rename(tmp, path)
-    fs.delete(prev)
+        out = df.repartition(n_out)
+
+        def write_tmp(tmp: str) -> None:
+            out.write.mode("overwrite").parquet(tmp)
+
+    replace_dataset(fs, path, write_tmp)
     return n_before, len(spark.read.parquet(path).inputFiles())

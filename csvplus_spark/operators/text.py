@@ -581,13 +581,17 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         F.count(F.lit(1)).cast("double").alias("n")).scalar()
     scored = (
         tf.join(dfreq, "term")
-        .withColumn("score", F.col("tf") * F.log(n_docs / F.col("df")))
+        # rank on the ROUNDED score — see bm25_top_terms: a rank
+        # decided inside the cross-engine ln() ulp would pick
+        # different top-k terms per engine
+        .withColumn("score",
+                    F.round(F.col("tf") * F.log(n_docs / F.col("df")), 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "term", "tf", "df", "rank", F.round("score", 6).alias("score"))
+        .select(id_col, "term", "tf", "df", "rank", "score")
     )
 
 
@@ -611,26 +615,31 @@ def bm25_top_terms(df: DataFrame, k: int = 3, k1: float = 1.2,
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl and avgdl derive from tf (exact integer sums) — aggregating
+    # tok directly would re-explode the corpus two more times
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.groupBy().agg(
         F.count(F.lit(1)).cast("double").alias("n")).scalar()
-    avgdl = tok.groupBy().agg(
-        (F.count(F.lit(1)) /
+    avgdl = tf.groupBy().agg(
+        (F.sum("tf") /
          F.count_distinct(F.col(id_col)).cast("double")).alias("a")).scalar()
     idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = (F.col("tf")
              + k1 * (1.0 - b + b * F.col("dl") / avgdl))
     scored = (
         tf.join(dfreq, "term").join(dl, id_col)
-        .withColumn("score", idf * F.col("tf") * (k1 + 1.0) / denom)
+        # rank on the ROUNDED score: the raw ln() can differ between
+        # JVM Math.log and libm in the last ulp, and a rank decided
+        # inside that ulp would pick different top-k terms per engine;
+        # round(6) makes the ranking key itself cross-engine-stable
+        .withColumn("score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "term", "tf", "df", "rank",
-                F.round("score", 6).alias("score"))
+        .select(id_col, "term", "tf", "df", "rank", "score")
     )
 
 

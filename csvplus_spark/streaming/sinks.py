@@ -48,6 +48,39 @@ class _Fs:
         return self._fs.getContentSummary(self._Path(p)).getLength()
 
 
+def heal_swap(fs: _Fs, path: str) -> None:
+    """Recover from a crash inside :func:`replace_dataset`: if only the
+    moved-aside copy exists the swap died between its two renames —
+    move it back; if BOTH exist the swap completed but its final
+    delete didn't — drop the leftover copy (it would otherwise leak a
+    full pre-swap dataset indefinitely)."""
+    prev = path + "__prev__"
+    if fs.exists(prev):
+        if not fs.exists(path):
+            fs.rename(prev, path)
+        else:
+            fs.delete(prev)
+
+
+def replace_dataset(fs: _Fs, path: str, write_tmp) -> None:
+    """Swap a freshly-written dataset into ``path`` via two renames:
+    ``write_tmp(tmp_path)`` writes the new data, then the old table is
+    moved ASIDE (not deleted) before the new one moves in, so a crash
+    at any point leaves either the old or the new table recoverable —
+    :func:`heal_swap` heals both crash windows on the next call. Plain
+    parquet has no atomic overwrite-while-reading (and object-store
+    renames are per-file copies, not atomic either); a transactional
+    table format would replace this dance with MERGE/OPTIMIZE."""
+    tmp = path + "__tmp__"
+    prev = path + "__prev__"
+    write_tmp(tmp)
+    if fs.exists(prev):
+        fs.delete(prev)
+    fs.rename(path, prev)
+    fs.rename(tmp, path)
+    fs.delete(prev)
+
+
 def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
                          key_cols: list[str], trigger_available_now: bool = True):
     """Start a foreachBatch query upserting each micro-batch into
@@ -65,31 +98,17 @@ def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
         # and cluster drivers too; any OTHER read failure propagates
         # and fails the batch (the streaming commit log replays it).
         fs = _Fs(spark, path)
-        prev = path + "__prev__"
-        if fs.exists(prev) and not fs.exists(path):
-            # crash window below (between the two renames) — roll back
-            fs.rename(prev, path)
+        heal_swap(fs, path)
         if not fs.exists(path):
             batch.write.mode("overwrite").parquet(path)
             return
         current = spark.read.parquet(path)
         merged = current.join(batch.select(*key_cols), key_cols, "left_anti") \
             .unionByName(batch)
-        # write to a temp dir, then swap via two renames: the old table
-        # is moved ASIDE (not deleted) before the new one moves in, so
-        # a crash at any point leaves either the old or the new table
-        # recoverable — the rollback above heals the one-rename window
-        # on the next batch. Plain parquet has no atomic
-        # overwrite-while-reading (and object-store renames are
-        # per-file copies, not atomic either); a transactional table
-        # format would replace this whole dance with MERGE.
-        tmp = path + "__tmp__"
-        merged.write.mode("overwrite").parquet(tmp)
-        if fs.exists(prev):
-            fs.delete(prev)
-        fs.rename(path, prev)
-        fs.rename(tmp, path)
-        fs.delete(prev)
+        # crash-recoverable two-rename swap — see replace_dataset
+        replace_dataset(
+            fs, path,
+            lambda tmp: merged.write.mode("overwrite").parquet(tmp))
 
     writer = (
         stream.writeStream.foreachBatch(_merge)
