@@ -439,7 +439,7 @@ def q_ann_recall(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").df
     exact = brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, 5)
-    approx = ivf_seeded_topk(emb, 5)
+    approx = ivf_seeded_topk(emb, 5, n_cells=16)
     return ann_recall(exact, approx)
 
 
@@ -460,7 +460,8 @@ def q_semantic_dedup(spark, sf_dir):
     for every vector."""
     from csvplus_spark.operators.dedup import semantic_dedup
 
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings").df, 0.4)
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings").df, 0.4,
+                          n_cells=16)
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -915,11 +916,29 @@ def q_pivot(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HyperLogLog approximate distinct (extension; rows-only check —
-    sketch estimates are engine-specific by nature)."""
+    """HyperLogLog approximate distinct (extension). Sketch estimates
+    are engine-specific, so the RAW estimate can't be oracle-matched —
+    instead the query ENFORCES the sketch's documented error bound
+    in-plan (VERDICT r6 item 6): rsd=0.01 → |approx−exact|/exact must
+    stay within 5% (5σ); any violation raise_errors the whole query.
+    The emitted columns (exact count + the enforced flag) are then
+    deterministic and hash-matchable by the DuckDB oracle, making the
+    driver row-match meaningful rather than rows-only."""
     li = load_table(spark, sf_dir, "lineitem").df
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__approx__"),
+        F.count_distinct("l_orderkey").alias("exact_orders"))
+    rel_err = (F.abs(F.col("__approx__") - F.col("exact_orders"))
+               / F.col("exact_orders"))
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.when(rel_err <= 0.05, F.lit(True)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("approx_count_distinct outside 5% of exact: "),
+                F.col("__approx__").cast("string"), F.lit(" vs "),
+                F.col("exact_orders").cast("string")))
+            .cast("boolean")).alias("within_bound"))
 
 
 def q_date_arith(spark, sf_dir):
@@ -1094,7 +1113,8 @@ def q_ivf_seeded(spark, sf_dir):
     PartitionFilters pruning guard in test_llm_ops)."""
     from csvplus_spark.operators.similarity import ivf_seeded_topk
 
-    out = ivf_seeded_topk(load_table(spark, sf_dir, "embeddings").df, 5)
+    out = ivf_seeded_topk(load_table(spark, sf_dir, "embeddings").df, 5,
+                          n_cells=16)
     return out.withColumn("sim", F.round("sim", 6))
 
 
@@ -3235,6 +3255,13 @@ LIMIT 20
         "novel_bigrams": _NOVEL_BIGRAMS_SQL,
         "source_mix": _SOURCE_MIX_SQL,
         "knn_label": _KNN_LABEL_SQL,
-        # approx_distinct: deliberately no oracle — HLL sketches are
-        # engine-specific; driver records a rows-only check
+        # approx_distinct: the sketch's error bound is ENFORCED inside
+        # the Spark plan (raise_error beyond 5% of exact), so the
+        # oracle matches the deterministic columns (exact + flag)
+        "approx_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_orderkey) AS exact_orders,
+                   TRUE AS within_bound
+            FROM lineitem GROUP BY l_returnflag
+        """,
     }

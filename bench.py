@@ -139,16 +139,52 @@ def main() -> None:
                     cold[name] = -1.0  # a pass-2 success is WARM, not cold
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    print(json.dumps({
+
+    # Full payload (warm + cold, 3 decimals) goes to artifacts/ — the
+    # driver only sees the last ~2000 chars of stdout, and round 6's
+    # line with queries_cold inline overflowed that tail and parsed as
+    # null. Keep stdout minimal; everything else lives in files.
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # first-pass wall times: cold-vs-warm split for variance triage
-        # (extra key — the driver reads metric/value/queries/sf only)
         "queries_cold": cold,
         "sf": sf,
-    }))
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+    }
+    with open(os.path.join(art_dir, "BENCH_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # round-over-round history: one row per bench run, append-only
+    with open(os.path.join(art_dir, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+
+    warm2 = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": warm2,
+        "sf": sf,
+    }, separators=(",", ":"))
+    # hard guard: the driver's stdout tail is 2000 chars — if the
+    # query set ever grows past the budget, elide the FASTEST entries
+    # (regressions live in the slow tail) and say how many were cut
+    if len(line) > 1900:
+        keep = dict(sorted(warm2.items(), key=lambda kv: -kv[1]))
+        while len(line) > 1820 and keep:
+            keep.popitem()
+            line = json.dumps({
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": keep,
+                "queries_omitted": len(warm2) - len(keep),
+                "sf": sf,
+            }, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -446,7 +446,7 @@ def ngram_jaccard_pairs_collapsed(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 20,
@@ -473,14 +473,25 @@ def semantic_dedup(
     bounded; LAION-scale runs use ~11k cells). CC is the shared
     HashToMin + pointer-jump loop. No all-pairs, no driver state
     beyond the n_cells seed collect.
+
+    ``n_cells=None`` (default) sizes the cells from a one-column
+    corpus count (``auto_n_cells``: ceil(n/4096), floor 16) so the
+    within-cell quadratic stays bounded at ANY corpus size — an EAGER
+    count at call time. Pass an explicit n_cells to stay lazy or to
+    replay an oracle whose SQL embeds a fixed cell count (VERDICT r6:
+    the old fixed default of 16 handed an unwary production caller
+    |cell| = n/16 quadratic cost).
     """
     from pyspark.sql import Window
 
-    from .similarity import cosine, seed_voronoi_distances, with_double_vec
+    from .similarity import (auto_n_cells, cosine, seed_voronoi_distances,
+                             with_double_vec)
 
+    v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
+    if n_cells is None:
+        n_cells = auto_n_cells(v.count())
     if n_cells < 1:
         raise ValueError(f"semantic_dedup: n_cells must be >= 1, got {n_cells}")
-    v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
     ad = seed_voronoi_distances(v, n_cells, id_col)
     w = Window.partitionBy(id_col).orderBy("__d2__", "cell")
     assign = (

@@ -24,7 +24,8 @@ from ..streaming.sinks import _Fs, heal_swap, replace_dataset
 
 def compact_parquet(spark: SparkSession, path: str,
                     target_bytes: int = 128 << 20,
-                    partition_by: list[str] | None = None) -> tuple[int, int]:
+                    partition_by: list[str] | None = None,
+                    allow_flatten: bool = False) -> tuple[int, int]:
     """Compact the parquet dataset at ``path`` toward ``target_bytes``
     per file. Returns ``(files_before, files_after)``; a dataset whose
     file count is already at or below the target count is left
@@ -38,13 +39,30 @@ def compact_parquet(spark: SparkSession, path: str,
     layout is preserved AND big partitions still honor the target size
     (hashing on the partition columns alone would funnel each
     partition value into ONE task → one arbitrarily large file and a
-    straggler). Omitting ``partition_by`` on a partitioned table would
-    flatten the layout.
+    straggler). Omitting ``partition_by`` on a hive-partitioned table
+    raises — the rewrite would silently flatten the ``key=value``
+    layout and kill partition pruning for every downstream reader
+    (ADVICE r6); pass ``allow_flatten=True`` to do it on purpose.
     """
     fs = _Fs(spark, path)
     heal_swap(fs, path)
     df = spark.read.parquet(path)
     n_before = len(df.inputFiles())
+    if not partition_by and not allow_flatten:
+        # detect a hive layout from the data-file paths themselves:
+        # any key=value directory segment under `path` means the table
+        # is partitioned, whether or not this read resolved it
+        prefix = path.rstrip("/") + "/"
+        for f in df.inputFiles():
+            rel = f.split(prefix, 1)[-1] if prefix in f else f
+            segs = [s for s in rel.split("/")[:-1] if "=" in s]
+            if segs:
+                keys = sorted({s.split("=", 1)[0] for s in segs})
+                raise ValueError(
+                    f"compact_parquet: {path} is hive-partitioned by "
+                    f"{keys}; pass partition_by={keys} to preserve the "
+                    "layout, or allow_flatten=True to rewrite it flat"
+                )
     total = fs.length(path)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_out >= n_before:

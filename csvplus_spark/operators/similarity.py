@@ -215,6 +215,18 @@ def ivf_topk(
     )
 
 
+def auto_n_cells(n_rows: int, per_cell: int = 4096, floor: int = 16) -> int:
+    """Cell count for IVF / SemDeDup blocking sized from the corpus:
+    ``ceil(n_rows / per_cell)``, floored at ``floor``. Cells must GROW
+    with the corpus — a fixed cell count makes the per-cell quadratic
+    stage |n/cells|² ~ n² again (VERDICT r6: LAION-scale SemDeDup runs
+    ~11k cells). ``per_cell=4096`` keeps the within-cell BLAS matmul
+    ~4096² doubles (~130 MB transient) per task."""
+    if n_rows < 0:
+        raise ValueError(f"auto_n_cells: n_rows must be >= 0, got {n_rows}")
+    return max(floor, -(-n_rows // per_cell))
+
+
 def seed_voronoi_distances(v: DataFrame, n_cells: int,
                            id_col: str = "vec_id") -> DataFrame:
     """Per-(vector, seed-cell) exact squared-L2 distances — the shared
@@ -244,7 +256,7 @@ def seed_voronoi_distances(v: DataFrame, n_cells: int,
 def ivf_seeded_topk(
     emb: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -267,8 +279,16 @@ def ivf_seeded_topk(
     Queries are the vectors with id < ``query_max_id`` (self-search,
     ``exclude_self`` semantics as brute_force_topk). Ties: assignment
     and probes break on lower cell id; rank breaks on corpus id.
+
+    ``n_cells=None`` (default) sizes the cells from a one-column
+    corpus count via :func:`auto_n_cells` — an EAGER job at call time;
+    pass an explicit n_cells to stay lazy and for oracle replays whose
+    SQL embeds a fixed cell count (VERDICT r6: a fixed default of 16
+    made |cell| = n/16, quadratic again at production scale).
     """
     v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
+    if n_cells is None:
+        n_cells = auto_n_cells(v.count())
     ad = seed_voronoi_distances(v, n_cells, id_col)
     w_assign = Window.partitionBy(id_col).orderBy("__d2__", "cell")
     assign = (
@@ -300,14 +320,18 @@ def ivf_seeded_topk(
     )
 
 
-def ivf_build(corpus: DataFrame, path: str, n_clusters: int = 16,
+def ivf_build(corpus: DataFrame, path: str, n_clusters: int | None = None,
               id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = 42, sample_size: int = IVF_FIT_SAMPLE) -> None:
     """Persist an IVF index: corpus assignments written as parquet
     PARTITIONED BY cell (one directory per cell) plus a centroid
     sidecar. A later search reads only the probed cells — partition
     pruning at the file level, visible as ``PartitionFilters`` in the
-    scan (pinned by test_plans-style guard in test_llm_ops)."""
+    scan (pinned by test_plans-style guard in test_llm_ops).
+
+    ``n_clusters=None`` sizes the cells from the corpus count
+    (:func:`auto_n_cells`) — building an index is already an eager
+    full-corpus job, so the extra count is marginal here."""
     import json
     import os
 
@@ -315,6 +339,8 @@ def ivf_build(corpus: DataFrame, path: str, n_clusters: int = 16,
 
     c = with_double_vec(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col("__vec__"))
+    if n_clusters is None:
+        n_clusters = auto_n_cells(c.count())
     model = _fit_centroids(c, n_clusters, seed, sample_size)
     assigned = model.transform(
         c.withColumn("__feat__", array_to_vector("__vec__"))
@@ -599,10 +625,15 @@ def grid_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__"))
     if n_blocks is None:
         # ~1k vectors per block (one efficient BLAS call per cell,
-        # bounded per-task memory) — same sizing as the dedup grid;
-        # the two counts are narrow one-column jobs
-        n_blocks = max(2, min(1024, -(-corpus.count() // 1024)))
-        nq_blocks = max(2, min(1024, -(-queries.count() // 1024)))
+        # bounded per-task memory) — same sizing as the dedup grid.
+        # Auto-sizing is EAGER: it runs a narrow one-column count per
+        # distinct input before the scoring pass (one count for the
+        # self-kNN case below). For large inputs, or when the operator
+        # must stay fully lazy, pass n_blocks explicitly (ADVICE r6).
+        nc = corpus.count()
+        nq = nc if queries is corpus else queries.count()
+        n_blocks = max(2, min(1024, -(-nc // 1024)))
+        nq_blocks = max(2, min(1024, -(-nq // 1024)))
     else:
         nq_blocks = n_blocks
 

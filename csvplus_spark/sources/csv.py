@@ -162,26 +162,36 @@ class Reader:
                                 and ln.startswith(self._comment))
 
         if "://" in self.path:
-            # remote peek must PROVE file order, exactly like the width
-            # check (review r6): a bare limit() samples whichever split
-            # the scheduler reads first (splits are ordered by SIZE),
-            # so the "first line" could come from the middle of a big
-            # file. Order by (file, split byte offset, within-split id)
-            # — a TakeOrdered over one small projection — and walk the
-            # first file's lines in true order.
-            rows = (
-                self.spark.read.text(self.path)
+            # remote peek: list the matching files through the path's
+            # own Hadoop FileSystem, pick the FIRST file by sorted URI
+            # (the same lexicographic rule the local branch uses on its
+            # glob, so multi-file reads validate the same header on
+            # every scheme — ADVICE r6), and scan ONLY that file. The
+            # old form ran a TakeOrdered over every line of every file
+            # — a full-corpus text pass before the real read (ADVICE
+            # r6, medium). Line order within the file is still proved
+            # by (split byte offset, within-split id) — splits are
+            # scheduled by SIZE, not offset.
+            first_file = self._first_remote_file()
+            txt = (
+                self.spark.read.text(first_file)
                 .select(F.col("value"),
-                        F.input_file_name().alias("__f__"),
                         F.col("_metadata.file_block_start").alias("__bs__"),
                         F.monotonically_increasing_id().alias("__lid__"))
-                .orderBy("__f__", "__bs__", "__lid__")
-                .limit(1024).collect()
+                .orderBy("__bs__", "__lid__")
             )
-            first_file = rows[0]["__f__"] if rows else None
-            line = next((r["value"] for r in rows
-                         if r["__f__"] == first_file and not _skip(r["value"])),
-                        "")
+            # geometric fallback instead of a hard cap (ADVICE r6): a
+            # valid file may open with arbitrarily many comment/blank
+            # lines; keep widening the prefix until a header line or
+            # true EOF appears
+            line, n = "", 1024
+            while True:
+                rows = txt.limit(n).collect()
+                line = next((r["value"] for r in rows
+                             if not _skip(r["value"])), "")
+                if line or len(rows) < n:
+                    break
+                n *= 8
         else:
             line = ""
             with open(paths[0], "r", newline="") as f:
@@ -202,6 +212,29 @@ class Reader:
         if self._trim_leading:
             fields = [x.lstrip() for x in fields]
         return [_unquote_cell(x) for x in fields]
+
+    def _first_remote_file(self) -> str:
+        """First data file of a remote (``scheme://``) path by sorted
+        URI — one globStatus + at most one listStatus per matched
+        directory, no data read. Hidden/underscore files (``_SUCCESS``,
+        ``.crc``) are skipped, matching what Spark's scan ignores."""
+        jvm = self.spark.sparkContext._jvm
+        _Path = jvm.org.apache.hadoop.fs.Path
+        p = _Path(self.path)
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(p)
+        files: list[str] = []
+        for st in (statuses or []):
+            if st.isDirectory():
+                files += [s.getPath().toString() for s in fs.listStatus(st.getPath())
+                          if s.isFile()]
+            else:
+                files.append(st.getPath().toString())
+        files = sorted(f for f in files
+                       if not f.rsplit("/", 1)[-1].startswith(("_", ".")))
+        if not files:
+            raise HeaderError("missing or empty header line")
+        return files[0]
 
     def _resolve_header(self) -> tuple[bool, list[str] | None]:
         """Returns (has_header_row, explicit_names or None).

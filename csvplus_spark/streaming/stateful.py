@@ -144,6 +144,83 @@ def _session_closer(gap_us: int):
     return update
 
 
+def check_session_checkpoint(spark, checkpoint_dir: str,
+                             state_schema: str = SESSION_STATE_SCHEMA) -> bool | None:
+    """Pre-flight a checkpoint against the CURRENT state layout.
+
+    applyInPandasWithState has no state-schema migration: resuming a
+    checkpoint written under an older layout (e.g. the scalar
+    ``start_us/last_us/n`` form this operator used before emission
+    became watermark-final) fails at runtime with an opaque JVM
+    state-deserialization error (ADVICE r6). Call this with the
+    writeStream's ``checkpointLocation`` BEFORE ``start()``:
+
+    - returns ``None`` — no state schema recorded yet (fresh
+      checkpoint, or a pre-schema-file Spark wrote it): safe to start;
+    - returns ``True`` — recorded state fields match ``state_schema``;
+    - raises ``ValueError`` with migration guidance on mismatch:
+      either DRAIN the old query (advance the watermark past every
+      open session so state empties, stop, then delete the checkpoint)
+      or start from a fresh checkpoint and accept re-processing per
+      the source's retention.
+
+    Reads ``state/0/*/_metadata/schema`` through ``binaryFile`` so any
+    checkpoint scheme (hdfs://, s3a://, local) works without extra FS
+    plumbing.
+    """
+    import json
+
+    from pyspark.sql.types import StructType
+
+    expected = [f.name for f in StructType.fromDDL(state_schema).fields]
+    try:
+        rows = (spark.read.format("binaryFile")
+                .load(checkpoint_dir.rstrip("/") + "/state/0/*/_metadata/schema")
+                .select("content").limit(1).collect())
+    except Exception:
+        return None  # no state written yet — nothing to be incompatible with
+    if not rows:
+        return None
+    raw = bytes(rows[0]["content"]).decode("utf-8", errors="replace")
+    # the file is length-prefixed binary around JSON structs: extract
+    # each {"type":"struct",...} object by brace matching and keep the
+    # one carrying the groupState wrapper (the VALUE schema)
+    stored: list[str] | None = None
+    i = 0
+    while True:
+        i = raw.find('{"type"', i)
+        if i < 0:
+            break
+        depth, j = 0, i
+        while j < len(raw):
+            if raw[j] == "{":
+                depth += 1
+            elif raw[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        try:
+            obj = json.loads(raw[i:j + 1])
+            for f in obj.get("fields", []):
+                if f.get("name") == "groupState":
+                    stored = [g["name"] for g in f["type"]["fields"]]
+        except Exception:
+            pass
+        i = j + 1
+    if stored is None:
+        return None
+    if stored != expected:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} holds state fields {stored} but "
+            f"this operator now expects {expected}; applyInPandasWithState "
+            "cannot migrate state schemas. Either DRAIN the old query "
+            "(advance the watermark past every open session, stop, delete "
+            "the checkpoint) or start from a fresh checkpointLocation."
+        )
+    return True
+
+
 def rocksdb_state_conf() -> dict:
     """Session configs for the RocksDB state store — at production
     scale the default HDFS-backed in-memory store holds every open

@@ -317,3 +317,34 @@ def test_expect_header_on_file_uri_multi_split(spark, tmp_path):
         assert n == 4000
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_remote_peek_first_file_and_deep_comment_prefix(spark, tmp_path):
+    """ADVICE r6 (medium): the remote peek must (a) validate against the
+    lexicographically FIRST file — same rule as the local glob branch,
+    so header selection can't differ by scheme — and (b) survive a file
+    whose comment prefix is deeper than the old 1024-line cap."""
+    from csvplus_spark import from_file
+    from csvplus_spark.errors import HeaderError
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    # b.csv sorts after a.csv; give it a DIFFERENT header — the peek
+    # must validate against a.csv's header, whatever the scheme
+    (d / "a.csv").write_text("id,name\n1,x\n")
+    (d / "b.csv").write_text("name,id\n2,y\n")
+    f = (from_file(spark, f"file://{d}")
+         .expect_header({"id": 0, "name": 1}).to_frame())
+    assert f.df.count() == 2
+    with pytest.raises(HeaderError):
+        (from_file(spark, f"file://{d}")
+         .expect_header({"name": 0, "id": 1}).to_frame())
+
+    deep = tmp_path / "deep.csv"
+    with open(deep, "w") as fh:
+        for i in range(1500):  # > the first 1024-row probe
+            fh.write(f"# preamble {i}\n")
+        fh.write("id,name\n7,z\n")
+    n = (from_file(spark, f"file://{deep}").comment_char("#")
+         .expect_header({"id": 0, "name": 1}).to_frame().df.count())
+    assert n == 1

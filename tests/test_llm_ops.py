@@ -1409,3 +1409,95 @@ def test_compact_parquet_partitioned(spark, tmp_path):
         ["part=0", "part=1", "part=2"]
     after = spark.read.parquet(p).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+def test_compact_parquet_refuses_silent_flatten(spark, tmp_path):
+    """ADVICE r6: omitting partition_by on a hive-partitioned table must
+    raise (naming the detected keys), not silently flatten the layout;
+    allow_flatten=True performs the rewrite on purpose."""
+    import os
+
+    import pytest
+
+    from csvplus_spark.operators.maintenance import compact_parquet
+
+    p = str(tmp_path / "ptbl2")
+    df = spark.range(0, 2_000).selectExpr("id", "id % 2 AS part")
+    df.repartition(16).write.partitionBy("part").parquet(p)
+    with pytest.raises(ValueError, match=r"partition_by=\['part'\]"):
+        compact_parquet(spark, p, target_bytes=1 << 30)
+    # layout untouched by the refused call
+    assert sorted(d for d in os.listdir(p) if d.startswith("part=")) == \
+        ["part=0", "part=1"]
+    before = spark.read.parquet(p).collect()
+    n_before, n_after = compact_parquet(spark, p, target_bytes=1 << 30,
+                                        allow_flatten=True)
+    assert n_after < n_before
+    assert not any(d.startswith("part=") for d in os.listdir(p))
+    after = spark.read.parquet(p).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+def test_auto_n_cells_bounds_cell_size(spark, sf_dir):
+    """VERDICT r6 item 3: n_cells defaults must GROW with the corpus so
+    the per-cell quadratic stage stays bounded. auto_n_cells must keep
+    mean |cell| <= per_cell at every size, floor at 16, and the
+    n_cells=None path of semantic_dedup must run end-to-end."""
+    from csvplus_spark.operators.dedup import semantic_dedup
+    from csvplus_spark.operators.similarity import auto_n_cells
+
+    for n in (0, 1, 100, 4096, 4097, 1_000_000, 5_000_000_000):
+        cells = auto_n_cells(n)
+        assert cells >= 16
+        # the derived count bounds the MEAN cell size by construction
+        assert n / cells <= 4096
+    assert auto_n_cells(11_000 * 4096) == 11_000  # LAION-ish shape
+    with pytest.raises(ValueError):
+        auto_n_cells(-1)
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    n = emb.count()
+    auto = {(r["vec_id"], r["canonical_id"])
+            for r in semantic_dedup(emb, 0.4).collect()}
+    explicit = {(r["vec_id"], r["canonical_id"])
+                for r in semantic_dedup(emb, 0.4,
+                                        n_cells=auto_n_cells(n)).collect()}
+    assert auto == explicit and auto
+
+
+def test_semantic_dedup_collapse_identity_law(spark, sf_dir):
+    """Scaled-consistency pin (VERDICT r6 item 2), fast CI form of
+    tools/check_sf1_compose.py's semantic_dedup law: duplicate the
+    corpus via key shift (copy c = vec_id + c*OFF, same embedding) and
+    run BOTH scales with the same n_cells — the seeds are then the
+    identical vector set with identical cell ids, every copy lands in
+    its base vector's cell, and each duplicated component is the exact
+    copy-closure of a base component with the base canonical."""
+    from csvplus_spark.operators.dedup import semantic_dedup
+    from csvplus_spark.operators.similarity import cosine, with_double_vec
+
+    OFF, COPIES, CELLS = 10_000_000, 3, 32
+    emb = load_table(spark, sf_dir, "embeddings").df \
+        .select("vec_id", "embedding")
+    dup = emb
+    for c in range(1, COPIES):
+        dup = dup.unionByName(
+            emb.select((F.col("vec_id") + c * OFF).alias("vec_id"),
+                       "embedding"))
+    base = semantic_dedup(emb, 0.4, n_cells=CELLS).collect()
+    got = {(r["vec_id"], r["canonical_id"], r["is_canonical"])
+           for r in semantic_dedup(dup, 0.4, n_cells=CELLS).collect()}
+
+    nonzero = {r["vec_id"] for r in with_double_vec(emb)
+               .select("vec_id",
+                       cosine(F.col("__vec__"), F.col("__vec__")).alias("s"))
+               .filter(F.col("s") >= 0.4).collect()}
+    want = set()
+    for r in base:
+        for c in range(COPIES):
+            if r["vec_id"] in nonzero:
+                want.add((r["vec_id"] + c * OFF, r["canonical_id"],
+                          r["is_canonical"] and c == 0))
+            else:  # zero-norm: NULL cosine everywhere, singleton per copy
+                want.add((r["vec_id"] + c * OFF, r["vec_id"] + c * OFF, True))
+    assert got == want and len(got) == COPIES * len(base)

@@ -116,3 +116,108 @@ def test_frame_sampling_one_to_many(media_df):
     assert len(rows) == 12  # 4 blobs x 3 frames
     per = out.groupBy("media_id").agg(F.countDistinct("frame_md5").alias("n")).collect()
     assert all(r["n"] == 3 for r in per)
+
+
+def _checker_png(w=12, h=7, ch=3):
+    """Deterministic RGB(A) checker image + its PNG bytes (pure codec)."""
+    from csvplus_spark.operators.pngcodec import encode_png
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base = [255 * ((x + y) % 2), (x * 20) % 256, (y * 35) % 256]
+            px += bytes(base[:ch] if ch <= 3 else base + [200])
+    return bytes(px), encode_png(w, h, ch, bytes(px))
+
+
+def test_pngcodec_roundtrip_and_filters():
+    """VERDICT r6 item 4: the pure-Python PNG codec round-trips pixels
+    exactly, and its decoder handles all five scanline filters (a
+    crafted IDAT exercises Sub/Up/Average/Paeth, which our encoder
+    never emits)."""
+    import struct
+    import zlib
+
+    from csvplus_spark.operators.pngcodec import (PNG_MAGIC, _chunk,
+                                                  decode_png, encode_png,
+                                                  is_png, png_info)
+
+    for ch in (1, 2, 3, 4):
+        px, blob = _checker_png(12, 7, ch)
+        assert is_png(blob)
+        assert png_info(blob)[:2] == (12, 7)
+        w, h, ch2, got = decode_png(blob)
+        assert (w, h, ch2) == (12, 7, ch) and got == px
+
+    # hand-built 3x5 RGB image using filters 0..4 (one per scanline):
+    # decode must invert each filter exactly. Reference pixels chosen
+    # so every filter sees non-trivial left/up/upper-left context.
+    w, h, ch = 3, 5, 3
+    rows = [bytes([(x * 37 + y * 91 + c * 13) % 256
+                   for x in range(w) for c in range(ch)])
+            for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, line in enumerate(rows):
+        f = y % 5
+        raw.append(f)
+        for x in range(w * ch):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                raw.append(line[x])
+            elif f == 1:
+                raw.append((line[x] - left) & 0xFF)
+            elif f == 2:
+                raw.append((line[x] - up) & 0xFF)
+            elif f == 3:
+                raw.append((line[x] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((line[x] - paeth(left, up, ul)) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    assert decode_png(blob) == (w, h, ch, b"".join(rows))
+
+    # cross-check against Pillow when available (optional)
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return
+    _px, blob2 = _checker_png(9, 4, 3)
+    with Image.open(io.BytesIO(blob2)) as im:
+        assert im.size == (9, 4)
+        assert im.tobytes() == _px
+    with Image.open(io.BytesIO(blob)) as im:
+        assert im.tobytes() == b"".join(rows)
+
+
+def test_real_codec_png_without_pillow(spark):
+    """The real_codec=True path must decode and resize REAL PNG bytes
+    in this sandbox (no Pillow) via the pure-Python codec — true
+    geometry out, re-decodable PNG back."""
+    from csvplus_spark.operators.multimodal import resize_images
+    from csvplus_spark.operators.pngcodec import decode_png
+
+    _px, blob = _checker_png(37, 21, 3)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, data binary")
+    got = decode_images(df, real_codec=True).collect()[0]
+    assert (got["width"], got["height"], got["n_pixels"]) == (37, 21, 777)
+
+    out = resize_images(df, 8, 6, real_codec=True).collect()[0]
+    w, h, ch, px = decode_png(bytes(out["data"]))
+    assert (w, h, ch) == (8, 6, 3) and len(px) == 8 * 6 * 3
+    # nearest-neighbor: corner pixel survives exactly
+    assert px[:3] == _px[:3]

@@ -379,3 +379,39 @@ def test_foreach_batch_expectations_per_batch_report(spark, sf_dir, tmp_path):
     # every batch reports every rule, and this clean data passes
     assert rep.count() == 2 * 2
     assert all(r["passed"] for r in rep.collect())
+
+
+def test_check_session_checkpoint_detects_layout_mismatch(spark, tmp_path):
+    """ADVICE r6: resuming a checkpoint written under an older state
+    layout fails with an opaque JVM decode error — the pre-flight
+    helper must surface the drain-or-fresh guidance instead. The
+    schema file is synthesized in the on-disk format Spark writes
+    (length-prefixed binary around JSON structs)."""
+    import json
+
+    from csvplus_spark.streaming.stateful import check_session_checkpoint
+
+    meta = tmp_path / "ck" / "state" / "0" / "0" / "_metadata"
+    meta.mkdir(parents=True)
+    key = {"type": "struct", "fields": [
+        {"name": "user_id", "type": "long", "nullable": True, "metadata": {}}]}
+    old_state = {"type": "struct", "fields": [
+        {"name": "groupState", "type": {"type": "struct", "fields": [
+            {"name": "start_us", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "last_us", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+        ]}, "nullable": True, "metadata": {}},
+        {"name": "timeoutTimestamp", "type": "long", "nullable": True,
+         "metadata": {}}]}
+    (meta / "schema").write_bytes(
+        b"\x00\x02v2\x00\x00\x00\x01\x00" + json.dumps(key).encode()
+        + b"\x00\x00\x00\x01\x02\x0b" + json.dumps(old_state).encode())
+
+    with pytest.raises(ValueError, match="cannot migrate state schemas"):
+        check_session_checkpoint(spark, str(tmp_path / "ck"))
+    # the old layout itself still validates against its own DDL
+    assert check_session_checkpoint(
+        spark, str(tmp_path / "ck"),
+        "start_us long, last_us long, n long") is True
+    # no checkpoint at all -> None (safe to start fresh)
+    assert check_session_checkpoint(spark, str(tmp_path / "nope")) is None

@@ -197,12 +197,55 @@ def main() -> int:
             return expand_pairs(run(name), "id_1", "id_2").unionByName(
                 self_pairs(emb_self.select("vec_id", "sim"), "id_1", "id_2",
                            sim="sim"))
+        if name == "semantic_dedup":
+            # Collapse-identity law (VERDICT r6 item 2). Both runs use
+            # n_cells = 16 * COPIES: the sf1 seeds (lowest 160 ids) are
+            # then copy-0 of the base run's own 160 seeds — identical
+            # centroid VECTORS with identical cell ids — so copy c of
+            # vector v gets v's exact d² ties and lands in v's cell.
+            # Within a cell the edge set is the base edge set expanded
+            # over copy combos plus the sim-1 identity pairs between
+            # copies, so each sf1 component is the copy-closure of a
+            # base component and its min id is the base canonical
+            # (copy 0: offsets dominate). Zero-norm vectors have NULL
+            # cosine everywhere (0/0) — singletons per copy, exactly as
+            # at base. The base-160 run is fresh (the oracle pins 16),
+            # so this checks SCALE CONSISTENCY of blocking + BLAS
+            # prefilter + rescore + CC, not base correctness (the 16-
+            # cell DuckDB oracle owns that).
+            from csvplus_spark.operators.dedup import semantic_dedup
+            base_out = semantic_dedup(
+                load_table(spark, base_dir, "embeddings").df, 0.4,
+                n_cells=16 * COPIES)
+            nz = base_out.join(emb_self.select("vec_id"), "vec_id")
+            zn = base_out.join(emb_self.select("vec_id"), "vec_id",
+                               "left_anti")
+            copies = F.broadcast(spark.createDataFrame(
+                [(c,) for c in range(COPIES)], "c long"))
+            exp_nz = nz.crossJoin(copies).select(
+                (F.col("vec_id") + F.col("c") * F.lit(OFF)).alias("vec_id"),
+                F.col("canonical_id"),
+                (F.col("is_canonical") & (F.col("c") == 0))
+                .alias("is_canonical"))
+            return exp_nz.unionByName(
+                expand_rows(zn, ["vec_id", "canonical_id"]))
         raise KeyError(name)
 
     names = ["dedup_ngram", "dedup_minhash", "simhash", "simhash_pairs",
              "simhash_pairs60", "simhash_reps60", "dedup_clusters",
              "dedup_clusters_fast", "canonicalize", "training_set",
-             "dedup_embedding", "dedup_embedding_lsh"]
+             "dedup_embedding", "dedup_embedding_lsh", "semantic_dedup"]
+
+    def actual_for(name) -> DataFrame:
+        if name == "semantic_dedup":
+            # not the entry query: the law requires the same 160-seed
+            # blocking on both sides (see expected_for)
+            from csvplus_spark.operators.dedup import semantic_dedup
+            return semantic_dedup(
+                load_table(spark, big_dir, "embeddings").df, 0.4,
+                n_cells=16 * COPIES)
+        return qs[name](spark, big_dir)
+
     report, failures = {}, 0
     for name in names:
         if only and name not in only:
@@ -212,7 +255,7 @@ def main() -> int:
             exp = digest(expected_for(name))
             t_exp = time.time() - t0
             t1 = time.time()
-            act = digest(qs[name](spark, big_dir))
+            act = digest(actual_for(name))
             t_act = time.time() - t1
             ok = exp == act
         except Exception as ex:
