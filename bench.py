@@ -90,6 +90,9 @@ HEADLINE = [
     "tpch_q14_promo",
     "unigram_lm",
     "bm25",
+    "semantic_contam",
+    "temperature_mix",
+    "multimodal_png",
 ]
 
 

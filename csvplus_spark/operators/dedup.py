@@ -623,6 +623,57 @@ def contamination_check(
     )
 
 
+def semantic_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: the semantic sibling of
+    :func:`contamination_check` (which catches verbatim n-gram overlap
+    but misses paraphrased benchmark leakage). Flags every training
+    vector whose cosine to ANY benchmark vector reaches ``threshold``.
+
+    Returns (id, max_bench_sim, contaminated) for every train row —
+    max_bench_sim is the exact nearest-benchmark cosine (NULL when no
+    defined similarity exists: zero-norm train vector, or empty/
+    all-zero bench), contaminated is the thresholded flag (NULL-safe
+    false).
+
+    Shape: the verified grid BLAS machinery (similarity.grid_topk,
+    k=1) — (train-block × bench-block) cells scored as one matmul
+    each with an exact fold-cosine rescore, so values are
+    bit-reproducible by a SQL oracle; nothing quadratic materializes
+    and neither side is ever broadcast whole. Zero-norm BENCH vectors
+    are dropped up front: their cosine is undefined (NaN) and a NaN
+    column would poison grid_topk's per-cell k-th-value prefilter for
+    every train vector sharing the cell.
+    """
+    from .similarity import grid_topk, with_double_vec
+
+    b = with_double_vec(bench, vec_col)
+    b = b.filter(
+        F.aggregate(F.col("__vec__"), F.lit(0.0),
+                    lambda acc, x: acc + x * x) > 0
+    ).drop("__vec__")
+    nn = grid_topk(train, b, k=1, id_col=id_col, vec_col=vec_col,
+                   exclude_self=False, n_blocks=n_blocks)
+    return (
+        train.select(F.col(id_col))
+        .join(nn.select(F.col("query_id").alias(id_col),
+                        F.col("sim").alias("max_bench_sim")),
+              id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("max_bench_sim"),
+            F.coalesce(F.col("max_bench_sim") >= threshold,
+                       F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def canonicalize_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,

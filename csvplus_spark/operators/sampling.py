@@ -63,6 +63,73 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     return df.filter(_bucket(key_cols, salt) < rate)
 
 
+def temperature_mix(df: DataFrame, alpha: float = 0.5,
+                    budget_frac: float = 0.5,
+                    source_col: str = "source",
+                    key_cols: Sequence[str] | str = "doc_id",
+                    salt: str = "tempmix") -> DataFrame:
+    """Temperature-based source rebalancing (the mT5/data-mixture
+    recipe): source ``s`` with ``n_s`` rows is sampled with probability
+    proportional to ``n_s**alpha`` — ``alpha < 1`` flattens the mix
+    (big crawls downsampled toward small curated sources), ``alpha=1``
+    is proportional (no rebalance), ``alpha=0`` is uniform-by-source.
+    ``budget_frac`` sets the expected output size as a fraction of the
+    input; per-source rates are capped at 1 (no upsampling — emit
+    weights or repeat epochs for that).
+
+    Membership is the same deterministic per-row hash as
+    :func:`hash_sample`, so reruns and engines agree row-for-row. All
+    derived rate arithmetic is sequenced identically to the SQL oracle
+    (weights cumulated in source order — cross-engine bit-identical
+    left folds; ``alpha=0.5`` uses IEEE ``sqrt``, exact in every
+    engine; other alphas go through ``pow``, whose last-ulp rounding
+    is libm-specific — fine for production, but pin oracle checks to
+    0.5/1.0/0.0).
+
+    Scale: one narrow per-source count (map-side combined), a window
+    over the tiny per-source table only, rates broadcast back, and the
+    accept test is a scan-pipeline filter — no data-sized shuffle.
+    """
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n__"))
+    nd = F.col("__n__").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(nd)
+    elif alpha == 1.0:
+        w = nd
+    elif alpha == 0.0:
+        w = F.lit(1.0)
+    else:
+        w = F.pow(nd, F.lit(alpha))
+    # sequential cumulation in source order: MAX(cum) is then a
+    # deterministic left-fold total, bit-reproducible by the oracle
+    # (a bare SUM over doubles has engine-chosen addend order)
+    wseq = (Window.orderBy(source_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = counts.withColumn("__w__", w) \
+        .withColumn("__cw__", F.sum("__w__").over(wseq))
+    tot = cum.agg(F.max("__cw__").alias("__wtot__"),
+                  F.sum("__n__").alias("__ntot__"))
+    rates = cum.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            (F.col("__ntot__").cast("double") * F.lit(budget_frac))
+            * (F.col("__w__") / F.col("__wtot__")) / nd,
+        ).alias("__r__"),
+    )
+    key = F.concat_ws("|", F.lit(salt),
+                      *[F.col(c).cast("string") for c in keys])
+    hfrac = (hash60(key) % 1_000_000).cast("double") / F.lit(1_000_000.0)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hfrac < F.col("__r__"))
+        .select(*df.columns)
+    )
+
+
 #: hash-prefix buckets for the per-group scalar-cutoff decomposition:
 #: hash60 is uniform on [0, 2^60), so ``h >> 50`` yields 1024 buckets
 #: whose order AGREES with the h order (all of bucket b sorts before

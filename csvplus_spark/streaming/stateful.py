@@ -26,38 +26,78 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, total double, last_us long"
 
 
-def _update_user_stats(key, pdfs: Iterator, state: GroupState) -> Iterator:
-    import pandas as pd
+def _parse_duration_us(text: str, what: str) -> int:
+    """'<n> second(s)|minute(s)|hour(s)|day(s)' → microseconds (shared
+    by the sessionizer gap and the running-stats TTL)."""
+    import re
 
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max_us = int(
-            pdf["ts"].values.astype("datetime64[us]").astype("int64").max()
-        )
-        last_us = max(last_us, batch_max_us)
-    state.update((n, total, last_us))
-    yield pd.DataFrame({
-        "user_id": [key[0]],
-        "n_events": [n],
-        "total_value": [total],
-        "last_seen": [pd.Timestamp(last_us, unit="us")],
-    })
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", text)
+    if m is None:
+        raise ValueError(
+            f"unsupported {what} {text!r}: expected '<n> second(s)|"
+            f"minute(s)|hour(s)|day(s)'")
+    unit_us = {"second": 1_000_000, "minute": 60_000_000,
+               "hour": 3_600_000_000, "day": 86_400_000_000}[m.group(2)]
+    return int(m.group(1)) * unit_us
 
 
-def running_user_stats(events: DataFrame) -> DataFrame:
+def _make_update_user_stats(ttl_us: int | None):
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if ttl_us is not None and state.hasTimedOut:
+            # idle past the TTL: evict silently — the user's stats
+            # restart from zero if they ever reappear
+            state.remove()
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max_us = int(
+                pdf["ts"].values.astype("datetime64[us]").astype("int64").max()
+            )
+            last_us = max(last_us, batch_max_us)
+        state.update((n, total, last_us))
+        if ttl_us is not None:
+            # event-time eviction point; must land strictly beyond the
+            # current watermark or Spark rejects the timestamp
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max((last_us + ttl_us) // 1000, wm_ms + 1))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_seen": [pd.Timestamp(last_us, unit="us")],
+        })
+
+    return update
+
+
+def running_user_stats(events: DataFrame, ttl: str | None = None) -> DataFrame:
     """Stateful per-user running stats over a streaming events frame
-    (as produced by streaming.events.stream_events)."""
+    (as produced by streaming.events.stream_events).
+
+    State is one 3-tuple per user — O(#users), which is fine for a
+    bounded user space but grows forever on an unbounded key space
+    (device ids, session tokens). Pass ``ttl`` (e.g. ``"30 minutes"``)
+    to bound it by EVENT-TIME idleness: a key whose last event is
+    older than watermark − ttl is evicted (silently — its stats
+    restart from zero if the key reappears), so state is O(#keys
+    active within the TTL horizon). Requires a watermark on ``ts``
+    upstream, same as the sessionizer (VERDICT r6 item 7)."""
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_stats,
+            _make_update_user_stats(
+                _parse_duration_us(ttl, "ttl") if ttl else None),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.EventTimeTimeout if ttl
+                         else GroupStateTimeout.NoTimeout),
         )
     )
 
@@ -257,16 +297,7 @@ def sessionize_with_timeout(events: DataFrame, gap: str = "10 minutes") -> DataF
     stream must carry a watermark on ``ts``. For large key cardinality
     pair this with :func:`rocksdb_state_conf`.
     """
-    import re
-
-    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", gap)
-    if m is None:
-        raise ValueError(
-            f"unsupported gap {gap!r}: expected '<n> second(s)|minute(s)"
-            f"|hour(s)|day(s)'")
-    unit_us = {"second": 1_000_000, "minute": 60_000_000,
-               "hour": 3_600_000_000, "day": 86_400_000_000}[m.group(2)]
-    gap_us = int(m.group(1)) * unit_us
+    gap_us = _parse_duration_us(gap, "gap")
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")

@@ -1501,3 +1501,58 @@ def test_semantic_dedup_collapse_identity_law(spark, sf_dir):
             else:  # zero-norm: NULL cosine everywhere, singleton per copy
                 want.add((r["vec_id"] + c * OFF, r["vec_id"] + c * OFF, True))
     assert got == want and len(got) == COPIES * len(base)
+
+
+def test_semantic_contamination_flags_and_nulls(spark):
+    """semantic_contamination: exact max-bench cosine per train vector,
+    zero-norm bench vectors ignored (undefined sim can't contaminate),
+    zero-norm train vectors come back NULL/false."""
+    from csvplus_spark.operators.dedup import semantic_contamination
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]),     # aligned with bench 100 -> sim 1.0
+         (2, [0.0, 1.0]),     # orthogonal to bench 100, aligned w/ none
+         (3, [0.0, 0.0])],    # zero-norm: undefined everywhere
+        "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0]),
+         (101, [0.0, 0.0])],  # zero-norm bench: must be dropped
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+           for r in semantic_contamination(train, bench, 0.9,
+                                           n_blocks=2).collect()}
+    assert got[1] == (1.0, True)
+    assert got[2] == (0.0, False)
+    assert got[3] == (None, False)
+
+
+def test_temperature_mix_properties(spark):
+    """temperature_mix: deterministic subset; alpha=0.5 keeps a LARGER
+    fraction of small sources than big ones; a tiny source whose rate
+    caps at 1.0 is kept whole; alpha=1.0 samples every source at the
+    same budget_frac rate."""
+    from csvplus_spark.operators.dedup import exact_dedup  # noqa: F401 (env warm)
+    from csvplus_spark.operators.sampling import temperature_mix
+
+    rows = ([(i, "big") for i in range(4000)]
+            + [(10_000 + i, "mid") for i in range(400)]
+            + [(20_000 + i, "tiny") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = temperature_mix(df, alpha=0.5, budget_frac=0.5)
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in temperature_mix(df, 0.5, 0.5).collect()}
+    assert a == b and a  # deterministic
+    assert a <= {r[0] for r in rows}  # subset, no invented rows
+    frac = {s: len([d for d in a if lo <= d < hi]) / n
+            for s, lo, hi, n in [("big", 0, 4000, 4000),
+                                 ("mid", 10_000, 20_000, 400),
+                                 ("tiny", 20_000, 30_000, 4)]}
+    assert frac["tiny"] == 1.0          # rate capped at 1: kept whole
+    assert frac["mid"] > frac["big"]    # flattening favors small sources
+
+    # alpha=1: proportional -> every source sampled at ~budget_frac
+    prop = {r["doc_id"] for r in temperature_mix(df, 1.0, 0.5).collect()}
+    for s, lo, hi, n in [("big", 0, 4000, 4000), ("mid", 10_000, 20_000, 400)]:
+        f = len([d for d in prop if lo <= d < hi]) / n
+        assert 0.4 < f < 0.6, (s, f)

@@ -415,3 +415,65 @@ def test_check_session_checkpoint_detects_layout_mismatch(spark, tmp_path):
         "start_us long, last_us long, n long") is True
     # no checkpoint at all -> None (safe to start fresh)
     assert check_session_checkpoint(spark, str(tmp_path / "nope")) is None
+
+
+def test_running_stats_ttl_evicts_idle_user(spark, tmp_path):
+    """VERDICT r6 item 7: running_user_stats with an event-time TTL
+    must EVICT a user idle past the TTL across micro-batches — a later
+    event from that user restarts the count from zero instead of
+    resuming the old state (and without ttl the count resumes)."""
+    import pandas as pd
+
+    from csvplus_spark.streaming.stateful import running_user_stats
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def build(src_name, rows_per_batch):
+        src = tmp_path / src_name
+        src.mkdir()
+        for i, rows in enumerate(rows_per_batch):
+            pdf = pd.DataFrame({
+                "event_id": range(i * 10, i * 10 + len(rows)),
+                "ts": [int((base + pd.Timedelta(minutes=m)).value)
+                       for _, m in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            })
+            out = tmp_path / f"{src_name}_b{i}"
+            spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+                .parquet(str(out))
+            import glob
+            import shutil
+            f = glob.glob(str(out / "part-*.parquet"))[0]
+            shutil.copy(f, src / f"{i}.parquet")
+        return str(src)
+
+    batches = [
+        [(1, 0), (1, 2)],   # user 1: two events by 00:02
+        [(2, 5)],           # watermark -> 00:05 (ttl not passed)
+        [(2, 30)],          # advances watermark past 00:02 + 10min
+        [(2, 35)],          # u1 idle AND no new u1 data: timeout fires,
+                            # state evicted in THIS batch
+        [(1, 40), (2, 41)], # user 1 returns after eviction
+    ]
+
+    def run(name, ttl):
+        src = build(name, batches)
+        stream = stream_events(spark, src, max_files_per_trigger=1) \
+            .withWatermark("ts", "0 seconds")
+        q = (running_user_stats(stream, ttl=ttl)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return {(r["user_id"], r["last_seen"]): r["n_events"]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    with_ttl = run("ttl_stats", "10 minutes")
+    no_ttl = run("nottl_stats", None)
+    ret = base.to_pydatetime() + __import__("datetime").timedelta(minutes=40)
+    assert with_ttl[(1, ret)] == 1   # state was evicted: restart at 1
+    assert no_ttl[(1, ret)] == 3     # NoTimeout: cumulative across gap
