@@ -875,6 +875,39 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Sketch-based approximate median with the rank-error bound
+    ENFORCED in-plan (the percentile twin of approx_distinct, r7):
+    percentile_approx at accuracy 1000 guarantees rank error
+    <= 1/1000; the query raise_errors unless the sketch value lies
+    between the exact 0.45 and 0.55 quantiles (50x the bound — engine
+    differences cannot mask a broken sketch). Emitted columns (exact
+    median + enforced flag) are deterministic for the oracle."""
+    o = load_table(spark, sf_dir, "orders").df
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").alias("__ap__"),
+        F.expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))")
+        .alias("__ex__"))
+    ok = ((F.col("__ap__") >= F.col("__ex__")[0])
+          & (F.col("__ap__") <= F.col("__ex__")[2]))
+    return agg.select(
+        "o_orderstatus",
+        F.col("__ex__")[1].alias("median_exact"),
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("percentile_approx outside rank bound: "),
+                F.col("__ap__").cast("string")))
+            .cast("boolean")).alias("within_bound"))
+
+
+_APPROX_QUANTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_exact,
+       TRUE AS within_bound
+FROM orders GROUP BY 1
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the exact n-gram
     Jaccard pair graph (operators/dedup.py::dup_clusters)."""
@@ -3140,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contam": q_semantic_contam,
         "temperature_mix": q_temperature_mix,
         "multimodal_png": q_multimodal_png,
+        "approx_quantiles": q_approx_quantiles,
         "canonicalize": q_canonicalize,
         "training_set": q_training_set,
         "lang_cap": q_lang_cap,
@@ -3356,6 +3390,7 @@ LIMIT 20
         "semantic_contam": _SEMANTIC_CONTAM_SQL,
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "multimodal_png": _MULTIMODAL_PNG_SQL,
+        "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),
         "lang_cap": _lang_cap_sql(),

@@ -93,7 +93,38 @@ HEADLINE = [
     "semantic_contam",
     "temperature_mix",
     "multimodal_png",
+    "approx_quantiles",
 ]
+
+
+def format_bench_line(timings: dict[str, float], total: float,
+                      sf: float) -> str:
+    """The driver-facing stdout line: warm-only, compact, and HARD
+    capped under ~1.9 KB — the driver keeps only the last 2000 chars
+    of stdout, and r6's oversized line parsed as null. If the query
+    set outgrows the budget, the FASTEST entries are elided (the slow
+    tail is where regressions live) with an explicit omitted count."""
+    warm2 = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": warm2,
+        "sf": sf,
+    }, separators=(",", ":"))
+    if len(line) > 1900:
+        keep = dict(sorted(warm2.items(), key=lambda kv: -kv[1]))
+        while len(line) > 1820 and keep:
+            keep.popitem()
+            line = json.dumps({
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": keep,
+                "queries_omitted": len(warm2) - len(keep),
+                "sf": sf,
+            }, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -164,30 +195,7 @@ def main() -> None:
     with open(os.path.join(art_dir, "BENCH_HISTORY.jsonl"), "a") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
 
-    warm2 = {k: round(v, 2) for k, v in timings.items()}
-    line = json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": warm2,
-        "sf": sf,
-    }, separators=(",", ":"))
-    # hard guard: the driver's stdout tail is 2000 chars — if the
-    # query set ever grows past the budget, elide the FASTEST entries
-    # (regressions live in the slow tail) and say how many were cut
-    if len(line) > 1900:
-        keep = dict(sorted(warm2.items(), key=lambda kv: -kv[1]))
-        while len(line) > 1820 and keep:
-            keep.popitem()
-            line = json.dumps({
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": keep,
-                "queries_omitted": len(warm2) - len(keep),
-                "sf": sf,
-            }, separators=(",", ":"))
-    print(line)
+    print(format_bench_line(timings, total, sf))
     spark.stop()
 
 

@@ -125,3 +125,31 @@ def test_cross_join_allowlist_is_tight(spark):
         plan = em.queries()[name](spark, sf)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastNestedLoop" in plan or "CartesianProduct" in plan, name
+
+
+def test_bench_line_stays_under_driver_tail_budget():
+    """Regression pin for the r6 bench-parse outage: the driver keeps
+    only the last 2000 chars of stdout, so the bench line must stay
+    under budget for the FULL headline set — and for a hypothetical
+    3x-grown set the guard must elide fastest-first with an explicit
+    omitted count rather than overflow."""
+    import json
+
+    from bench import HEADLINE, format_bench_line
+
+    timings = {n: 123.456 for n in HEADLINE}
+    line = format_bench_line(timings, 999.999, 0.1)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(HEADLINE)
+
+    big = {f"query_with_a_rather_long_name_{i:03d}": float(i)
+           for i in range(220)}
+    line2 = format_bench_line(big, 1.0, 0.1)
+    assert len(line2) <= 1900
+    parsed2 = json.loads(line2)
+    assert parsed2["queries_omitted"] == 220 - len(parsed2["queries"])
+    # slowest entries survive the cut
+    kept = parsed2["queries"]
+    assert "query_with_a_rather_long_name_219" in kept
+    assert "query_with_a_rather_long_name_000" not in kept

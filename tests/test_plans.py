@@ -136,3 +136,23 @@ def test_loaded_index_lookup_pushes_down(spark, sf_dir, tmp_path):
     # row-group min/max skipping on the key-sorted file
     assert "PushedFilters" in plan and "c_custkey" in plan
     assert hit.count() == 1
+
+
+def test_temperature_mix_plan_shape(spark, sf_dir):
+    """Rates join back via BROADCAST (the per-source table is tiny),
+    the per-source count is map-side combined, and the only
+    single-partition window runs over that tiny counts table (the
+    BroadcastNestedLoopJoin in this plan is the accepted single-row
+    scalar-attach crossJoin, as in profile.py)."""
+    plan = _plan(spark, sf_dir, "temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_semantic_contam_plan_shape(spark, sf_dir):
+    """The grid BLAS path: cogrouped Arrow stage present, candidate
+    rescore joins are equi-joins (never a nested-loop cross of the two
+    embedding sides)."""
+    plan = _plan(spark, sf_dir, "semantic_contam")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoop" not in plan
