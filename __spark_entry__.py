@@ -1077,6 +1077,16 @@ def q_bm25(spark, sf_dir):
     return bm25_top_terms(load_table(spark, sf_dir, "documents").df, 3)
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM quality score (operators/text.py::
+    bigram_logprob): mean ln(0.75 P(w|prev) + 0.25 P(w)) per doc,
+    position-ordered fold, round(6) — the KenLM-perplexity-filter
+    proxy one order up from unigram_lm."""
+    from csvplus_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents").df)
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-unigram LM quality score (operators/text.py::
     unigram_logprob): mean ln P(token) per doc, position-ordered fold,
@@ -1761,6 +1771,39 @@ SELECT doc_id, term, tf, df,
        ROUND(score, 6) AS score
 FROM s
 QUALIFY rank <= 3
+"""
+
+
+def _bigram_lm_sql(ndigits: int = 6) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+big AS (
+  SELECT a.doc_id, b.pos AS pos, a.term AS prev, b.term AS term
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bf AS (SELECT prev, term, COUNT(*) AS cb FROM big GROUP BY prev, term),
+cf AS (SELECT prev, COUNT(*) AS cc FROM big GROUP BY prev),
+uf AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+per AS (
+  SELECT big.doc_id,
+         list(ln(0.75 * (bf.cb / cf.cc)
+                 + 0.25 * (uf.cu / (SELECT t FROM tot)))
+              ORDER BY pos) AS lps
+  FROM big JOIN bf USING (prev, term)
+           JOIN cf USING (prev)
+           JOIN uf USING (term)
+  GROUP BY big.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(len(p.lps), 0) AS n_bigrams,
+       COALESCE(ROUND(list_reduce(p.lps, (x, y) -> x + y) / len(p.lps),
+                      {ndigits}), 0.0) AS lp_mean
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
@@ -3179,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_cap": q_lang_cap,
         "global_shuffle": q_global_shuffle,
         "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
         "remove_spans": q_remove_spans,
@@ -3396,6 +3440,7 @@ LIMIT 20
         "lang_cap": _lang_cap_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "unigram_lm": _unigram_lm_sql(),
+        "bigram_lm": _bigram_lm_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),
         "remove_spans": _remove_spans_sql(),

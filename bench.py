@@ -94,6 +94,7 @@ HEADLINE = [
     "temperature_mix",
     "multimodal_png",
     "approx_quantiles",
+    "bigram_lm",
 ]
 
 

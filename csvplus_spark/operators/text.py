@@ -941,6 +941,69 @@ def source_mix(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.75,
+                   ndigits: int = 6) -> DataFrame:
+    """Interpolated bigram LM quality score — the next step up from
+    :func:`unigram_logprob` toward a KenLM-style perplexity filter:
+    per doc, the mean over positions 1..n−1 of
+    ``ln(lam·P(w_i|w_{i-1}) + (1−lam)·P(w_i))`` under the corpus's own
+    MLE bigram/unigram models. Interpolation (not backoff) keeps every
+    scored probability nonzero without smoothing: both component
+    counts exist by construction. Returns
+    ``(doc_id, n_bigrams, lp_mean)``; docs with <2 tokens score 0.0.
+
+    Determinism follows unigram_logprob's rules: position-ordered left
+    fold for the per-doc sum, round(``ndigits``) to absorb libm-log
+    last-ulp differences, and the interpolation arithmetic is
+    sequenced identically to the SQL oracle.
+
+    Shape: one explode, a per-doc lag window (partitioned — parallel
+    across docs), three count aggregates (bigram, context, unigram —
+    all map-side combined), total-N as a scalar subquery, equi-joins
+    back, one per-doc aggregate. Fully lazy, nothing quadratic.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col),
+                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = tok.withColumn("__prev__", F.lag("term").over(w)) \
+        .filter(F.col("__prev__").isNotNull())
+    bfreq = big.groupBy("__prev__", "term").agg(
+        F.count(F.lit(1)).alias("__cb__"))
+    cfreq = big.groupBy("__prev__").agg(F.count(F.lit(1)).alias("__cc__"))
+    ufreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__cu__"))
+    total = tok.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+    lp = F.log(
+        F.lit(lam) * (F.col("__cb__") / F.col("__cc__"))
+        + F.lit(1.0 - lam) * (F.col("__cu__") / total)
+    )
+    per_doc = (
+        big.join(bfreq, ["__prev__", "term"])
+        .join(cfreq, "__prev__")
+        .join(ufreq, "term")
+        .select(F.col(id_col), "pos", lp.alias("__lp__"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "__lp__")))
+             .alias("__a__"))
+    )
+    fold = F.aggregate(F.col("__a__"), F.lit(0.0),
+                       lambda acc, s: acc + s["__lp__"])
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(F.coalesce(F.col("__a__"), F.array())).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.round(fold / F.size("__a__"), ndigits),
+                       F.lit(0.0)).alias("lp_mean"),
+        )
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", ndigits: int = 6) -> DataFrame:
     """Corpus-unigram LM quality score — mean ``ln P(token)`` per doc

@@ -1556,3 +1556,37 @@ def test_temperature_mix_properties(spark):
     for s, lo, hi, n in [("big", 0, 4000, 4000), ("mid", 10_000, 20_000, 400)]:
         f = len([d for d in prop if lo <= d < hi]) / n
         assert 0.4 < f < 0.6, (s, f)
+
+
+def test_zorder_write_tightens_file_stats_on_both_columns(spark, tmp_path):
+    """zorder_write must leave each output file covering a SMALL range
+    in BOTH z columns (that is the whole point — min/max pruning works
+    for either filter), where an unclustered write covers ~the full
+    range of both in every file."""
+    from csvplus_spark.operators.maintenance import zorder_write
+
+    df = spark.range(0, 40_000).selectExpr(
+        "id", "id % 200 AS a", "CAST(pmod(hash(id), 1000) AS DOUBLE) AS b")
+
+    flat = str(tmp_path / "flat")
+    df.repartition(16).write.parquet(flat)
+    zpath = str(tmp_path / "zord")
+    zorder_write(df, zpath, ["a", "b"], target_files=16)
+
+    def coverage(path):
+        d = spark.read.parquet(path)
+        per = d.groupBy(F.input_file_name().alias("f")).agg(
+            F.min("a").alias("a0"), F.max("a").alias("a1"),
+            F.min("b").alias("b0"), F.max("b").alias("b1")).collect()
+        ca = sum((r["a1"] - r["a0"]) / 199.0 for r in per) / len(per)
+        cb = sum((r["b1"] - r["b0"]) / 999.0 for r in per) / len(per)
+        return ca, cb
+
+    fa, fb = coverage(flat)
+    za, zb = coverage(zpath)
+    assert fa > 0.9 and fb > 0.9          # unclustered: every file spans all
+    assert za < 0.5 and zb < 0.5          # z-order: both dims tightened
+    # rows survived intact
+    assert spark.read.parquet(zpath).count() == 40_000
+    assert spark.read.parquet(zpath).agg(F.sum("a")).first()[0] == \
+        df.agg(F.sum("a")).first()[0]
