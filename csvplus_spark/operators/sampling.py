@@ -89,11 +89,24 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
     Scale: one narrow per-source count (map-side combined), a window
     over the tiny per-source table only, rates broadcast back, and the
     accept test is a scan-pipeline filter — no data-sized shuffle.
+
+    NULL sources form their own sampled group (a sentinel-coalesced
+    string key — an equi-join on the raw column would silently drop
+    them); with NULLs present, or a non-string source column, mirror
+    the cumulation order explicitly in any cross-engine replay (the
+    shipped oracle's corpus has non-NULL varchar sources, where raw
+    and coalesced order coincide).
     """
     from pyspark.sql import Window
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # NULL sources form their own group: a plain equi-join on the raw
+    # column would silently DROP every NULL-source row (NULL never
+    # equi-matches), so group and join on a sentinel-coalesced copy
+    src = F.coalesce(F.col(source_col).cast("string"),
+                     F.lit("\x00__null_source__"))
+    work = df.withColumn("__src__", src)
+    counts = work.groupBy("__src__").agg(F.count(F.lit(1)).alias("__n__"))
     nd = F.col("__n__").cast("double")
     if alpha == 0.5:
         w = F.sqrt(nd)
@@ -106,14 +119,14 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
     # sequential cumulation in source order: MAX(cum) is then a
     # deterministic left-fold total, bit-reproducible by the oracle
     # (a bare SUM over doubles has engine-chosen addend order)
-    wseq = (Window.orderBy(source_col)
+    wseq = (Window.orderBy("__src__")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = counts.withColumn("__w__", w) \
         .withColumn("__cw__", F.sum("__w__").over(wseq))
     tot = cum.agg(F.max("__cw__").alias("__wtot__"),
                   F.sum("__n__").alias("__ntot__"))
     rates = cum.crossJoin(F.broadcast(tot)).select(
-        F.col(source_col),
+        F.col("__src__"),
         F.least(
             F.lit(1.0),
             (F.col("__ntot__").cast("double") * F.lit(budget_frac))
@@ -124,7 +137,7 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
                       *[F.col(c).cast("string") for c in keys])
     hfrac = (hash60(key) % 1_000_000).cast("double") / F.lit(1_000_000.0)
     return (
-        df.join(F.broadcast(rates), source_col)
+        work.join(F.broadcast(rates), "__src__")
         .filter(hfrac < F.col("__r__"))
         .select(*df.columns)
     )

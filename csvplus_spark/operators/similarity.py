@@ -351,6 +351,47 @@ def ivf_build(corpus: DataFrame, path: str, n_clusters: int | None = None,
         json.dump(cents, f)
 
 
+def ivf_append(spark, path: str, vectors: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Append vectors to a persisted IVF index (:func:`ivf_build`)
+    WITHOUT refitting: new vectors are assigned to the EXISTING
+    centroid sidecar by the same squared-L2 argmin KMeans assignment
+    uses, then appended into the cell partition directories — the
+    layout (and :func:`ivf_search`'s partition pruning) is preserved,
+    and the write touches only the cells that receive data.
+
+    This is the streaming-ingest story for the vector index: centroids
+    are frozen, so recall degrades only as the appended distribution
+    drifts from the fitted one — rebuild with ivf_build when it does
+    (same path, new fit). Ties in the argmin go to the lower cell id,
+    deterministic like every assignment in this module."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = json.load(f)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>")
+    v = with_double_vec(vectors, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("__vec__"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    ad = v.join(F.broadcast(cent)) \
+        .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid")))
+    w = Window.partitionBy("corpus_id").orderBy("__d2__", "cell")
+    assigned = (
+        ad.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("corpus_id", F.col("__vec__").alias("vec"),
+                F.col("cell").alias("__cell__"))
+    )
+    assigned.write.mode("append").partitionBy("__cell__").parquet(path)
+
+
 def ivf_search(spark, path: str, queries: DataFrame, k: int = 5,
                n_probe: int = 4, id_col: str = "vec_id",
                vec_col: str = "embedding",

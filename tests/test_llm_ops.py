@@ -1590,3 +1590,50 @@ def test_zorder_write_tightens_file_stats_on_both_columns(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == 40_000
     assert spark.read.parquet(zpath).agg(F.sum("a")).first()[0] == \
         df.agg(F.sum("a")).first()[0]
+
+
+def test_temperature_mix_null_source_rows_survive(spark):
+    """NULL-source rows must participate as their own group, not be
+    silently dropped by the rates equi-join (review r7)."""
+    from csvplus_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)] + [(200 + i, None) for i in range(4)],
+        "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.5, budget_frac=0.5).collect()
+    # the 4-row NULL group's rate caps at 1.0 -> kept whole
+    assert len([r for r in out if r["source"] is None]) == 4
+    assert {c for r in out for c in r.asDict()} == {"doc_id", "source"}
+
+
+def test_ivf_append_preserves_layout_and_findability(spark, sf_dir, tmp_path):
+    """ivf_append: new vectors land in the existing cell partitions
+    (no refit, pruning preserved) and become findable by ivf_search —
+    a query identical to an appended vector must rank it first."""
+    import os
+
+    from csvplus_spark.operators.similarity import (ivf_append, ivf_build,
+                                                    ivf_search)
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_clusters=8)
+    cells_before = sorted(d for d in os.listdir(path)
+                          if d.startswith("__cell__="))
+
+    probe = emb.filter(F.col("vec_id") == 3).select("vec_id", "embedding")
+    new = probe.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding")
+    ivf_append(spark, path, new)
+    # no new cell directories appeared
+    assert sorted(d for d in os.listdir(path)
+                  if d.startswith("__cell__=")) == cells_before
+
+    out = ivf_search(spark, path, probe, k=2, n_probe=8).collect()
+    top = {r["rank"]: r["corpus_id"] for r in out}
+    # the appended exact copy has sim 1.0; ties (itself excluded) put
+    # the copy at rank 1
+    assert top[1] == 1_000_003
+    plan_df = ivf_search(spark, path, probe, k=2, n_probe=2)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell__" in plan

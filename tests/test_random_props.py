@@ -348,3 +348,30 @@ def test_unigram_logprob_matches_python_oracle(spark):
             for tok in toks:           # position order, left fold
                 s += math.log(freq[tok] / total)
             assert got[i] == (len(toks), round(s / len(toks), 6)), i
+
+
+def test_pngcodec_roundtrip_random_images():
+    """Random geometry/content roundtrip for the pure-Python PNG codec:
+    decode(encode(img)) == img for every channel count, including 1-px
+    edges; resize_nearest preserves exact source pixels at mapped
+    positions (pure Python, no Spark needed)."""
+    from csvplus_spark.operators.pngcodec import (decode_png, encode_png,
+                                                  resize_nearest)
+
+    rng = random.Random(23)
+    for _ in range(40):
+        w = rng.randint(1, 24)
+        h = rng.randint(1, 24)
+        ch = rng.choice([1, 2, 3, 4])
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        blob = encode_png(w, h, ch, px)
+        assert decode_png(blob) == (w, h, ch, px)
+
+        nw, nh = rng.randint(1, 16), rng.randint(1, 16)
+        out = resize_nearest(w, h, ch, px, nw, nh)
+        assert len(out) == nw * nh * ch
+        for _ in range(5):  # spot-check the nearest mapping
+            x, y = rng.randrange(nw), rng.randrange(nh)
+            sx, sy = (x * w) // nw, (y * h) // nh
+            assert out[(y * nw + x) * ch:(y * nw + x + 1) * ch] == \
+                px[(sy * w + sx) * ch:(sy * w + sx + 1) * ch]
