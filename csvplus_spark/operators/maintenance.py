@@ -51,10 +51,28 @@ def compact_parquet(spark: SparkSession, path: str,
     if not partition_by and not allow_flatten:
         # detect a hive layout from the data-file paths themselves:
         # any key=value directory segment under `path` means the table
-        # is partitioned, whether or not this read resolved it
-        prefix = path.rstrip("/") + "/"
+        # is partitioned, whether or not this read resolved it. The
+        # compare FS-qualified URI COMPONENTS, not raw substrings
+        # (review r7: a substring match scanned ancestor directories —
+        # an ancestor named run=7 falsely flagged an unpartitioned
+        # table; and `file:/x` vs `file:///x` normalization differences
+        # would silently disable detection)
+        from urllib.parse import urlparse
+
+        def canon(u: str) -> tuple[str, str, str]:
+            pr = urlparse(u)
+            if not pr.scheme:
+                return ("file", "", u)
+            return (pr.scheme, pr.netloc, pr.path)
+
+        q_scheme, q_auth, q_path = canon(fs.qualify(path))
+        q_path = q_path.rstrip("/") + "/"
         for f in df.inputFiles():
-            rel = f.split(prefix, 1)[-1] if prefix in f else f
+            f_scheme, f_auth, f_path = canon(f)
+            if (f_scheme, f_auth) != (q_scheme, q_auth) \
+                    or not f_path.startswith(q_path):
+                continue  # foreign root — never scan ancestors
+            rel = f_path[len(q_path):]
             segs = [s for s in rel.split("/")[:-1] if "=" in s]
             if segs:
                 keys = sorted({s.split("=", 1)[0] for s in segs})
@@ -123,10 +141,11 @@ def zorder_write(df, path: str, cols: list[str],
                          "sortWithinPartitions for one)")
     n_buckets = 1 << ZORDER_BITS
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    work = df
+    # ONE quantile pass for every z column (review r7: a per-column
+    # loop scanned the dataset len(cols) times)
+    all_bounds = df.approxQuantile(cols, probs, quantile_error)
     rank_cols = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, quantile_error)
+    for c, bounds in zip(cols, all_bounds):
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         rank = F.size(F.filter(barr, lambda b: b <= F.col(c).cast("double")))
         rank_cols.append(F.coalesce(rank, F.lit(0)))  # NULL values -> bucket 0
@@ -136,8 +155,18 @@ def zorder_write(df, path: str, cols: list[str],
             z = F.shiftleft(z, 1).bitwiseOR(
                 F.shiftright(rank.cast("long"), bit)
                 .bitwiseAND(F.lit(1).cast("long")))
-    (work.withColumn("__z__", z)
-     .repartitionByRange(target_files, "__z__")
-     .sortWithinPartitions("__z__")
-     .drop("__z__")
-     .write.mode("overwrite").parquet(path))
+    out = (df.withColumn("__z__", z)
+           .repartitionByRange(target_files, "__z__")
+           .sortWithinPartitions("__z__")
+           .drop("__z__"))
+    # crash-safe in-place re-clustering (review r7): the natural call
+    # reads and rewrites the SAME path, so use the two-rename swap the
+    # compactor uses — a raw overwrite would destroy the old files
+    # mid-commit with nothing for heal_swap to recover
+    fs = _Fs(df.sparkSession, path)
+    heal_swap(fs, path)
+    if fs.exists(path):
+        replace_dataset(fs, path, lambda tmp:
+                        out.write.mode("overwrite").parquet(tmp))
+    else:
+        out.write.mode("overwrite").parquet(path)

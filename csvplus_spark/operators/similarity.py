@@ -215,16 +215,26 @@ def ivf_topk(
     )
 
 
-def auto_n_cells(n_rows: int, per_cell: int = 4096, floor: int = 16) -> int:
+def auto_n_cells(n_rows: int, per_cell: int = 4096, floor: int = 16,
+                 cap: int = 65_536) -> int:
     """Cell count for IVF / SemDeDup blocking sized from the corpus:
-    ``ceil(n_rows / per_cell)``, floored at ``floor``. Cells must GROW
-    with the corpus — a fixed cell count makes the per-cell quadratic
-    stage |n/cells|² ~ n² again (VERDICT r6: LAION-scale SemDeDup runs
-    ~11k cells). ``per_cell=4096`` keeps the within-cell BLAS matmul
-    ~4096² doubles (~130 MB transient) per task."""
+    ``ceil(n_rows / per_cell)``, floored at ``floor``, CAPPED at
+    ``cap``. Cells must GROW with the corpus — a fixed cell count
+    makes the per-cell quadratic stage |n/cells|² ~ n² again (VERDICT
+    r6: LAION-scale SemDeDup runs ~11k cells) — but the cell count
+    itself is also a cost axis: seed/centroid ASSIGNMENT is one
+    distance per (vector, cell), i.e. n·cells work, so an uncapped
+    n/4096 rule would turn assignment itself into n²/4096 (review
+    r7). The cap bounds assignment at cap·n and the centroid
+    broadcast at cap rows; past ~cap·per_cell vectors (~270M at the
+    defaults) per-cell sizes start growing again — at that scale use
+    a two-level scheme (coarse cells → re-cluster within each) or an
+    ANN-assisted assignment rather than a bigger flat codebook.
+    ``per_cell=4096`` keeps the within-cell BLAS matmul ~4096² doubles
+    (~130 MB transient) per task."""
     if n_rows < 0:
         raise ValueError(f"auto_n_cells: n_rows must be >= 0, got {n_rows}")
-    return max(floor, -(-n_rows // per_cell))
+    return min(cap, max(floor, -(-n_rows // per_cell)))
 
 
 def seed_voronoi_distances(v: DataFrame, n_cells: int,

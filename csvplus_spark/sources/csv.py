@@ -215,9 +215,12 @@ class Reader:
 
     def _first_remote_file(self) -> str:
         """First data file of a remote (``scheme://``) path by sorted
-        URI — one globStatus + at most one listStatus per matched
-        directory, no data read. Hidden/underscore files (``_SUCCESS``,
-        ``.crc``) are skipped, matching what Spark's scan ignores."""
+        URI — globStatus + a RECURSIVE listing per matched directory
+        (review r7: one-level listStatus missed files nested under
+        hive ``key=value`` partition dirs, which the scan itself
+        resolves), metadata-only, no data read. Hidden/underscore
+        files and directories (``_SUCCESS``, ``.crc``, ``_tmp/``) are
+        skipped, matching what Spark's scan ignores."""
         jvm = self.spark.sparkContext._jvm
         _Path = jvm.org.apache.hadoop.fs.Path
         p = _Path(self.path)
@@ -225,13 +228,22 @@ class Reader:
         statuses = fs.globStatus(p)
         files: list[str] = []
         for st in (statuses or []):
+            root = st.getPath().toString().rstrip("/") + "/"
             if st.isDirectory():
-                files += [s.getPath().toString() for s in fs.listStatus(st.getPath())
-                          if s.isFile()]
+                it = fs.listFiles(st.getPath(), True)  # recursive
+                while it.hasNext():
+                    uri = it.next().getPath().toString()
+                    # hidden-filter only segments BELOW the matched
+                    # root (the user's own path may contain dots);
+                    # a file under _tmp/ is invisible to the scan too
+                    rel = uri[len(root):] if uri.startswith(root) else uri
+                    if any(seg.startswith(("_", "."))
+                           for seg in rel.split("/") if seg):
+                        continue
+                    files.append(uri)
             else:
                 files.append(st.getPath().toString())
-        files = sorted(f for f in files
-                       if not f.rsplit("/", 1)[-1].startswith(("_", ".")))
+        files = sorted(files)
         if not files:
             raise HeaderError("missing or empty header line")
         return files[0]

@@ -47,6 +47,12 @@ class _Fs:
         """Total bytes under ``p`` (recursive)."""
         return self._fs.getContentSummary(self._Path(p)).getLength()
 
+    def qualify(self, p: str) -> str:
+        """Fully-qualified URI for ``p`` in this filesystem's canonical
+        form — the same normalization ``DataFrame.inputFiles`` URIs
+        carry, so string prefix comparisons against them are sound."""
+        return self._fs.makeQualified(self._Path(p)).toString()
+
 
 def heal_swap(fs: _Fs, path: str) -> None:
     """Recover from a crash inside :func:`replace_dataset`: if only the

@@ -231,11 +231,24 @@ def check_session_checkpoint(spark, checkpoint_dir: str,
         i = raw.find('{"type"', i)
         if i < 0:
             break
-        depth, j = 0, i
+        # brace-match SKIPPING quoted spans (review r7: a field name
+        # containing a brace — legal via backticks — would otherwise
+        # mis-slice the JSON and fail open)
+        depth, j, in_str, esc = 0, i, False, False
         while j < len(raw):
-            if raw[j] == "{":
+            ch = raw[j]
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch == "{":
                 depth += 1
-            elif raw[j] == "}":
+            elif ch == "}":
                 depth -= 1
                 if depth == 0:
                     break

@@ -348,3 +348,21 @@ def test_remote_peek_first_file_and_deep_comment_prefix(spark, tmp_path):
     n = (from_file(spark, f"file://{deep}").comment_char("#")
          .expect_header({"id": 0, "name": 1}).to_frame().df.count())
     assert n == 1
+
+
+def test_remote_peek_resolves_nested_partition_dirs(spark, tmp_path):
+    """Review r7: the remote peek must find files nested under hive
+    key=value partition dirs (the scan itself resolves them), while
+    still skipping hidden _tmp/.staging subtrees."""
+    from csvplus_spark import from_file
+
+    d = tmp_path / "ptab"
+    (d / "part=1").mkdir(parents=True)
+    (d / "part=2").mkdir()
+    (d / "_tmp").mkdir()
+    (d / "part=1" / "a.csv").write_text("id,name\n1,x\n")
+    (d / "part=2" / "b.csv").write_text("id,name\n2,y\n")
+    (d / "_tmp" / "junk.csv").write_text("zzz,qqq\n9,9\n")
+    n = (from_file(spark, f"file://{d}")
+         .expect_header({"id": 0, "name": 1}).to_frame().df.count())
+    assert n == 2

@@ -21,8 +21,12 @@ import __spark_entry__ as em
 #:   centroid table — a bounded fan-out, not a pair explosion
 #: sanctioned tiny-broadcast fusions only: sim_topk/ivf_seeded/
 #: ann_recall broadcast the bounded query/centroid set; skew_report
-#: broadcasts one single-row totals aggregate
-CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ann_recall", "skew_report"}
+#: broadcasts one single-row totals aggregate; temperature_mix
+#: attaches its single-row (total-weight, total-rows) aggregate to
+#: the tiny per-source counts table (the rates table itself joins
+#: back by hash, not cross)
+CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ann_recall", "skew_report",
+                 "temperature_mix"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):

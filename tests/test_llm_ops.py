@@ -1446,12 +1446,15 @@ def test_auto_n_cells_bounds_cell_size(spark, sf_dir):
     from csvplus_spark.operators.dedup import semantic_dedup
     from csvplus_spark.operators.similarity import auto_n_cells
 
-    for n in (0, 1, 100, 4096, 4097, 1_000_000, 5_000_000_000):
+    for n in (0, 1, 100, 4096, 4097, 1_000_000, 100_000_000):
         cells = auto_n_cells(n)
-        assert cells >= 16
-        # the derived count bounds the MEAN cell size by construction
-        assert n / cells <= 4096
+        assert 16 <= cells <= 65_536
+        # below the cap the derived count bounds MEAN |cell|
+        if cells < 65_536:
+            assert n / cells <= 4096
     assert auto_n_cells(11_000 * 4096) == 11_000  # LAION-ish shape
+    # the cap bounds the n*cells assignment stage (review r7)
+    assert auto_n_cells(5_000_000_000) == 65_536
     with pytest.raises(ValueError):
         auto_n_cells(-1)
 
@@ -1637,3 +1640,21 @@ def test_ivf_append_preserves_layout_and_findability(spark, sf_dir, tmp_path):
     plan_df = ivf_search(spark, path, probe, k=2, n_probe=2)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cell__" in plan
+
+
+def test_compact_parquet_detection_ignores_ancestor_kv_dirs(spark, tmp_path):
+    """Review r7: an ancestor directory named key=value must NOT flag
+    an unpartitioned table, across path-normalization differences."""
+    import os
+
+    from csvplus_spark.operators.maintenance import compact_parquet
+
+    base = tmp_path / "run=7" / "tbl"
+    base.mkdir(parents=True)
+    spark.range(0, 500).repartition(8).write.mode("overwrite") \
+        .parquet(str(base))
+    # unpartitioned table under a key=value ancestor: must NOT raise
+    n_before, n_after = compact_parquet(spark, str(base),
+                                        target_bytes=1 << 30)
+    assert n_after <= n_before
+    assert spark.read.parquet(str(base)).count() == 500
