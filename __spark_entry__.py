@@ -1096,6 +1096,22 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_logprob(load_table(spark, sf_dir, "documents").df)
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights (operators/text.py::dsir_logweights):
+    per-doc log importance ratio of a target domain (here the 'en'
+    slice as exemplar) over the raw corpus via hashed unigram+bigram
+    bag-of-words models with add-1 smoothing (Xie et al. 2023). The
+    hashed models are ≤10k-bucket broadcast tables regardless of
+    corpus size — the scale-free trick that makes DSIR a one-explode,
+    two-bounded-aggregate pass at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.text import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return dsir_logweights(docs, F.col("lang") == "en")
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global shuffle order for training dataloaders
     (operators/sampling.py::global_order_index): 0-based position in
@@ -1826,6 +1842,49 @@ SELECT d.doc_id,
        COALESCE(len(p.lps), 0) AS n_tokens,
        COALESCE(ROUND(list_reduce(p.lps, (x, y) -> x + y) / len(p.lps),
                       {ndigits}), 0.0) AS lp_mean
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+def _dsir_sql(n_buckets: int = 10_000, ndigits: int = 6) -> str:
+    h = _HASH60_SQL.format(x="feat")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS tgt, i - 1 AS pos, t[i] AS term
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+big AS (
+  SELECT doc_id, tgt, pos, 1 AS kind, prev || ' ' || term AS feat
+  FROM (SELECT doc_id, tgt, pos, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok)
+  WHERE prev IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, tgt, pos, 0 AS kind, term AS feat FROM tok
+  UNION ALL SELECT doc_id, tgt, pos, kind, feat FROM big
+),
+fb AS (SELECT *, {h} % {n_buckets} AS b FROM feats),
+ct_r AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+ct_t AS (SELECT b, COUNT(*) AS ct FROM fb WHERE tgt GROUP BY b),
+rt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS r FROM fb),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM fb WHERE tgt),
+model AS (
+  SELECT ct_r.b AS b,
+         ln(COALESCE(ct, 0) + 1.0) - ln(cr + 1.0)
+         + ln((SELECT r FROM rt) + {float(n_buckets)})
+         - ln((SELECT t FROM tt) + {float(n_buckets)}) AS lnr
+  FROM ct_r LEFT JOIN ct_t ON ct_r.b = ct_t.b
+),
+per AS (
+  SELECT doc_id, list(lnr ORDER BY pos, kind) AS ls
+  FROM fb JOIN model USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(len(p.ls), 0) AS n_feats,
+       COALESCE(ROUND(list_reduce(p.ls, (x, y) -> x + y), {ndigits}),
+                0.0) AS dsir_logw
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
@@ -3223,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "unigram_lm": q_unigram_lm,
         "bigram_lm": q_bigram_lm,
+        "dsir": q_dsir,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
         "remove_spans": q_remove_spans,
@@ -3441,6 +3501,7 @@ LIMIT 20
         "global_shuffle": _global_shuffle_sql(),
         "unigram_lm": _unigram_lm_sql(),
         "bigram_lm": _bigram_lm_sql(),
+        "dsir": _dsir_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),
         "remove_spans": _remove_spans_sql(),

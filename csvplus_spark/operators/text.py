@@ -1051,3 +1051,84 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                        F.lit(0.0)).alias("lp_mean"),
         )
     )
+
+
+def dsir_logweights(df: DataFrame, target: Column,
+                    n_buckets: int = 10_000, text_col: str = "text",
+                    id_col: str = "doc_id", ndigits: int = 6) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): per-doc log importance ratio of a
+    TARGET distribution over the RAW corpus, estimated with hashed
+    n-gram (unigram + bigram) bag-of-words models. ``target`` is a
+    boolean Column over ``df`` marking the target-domain exemplar docs
+    (in a real pipeline: a high-quality seed corpus). Selection =
+    resample/top-k by the returned weight; compose with
+    :func:`~csvplus_spark.operators.sampling.top_fraction_by_score` or
+    a token-budget cap.
+
+    ``log w(doc) = Σ_feat ln p_target(bucket(feat)) − ln p_raw(...)``
+    with add-1 smoothing over ``n_buckets`` hash buckets — the paper's
+    hashing trick is what makes this scale-free: model size is B
+    buckets regardless of corpus size, so both models are tiny
+    broadcast tables and the corpus is touched by exactly one explode
+    + two bounded aggregates. ln terms are sequenced identically to
+    the SQL oracle; the per-doc sum is a position-ordered left fold
+    (float addition is not associative — NOTES determinism rules) and
+    the result is rounded to absorb libm-log last-ulp differences.
+
+    Returns ``(id_col, n_feats, dsir_logw)``; docs with no tokens
+    weight 0.0. Extension surface per SURVEY §2.8 —
+    no reference counterpart (csvplus.go is a CSV ETL library).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets <= 0:
+        raise ValueError(f"dsir_logweights: n_buckets must be > 0, "
+                         f"got {n_buckets}")
+    tok = df.select(F.col(id_col), target.alias("__tgt__"),
+                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    uni = tok.select(id_col, "__tgt__", "pos",
+                     F.lit(0).alias("kind"), F.col("term").alias("feat"))
+    big = (tok.withColumn("__prev__", F.lag("term").over(w))
+           .filter(F.col("__prev__").isNotNull())
+           .select(id_col, "__tgt__", "pos", F.lit(1).alias("kind"),
+                   F.concat_ws(" ", "__prev__", "term").alias("feat")))
+    feats = uni.unionByName(big).withColumn(
+        "__b__", F.pmod(hash60(F.col("feat")), F.lit(n_buckets)))
+    ct_r = feats.groupBy("__b__").agg(F.count(F.lit(1)).alias("__cr__"))
+    ct_t = (feats.filter(F.col("__tgt__"))
+            .groupBy("__b__").agg(F.count(F.lit(1)).alias("__ct__")))
+    r_tot = feats.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("r")).scalar()
+    t_tot = feats.filter(F.col("__tgt__")).groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+    # ln ratio per bucket, smoothing add-1; each ln argument is an
+    # integer-valued double < 2^53 → IEEE-identical across engines
+    lnr = (F.log(F.coalesce(F.col("__ct__"), F.lit(0)) + F.lit(1.0))
+           - F.log(F.col("__cr__") + F.lit(1.0))
+           + F.log(r_tot + F.lit(float(n_buckets)))
+           - F.log(t_tot + F.lit(float(n_buckets))))
+    model = (ct_r.join(ct_t, "__b__", "left")
+             .select("__b__",
+                     lnr.alias("__lnr__")))  # ≤ n_buckets rows
+    per_doc = (
+        feats.join(F.broadcast(model), "__b__")
+        .groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "kind", "__lnr__")))
+            .alias("__a__"))
+    )
+    fold = F.aggregate(F.col("__a__"), F.lit(0.0),
+                       lambda acc, s: acc + s["__lnr__"])
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(F.coalesce(F.col("__a__"), F.array())).cast("long")
+            .alias("n_feats"),
+            F.coalesce(F.round(fold, ndigits), F.lit(0.0))
+            .alias("dsir_logw"),
+        )
+    )

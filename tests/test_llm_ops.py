@@ -1658,3 +1658,27 @@ def test_compact_parquet_detection_ignores_ancestor_kv_dirs(spark, tmp_path):
                                         target_bytes=1 << 30)
     assert n_after <= n_before
     assert spark.read.parquet(str(base)).count() == 500
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR weights (Xie et al. 2023): docs sharing vocabulary with
+    the target exemplars must out-weight disjoint-vocabulary docs,
+    and empty docs score exactly 0.0."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.text import dsir_logweights
+
+    rows = [
+        (0, "the quick brown fox jumps", True),     # target exemplar
+        (1, "the quick brown dog runs", False),     # target-like
+        (2, "xylophone quartz vortex blitz", False),  # disjoint
+        (3, "", False),                             # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {r.doc_id: r for r in
+           dsir_logweights(df, F.col("tgt"), n_buckets=1000).collect()}
+    assert out[1].dsir_logw > out[2].dsir_logw
+    assert out[3].n_feats == 0 and out[3].dsir_logw == 0.0
+    assert out[0].n_feats == 5 + 4  # unigrams + bigrams
+    with pytest.raises(ValueError):
+        dsir_logweights(df, F.col("tgt"), n_buckets=0)
