@@ -1096,6 +1096,19 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_logprob(load_table(spark, sf_dir, "documents").df)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Systematic weighted sampling (operators/sampling.py::
+    systematic_weighted_sample): keep ~100 docs with probability
+    ∝ n_chars by one stride through the hash-permuted cumulative
+    weight axis — integer/decimal-exact inclusion test (no float
+    boundary), bucket-prefix-sum cumsum (no data-sized window)."""
+    from csvplus_spark.operators.sampling import systematic_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return systematic_weighted_sample(
+        docs, "n_chars", 100, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 def q_dsir(spark, sf_dir):
     """DSIR importance weights (operators/text.py::dsir_logweights):
     per-doc log importance ratio of a target domain (here the 'en'
@@ -1843,6 +1856,29 @@ SELECT d.doc_id,
        COALESCE(ROUND(list_reduce(p.lps, (x, y) -> x + y) / len(p.lps),
                       {ndigits}), 0.0) AS lp_mean
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+def _weighted_sample_sql(n: int = 100) -> str:
+    h = _HASH60_SQL.format(
+        x="'wsample' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         COALESCE(CAST(n_chars AS BIGINT), 0) AS w, {h} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_chars, w,
+         COALESCE(SUM(w) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum,
+         SUM(w) OVER () AS t
+  FROM s
+)
+SELECT doc_id, lang, n_chars FROM c
+WHERE (CAST(cum + w AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
+    > (CAST(cum AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
 """
 
 
@@ -3283,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "bigram_lm": q_bigram_lm,
         "dsir": q_dsir,
+        "weighted_sample": q_weighted_sample,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
         "remove_spans": q_remove_spans,
@@ -3502,6 +3539,7 @@ LIMIT 20
         "unigram_lm": _unigram_lm_sql(),
         "bigram_lm": _bigram_lm_sql(),
         "dsir": _dsir_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),
         "remove_spans": _remove_spans_sql(),

@@ -461,3 +461,73 @@ def token_budget_mix(df: DataFrame, budgets: Mapping[str, int],
         .filter(F.col(run) <= budget_of(F.col(group_col)))
         .select(*df.columns)
     )
+
+
+def systematic_weighted_sample(df: DataFrame, weight_col: str, n: int,
+                               key_cols: Sequence[str] | str,
+                               salt: str = "wsample") -> DataFrame:
+    """Weighted sampling without replacement by SYSTEMATIC resampling
+    (the particle-filter scheme: one stride through the cumulative
+    weight axis, a sample point every ``W/n``): row i with weight
+    ``w_i`` is kept iff its cumulative-weight interval
+    ``[cum_i, cum_i + w_i)`` contains a point ``k·W/n`` — i.e.
+    inclusion probability ≈ ``n·w_i/W`` (rows with ``w_i ≥ W/n`` are
+    kept with certainty, once). Typical use: token-weighted corpus
+    subsampling where long docs should be proportionally likelier.
+
+    Integer-exact BY CONSTRUCTION (NOTES determinism rules): weights
+    must be integral (token/char counts); the inclusion test
+    ``floor((cum+w)·n/W) > floor(cum·n/W)`` is evaluated in
+    DECIMAL(38,0)/HUGEINT arithmetic — verified bit-identical across
+    engines — so membership never sits on a float boundary, unlike
+    the classic Efraimidis–Spirakis ``u^(1/w)`` keys whose ln/pow
+    cross-engine ulps can flip the cutoff. The traversal order is the
+    deterministic hash permutation ``(hash60(salt|key), key)`` — the
+    randomization u of systematic resampling comes from the hash
+    placement, not an RNG.
+
+    Scale shape: the cumulative weight is decomposed exactly like
+    :func:`global_order_index` — per-bucket weight sums (≤1024-row
+    aggregate) → prefix scan over that tiny table → broadcast back →
+    within-bucket running sum (1024-way parallel). Total W is an
+    uncorrelated scalar subquery. No data-sized window, no collect.
+
+    NULL weights count 0 (never selected); negative weights raise
+    in-plan. Returns ``df``'s columns unchanged, filtered.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"systematic_weighted_sample: n must be > 0, "
+                         f"got {n}")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h, bkt = _hash_and_bucket(key_cols, salt)
+    b = "__cp_bkt__"
+    wc = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(F.concat(
+            F.lit("systematic_weighted_sample: negative weight "),
+            F.col(weight_col).cast("string"))),
+    ).otherwise(F.coalesce(F.col(weight_col).cast("long"), F.lit(0)))
+    src = df.withColumn(b, bkt).withColumn("__cp_w__", wc)
+
+    sums = src.groupBy(b).agg(F.sum("__cp_w__").alias("__s__"))
+    wpre = Window.orderBy(b).rowsBetween(Window.unboundedPreceding, -1)
+    off = sums.select(
+        F.col(b).alias("__b__"),
+        F.coalesce(F.sum("__s__").over(wpre), F.lit(0)).alias("__off__"),
+    )
+    total = src.groupBy().agg(F.sum("__cp_w__").alias("t")).scalar()
+    wrun = (Window.partitionBy(b)
+            .orderBy(h, *[F.col(c) for c in key_cols])
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (F.coalesce(F.sum("__cp_w__").over(wrun), F.lit(0))
+           + F.col("__off__")).cast("decimal(38,0)")
+    joined = (src.join(off, F.col(b) == F.col("__b__"))
+              .withColumn("__cp_cum__", cum)
+              .withColumn("__cp_t__", total.cast("decimal(38,0)")))
+    # floor((cum+w)·n/W) > floor(cum·n/W), all exact decimal math
+    kept = joined.filter(F.expr(
+        f"(CAST(__cp_cum__ + __cp_w__ AS DECIMAL(38,0)) * {n}) div __cp_t__"
+        f" > (__cp_cum__ * {n}) div __cp_t__"))
+    return kept.select(*df.columns)
