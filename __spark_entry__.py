@@ -1096,6 +1096,34 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_logprob(load_table(spark, sf_dir, "documents").df)
 
 
+def q_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means (operators/similarity.py::
+    kmeans_assign): k=8, 2 assignment→update rounds from lowest-id
+    seeds; centroid means over floor(x·2^20) bigint sums so the
+    update is float-order-independent and the whole trajectory is
+    SQL-replayable. Per iteration: one ≤k-row centroid broadcast +
+    per-row fold, one map-combined (cell, dim) aggregate."""
+    from csvplus_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings").df,
+                         8, iters=2)
+
+
+def q_cluster_balance(spark, sf_dir):
+    """Cluster-balanced curation sample: k-means cells (q_kmeans's
+    exact trajectory) then a deterministic ≤40-per-cell quota via
+    cap_per_group — the diversity-sampling primitive (cap the dense
+    topic clusters, keep the tails whole)."""
+    from csvplus_spark.operators.sampling import cap_per_group
+    from csvplus_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    cells = kmeans_assign(emb, 8, iters=2)
+    joined = cells.join(emb.select("vec_id", "label"), "vec_id")
+    return cap_per_group(joined, "cell", "vec_id", 40) \
+        .select("vec_id", "cell", "label")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Systematic weighted sampling (operators/sampling.py::
     systematic_weighted_sample): keep ~100 docs with probability
@@ -1856,6 +1884,52 @@ SELECT d.doc_id,
        COALESCE(ROUND(list_reduce(p.lps, (x, y) -> x + y) / len(p.lps),
                       {ndigits}), 0.0) AS lp_mean
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd-iteration CTE chain ending in ``a{iters}``
+    (vec_id, cell) — shared by the kmeans and cluster_balance
+    oracles. Mirrors operators/similarity.py::kmeans_assign exactly:
+    lowest-id seeds, left-fold d², argmin tie-break on cell,
+    floor(x·2^20) quantized centroid means."""
+    d2 = lambda c: ("list_sum(list_transform(range(1, len(v.e)+1), "
+                    f"j -> (v.e[j]-{c}.cv[j])*(v.e[j]-{c}.cv[j])))")
+    parts = [f"""v AS (SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+cent0 AS (SELECT vec_id AS cell, e AS cv FROM v ORDER BY vec_id LIMIT {k})"""]
+    for i in range(iters + 1):
+        if i > 0:
+            parts.append(f"""s{i} AS (SELECT a{i-1}.cell AS cell, j AS dim,
+         SUM(CAST(floor(v.e[j]*1048576.0) AS BIGINT)) AS s,
+         COUNT(*) AS ct
+  FROM a{i-1} JOIN v USING (vec_id),
+       UNNEST(range(1, len(v.e)+1)) AS u(j)
+  GROUP BY a{i-1}.cell, j),
+cent{i} AS (SELECT cell, list(CAST(s AS DOUBLE)/ct/1048576.0 ORDER BY dim)
+            AS cv FROM s{i} GROUP BY cell)""")
+        parts.append(f"""ad{i} AS (SELECT v.vec_id, cent{i}.cell, {d2(f'cent{i}')} AS d2
+  FROM v CROSS JOIN cent{i}),
+a{i} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         FROM ad{i}) WHERE rn = 1)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    return f"{_kmeans_cte(k, iters)}\nSELECT vec_id, cell FROM a{iters}"
+
+
+def _cluster_balance_sql(k: int = 8, iters: int = 2, cap: int = 40) -> str:
+    h = _HASH60_SQL.format(x="'cap' || '|' || CAST(a.vec_id AS VARCHAR)")
+    return f"""{_kmeans_cte(k, iters)}
+SELECT vec_id, cell, label FROM (
+  SELECT a.vec_id, a.cell, e.label,
+         ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY {h}, a.vec_id)
+         AS rn
+  FROM a{iters} a JOIN embeddings e ON a.vec_id = e.vec_id
+) WHERE rn <= {cap}
 """
 
 
@@ -3320,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "dsir": q_dsir,
         "weighted_sample": q_weighted_sample,
+        "kmeans": q_kmeans,
+        "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
         "remove_spans": q_remove_spans,
@@ -3540,6 +3616,8 @@ LIMIT 20
         "bigram_lm": _bigram_lm_sql(),
         "dsir": _dsir_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "kmeans": _kmeans_sql(),
+        "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),
         "remove_spans": _remove_spans_sql(),

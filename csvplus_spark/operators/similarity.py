@@ -781,3 +781,87 @@ def ann_recall(exact: DataFrame, approx: DataFrame,
             .alias("recall"),
         )
     )
+
+
+#: centroid quantization for kmeans_assign: component sums are taken
+#: over floor(x · 2^20) bigints so the per-cell mean is exact integer
+#: math + two final divisions — order-independent AND cross-engine
+#: bit-identical, unlike a float SUM whose addition order differs per
+#: engine/partitioning (NOTES determinism rules)
+KMEANS_Q = float(1 << 20)
+
+
+def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    clustering primitive behind cluster-balanced sampling, SemDeDup
+    cell refinement, and topic-stratified curation. Returns
+    ``(id_col, cell)``: each vector's cluster after ``iters``
+    assignment→update rounds from the deterministic seeding (the k
+    lowest-id vectors, same rule as :func:`seed_voronoi_distances`).
+
+    Determinism BY CONSTRUCTION: distances are per-row left folds
+    (sequential fp, engine-exact); centroid updates sum QUANTIZED
+    components (``floor(x·2^20)`` bigints — see KMEANS_Q) so the mean
+    never depends on float addition order; argmin ties break on cell
+    id. The whole operator is therefore oracle-replayable with
+    unrolled SQL CTEs.
+
+    Scale shape: per iteration, one broadcast of ≤k centroids + one
+    per-row fold (assignment — embarrassingly parallel), one
+    posexplode to (cell, dim) + a map-combined aggregate of ≤k·d rows
+    (update). No driver collect except the k seed rows; no data-sized
+    window. Empty cells simply drop out (their id is never
+    reassigned), exactly as in the SQL replay. ``iters`` is a FIXED
+    small constant by design — each round is a full corpus pass, and
+    curation pipelines want a reproducible plan, not convergence
+    detection (run more rounds explicitly if needed).
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError(f"kmeans_assign: need k > 0, iters >= 0, "
+                         f"got k={k}, iters={iters}")
+
+    def d2(a, b):  # exact squared L2, same left fold as the oracle
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign_to(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+        scored = vecs.join(F.broadcast(cent))  # ≤k-row bounded fan-out
+        return (scored
+                .withColumn("__d2__", d2(F.col("__vec__"),
+                                         F.col("__cent__")))
+                .groupBy(id_col)
+                .agg(F.min(F.struct(F.col("__d2__"),
+                                    F.col("__cell__"))).alias("__m__"))
+                .select(id_col, F.col("__m__.__cell__").alias("cell")))
+
+    v = with_double_vec(df.select(id_col, vec_col), vec_col)
+    v = v.select(id_col, "__vec__")
+    seeds = v.orderBy(F.col(id_col)).limit(k)
+    cent = seeds.select(F.col(id_col).alias("__cell__"),
+                        F.col("__vec__").alias("__cent__"))
+    assign = assign_to(v, cent)
+    for _ in range(iters):
+        members = assign.join(v, id_col)
+        sums = (members
+                .select("cell", F.posexplode("__vec__").alias("dim", "x"))
+                .withColumn("__q__",
+                            F.floor(F.col("x") * F.lit(KMEANS_Q))
+                            .cast("long"))
+                .groupBy("cell", "dim")
+                .agg(F.sum("__q__").alias("__s__"),
+                     F.count(F.lit(1)).alias("__c__")))
+        cent = (sums.groupBy("cell")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("dim", "__s__", "__c__")))
+                    .alias("__a__"))
+                .select(F.col("cell").alias("__cell__"),
+                        F.transform(
+                            F.col("__a__"),
+                            lambda t: t["__s__"].cast("double")
+                            / t["__c__"] / F.lit(KMEANS_Q))
+                        .alias("__cent__")))
+        assign = assign_to(v, cent)
+    return assign

