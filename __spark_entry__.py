@@ -3030,6 +3030,144 @@ def q_tpch_q18_bigorders(spark, sf_dir):
     )
 
 
+def q_tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order counts per priority where EXISTS a
+    late-shipped line (adapted: this testdata has no commit/receipt
+    dates, so 'late' = shipped >60 days after order date). The EXISTS
+    becomes a LEFT SEMI join on the orderkey — one shuffle of each
+    fact, no fact duplication, dedup-free (semi joins emit the probe
+    row at most once)."""
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate")
+           + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_tpch_q12_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional (CASE) aggregation of order
+    priorities over late-shipped lines, grouped by returnflag
+    (adapted: no l_shipmode column in this testdata). One fact⋈fact
+    shuffle on the orderkey + one map-combined aggregate."""
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(li["l_shipdate"] > F.col("o_orderdate")
+                + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+def q_tpch_q19_disjuncts(spark, sf_dir):
+    """TPC-H Q19 shape: revenue over an OR-of-ANDs of (brand, size,
+    quantity) bands — the disjunctive-predicate planning test. The
+    part side keeps ONLY the rows any disjunct can accept (Catalyst
+    extracts brand/size conjuncts common per branch), broadcasts, and
+    the final OR evaluates post-join; revenue is the exact
+    integer-cents sum (_drevenue)."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30)))
+    return (
+        li.join(F.broadcast(p.filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & (F.col("p_size") <= 35))),
+            li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .groupBy()
+        .agg(_drevenue().alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_tpch_q22_idle(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy-but-idle customers — above-average
+    account balance (uncorrelated scalar subquery, computed as an
+    exact integer-cents mean so the threshold is engine-identical)
+    with NO urgent order (LEFT ANTI join). Adapted: this testdata's
+    customers all have orders, so 'idle' = no 1-URGENT order."""
+    c = load_table(spark, sf_dir, "customer").df
+    o = load_table(spark, sf_dir, "orders").df
+    avg_bal = (c.filter(F.col("c_acctbal") > 0).groupBy()
+               .agg((F.sum(_cents("c_acctbal")).cast("double")
+                     / F.count(F.lit(1)) / F.lit(100.0)).alias("a"))
+               .scalar())
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             (F.sum(_cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"))
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+_TPCH_Q12_SQL = """
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+"""
+
+_TPCH_Q19_SQL = """
+SELECT SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT)))
+       / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+_TPCH_Q22_SQL = """
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+       SUM(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)) / 100.0
+       AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 100.0
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
 _TPCH_Q18_SQL = """
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        CAST(o.o_orderdate AS DATE) AS o_orderdate,
@@ -3402,6 +3540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topfrac": q_quality_topfrac,
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q18_bigorders": q_tpch_q18_bigorders,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q12_priority": q_tpch_q12_priority,
+        "tpch_q19_disjuncts": q_tpch_q19_disjuncts,
+        "tpch_q22_idle": q_tpch_q22_idle,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q14_promo": q_tpch_q14_promo,
         "snapshot_diff": q_snapshot_diff,
@@ -3624,6 +3766,10 @@ LIMIT 20
         "quality_topfrac": _quality_topfrac_sql(),
         "tpch_q10_returns": _TPCH_Q10_SQL,
         "tpch_q18_bigorders": _TPCH_Q18_SQL,
+        "tpch_q4_priority": _TPCH_Q4_SQL,
+        "tpch_q12_priority": _TPCH_Q12_SQL,
+        "tpch_q19_disjuncts": _TPCH_Q19_SQL,
+        "tpch_q22_idle": _TPCH_Q22_SQL,
         "tpch_q6_forecast": _TPCH_Q6_SQL,
         "tpch_q14_promo": _TPCH_Q14_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
