@@ -293,6 +293,85 @@ def minhash_bands(df: DataFrame, num_hashes: int = 32, rows_per_band: int = 2,
     )
 
 
+def _band_pairs_triangle(bands: DataFrame, cap: int,
+                         splits: int) -> DataFrame:
+    """Candidate id pairs from a band table with KEY-level skew
+    handling: (band, sig) buckets larger than ``cap`` run their
+    self-join as a triangle decomposition — members salted into
+    ``splits`` groups, each unordered group pair (i ≤ j) its own join
+    key — bounding any task at (m/splits)² instead of m². OUTPUT-
+    IDENTICAL to the plain self-join (each unordered member pair
+    matches under exactly one (i, j) key; `id <` dedups within-group
+    mirrors), at the cost of (splits+1)× replication of hot-bucket
+    rows and one extra bucket-size aggregate.
+
+    Why AQE isn't enough here: adaptive skew-join splits PARTITIONS,
+    but every row of one hot KEY hashes to the same partition, and
+    replicating the matching side still leaves (m/s)·m work per task —
+    linear relief for a quadratic problem. The triangle gets the full
+    s² division. Cold buckets (the overwhelming majority — band keys
+    are hash-uniform unless the corpus repeats near-identical
+    boilerplate beyond exact-dup collapse) take the plain join.
+    """
+    sizes = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("__bn__"))
+    hot_keys = sizes.filter(F.col("__bn__") > cap).select("band", "sig")
+    tagged = bands.join(hot_keys.withColumn("__hot__", F.lit(True)),
+                        ["band", "sig"], "left")
+    cold = tagged.filter(F.col("__hot__").isNull()).drop("__hot__")
+    hot = tagged.filter(F.col("__hot__")).drop("__hot__") \
+        .withColumn("__g__", F.pmod(hash60(F.col("id").cast("string")),
+                                    F.lit(splits)))
+    cold_pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.sig") == F.col("b.sig"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+    )
+    # cross-group stage: member x at keys (g_x, j) for j > g_x, y at
+    # (i, g_y) for i < g_y — each unordered cross-group pair matches
+    # at exactly (min_g, max_g); groups are disjoint so no self-pairs,
+    # and the id ORDER is restored by least/greatest (an `a.id < b.id`
+    # join condition here would LOSE pairs whose smaller id sits in
+    # the larger group)
+    # sequence(a, b) DESCENDS when a > b — empty-guard the end groups
+    up = F.when(F.col("__g__") + 1 <= F.lit(splits - 1),
+                F.sequence(F.col("__g__") + 1, F.lit(splits - 1))) \
+        .otherwise(F.array().cast("array<long>"))
+    down = F.when(F.col("__g__") - 1 >= F.lit(0),
+                  F.sequence(F.lit(0).cast("long"), F.col("__g__") - 1)) \
+        .otherwise(F.array().cast("array<long>"))
+    left = hot.select(
+        "band", "sig", "id", F.col("__g__").alias("__i__"),
+        F.explode(up).alias("__j__"))
+    right = hot.select(
+        "band", "sig", "id", F.col("__g__").alias("__j__"),
+        F.explode(down).alias("__i__"))
+    cross_pairs = (
+        left.alias("a")
+        .join(right.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.sig") == F.col("b.sig"))
+              & (F.col("a.__i__") == F.col("b.__i__"))
+              & (F.col("a.__j__") == F.col("b.__j__")))
+        .select(F.least(F.col("a.id"), F.col("b.id")).alias("d1"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("d2"))
+    )
+    # within-group stage: plain self-join per (band, sig, group)
+    within_pairs = (
+        hot.alias("a")
+        .join(hot.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.sig") == F.col("b.sig"))
+              & (F.col("a.__g__") == F.col("b.__g__"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+    )
+    return cold_pairs.unionByName(cross_pairs).unionByName(within_pairs)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -301,6 +380,8 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    hot_band_cap: int | None = None,
+    hot_band_splits: int = 16,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified.
 
@@ -310,21 +391,32 @@ def minhash_dedup_pairs(
     J=0.8 with r=2, b=16 — while background-similar pairs (J~0.005)
     almost never become candidates, so the exact-Jaccard verify stage
     stays tiny. False candidates cost time, never correctness.
+
+    ``hot_band_cap`` (opt-in): buckets beyond this size run the
+    output-identical triangle decomposition of
+    :func:`_band_pairs_triangle` — set it when a boilerplate-heavy
+    corpus leaves near-identical (not byte-identical — use the
+    collapsed variant for those) signature groups big enough that one
+    (band, sig) key's m² pairs dominate a task.
     """
     # ONE shingle pass shared by the band path and the exact verify
     ex = (shingles if shingles is not None
           else shingle_pairs(df, text_col, id_col)).cache()
     bands = minhash_bands(df, num_hashes, rows_per_band, text_col, id_col,
                           pairs=ex).cache()
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.sig") == F.col("b.sig"))
-              & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
-        .distinct()
-    )
+    if hot_band_cap is not None:
+        cand = _band_pairs_triangle(
+            bands, hot_band_cap, hot_band_splits).distinct()
+    else:
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.sig") == F.col("b.sig"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+            .distinct()
+        )
     # join-based exact verify (codegen) — array_intersect on long arrays
     # is interpreted and becomes the bottleneck at scale. No broadcast
     # hint on cand: its size is data-dependent (can be huge on a skewed

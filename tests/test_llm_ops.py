@@ -1737,3 +1737,24 @@ def test_kmeans_assign_properties(spark, sf_dir):
         assert a0[s] == s
     with pytest.raises(ValueError):
         kmeans_assign(emb, 0)
+
+
+def test_minhash_hot_band_triangle_identity(spark):
+    """The triangle-decomposed hot-bucket band join must emit the
+    EXACT same verified pair set as the plain self-join, on a corpus
+    engineered to have hot (band, sig) buckets (near-identical
+    boilerplate variants that are not byte-identical)."""
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+
+    rows = [(i, f"the same boilerplate legal footer text appears here "
+                f"again and again with tiny suffix variant {i % 3}")
+            for i in range(60)]
+    rows += [(100 + i, f"genuinely unique document number {i} about "
+                       f"topic {i * 7} with its own words") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {(r.doc_id_1, r.doc_id_2) for r in
+             minhash_dedup_pairs(df, 0.5).collect()}
+    tri = {(r.doc_id_1, r.doc_id_2) for r in
+           minhash_dedup_pairs(df, 0.5, hot_band_cap=8,
+                               hot_band_splits=4).collect()}
+    assert plain == tri and len(plain) > 100
