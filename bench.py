@@ -95,6 +95,14 @@ HEADLINE = [
     "multimodal_png",
     "approx_quantiles",
     "bigram_lm",
+    "dsir",
+    "weighted_sample",
+    "kmeans",
+    "cluster_balance",
+    "tpch_q4_priority",
+    "tpch_q12_priority",
+    "tpch_q19_disjuncts",
+    "tpch_q22_idle",
 ]
 
 
