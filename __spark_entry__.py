@@ -1124,6 +1124,22 @@ def q_cluster_balance(spark, sf_dir):
         .select("vec_id", "cell", "label")
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Cross-table fuzzy join (operators/dedup.py::minhash_join):
+    near-dup pairs between the even- and odd-id halves of documents —
+    the snapshot-alignment shape (two corpora, no shared ids). Band
+    tables join LEFT×RIGHT on (band, sig); exact cross-table Jaccard
+    verify. Splitting one table by parity is oracle-equivalent to two
+    independent corpora because signatures depend only on text."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").df
+    from csvplus_spark.operators.dedup import minhash_join
+
+    return minhash_join(docs.filter(F.col("doc_id") % 2 == 0),
+                        docs.filter(F.col("doc_id") % 2 == 1), 0.6)
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py::pq_*): m=8
     subspace codebooks (k=8, one quantized-Lloyd round from lowest-id
@@ -2943,6 +2959,28 @@ SELECT d1 AS doc_id_1, d2 AS doc_id_2, i * 1.0 / (n1 + n2 - i) AS jaccard
 FROM scored WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
 """
 
+_FUZZY_JOIN_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+{_minhash_cte_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+scored AS (
+  SELECT d1, d2,
+         len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
+         len(s1.sh) AS n1, len(s2.sh) AS n2
+  FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+)
+SELECT d1 AS left_id, d2 AS right_id, i * 1.0 / (n1 + n2 - i) AS jaccard
+FROM scored WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
+"""
+
 
 def _simhash_sql(n_bits: int = 32) -> str:
     votes = ", ".join(
@@ -3608,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "kmeans": q_kmeans,
         "pq_topk": q_pq_topk,
+        "fuzzy_join": q_fuzzy_join,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -3835,6 +3874,7 @@ LIMIT 20
         "weighted_sample": _weighted_sample_sql(),
         "kmeans": _kmeans_sql(),
         "pq_topk": _pq_topk_sql(),
+        "fuzzy_join": _FUZZY_JOIN_SQL,
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

@@ -103,6 +103,7 @@ HEADLINE = [
     "tpch_q12_priority",
     "tpch_q19_disjuncts",
     "tpch_q22_idle",
+    "pq_topk",
 ]
 
 

@@ -1448,3 +1448,59 @@ def snapshot_diff(current: DataFrame, previous: DataFrame,
     )
     return j.select(F.col(id_col), status.alias("status"),
                     "fp_current", "fp_previous")
+
+
+def minhash_join(left: DataFrame, right: DataFrame,
+                 threshold: float = 0.6, num_hashes: int = 32,
+                 rows_per_band: int = 2, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy CROSS-TABLE join by MinHash-LSH: near-duplicate pairs
+    (left_id, right_id, jaccard ≥ threshold) between two corpora —
+    aligning a new crawl snapshot against the previous one without
+    shared ids, matching docs to a reference set, linking translated /
+    re-hosted variants. The dedup family's machinery applied across
+    tables: per-side signatures (text-only, so each side is one
+    narrow pass), band equi-join LEFT×RIGHT (never a nested loop),
+    exact cross-table Jaccard verify on the candidates.
+
+    Same S-curve guarantees as :func:`minhash_dedup_pairs`; same
+    determinism (md5 universal hashes). Output is directional —
+    (left, right) — and a pair appears once. Scale: both band tables
+    shuffle once on (band, sig); candidate volume is governed by true
+    cross-corpus similarity, not |L|·|R|.
+    """
+    exl = shingle_pairs(left, text_col, id_col).cache()
+    exr = shingle_pairs(right, text_col, id_col).cache()
+    bl = minhash_bands(left, num_hashes, rows_per_band, text_col,
+                       id_col, pairs=exl)
+    br = minhash_bands(right, num_hashes, rows_per_band, text_col,
+                       id_col, pairs=exr)
+    cand = (
+        bl.alias("a")
+        .join(br.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.sig") == F.col("b.sig")))
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .distinct()
+    )
+    inter = (
+        exl.alias("x")
+        .join(cand, F.col("x.__id__") == F.col("d1"))
+        .join(exr.alias("y"),
+              (F.col("y.__id__") == F.col("d2"))
+              & (F.col("x.__s__") == F.col("y.__s__")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1, s2 = _shingle_sizes(exl), _shingle_sizes(exr)
+    return (
+        inter.join(s1.alias("s1"), F.col("d1") == F.col("s1.__id__"))
+        .join(s2.alias("s2"), F.col("d2") == F.col("s2.__id__"))
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.col("s1.__n__") + F.col("s2.__n__")
+                       - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("d1").alias("left_id"),
+                F.col("d2").alias("right_id"), "jaccard")
+    )

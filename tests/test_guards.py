@@ -147,7 +147,14 @@ def test_bench_line_stays_under_driver_tail_budget():
     line = format_bench_line(timings, 999.999, 0.1)
     assert len(line) <= 1900
     parsed = json.loads(line)
-    assert set(parsed["queries"]) == set(HEADLINE)
+    # the full set fits while it fits; once HEADLINE outgrows the
+    # budget the guard elides fastest-first and ACCOUNTS for it — the
+    # invariant is parse-ability + accounting, not zero elision
+    kept = set(parsed["queries"])
+    assert kept <= set(HEADLINE)
+    assert len(kept) + parsed.get("queries_omitted", 0) == len(HEADLINE)
+    # the driver must still see the overwhelming majority of queries
+    assert len(kept) >= min(len(HEADLINE), 60)
 
     big = {f"query_with_a_rather_long_name_{i:03d}": float(i)
            for i in range(220)}

@@ -1789,3 +1789,23 @@ def test_pq_family_properties(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     with pytest.raises(ValueError):
         pq_codebooks(emb, m=7, k=8)
+
+
+def test_minhash_join_cross_table(spark):
+    """Fuzzy cross-table join: near-identical docs across two corpora
+    pair up with high Jaccard; unrelated docs don't; the join is
+    directional (left_id from left, right_id from right)."""
+    from csvplus_spark.operators.dedup import minhash_join
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text about spark and parquet files")],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog yesterday"),
+         (20, "another disjoint document discussing minhash bands only")],
+        "doc_id long, text string")
+    rows = minhash_join(left, right, 0.5).collect()
+    pairs = {(r.left_id, r.right_id) for r in rows}
+    assert pairs == {(1, 10)}
+    assert all(r.jaccard >= 0.5 for r in rows)
