@@ -1124,6 +1124,18 @@ def q_cluster_balance(spark, sf_dir):
         .select("vec_id", "cell", "label")
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (operators/text.py::bm25_search): top-10
+    docs for the query {join, shuffle, spark} — token stream filtered
+    to the query terms BEFORE any aggregate (tf/df are |matches|-sized
+    at any corpus scale), dl/avgdl integer-exact, term-ordered fold +
+    round(6), id tie-break."""
+    from csvplus_spark.operators.text import bm25_search
+
+    return bm25_search(load_table(spark, sf_dir, "documents").df,
+                       ["join", "shuffle", "spark"], k=10)
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Cross-table fuzzy join (operators/dedup.py::minhash_join):
     near-dup pairs between the even- and odd-id halves of documents —
@@ -2043,6 +2055,39 @@ c AS (
 SELECT doc_id, lang, n_chars FROM c
 WHERE (CAST(cum + w AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
     > (CAST(cum AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
+"""
+
+
+def _bm25_search_sql(k: int = 10, k1: float = 1.2, b: float = 0.75,
+                     ndigits: int = 6) -> str:
+    terms = "'join', 'shuffle', 'spark'"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(t) AS term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+avgdl AS (SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS a FROM dl),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ln(((SELECT n FROM nd) - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * ({k1} + 1.0)
+         / (tf + {k1} * (1.0 - {b} + {b} * dl
+                         / (SELECT a FROM avgdl))) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         ROUND(list_reduce(list(s ORDER BY term), (x, y) -> x + y),
+               {ndigits}) AS score
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -3647,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "pq_topk": q_pq_topk,
         "fuzzy_join": q_fuzzy_join,
+        "bm25_search": q_bm25_search,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -3875,6 +3921,7 @@ LIMIT 20
         "kmeans": _kmeans_sql(),
         "pq_topk": _pq_topk_sql(),
         "fuzzy_join": _FUZZY_JOIN_SQL,
+        "bm25_search": _bm25_search_sql(),
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

@@ -104,6 +104,8 @@ HEADLINE = [
     "tpch_q19_disjuncts",
     "tpch_q22_idle",
     "pq_topk",
+    "fuzzy_join",
+    "bm25_search",
 ]
 
 

@@ -1138,3 +1138,57 @@ def dsir_logweights(df: DataFrame, target: Column,
             .alias("dsir_logw"),
         )
     )
+
+
+def bm25_search(df: DataFrame, query_terms: list[str], k: int = 10,
+                k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id", ndigits: int = 6) -> DataFrame:
+    """BM25 keyword RETRIEVAL: the top-k documents for a term query —
+    the corpus-search sibling of :func:`bm25_top_terms` (which ranks
+    terms within a doc). Score = Σ over matched query terms of the
+    same Okapi expression; docs matching no term never appear.
+
+    Scale shape: the token stream is FILTERED to the query terms
+    before any aggregate — a handful of literals pushed against the
+    explode — so tf/df tables are |matches|-sized, not corpus-sized;
+    dl/avgdl need full doc lengths and come from one map-combined
+    count per doc (integer-exact scalars). Per-doc score is a
+    term-ordered fold (float addition order, NOTES rules) rounded to
+    absorb libm-log ulps; ranks tie-break on id. Top-k runs through
+    the same TakeOrderedAndProject shape as
+    :meth:`~csvplus_spark.frame.Frame.top`.
+    """
+    if not query_terms:
+        raise ValueError("bm25_search: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # full-corpus doc lengths (one integer aggregate) — BM25 needs dl
+    # even for query-term scoring
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.groupBy().agg(
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("a")).scalar()
+    n_docs = df.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    qtok = tok.filter(F.col("term").isin(terms))
+    tf = qtok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    per_term = (
+        tf.join(dfreq, "term").join(dl, id_col)
+        .select(F.col(id_col), "term",
+                (idf * F.col("tf") * (k1 + 1.0) / denom).alias("__s__"))
+    )
+    fold = F.aggregate(F.col("__a__"), F.lit(0.0),
+                       lambda acc, s: acc + s["__s__"])
+    scored = (
+        per_term.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("term", "__s__")))
+             .alias("__a__"),
+             F.count(F.lit(1)).alias("n_terms"))
+        .select(F.col(id_col), "n_terms",
+                F.round(fold, ndigits).alias("score"))
+    )
+    return (scored
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

@@ -1809,3 +1809,25 @@ def test_minhash_join_cross_table(spark):
     pairs = {(r.left_id, r.right_id) for r in rows}
     assert pairs == {(1, 10)}
     assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_bm25_search_retrieval(spark):
+    """BM25 retrieval: a doc dense in the query terms ranks first;
+    docs with no query term never appear; empty query raises."""
+    from csvplus_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffle spark join shuffle spark"),
+         (2, "spark appears once here among many other filler words "
+             "that dilute the term frequency signal a lot more"),
+         (3, "nothing relevant at all in this document"),
+         (4, "join join"),
+         ],
+        "doc_id long, text string")
+    rows = bm25_search(df, ["spark", "join", "shuffle"], k=10).collect()
+    got = [r.doc_id for r in rows]
+    assert 3 not in got
+    assert got[0] == 1
+    assert {r.doc_id: r.n_terms for r in rows}[1] == 3
+    with pytest.raises(ValueError):
+        bm25_search(df, [])
