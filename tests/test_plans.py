@@ -156,3 +156,49 @@ def test_semantic_contam_plan_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_contam")
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_new_tpch_shapes(spark, sf_dir):
+    """r7 TPC-H additions keep their intended physical shapes: Q4's
+    EXISTS is a LeftSemi (no fact duplication), Q22's NOT EXISTS is a
+    LeftAnti, and Q19's disjunctive predicate pushes the quantity
+    bands into the lineitem SCAN while part broadcasts."""
+    p4 = _plan(spark, sf_dir, "tpch_q4_priority")
+    assert "LeftSemi" in p4
+    p22 = _plan(spark, sf_dir, "tpch_q22_idle")
+    assert "LeftAnti" in p22
+    p19 = _plan(spark, sf_dir, "tpch_q19_disjuncts")
+    assert "BroadcastHashJoin" in p19
+    assert "PushedFilters" in p19 and "l_quantity" in p19
+
+
+def test_kmeans_pq_plans_broadcast_codebooks(spark, sf_dir):
+    """kmeans / PQ assignment stages broadcast the bounded centroid /
+    codebook tables — a sort-merge join there would shuffle the whole
+    corpus per Lloyd round."""
+    pk = _plan(spark, sf_dir, "kmeans")
+    assert "BroadcastNestedLoopJoin" in pk or "BroadcastHashJoin" in pk
+    assert "SortMergeJoin" not in pk
+    pq = _plan(spark, sf_dir, "pq_topk")
+    assert "BroadcastHashJoin" in pq
+
+
+def test_dsir_model_broadcasts(spark, sf_dir):
+    """DSIR's ≤n_buckets model table joins back to the feature stream
+    via broadcast; the per-doc fold stays an objectless hash agg."""
+    p = _plan(spark, sf_dir, "dsir")
+    assert "BroadcastHashJoin" in p
+    assert "InMemoryTableScan" in p  # cached feature stream reused
+
+
+def test_weighted_sample_no_data_sized_window(spark, sf_dir):
+    """The cumulative weight decomposes via hash buckets: the global
+    (unpartitioned) window in the plan must be the ≤1024-row bucket
+    prefix table, visible as a window directly over a partial_sum
+    aggregate, never over the raw scan."""
+    p = _plan(spark, sf_dir, "weighted_sample")
+    # per-bucket running sums are partitioned windows; exactly the
+    # bucket-offset window is global. The full-data path would show a
+    # window whose child is the parquet scan with no aggregate below.
+    assert p.count("Window") >= 2
+    assert "partial_sum" in p
