@@ -1124,6 +1124,20 @@ def q_cluster_balance(spark, sf_dir):
         .select("vec_id", "cell", "label")
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Per-dimension embedding drift monitor (operators/profile.py::
+    embedding_drift) between the even- and odd-id halves — quantized-
+    integer Σq/Σq² so mean/var are order-independent and engine-exact;
+    one posexplode + one d-row aggregate per side."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.profile import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                           emb.filter(F.col("vec_id") % 2 == 1))
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 keyword retrieval (operators/text.py::bm25_search): top-10
     docs for the query {join, shuffle, spark} — token stream filtered
@@ -2055,6 +2069,40 @@ c AS (
 SELECT doc_id, lang, n_chars FROM c
 WHERE (CAST(cum + w AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
     > (CAST(cum AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
+"""
+
+
+def _embedding_drift_sql(ndigits: int = 6) -> str:
+    agg = """
+  SELECT i - 1 AS dim,
+         SUM(CAST(floor(CAST(e[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+         SUM(CAST(floor(CAST(e[i] AS DOUBLE) * 1048576.0) AS BIGINT)
+             * CAST(floor(CAST(e[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS ss,
+         COUNT(*) AS n
+  FROM (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = {par}),
+       UNNEST(range(1, len(e) + 1)) AS u(i)
+  GROUP BY i"""
+    mean = "(CAST({t}.s AS DOUBLE) / {t}.n / 1048576.0)"
+    var = ("((CAST({t}.ss AS DOUBLE) / {t}.n"
+           " - (CAST({t}.s AS DOUBLE) / {t}.n)"
+           " * (CAST({t}.s AS DOUBLE) / {t}.n))"
+           " / 1048576.0 / 1048576.0)")
+    ml, mr = mean.format(t="l"), mean.format(t="r")
+    vl, vr = var.format(t="l"), var.format(t="r")
+    pooled = f"sqrt(({vl} + {vr}) / 2.0)"
+    return f"""
+WITH l AS ({agg.format(par=0)}),
+r AS ({agg.format(par=1)})
+SELECT l.dim AS dim,
+       ROUND({ml}, {ndigits}) AS mean_l,
+       ROUND({mr}, {ndigits}) AS mean_r,
+       ROUND({vl}, {ndigits}) AS var_l,
+       ROUND({vr}, {ndigits}) AS var_r,
+       ROUND(CASE WHEN {pooled} > 0
+                  THEN abs({ml} - {mr}) / {pooled} ELSE 0.0 END,
+             {ndigits}) AS shift
+FROM l JOIN r ON l.dim = r.dim
+ORDER BY l.dim
 """
 
 
@@ -3693,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "fuzzy_join": q_fuzzy_join,
         "bm25_search": q_bm25_search,
+        "embedding_drift": q_embedding_drift,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -3922,6 +3971,7 @@ LIMIT 20
         "pq_topk": _pq_topk_sql(),
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "bm25_search": _bm25_search_sql(),
+        "embedding_drift": _embedding_drift_sql(),
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

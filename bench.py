@@ -106,6 +106,7 @@ HEADLINE = [
     "pq_topk",
     "fuzzy_join",
     "bm25_search",
+    "embedding_drift",
 ]
 
 

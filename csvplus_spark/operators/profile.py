@@ -149,3 +149,65 @@ def key_skew_report(df: DataFrame, key_cols, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), *key_cols)
         .limit(top_n)
     )
+
+
+def embedding_drift(left: DataFrame, right: DataFrame,
+                    vec_col: str = "embedding",
+                    ndigits: int = 6) -> DataFrame:
+    """Per-dimension distribution drift between two embedding corpora
+    (old snapshot vs new crawl, reference vs candidate encoder): for
+    every dimension, both sides' mean and variance plus the absolute
+    mean shift in pooled-std units (a per-dim two-sample z-ish
+    effect size) — the production monitor for "did the embedding
+    space move".
+
+    Integer-exact BY CONSTRUCTION: components are quantized to
+    floor(x·2^20) bigints; Σq and Σq² are exact integer sums (order-
+    independent, engine-identical — a float variance would differ per
+    partitioning), and the float math happens once per (side, dim) on
+    the aggregated integers. Var uses the biased (population) form
+    E[q²]−E[q]² in quantized units, ≥0 by construction. Output is one
+    row per dimension: (dim, mean_l, mean_r, var_l, var_r, shift).
+
+    Scale: one posexplode + one (dim)-keyed map-combined aggregate
+    per side — d·n rows into d-row outputs, broadcast-joined. No
+    driver collect, no windows.
+    """
+    Q = 1048576.0
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(
+            F.posexplode(F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double")))
+            .alias("dim", "x"))
+        q = ex.withColumn("__q__",
+                          F.floor(F.col("x") * F.lit(Q)).cast("long"))
+        return (q.groupBy("dim")
+                .agg(F.sum("__q__").alias(f"__s_{tag}__"),
+                     F.sum(F.col("__q__") * F.col("__q__"))
+                     .alias(f"__ss_{tag}__"),
+                     F.count(F.lit(1)).alias(f"__n_{tag}__")))
+
+    l, r = side(left, "l"), side(right, "r")
+
+    def mean(tag):
+        return (F.col(f"__s_{tag}__").cast("double")
+                / F.col(f"__n_{tag}__") / F.lit(Q))
+
+    def var(tag):
+        m = F.col(f"__s_{tag}__").cast("double") / F.col(f"__n_{tag}__")
+        return ((F.col(f"__ss_{tag}__").cast("double")
+                 / F.col(f"__n_{tag}__") - m * m) / F.lit(Q) / F.lit(Q))
+
+    pooled = F.sqrt((var("l") + var("r")) / F.lit(2.0))
+    shift = F.when(pooled > 0,
+                   F.abs(mean("l") - mean("r")) / pooled) \
+        .otherwise(F.lit(0.0))
+    return (l.join(r, "dim")
+            .select("dim",
+                    F.round(mean("l"), ndigits).alias("mean_l"),
+                    F.round(mean("r"), ndigits).alias("mean_r"),
+                    F.round(var("l"), ndigits).alias("var_l"),
+                    F.round(var("r"), ndigits).alias("var_r"),
+                    F.round(shift, ndigits).alias("shift"))
+            .orderBy("dim"))

@@ -1831,3 +1831,28 @@ def test_bm25_search_retrieval(spark):
     assert {r.doc_id: r.n_terms for r in rows}[1] == 3
     with pytest.raises(ValueError):
         bm25_search(df, [])
+
+
+def test_embedding_drift_detects_shift(spark):
+    """Drift monitor: identical corpora → shift 0 everywhere; a
+    constant displacement on one dimension shows up on exactly that
+    dimension with a large effect size."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.profile import embedding_drift
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.col("id") * (i + 7), F.lit(97)) / 97.0
+                   ).cast("float") for i in range(4)]).alias("embedding"))
+    same = embedding_drift(base, base).collect()
+    assert all(r.shift == 0.0 for r in same)
+    moved = base.select(
+        "vec_id",
+        F.array(F.col("embedding")[0] + F.lit(5.0).cast("float"),
+                F.col("embedding")[1], F.col("embedding")[2],
+                F.col("embedding")[3]).alias("embedding"))
+    drift = {r.dim: r for r in embedding_drift(base, moved).collect()}
+    assert drift[0].shift > 10
+    assert drift[1].shift < 1 and drift[2].shift < 1
+    assert abs(drift[0].mean_r - drift[0].mean_l - 5.0) < 1e-4
