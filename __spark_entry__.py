@@ -3323,6 +3323,89 @@ def q_tpch_q22_idle(spark, sf_dir):
     )
 
 
+def q_tpch_q21_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: the SOLE late supplier on multi-supplier
+    orders — the same fact joined three ways (base + LEFT SEMI for
+    'another supplier exists' + LEFT ANTI for 'no OTHER supplier was
+    late'). The late-line set is computed once and reused for base
+    and anti sides; all three joins shuffle on the SAME orderkey, so
+    AQE coalesces them into one exchange lineage. Adapted: late =
+    shipped >60 days after order date (no commit/receipt dates)."""
+    o = load_table(spark, sf_dir, "orders").df
+    li = load_table(spark, sf_dir, "lineitem").df
+    s = load_table(spark, sf_dir, "supplier").df
+    late = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(li["l_shipdate"] > F.col("o_orderdate")
+                    + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    l1 = late.alias("l1")
+    others = li.select(F.col("l_orderkey").alias("__ok__"),
+                       F.col("l_suppkey").alias("__sk__"))
+    late_others = late.select(F.col("l_orderkey").alias("__ok__"),
+                              F.col("l_suppkey").alias("__sk__"))
+    sole_late = (
+        l1.join(others,
+                (F.col("l1.l_orderkey") == F.col("__ok__"))
+                & (F.col("l1.l_suppkey") != F.col("__sk__")), "left_semi")
+        .join(late_others,
+              (F.col("l1.l_orderkey") == F.col("__ok__"))
+              & (F.col("l1.l_suppkey") != F.col("__sk__")), "left_anti"))
+    return (sole_late
+            .join(F.broadcast(s),
+                  F.col("l1.l_suppkey") == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
+def q_tpch_q16_suppcnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size)
+    with a NOT-IN exclusion subquery (→ LEFT ANTI against the tiny
+    negative-balance supplier list) — lineitem stands in for partsupp
+    (this testdata has no partsupp table)."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df
+    s = load_table(spark, sf_dir, "supplier").df
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p.filter(F.col("p_brand") != "Brand#45")),
+              li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_TPCH_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+_TPCH_Q16_SQL = """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+"""
+
+
 _TPCH_Q4_SQL = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -3753,6 +3836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_priority": q_tpch_q12_priority,
         "tpch_q19_disjuncts": q_tpch_q19_disjuncts,
         "tpch_q22_idle": q_tpch_q22_idle,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q16_suppcnt": q_tpch_q16_suppcnt,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q14_promo": q_tpch_q14_promo,
         "snapshot_diff": q_snapshot_diff,
@@ -3983,6 +4068,8 @@ LIMIT 20
         "tpch_q12_priority": _TPCH_Q12_SQL,
         "tpch_q19_disjuncts": _TPCH_Q19_SQL,
         "tpch_q22_idle": _TPCH_Q22_SQL,
+        "tpch_q21_waiting": _TPCH_Q21_SQL,
+        "tpch_q16_suppcnt": _TPCH_Q16_SQL,
         "tpch_q6_forecast": _TPCH_Q6_SQL,
         "tpch_q14_promo": _TPCH_Q14_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,

@@ -107,6 +107,8 @@ HEADLINE = [
     "fuzzy_join",
     "bm25_search",
     "embedding_drift",
+    "tpch_q21_waiting",
+    "tpch_q16_suppcnt",
 ]
 
 
