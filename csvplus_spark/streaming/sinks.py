@@ -157,3 +157,39 @@ def foreach_batch_expectations(stream: DataFrame, rules: dict,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_drift(stream: DataFrame, reference: DataFrame,
+                        report_path: str, checkpoint: str,
+                        vec_col: str = "embedding",
+                        trigger_available_now: bool = True):
+    """Per-micro-batch EMBEDDING drift telemetry: compare every
+    arriving batch of vectors against a fixed reference corpus with
+    :func:`~csvplus_spark.operators.profile.embedding_drift` and
+    append the per-dimension report (plus ``batch_id``) to a parquet
+    monitoring table — the streaming answer to "did the encoder /
+    upstream distribution move" while embeddings land.
+
+    The reference side's moments are recomputed per batch from the
+    (lazy) reference frame; pass a small aggregated reference or a
+    cached frame when batches are frequent. Same idempotence contract
+    as :func:`foreach_batch_expectations` (reports key on batch_id).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import embedding_drift
+
+    def _report(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return  # no vectors in this batch — nothing to report
+        rep = embedding_drift(reference, batch, vec_col=vec_col) \
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        rep.write.mode("append").parquet(report_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_report)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
