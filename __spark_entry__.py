@@ -1124,6 +1124,35 @@ def q_cluster_balance(spark, sf_dir):
         .select("vec_id", "cell", "label")
 
 
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio decode end-to-end: deterministic 16-bit PCM WAVs
+    are encoded per doc_id and decoded back through the real_codec
+    mapInPandas path (operators/wavcodec.py — pure struct, works in
+    this container). The oracle replays the integer sample formula:
+    peak/Σs² are exact integer math, duration integer µs, rms one
+    sqrt + round(6)."""
+    from csvplus_spark.operators.multimodal import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.wavcodec import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                n = int(did) % 50 + 10
+                samples = [((int(did) * 31 + i * 17) % 65536) - 32768
+                           for i in range(n)]
+                blobs.append(encode_wav(8000, 1, 16, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
+
+    blobs = docs.mapInPandas(make, "media_id long, data binary")
+    return decode_audio(blobs, real_codec=True)
+
+
 def q_embedding_drift(spark, sf_dir):
     """Per-dimension embedding drift monitor (operators/profile.py::
     embedding_drift) between the even- and odd-id halves — quantized-
@@ -2069,6 +2098,25 @@ c AS (
 SELECT doc_id, lang, n_chars FROM c
 WHERE (CAST(cum + w AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
     > (CAST(cum AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
+"""
+
+
+_MULTIMODAL_WAV_SQL = """
+WITH s AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp
+  FROM (SELECT doc_id, (doc_id % 50) + 10 AS n FROM documents),
+       UNNEST(range(0, n)) AS u(i)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n, MAX(abs(smp)) AS peak,
+         SUM(smp * smp) AS ss
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+       n AS n_frames, n * 1000000 // 8000 AS duration_us, peak,
+       ROUND(sqrt(CAST(ss AS DOUBLE) / n) / 32768.0, 6) AS rms
+FROM agg
 """
 
 
@@ -3825,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
+        "multimodal_wav": q_multimodal_wav,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -4057,6 +4106,7 @@ LIMIT 20
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
+        "multimodal_wav": _MULTIMODAL_WAV_SQL,
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

@@ -109,6 +109,7 @@ HEADLINE = [
     "embedding_drift",
     "tpch_q21_waiting",
     "tpch_q16_suppcnt",
+    "multimodal_wav",
 ]
 
 

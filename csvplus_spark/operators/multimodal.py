@@ -328,3 +328,76 @@ def repartition_for_blobs(df: DataFrame, avg_blob_bytes: int,
     if n is None:
         n = df.count()
     return df.repartition(max(1, int(n / rows_per_part)))
+
+
+def decode_audio_stub(real_codec: bool = False) -> Callable:
+    """Batch audio decode for mapInPandas: binary →
+    (sample_rate, channels, n_frames, duration_us, peak, rms).
+
+    ``real_codec=True`` decodes REAL bytes through the built-in
+    pure-Python PCM WAV codec (operators/wavcodec.py — struct only,
+    works in THIS container); non-WAV blobs raise an honest
+    NotImplementedError (no audio lib here decodes mp3/ogg).
+    ``real_codec=False`` derives deterministic fake stats from the
+    blob's md5 — plumbing tests without any codec.
+
+    duration_us is integer µs (n_frames·1e6 // rate — exact), peak is
+    the max |sample| integer, rms = sqrt(Σs²/n)/2^(bits-1) rounded 6
+    — Σs² is an exact integer sum, so the whole row is
+    oracle-replayable.
+    """
+
+    def decode(batches) -> Iterator:
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                blob = bytes(blob)
+                if real_codec:
+                    from . import wavcodec
+
+                    if not wavcodec.is_wav(blob):
+                        raise NotImplementedError(
+                            "real_codec=True but blob is not RIFF/WAVE "
+                            "(the built-in pure-Python codec handles PCM "
+                            "WAV only; no mp3/ogg decoder exists in this "
+                            "container — use real_codec=False for "
+                            "plumbing tests)")
+                    (rate, ch, bits, n_frames), samples = \
+                        wavcodec.decode_wav(blob)
+                    n = len(samples)
+                    peak = max((abs(s) for s in samples), default=0)
+                    ss = sum(s * s for s in samples)
+                    full = float(1 << (bits - 1))
+                    rms = round(math.sqrt(ss / n) / full, 6) if n else 0.0
+                else:
+                    h = hashlib.md5(blob).digest()
+                    rate, ch = 8000, 1 + h[0] % 2
+                    n_frames = 10 + h[1]
+                    peak, rms = h[2] * 128, round(h[3] / 255.0, 6)
+                rows.append((mid, rate, ch, n_frames,
+                             n_frames * 1_000_000 // rate, peak, rms))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "channels", "n_frames",
+                "duration_us", "peak", "rms"])
+
+    return decode
+
+
+AUDIO_FEATURES_DDL = ("media_id long, sample_rate long, channels long, "
+                      "n_frames long, duration_us long, peak long, "
+                      "rms double")
+
+
+def decode_audio(df: DataFrame, binary_col: str = "data",
+                 real_codec: bool = False) -> DataFrame:
+    """Audio metadata/features over a binary column via Arrow-batched
+    mapInPandas (schema: AUDIO_FEATURES_DDL). See decode_audio_stub
+    for the real-vs-stub contract."""
+    cols = df.select("media_id", F.col(binary_col).alias("data"))
+    return cols.mapInPandas(decode_audio_stub(real_codec),
+                            AUDIO_FEATURES_DDL)

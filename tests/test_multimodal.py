@@ -221,3 +221,58 @@ def test_real_codec_png_without_pillow(spark):
     assert (w, h, ch) == (8, 6, 3) and len(px) == 8 * 6 * 3
     # nearest-neighbor: corner pixel survives exactly
     assert px[:3] == _px[:3]
+
+
+def test_wavcodec_roundtrip_all_depths():
+    """Pure-Python WAV codec: encode→decode identity for 8/16/24/32
+    bit PCM incl. sign extension and odd data-chunk padding; malformed
+    and compressed inputs raise."""
+    import random
+    import struct
+
+    from csvplus_spark.operators.wavcodec import (decode_wav, encode_wav,
+                                                  is_wav, wav_info)
+
+    for bits in (8, 16, 24, 32):
+        rng = random.Random(bits)
+        lim = 1 << (bits - 1)
+        samples = [rng.randrange(-lim, lim) for _ in range(101 * 2)]
+        blob = encode_wav(8000, 2, bits, samples)
+        assert is_wav(blob)
+        info, back = decode_wav(blob)
+        assert info == (8000, 2, bits, 101)
+        assert back == samples
+    with pytest.raises(ValueError):
+        wav_info(b"not a wav at all")
+    # format code 3 (float) is honestly rejected
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        wav_info(blob)
+
+
+def test_decode_audio_real_and_stub(spark):
+    """decode_audio: real_codec decodes actual WAV bytes through
+    mapInPandas with exact integer stats; non-WAV blobs under
+    real_codec raise the honest env-gate; the stub stays
+    deterministic."""
+    from csvplus_spark.operators.multimodal import decode_audio
+    from csvplus_spark.operators.wavcodec import encode_wav
+
+    samples = [0, 100, -200, 300, -32768, 32767]
+    blob = encode_wav(16000, 1, 16, samples)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, data binary")
+    r = decode_audio(df, real_codec=True).collect()[0]
+    assert (r.sample_rate, r.channels, r.n_frames) == (16000, 1, 6)
+    assert r.peak == 32768
+    assert r.duration_us == 6 * 1_000_000 // 16000
+    bad = spark.createDataFrame([(2, bytearray(b"mp3junk" * 4))],
+                                "media_id long, data binary")
+    with pytest.raises(Exception) as ei:
+        decode_audio(bad, real_codec=True).collect()
+    assert "RIFF/WAVE" in str(ei.value)
+    stub = decode_audio(df, real_codec=False).collect()[0]
+    assert stub.sample_rate == 8000 and stub.n_frames >= 10
