@@ -1153,6 +1153,31 @@ def q_multimodal_wav(spark, sf_dir):
     return decode_audio(blobs, real_codec=True)
 
 
+def q_multimodal_mp4(spark, sf_dir):
+    """REAL video-container metadata end-to-end: minimal ISO-BMFF
+    streams (ftyp + moov/mvhd, both mvhd versions) are synthesized
+    per doc_id and parsed back through the real_codec box walker
+    (operators/multimodal.py::mp4_info — pure struct). The oracle
+    replays the integer duration arithmetic."""
+    from csvplus_spark.operators.multimodal import decode_video_meta
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.multimodal import encode_minimal_mp4
+
+        for pdf in batches:
+            blobs = [encode_minimal_mp4(600, (int(d) % 1000 + 1) * 25,
+                                        version=int(d) % 2)
+                     for d in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
+
+    blobs = docs.mapInPandas(make, "media_id long, data binary")
+    return decode_video_meta(blobs, real_codec=True)
+
+
 def q_embedding_drift(spark, sf_dir):
     """Per-dimension embedding drift monitor (operators/profile.py::
     embedding_drift) between the even- and odd-id halves — quantized-
@@ -2100,6 +2125,13 @@ WHERE (CAST(cum + w AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
     > (CAST(cum AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
 """
 
+
+_MULTIMODAL_MP4_SQL = """
+SELECT doc_id AS media_id, 600 AS timescale,
+       ((doc_id % 1000) + 1) * 25 AS duration_units,
+       (((doc_id % 1000) + 1) * 25) * 1000000 // 600 AS duration_us
+FROM documents
+"""
 
 _MULTIMODAL_WAV_SQL = """
 WITH s AS (
@@ -3874,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
+        "multimodal_mp4": q_multimodal_mp4,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -4107,6 +4140,7 @@ LIMIT 20
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,
+        "multimodal_mp4": _MULTIMODAL_MP4_SQL,
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

@@ -110,6 +110,7 @@ HEADLINE = [
     "tpch_q21_waiting",
     "tpch_q16_suppcnt",
     "multimodal_wav",
+    "multimodal_mp4",
 ]
 
 

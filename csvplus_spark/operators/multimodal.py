@@ -401,3 +401,110 @@ def decode_audio(df: DataFrame, binary_col: str = "data",
     cols = df.select("media_id", F.col(binary_col).alias("data"))
     return cols.mapInPandas(decode_audio_stub(real_codec),
                             AUDIO_FEATURES_DDL)
+
+
+def mp4_info(blob: bytes) -> tuple[int, int, int]:
+    """REAL MP4/MOV metadata without ffmpeg: walk the ISO-BMFF box
+    tree (public spec: [size u32][type 4cc][payload]) to moov→mvhd
+    and return (timescale, duration_units, duration_us). Handles
+    mvhd version 0 (u32 times) and 1 (u64), 64-bit box sizes, and
+    raises ValueError on non-BMFF bytes or a missing/short mvhd —
+    metadata only; actual frame DECODE stays honestly env-gated
+    (no video codec exists in this container)."""
+    import struct
+
+    def walk(data: bytes, want: bytes) -> bytes | None:
+        pos = 0
+        while pos + 8 <= len(data):
+            (size,) = struct.unpack_from(">I", data, pos)
+            typ = data[pos + 4:pos + 8]
+            head = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > len(data):
+                    return None
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                head = 16
+            elif size == 0:  # box extends to EOF
+                size = len(data) - pos
+            if size < head or pos + size > len(data):
+                return None
+            if typ == want:
+                return data[pos + head:pos + size]
+            pos += size
+        return None
+
+    if len(blob) < 12 or blob[4:8] not in (b"ftyp", b"moov", b"mdat",
+                                           b"free", b"wide", b"skip"):
+        raise ValueError("not an ISO-BMFF (mp4/mov) stream")
+    moov = walk(blob, b"moov")
+    mvhd = walk(moov, b"mvhd") if moov is not None else None
+    if mvhd is None or len(mvhd) < 20:
+        raise ValueError("missing moov/mvhd box")
+    import struct as _s
+
+    version = mvhd[0]
+    if version == 1:
+        if len(mvhd) < 28:
+            raise ValueError("short mvhd v1")
+        timescale = _s.unpack_from(">I", mvhd, 20)[0]
+        duration = _s.unpack_from(">Q", mvhd, 24)[0]
+    else:
+        timescale = _s.unpack_from(">I", mvhd, 12)[0]
+        duration = _s.unpack_from(">I", mvhd, 16)[0]
+    if timescale <= 0:
+        raise ValueError("mvhd timescale must be positive")
+    return timescale, duration, duration * 1_000_000 // timescale
+
+
+def encode_minimal_mp4(timescale: int, duration: int,
+                       version: int = 0) -> bytes:
+    """Smallest valid-enough BMFF stream carrying an mvhd — the
+    deterministic test/oracle fixture generator (ftyp + moov/mvhd,
+    no tracks; real players reject it, mp4_info round-trips it)."""
+    import struct
+
+    ftyp = b"isom\x00\x00\x02\x00isomiso2"
+    ftyp_box = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+    if version == 1:
+        body = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration))
+    else:
+        body = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+                + struct.pack(">II", timescale, duration))
+    body += b"\x00" * 80  # rate/volume/matrix/next_track padding
+    mvhd_box = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov_box = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    return ftyp_box + moov_box
+
+
+def decode_video_meta(df: DataFrame, binary_col: str = "data",
+                      real_codec: bool = False) -> DataFrame:
+    """Video container metadata over a binary column (mapInPandas):
+    (media_id, timescale, duration_units, duration_us). real_codec
+    parses actual BMFF boxes via mp4_info; the stub derives
+    deterministic fakes from md5."""
+
+    def decode(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                blob = bytes(blob)
+                if real_codec:
+                    ts, dur, us = mp4_info(blob)
+                else:
+                    h = hashlib.md5(blob).digest()
+                    ts = 600
+                    dur = 600 * (1 + h[0])
+                    us = dur * 1_000_000 // ts
+                rows.append((mid, ts, dur, us))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "timescale", "duration_units", "duration_us"])
+
+    cols = df.select("media_id", F.col(binary_col).alias("data"))
+    return cols.mapInPandas(
+        decode, "media_id long, timescale long, duration_units long, "
+                "duration_us long")

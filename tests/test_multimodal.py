@@ -276,3 +276,33 @@ def test_decode_audio_real_and_stub(spark):
     assert "RIFF/WAVE" in str(ei.value)
     stub = decode_audio(df, real_codec=False).collect()[0]
     assert stub.sample_rate == 8000 and stub.n_frames >= 10
+
+
+def test_mp4_info_box_walk(spark):
+    """BMFF walker: both mvhd versions parse; 64-bit largesize boxes
+    and to-EOF boxes traverse; junk and mvhd-less streams raise; the
+    Spark decode path carries exact integer durations."""
+    import struct
+
+    from csvplus_spark.operators.multimodal import (decode_video_meta,
+                                                    encode_minimal_mp4,
+                                                    mp4_info)
+
+    for v in (0, 1):
+        ts, dur, us = mp4_info(encode_minimal_mp4(30000, 90090, version=v))
+        assert (ts, dur, us) == (30000, 90090, 3003000)
+    # a largesize (size==1) free box before moov must be skipped
+    base = encode_minimal_mp4(600, 1200)
+    ftyp, moov = base[:24], base[24:]
+    free = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 20) + b"pad!"
+    assert mp4_info(ftyp + free + moov)[2] == 2_000_000
+    with pytest.raises(ValueError):
+        mp4_info(b"garbage bytes here!!")
+    with pytest.raises(ValueError):
+        mp4_info(ftyp + struct.pack(">I", 8) + b"moov")  # no mvhd
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_minimal_mp4(600, 1500)))],
+        "media_id long, data binary")
+    r = decode_video_meta(df, real_codec=True).collect()[0]
+    assert (r.timescale, r.duration_units, r.duration_us) == (600, 1500,
+                                                              2_500_000)
