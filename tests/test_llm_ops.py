@@ -1856,3 +1856,63 @@ def test_embedding_drift_detects_shift(spark):
     assert drift[0].shift > 10
     assert drift[1].shift < 1 and drift[2].shift < 1
     assert abs(drift[0].mean_r - drift[0].mean_l - 5.0) < 1e-4
+
+
+def test_triangle_randomized_identity(spark):
+    """Randomized pin for the hot-band triangle: over seeded random
+    corpora (template clusters + unique docs), the triangle path must
+    emit EXACTLY the plain path's verified pair set for random
+    cap/splits — including splits larger than any bucket and cap=1
+    (everything hot)."""
+    import random
+
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+
+    for seed, cap, splits in [(11, 1, 3), (12, 4, 17), (13, 2, 2)]:
+        rng = random.Random(seed)
+        rows = []
+        for i in range(36):
+            if rng.random() < 0.6:
+                t = rng.randrange(3)
+                rows.append((i, f"shared template {t} text body repeated "
+                                f"across docs with suffix {i % 2} and "
+                                f"some filler words here"))
+            else:
+                rows.append((i, " ".join(
+                    f"w{rng.randrange(1000)}" for _ in range(12))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        plain = {(r.doc_id_1, r.doc_id_2, r.jaccard) for r in
+                 minhash_dedup_pairs(df, 0.4).collect()}
+        tri = {(r.doc_id_1, r.doc_id_2, r.jaccard) for r in
+               minhash_dedup_pairs(df, 0.4, hot_band_cap=cap,
+                                   hot_band_splits=splits).collect()}
+        assert plain == tri, (seed, cap, splits)
+
+
+def test_weighted_sample_randomized_invariants(spark):
+    """Randomized invariants for systematic resampling: ≤n kept,
+    certainty rows always kept, zero-weight rows never, and the
+    selection is a pure function of (data, n, salt) — two evaluations
+    agree row-for-row."""
+    import random
+
+    from csvplus_spark.operators.sampling import systematic_weighted_sample
+
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        rows = [(i, rng.choice([0, 1, 3, 10, 50, 2000]))
+                for i in range(150)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        n = rng.choice([7, 23])
+        total = sum(w for _, w in rows)
+        kept1 = {r.doc_id for r in
+                 systematic_weighted_sample(df, "w", n, "doc_id").collect()}
+        kept2 = {r.doc_id for r in
+                 systematic_weighted_sample(df, "w", n, "doc_id").collect()}
+        assert kept1 == kept2
+        assert len(kept1) <= n
+        for did, w in rows:
+            if w == 0:
+                assert did not in kept1
+            elif w * n >= total:
+                assert did in kept1, (seed, did, w)
