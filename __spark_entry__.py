@@ -1220,6 +1220,21 @@ def q_fuzzy_join(spark, sf_dir):
                         docs.filter(F.col("doc_id") % 2 == 1), 0.6)
 
 
+def q_fuzzy_join_fast(spark, sf_dir):
+    """Duplication-immune cross-table fuzzy join (operators/dedup.py::
+    minhash_join_collapsed): same oracle as fuzzy_join — outputs are
+    byte-identical by the collapse-identity argument — with band +
+    verify volume shrunk ×(f_L·f_R) on duplicated corpora."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.dedup import minhash_join_collapsed
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return minhash_join_collapsed(docs.filter(F.col("doc_id") % 2 == 0),
+                                  docs.filter(F.col("doc_id") % 2 == 1),
+                                  0.6)
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py::pq_*): m=8
     subspace codebooks (k=8, one quantized-Lloyd round from lowest-id
@@ -3903,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "pq_topk": q_pq_topk,
         "fuzzy_join": q_fuzzy_join,
+        "fuzzy_join_fast": q_fuzzy_join_fast,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
@@ -4137,6 +4153,7 @@ LIMIT 20
         "kmeans": _kmeans_sql(),
         "pq_topk": _pq_topk_sql(),
         "fuzzy_join": _FUZZY_JOIN_SQL,
+        "fuzzy_join_fast": _FUZZY_JOIN_SQL,
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,

@@ -105,6 +105,7 @@ HEADLINE = [
     "tpch_q22_idle",
     "pq_topk",
     "fuzzy_join",
+    "fuzzy_join_fast",
     "bm25_search",
     "embedding_drift",
     "tpch_q21_waiting",

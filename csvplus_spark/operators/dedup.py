@@ -1504,3 +1504,47 @@ def minhash_join(left: DataFrame, right: DataFrame,
         .select(F.col("d1").alias("left_id"),
                 F.col("d2").alias("right_id"), "jaccard")
     )
+
+
+def minhash_join_collapsed(left: DataFrame, right: DataFrame,
+                           threshold: float = 0.6, num_hashes: int = 32,
+                           rows_per_band: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """:func:`minhash_join` with per-side exact-duplicate collapse —
+    byte-identical output, duplication-immune cost (the cross-table
+    sibling of :func:`minhash_dedup_pairs_collapsed`). On corpora
+    with duplication factors f_L, f_R the plain join's candidate AND
+    output volumes scale ×(f_L·f_R) with zero information gain
+    (measured: 30× exact-copy scaling took fuzzy_join 1.74s→15.7s,
+    NOTES r7 probes); here bands and verify run over one
+    representative per normalized-text fingerprint per side, and the
+    verified rep pairs expand through both membership tables with
+    output-sized joins.
+
+    Identity: signatures and exact Jaccard depend only on the text,
+    so (a, b) is a plain-path pair iff (rep_a, rep_b) is a rep-space
+    pair with the same jaccard — including identical-text cross-table
+    pairs, whose reps collide in every band (J = 1.0), provided the
+    text has ≥1 shingle; shingle-free docs never reach banding in
+    EITHER path, so the equality is exact. Pinned by
+    test_minhash_join_collapsed_identity.
+    """
+    exl = exact_dedup(left, text_col, id_col).cache()
+    exr = exact_dedup(right, text_col, id_col).cache()
+    reps_l = left.join(exl.filter(F.col("is_canonical")).select(id_col),
+                       id_col)
+    reps_r = right.join(exr.filter(F.col("is_canonical")).select(id_col),
+                        id_col)
+    rep_pairs = minhash_join(reps_l, reps_r, threshold, num_hashes,
+                             rows_per_band, text_col, id_col)
+    ml = exl.select(F.col("canonical_id").alias("__r__"),
+                    F.col(id_col).alias("__m__"))
+    mr = exr.select(F.col("canonical_id").alias("__r__"),
+                    F.col(id_col).alias("__m__"))
+    return (
+        rep_pairs
+        .join(ml.alias("ma"), F.col("left_id") == F.col("ma.__r__"))
+        .join(mr.alias("mb"), F.col("right_id") == F.col("mb.__r__"))
+        .select(F.col("ma.__m__").alias("left_id"),
+                F.col("mb.__m__").alias("right_id"), "jaccard")
+    )

@@ -1916,3 +1916,26 @@ def test_weighted_sample_randomized_invariants(spark):
                 assert did not in kept1
             elif w * n >= total:
                 assert did in kept1, (seed, did, w)
+
+
+def test_minhash_join_collapsed_identity(spark):
+    """The collapsed cross-table join must equal the plain one on a
+    corpus with exact duplicates on BOTH sides (incl. identical-text
+    cross-table pairs at J=1.0)."""
+    from csvplus_spark.operators.dedup import (minhash_join,
+                                               minhash_join_collapsed)
+
+    tmpl = "the quick brown fox jumps over the lazy dog variant"
+    left = spark.createDataFrame(
+        [(i, f"{tmpl} {i % 2}") for i in range(8)]
+        + [(100, "totally unrelated left document about parquet files")],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(200 + i, f"{tmpl} {i % 2}") for i in range(6)]
+        + [(300, "totally different right document about arrow batches")],
+        "doc_id long, text string")
+    plain = {(r.left_id, r.right_id, r.jaccard) for r in
+             minhash_join(left, right, 0.5).collect()}
+    fast = {(r.left_id, r.right_id, r.jaccard) for r in
+            minhash_join_collapsed(left, right, 0.5).collect()}
+    assert plain == fast and len(plain) >= 8 * 6
