@@ -1220,6 +1220,20 @@ def q_fuzzy_join(spark, sf_dir):
                         docs.filter(F.col("doc_id") % 2 == 1), 0.6)
 
 
+def q_ivf2_seeded(spark, sf_dir):
+    """Two-level seeded IVF (operators/similarity.py::
+    ivf2_seeded_topk): 8 coarse cells × 4 lowest-member sub-cells,
+    probe 3×2 — the coarse→fine codebook shape for corpora past the
+    flat-cell assignment wall (~270M vectors at auto_n_cells'
+    defaults). Every stage (both argmin levels, both probe ranks,
+    exact rerank) is bit-replayed by the oracle."""
+    from csvplus_spark.operators.similarity import ivf2_seeded_topk
+
+    out = ivf2_seeded_topk(load_table(spark, sf_dir, "embeddings").df,
+                           k=5)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 def q_fuzzy_join_fast(spark, sf_dir):
     """Duplication-immune cross-table fuzzy join (operators/dedup.py::
     minhash_join_collapsed): same oracle as fuzzy_join — outputs are
@@ -1386,6 +1400,80 @@ scored AS (
 )
 SELECT query_id, corpus_id,
        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, corpus_id) AS rank,
+       ROUND(sim_raw, 6) AS sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+_IVF2_SEEDED_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent1 AS (SELECT vec_id AS cell, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+ad1 AS (
+  SELECT v.vec_id, cent1.cell,
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                  j -> (v.e[j] - cent1.cv[j]) * (v.e[j] - cent1.cv[j])))
+         AS d2
+  FROM v CROSS JOIN cent1
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+           AS rn FROM ad1) WHERE rn = 1
+),
+subseeds AS (
+  SELECT s.cell AS c1, s.vec_id AS c2, v.e AS sv
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id)
+               AS sn FROM a1) s
+  JOIN v ON s.vec_id = v.vec_id WHERE s.sn <= 4
+),
+fine AS (
+  SELECT vec_id AS corpus_id, c1, c2 FROM (
+    SELECT a1.vec_id, ss.c1, ss.c2,
+           ROW_NUMBER() OVER (PARTITION BY a1.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(v.e) + 1),
+                      j -> (v.e[j] - ss.sv[j]) * (v.e[j] - ss.sv[j]))),
+             ss.c2) AS rn
+    FROM a1 JOIN v ON a1.vec_id = v.vec_id
+    JOIN subseeds ss ON a1.cell = ss.c1) WHERE rn = 1
+),
+p1 AS (
+  SELECT vec_id AS query_id, cell AS c1 FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+           AS rn FROM ad1 WHERE vec_id < 50) WHERE rn <= 3
+),
+p2 AS (
+  SELECT query_id, c1, c2 FROM (
+    SELECT p1.query_id, p1.c1, ss.c2,
+           ROW_NUMBER() OVER (PARTITION BY p1.query_id, p1.c1 ORDER BY
+             list_sum(list_transform(range(1, len(vq.e) + 1),
+                      j -> (vq.e[j] - ss.sv[j]) * (vq.e[j] - ss.sv[j]))),
+             ss.c2) AS rn
+    FROM p1 JOIN subseeds ss ON p1.c1 = ss.c1
+    JOIN v vq ON p1.query_id = vq.vec_id) WHERE rn <= 2
+),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x)))
+          AS n FROM v),
+scored AS (
+  SELECT p2.query_id, f.corpus_id,
+         list_sum(list_transform(range(1, len(vq.e) + 1),
+                  j -> vq.e[j] * vc.e[j])) / (nq.n * nc.n) AS sim_raw
+  FROM p2 JOIN fine f ON p2.c1 = f.c1 AND p2.c2 = f.c2
+  JOIN v vq ON p2.query_id = vq.vec_id
+  JOIN v vc ON f.corpus_id = vc.vec_id
+  JOIN norms nq ON p2.query_id = nq.vec_id
+  JOIN norms nc ON f.corpus_id = nc.vec_id
+  WHERE p2.query_id <> f.corpus_id
+)
+SELECT query_id, corpus_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim_raw DESC, corpus_id) AS rank,
        ROUND(sim_raw, 6) AS sim
 FROM scored
 QUALIFY rank <= 5
@@ -3919,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "fuzzy_join": q_fuzzy_join,
         "fuzzy_join_fast": q_fuzzy_join_fast,
+        "ivf2_seeded": q_ivf2_seeded,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
@@ -4154,6 +4243,7 @@ LIMIT 20
         "pq_topk": _pq_topk_sql(),
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "fuzzy_join_fast": _FUZZY_JOIN_SQL,
+        "ivf2_seeded": _IVF2_SEEDED_SQL,
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,

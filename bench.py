@@ -104,6 +104,7 @@ HEADLINE = [
     "tpch_q19_disjuncts",
     "tpch_q22_idle",
     "pq_topk",
+    "ivf2_seeded",
     "fuzzy_join",
     "fuzzy_join_fast",
     "bm25_search",

@@ -1043,3 +1043,94 @@ def pq_topk(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "rank", "ad2"))
+
+
+def ivf2_seeded_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells1: int = 8,
+    n_cells2: int = 4,
+    n_probe1: int = 3,
+    n_probe2: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_id: int = 50,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """TWO-LEVEL seeded IVF — the codebook shape for corpora where a
+    flat cell count stops working (auto_n_cells caps at 65k because
+    assignment is n·cells; past ~270M vectors you want coarse cells ×
+    per-cell sub-cells instead of a bigger flat codebook). Level 1:
+    ``n_cells1`` lowest-id seeds partition the corpus; level 2: each
+    coarse cell is re-partitioned by its own ``n_cells2`` lowest-id
+    MEMBERS as sub-seeds. Search probes ``n_probe1`` coarse cells,
+    then ``n_probe2`` sub-cells within each — candidate volume
+    ~n·(np1·np2)/(n1·n2) with assignment cost n·(n1+n2), versus
+    n·(n1·n2) for the equivalent flat codebook.
+
+    Fully deterministic (seed = data points, argmin ties on lower
+    cell/sub id, rank ties on corpus id) → the whole pipeline is
+    SQL-replayable, same contract as :func:`ivf_seeded_topk`. Both
+    seed tables are bounded broadcasts (n1 rows; ≤n1·n2 rows); the
+    only data-sized shuffles are the two argmin aggregations and the
+    (c1, c2) candidate equi-join.
+    """
+    v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
+    ad1 = seed_voronoi_distances(v, n_cells1, id_col)
+    w_assign = Window.partitionBy(id_col).orderBy("__d2__", "cell")
+    a1 = (ad1.withColumn("__rn__", F.row_number().over(w_assign))
+          .filter(F.col("__rn__") == 1)
+          .select(id_col, F.col("__vec__").alias("__cv__"), "cell"))
+    # sub-seeds: the n_cells2 lowest-id members of each coarse cell
+    w_sub = Window.partitionBy("cell").orderBy(id_col)
+    subseeds = (a1.withColumn("__sn__", F.row_number().over(w_sub))
+                .filter(F.col("__sn__") <= n_cells2)
+                .select(F.col("cell").alias("__c1__"),
+                        F.col(id_col).alias("__c2__"),
+                        F.col("__cv__").alias("__sv__")))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # fine assignment: argmin over the vector's OWN coarse cell's subs
+    fine_scored = (a1.join(F.broadcast(subseeds),
+                           F.col("cell") == F.col("__c1__"))
+                   .withColumn("__d2__", d2(F.col("__cv__"),
+                                            F.col("__sv__"))))
+    w_fine = Window.partitionBy(id_col).orderBy("__d2__", "__c2__")
+    assign = (fine_scored.withColumn("__rn__",
+                                     F.row_number().over(w_fine))
+              .filter(F.col("__rn__") == 1)
+              .select(F.col(id_col).alias("corpus_id"),
+                      F.col("__cv__").alias("__corpusv__"),
+                      F.col("cell").alias("__c1__"),
+                      F.col("__c2__")))
+    # probes level 1: top coarse cells per query
+    q1 = ad1.filter(F.col(id_col) < query_max_id)
+    w_p1 = Window.partitionBy(id_col).orderBy("__d2__", "cell")
+    probes1 = (q1.withColumn("__rn__", F.row_number().over(w_p1))
+               .filter(F.col("__rn__") <= n_probe1)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("__vec__").alias("__qv__"),
+                       F.col("cell").alias("__c1__")))
+    # probes level 2: top sub-cells within each probed coarse cell
+    p2_scored = (probes1.join(F.broadcast(subseeds), "__c1__")
+                 .withColumn("__d2__", d2(F.col("__qv__"),
+                                          F.col("__sv__"))))
+    w_p2 = Window.partitionBy("query_id", "__c1__") \
+        .orderBy("__d2__", "__c2__")
+    probes2 = (p2_scored.withColumn("__rn__", F.row_number().over(w_p2))
+               .filter(F.col("__rn__") <= n_probe2)
+               .select("query_id", "__qv__", "__c1__", "__c2__"))
+    scored = assign.join(probes2, ["__c1__", "__c2__"])
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = scored.withColumn(
+        "sim", cosine(F.col("__qv__"), F.col("__corpusv__")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "rank", "sim"))

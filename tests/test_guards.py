@@ -27,8 +27,9 @@ import __spark_entry__ as em
 #: back by hash, not cross)
 #: kmeans / cluster_balance broadcast the ≤k-row centroid table each
 #: Lloyd round — bounded fan-out, not a pair explosion
-CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ann_recall", "skew_report",
-                 "temperature_mix", "kmeans", "cluster_balance"}
+CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ivf2_seeded", "ann_recall",
+                 "skew_report", "temperature_mix", "kmeans",
+                 "cluster_balance"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):

@@ -1939,3 +1939,31 @@ def test_minhash_join_collapsed_identity(spark):
     fast = {(r.left_id, r.right_id, r.jaccard) for r in
             minhash_join_collapsed(left, right, 0.5).collect()}
     assert plain == fast and len(plain) >= 8 * 6
+
+
+def test_ivf2_seeded_properties(spark, sf_dir):
+    """Two-level IVF invariants: each query returns ≤k contiguous
+    ranks; results are a subset of the probed fine cells' members;
+    recall vs brute force is nontrivial at the default probe budget."""
+    from csvplus_spark.operators.similarity import (brute_force_topk,
+                                                    ivf2_seeded_topk)
+    from csvplus_spark.sources.parquet import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    res = ivf2_seeded_topk(emb, k=5).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == 50
+    for rows in per_q.values():
+        assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1))
+        assert all(x.query_id != x.corpus_id for x in rows)
+    exact = brute_force_topk(emb.filter(F.col("vec_id") < 50), emb,
+                             k=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(ex[q] & {x.corpus_id for x in per_q.get(q, [])})
+               for q in ex)
+    assert hits / (5 * len(ex)) > 0.3
