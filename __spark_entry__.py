@@ -1178,6 +1178,26 @@ def q_multimodal_mp4(spark, sf_dir):
     return decode_video_meta(blobs, real_codec=True)
 
 
+def q_funnel(spark, sf_dir):
+    """Greedy first-match funnel view→click→purchase within 24h per
+    step (operators/events_analytics.py::funnel_completion): one
+    filtered min-aggregate per step + per-boundary equi-joins, all on
+    the user key — one shuffle lineage, exact unix_micros math."""
+    from csvplus_spark.operators.events_analytics import funnel_completion
+
+    ev = load_table(spark, sf_dir, "events").df
+    return funnel_completion(ev, ["view", "click", "purchase"])
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/events_analytics.py::
+    cohort_retention): cohort = integer-division week of each user's
+    first event; cells count distinct active users per offset."""
+    from csvplus_spark.operators.events_analytics import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events").df)
+
+
 def q_embedding_drift(spark, sf_dir):
     """Per-dimension embedding drift monitor (operators/profile.py::
     embedding_drift) between the even- and odd-id halves — quantized-
@@ -2228,6 +2248,36 @@ WHERE (CAST(cum + w AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
     > (CAST(cum AS HUGEINT) * {n}) // CAST(t AS HUGEINT)
 """
 
+
+_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us
+            FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t1_us FROM ev WHERE t = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT s1.user_id, s1.t1_us, MIN(e.us) AS t2_us
+       FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+         AND e.t = 'click' AND e.us >= s1.t1_us
+         AND e.us <= s1.t1_us + 86400000000
+       GROUP BY s1.user_id, s1.t1_us),
+s3 AS (SELECT s2.user_id, s2.t1_us, s2.t2_us, MIN(e.us) AS t3_us
+       FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+         AND e.t = 'purchase' AND e.us >= s2.t2_us
+         AND e.us <= s2.t2_us + 86400000000
+       GROUP BY s2.user_id, s2.t1_us, s2.t2_us)
+SELECT user_id, t1_us, t2_us, t3_us, t3_us IS NOT NULL AS completed
+FROM s3
+"""
+
+_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+c AS (SELECT user_id, MIN(us) // 604800000000 AS cohort_period
+      FROM ev GROUP BY user_id)
+SELECT c.cohort_period,
+       e.us // 604800000000 - c.cohort_period AS period_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
 
 _MULTIMODAL_MP4_SQL = """
 SELECT doc_id AS media_id, 600 AS timescale,
@@ -4012,6 +4062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_mp4": q_multimodal_mp4,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "cluster_balance": q_cluster_balance,
         "bm25": q_bm25,
         "repeated_spans": q_repeated_spans,
@@ -4248,6 +4300,8 @@ LIMIT 20
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,
         "multimodal_mp4": _MULTIMODAL_MP4_SQL,
+        "funnel": _FUNNEL_SQL,
+        "retention": _RETENTION_SQL,
         "cluster_balance": _cluster_balance_sql(),
         "bm25": _BM25_SQL,
         "repeated_spans": _repeated_spans_sql(),

@@ -37,6 +37,8 @@ HEADLINE = [
     "sim_topk",
     "events_tumbling",
     "events_session",
+    "funnel",
+    "retention",
     "tpch_q3_shipping",
     "tpch_q5_volume",
     "tpch_q10_returns",

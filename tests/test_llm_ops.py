@@ -1967,3 +1967,49 @@ def test_ivf2_seeded_properties(spark, sf_dir):
     hits = sum(len(ex[q] & {x.corpus_id for x in per_q.get(q, [])})
                for q in ex)
     assert hits / (5 * len(ex)) > 0.3
+
+
+def test_funnel_and_retention(spark):
+    """Funnel: greedy first-match semantics incl. the documented miss
+    (a converting SECOND view does not count); step ordering and the
+    within-window bound enforced. Retention: cohort 0 offsets."""
+    import datetime as dt
+
+    from csvplus_spark.operators.events_analytics import (cohort_retention,
+                                                          funnel_completion)
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return T0 + dt.timedelta(hours=h)
+
+    rows = [
+        # u1 completes: view@0 click@1 purchase@2
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: click BEFORE view → not counted; no click after → t2 null
+        (2, ts(0), "click"), (2, ts(1), "view"),
+        # u3: click arrives outside the 24h window
+        (3, ts(0), "view"), (3, ts(30), "click"),
+        # u4: greedy miss — first view's click converts nothing, the
+        # within-window click after view#1 STILL matches (>= t1)
+        (4, ts(0), "view"), (4, ts(5), "view"), (4, ts(6), "click"),
+        # u5 never starts
+        (5, ts(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows],
+        "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in
+           funnel_completion(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].completed and out[1].t3_us > out[1].t2_us > out[1].t1_us
+    assert out[2].t2_us is None and not out[2].completed
+    assert out[3].t2_us is None
+    assert out[4].t2_us is not None and not out[4].completed
+    with pytest.raises(ValueError):
+        funnel_completion(df, ["view"])
+
+    ret = {(r.cohort_period, r.period_offset): r.n_users for r in
+           cohort_retention(df).collect()}
+    # all users' events are in one week → single cohort, offset 0
+    assert len(ret) == 1 and list(ret.values()) == [5]
