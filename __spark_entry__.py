@@ -1240,6 +1240,17 @@ def q_fuzzy_join(spark, sf_dir):
                         docs.filter(F.col("doc_id") % 2 == 1), 0.6)
 
 
+def q_mean_pool(spark, sf_dir):
+    """Group mean-pooling of embeddings per label (operators/
+    similarity.py::mean_pool_embeddings) — quantized-integer means
+    (order-independent, engine-exact), one (group, dim) map-combined
+    aggregate."""
+    from csvplus_spark.operators.similarity import mean_pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    return mean_pool_embeddings(emb, "label")
+
+
 def q_ivf2_seeded(spark, sf_dir):
     """Two-level seeded IVF (operators/similarity.py::
     ivf2_seeded_topk): 8 coarse cells × 4 lowest-member sub-cells,
@@ -1425,6 +1436,20 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+
+_MEAN_POOL_SQL = """
+WITH ex AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(CAST(e[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+  FROM (SELECT label, embedding AS e FROM embeddings),
+       UNNEST(range(1, len(e) + 1)) AS u(i)
+),
+s AS (SELECT label, dim, SUM(q) AS sm, COUNT(*) AS ct
+      FROM ex GROUP BY label, dim)
+SELECT label, list(CAST(sm AS DOUBLE) / ct / 1048576.0 ORDER BY dim)
+       AS pooled, MAX(ct) AS n_members
+FROM s GROUP BY label
+"""
 
 _IVF2_SEEDED_SQL = """
 WITH v AS (
@@ -4058,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "fuzzy_join_fast": q_fuzzy_join_fast,
         "ivf2_seeded": q_ivf2_seeded,
+        "mean_pool": q_mean_pool,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
@@ -4296,6 +4322,7 @@ LIMIT 20
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "fuzzy_join_fast": _FUZZY_JOIN_SQL,
         "ivf2_seeded": _IVF2_SEEDED_SQL,
+        "mean_pool": _MEAN_POOL_SQL,
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,

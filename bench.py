@@ -67,6 +67,7 @@ HEADLINE = [
     "quantize_embeddings",
     "rand_proj",
     "normalize_embeddings",
+    "mean_pool",
     "chunk_docs",
     "pack_sequences",
     "contamination",

@@ -170,3 +170,49 @@ def zorder_write(df, path: str, cols: list[str],
                         out.write.mode("overwrite").parquet(tmp))
     else:
         out.write.mode("overwrite").parquet(path)
+
+
+def merge_upsert(spark: SparkSession, path: str, updates,
+                 key_cols: list[str],
+                 delete_filter=None) -> tuple[int, int]:
+    """Batch MERGE into a plain-parquet table: rows of ``updates`` win
+    over current rows sharing the same key (left-anti + union —
+    exactly the streaming foreachBatch upsert's shape, exposed for
+    batch jobs); ``delete_filter`` (a Column over the CURRENT table)
+    optionally drops matching current rows in the same swap. Returns
+    (rows_before, rows_after).
+
+    Crash safety: the same two-rename swap as the compactor
+    (heal_swap + replace_dataset) — the table is never live-deleted,
+    and a crash in either window heals on the next maintenance call.
+    Bootstrap: a missing table is created from ``updates`` alone —
+    gated on genuine non-existence via the path's own Hadoop FS,
+    never on a failed read. Scale: one anti-join keyed on the merge
+    key + one union write; at a 100 TB table this is the
+    full-table-rewrite MERGE of plain parquet — a transactional
+    format (Delta/Iceberg) replaces the rewrite with file-level
+    commits, which is the right tool past ~TB churn rates.
+    """
+    from ..streaming.sinks import _Fs, heal_swap, replace_dataset
+
+    updates = updates.dropDuplicates(key_cols)
+    fs = _Fs(spark, path)
+    heal_swap(fs, path)
+    if not fs.exists(path):
+        updates.write.mode("overwrite").parquet(path)
+        n = updates.count()
+        return 0, n
+    current = spark.read.parquet(path)
+    n_before = current.count()
+    kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
+    if delete_filter is not None:
+        kept = kept.filter(~delete_filter)
+    merged = kept.unionByName(updates)
+    # ordering note: replace_dataset writes the WHOLE merge to the tmp
+    # dir FIRST and only then renames `path` aside — the lazy read of
+    # `path` inside `merged` always sees the original files (same
+    # contract the streaming upsert relies on)
+    replace_dataset(fs, path, lambda tmp:
+                    merged.write.mode("overwrite").parquet(tmp))
+    n_after = spark.read.parquet(path).count()
+    return n_before, n_after

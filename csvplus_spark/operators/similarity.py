@@ -1134,3 +1134,38 @@ def ivf2_seeded_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "rank", "sim"))
+
+
+def mean_pool_embeddings(df: DataFrame, group_col: str,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Group mean-pooling of vectors — chunk→document pooling, label
+    centroids, cohort prototypes: one row per group with the
+    element-wise mean embedding and the member count.
+
+    Determinism: the same quantized-integer mean as kmeans_assign
+    (floor(x·2^20) bigint sums, see KMEANS_Q) — float-order-
+    independent, engine-exact, so pooled vectors are stable under any
+    partitioning and SQL-replayable. Shape: one posexplode + one
+    (group, dim) map-combined aggregate + one collect_list bounded by
+    the dimension count. NULL vectors are skipped (groups with only
+    NULLs are absent)."""
+    ex = (df.select(F.col(group_col).alias("__g__"),
+                    F.posexplode(F.transform(F.col(vec_col),
+                                             lambda x: x.cast("double")))
+                    .alias("dim", "x"))
+          .withColumn("__q__",
+                      F.floor(F.col("x") * F.lit(KMEANS_Q)).cast("long")))
+    sums = (ex.groupBy("__g__", "dim")
+            .agg(F.sum("__q__").alias("__s__"),
+                 F.count(F.lit(1)).alias("__c__")))
+    return (sums.groupBy("__g__")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim", "__s__", "__c__")))
+                .alias("__a__"),
+                F.max("__c__").alias("n_members"))
+            .select(F.col("__g__").alias(group_col),
+                    F.transform(F.col("__a__"),
+                                lambda t: t["__s__"].cast("double")
+                                / t["__c__"] / F.lit(KMEANS_Q))
+                    .alias("pooled"),
+                    F.col("n_members")))

@@ -2013,3 +2013,50 @@ def test_funnel_and_retention(spark):
            cohort_retention(df).collect()}
     # all users' events are in one week → single cohort, offset 0
     assert len(ret) == 1 and list(ret.values()) == [5]
+
+
+def test_merge_upsert_batch(spark, tmp_path):
+    """Batch MERGE: update-wins by key, inserts appended, optional
+    delete_filter applied to the current side, bootstrap on a missing
+    table, and counts reported."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, name string, v long")
+    b0, a0 = merge_upsert(spark, path, base, ["id"])
+    assert (b0, a0) == (0, 3)
+    upd = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, name string, v long")
+    b1, a1 = merge_upsert(spark, path, upd, ["id"])
+    assert (b1, a1) == (3, 4)
+    rows = {r.id: (r.name, r.v)
+            for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
+                    4: ("d", 40)}
+    # delete rows with v >= 200 from the current side while upserting 1
+    # (current: 1:10, 2:200, 3:30, 4:40 → 2 deleted, 1 replaced)
+    upd2 = spark.createDataFrame([(1, "A", 100)],
+                                 "id long, name string, v long")
+    b2, a2 = merge_upsert(spark, path, upd2, ["id"],
+                          delete_filter=F.col("v") >= 200)
+    rows2 = {r.id for r in spark.read.parquet(path).collect()}
+    assert rows2 == {1, 3, 4} and (b2, a2) == (4, 3)
+
+
+def test_mean_pool_embeddings(spark):
+    """Pooled vector = exact quantized mean per dimension; singleton
+    groups return (approximately) the member; NULL vectors skipped."""
+    from csvplus_spark.operators.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [7.0, 9.0]),
+         (3, None)],
+        "g long, embedding array<float>")
+    out = {r.g: r for r in mean_pool_embeddings(df, "g").collect()}
+    assert out[1].pooled == [2.0, 4.0] and out[1].n_members == 2
+    assert out[2].pooled == [7.0, 9.0] and out[2].n_members == 1
+    assert 3 not in out
