@@ -1299,6 +1299,19 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(probes, codes, cb, k=5, m=8)
 
 
+def q_linear_scorer(spark, sf_dir):
+    """Trainable hashed-feature quality scorer (operators/text.py::
+    hashed_linear_scorer): diagonal ridge of the 'en' label on hashed
+    unigram counts — exact integer sufficient statistics, ≤1024-row
+    broadcast model, bucket-ordered scoring fold."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.text import hashed_linear_scorer
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return hashed_linear_scorer(docs, F.col("lang") == "en")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Systematic weighted sampling (operators/sampling.py::
     systematic_weighted_sample): keep ~100 docs with probability
@@ -2394,6 +2407,32 @@ sc AS (
 )
 SELECT doc_id, n_terms, score FROM sc
 ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _linear_scorer_sql(n_buckets: int = 1024, l2: float = 1.0,
+                       ndigits: int = 6) -> str:
+    h = _HASH60_SQL.format(x="term")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(t) AS term
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+),
+fb AS (SELECT doc_id, y, {h} % {n_buckets} AS b FROM tok),
+xb AS (SELECT doc_id, y, b, COUNT(*) AS x FROM fb
+       GROUP BY doc_id, y, b),
+st AS (SELECT b, SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xb
+       GROUP BY b),
+m AS (SELECT b, CAST(sxy AS DOUBLE) / (sxx + {l2}) AS w FROM st),
+per AS (
+  SELECT doc_id, list(x * w ORDER BY b) AS ts, SUM(x) AS n_tokens
+  FROM xb JOIN m USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(ROUND(list_reduce(p.ts, (a, c) -> a + c), {ndigits}),
+                0.0) AS lin_score
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
@@ -4084,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_fast": q_fuzzy_join_fast,
         "ivf2_seeded": q_ivf2_seeded,
         "mean_pool": q_mean_pool,
+        "linear_scorer": q_linear_scorer,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
@@ -4323,6 +4363,7 @@ LIMIT 20
         "fuzzy_join_fast": _FUZZY_JOIN_SQL,
         "ivf2_seeded": _IVF2_SEEDED_SQL,
         "mean_pool": _MEAN_POOL_SQL,
+        "linear_scorer": _linear_scorer_sql(),
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,

@@ -99,6 +99,7 @@ HEADLINE = [
     "approx_quantiles",
     "bigram_lm",
     "dsir",
+    "linear_scorer",
     "weighted_sample",
     "kmeans",
     "cluster_balance",

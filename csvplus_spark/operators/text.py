@@ -1192,3 +1192,63 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 10,
     return (scored
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def hashed_linear_scorer(df: DataFrame, label: Column,
+                         n_buckets: int = 1024, l2: float = 1.0,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         ndigits: int = 6) -> DataFrame:
+    """Trainable quality scorer: DIAGONAL ridge regression of a 0/1
+    label on hashed unigram counts — the supervised sibling of
+    :func:`dsir_logweights` (fastText-lite: independent per-feature
+    least squares, ``w_b = Σ(x_b·y) / (Σx_b² + λ)``, score =
+    ``Σ_b w_b·x_b(doc)``). Diagonal (no cross-feature solve) keeps
+    the whole model SQL-replayable: the sufficient statistics are
+    EXACT INTEGER sums per bucket (counts × 0/1 labels), the weight
+    is one division, and the per-doc score is a bucket-ordered fold
+    rounded to absorb nothing — every input is integer-derived, but
+    round(ndigits) keeps parity with the house emission style.
+
+    Model size is ≤n_buckets rows at any corpus scale (broadcast) —
+    the same hashing-trick scale story as DSIR: one explode, one
+    map-combined (bucket, Σxy, Σxx) aggregate, one broadcast scoring
+    join. Returns ``(id_col, n_tokens, lin_score)``; token-less docs
+    score 0.0.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"hashed_linear_scorer: n_buckets must be > 0,"
+                         f" got {n_buckets}")
+    tok = df.select(F.col(id_col), label.cast("int").alias("__y__"),
+                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+    feats = tok.withColumn(
+        "__b__", F.pmod(hash60(F.col("term")), F.lit(n_buckets)))
+    # per (doc, bucket) counts first: Σx² needs the square of the
+    # PER-DOC count, not the corpus occurrence count
+    xb = feats.groupBy(id_col, "__y__", "__b__").agg(
+        F.count(F.lit(1)).alias("__x__"))
+    stats = xb.groupBy("__b__").agg(
+        F.sum(F.col("__x__") * F.col("__y__")).alias("__sxy__"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"))
+    w = (F.col("__sxy__").cast("double")
+         / (F.col("__sxx__") + F.lit(l2)))
+    model = stats.select("__b__", w.alias("__w__"))  # ≤ n_buckets rows
+    per_doc = (
+        xb.join(F.broadcast(model), "__b__")
+        .groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("__b__",
+                                    (F.col("__x__") * F.col("__w__"))
+                                    .alias("__t__")))).alias("__a__"),
+             F.sum("__x__").alias("n_tokens"))
+    )
+    fold = F.aggregate(F.col("__a__"), F.lit(0.0),
+                       lambda acc, s: acc + s["__t__"])
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+                .alias("n_tokens"),
+                F.coalesce(F.round(fold, ndigits), F.lit(0.0))
+                .alias("lin_score"))
+    )

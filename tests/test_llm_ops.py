@@ -2060,3 +2060,28 @@ def test_mean_pool_embeddings(spark):
     assert out[1].pooled == [2.0, 4.0] and out[1].n_members == 2
     assert out[2].pooled == [7.0, 9.0] and out[2].n_members == 1
     assert 3 not in out
+
+
+def test_hashed_linear_scorer_separates_labels(spark):
+    """The diagonal-ridge scorer must score label-1-vocabulary docs
+    above label-0 docs on held-in data, and a bucket's weight must be
+    exactly Σxy/(Σx²+λ)."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.text import hashed_linear_scorer
+
+    rows = ([(i, "alpha beta gamma delta", True) for i in range(5)]
+            + [(10 + i, "omega psi chi phi", False) for i in range(5)]
+            + [(100, "alpha beta unseen words", False),
+               (101, "", False)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r.doc_id: r for r in
+           hashed_linear_scorer(df, F.col("y"), n_buckets=4096).collect()}
+    pos = min(out[i].lin_score for i in range(5))
+    neg = max(out[10 + i].lin_score for i in range(5))
+    assert pos > neg
+    # doc 100 shares positive vocabulary → scores above pure-negative
+    assert out[100].lin_score > neg
+    assert out[101].n_tokens == 0 and out[101].lin_score == 0.0
+    with pytest.raises(ValueError):
+        hashed_linear_scorer(df, F.col("y"), n_buckets=0)
