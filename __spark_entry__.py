@@ -1240,6 +1240,20 @@ def q_fuzzy_join(spark, sf_dir):
                         docs.filter(F.col("doc_id") % 2 == 1), 0.6)
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer PageRank over the MinHash near-dup graph (operators/
+    graph.py::integer_pagerank): duplicate-cluster centrality, 3
+    rounds, rational 17/20 damping — every mass quantity an exact
+    int64, so the whole trajectory (and the upstream LSH pair set) is
+    bit-replayed by the oracle."""
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+    from csvplus_spark.operators.graph import integer_pagerank
+
+    docs = load_table(spark, sf_dir, "documents").df
+    edges = minhash_dedup_pairs(docs, 0.6)
+    return integer_pagerank(edges)
+
+
 def q_mean_pool(spark, sf_dir):
     """Group mean-pooling of embeddings per label (operators/
     similarity.py::mean_pool_embeddings) — quantized-integer means
@@ -1447,6 +1461,49 @@ SELECT query_id, corpus_id,
        ROUND(sim_raw, 6) AS sim
 FROM scored
 QUALIFY rank <= 5
+"""
+
+
+def _pagerank_sql(iters: int = 3, num: int = 17, den: int = 20,
+                  q: int = 1 << 40, ndigits: int = 6) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        rounds.append(f"""c{i} AS (SELECT e.d AS node, {p}.q // {p}.deg AS c
+        FROM e JOIN {p} ON e.s = {p}.s),
+i{i} AS (SELECT node, SUM(c) AS m FROM c{i} GROUP BY node),
+pr{i} AS MATERIALIZED (SELECT {p}.s, {p}.deg,
+          ({num} * COALESCE(i{i}.m, 0)) // {den}
+          + ({den - num} * ({q} // (SELECT n FROM nn))) // {den} AS q
+          FROM {p} LEFT JOIN i{i} ON {p}.s = i{i}.node)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+{_minhash_cte_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+   AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM (
+    SELECT d1, d2,
+           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
+           len(s1.sh) AS n1, len(s2.sh) AS n2
+    FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id)
+  WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
+),
+e AS MATERIALIZED (SELECT d1 AS s, d2 AS d FROM pairs WHERE d1 <> d2
+      UNION SELECT d2, d1 FROM pairs WHERE d1 <> d2),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS MATERIALIZED (SELECT s, deg, {q} // (SELECT n FROM nn) AS q FROM deg),
+{chain}
+SELECT s AS node, ROUND(q / {float(q)}, {ndigits}) AS pr FROM pr{iters}
 """
 
 
@@ -4124,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf2_seeded": q_ivf2_seeded,
         "mean_pool": q_mean_pool,
         "linear_scorer": q_linear_scorer,
+        "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
@@ -4364,6 +4422,7 @@ LIMIT 20
         "ivf2_seeded": _IVF2_SEEDED_SQL,
         "mean_pool": _MEAN_POOL_SQL,
         "linear_scorer": _linear_scorer_sql(),
+        "pagerank": _pagerank_sql(),
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,

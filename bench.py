@@ -44,6 +44,7 @@ HEADLINE = [
     "tpch_q10_returns",
     "dedup_clusters",
     "dedup_clusters_fast",
+    "pagerank",
     "tfidf",
     "simhash_pairs",
     "simhash_pairs60",

@@ -2085,3 +2085,25 @@ def test_hashed_linear_scorer_separates_labels(spark):
     assert out[101].n_tokens == 0 and out[101].lin_score == 0.0
     with pytest.raises(ValueError):
         hashed_linear_scorer(df, F.col("y"), n_buckets=0)
+
+
+def test_integer_pagerank_properties(spark):
+    """Integer PageRank: a hub (star center) out-ranks leaves; an
+    isolated clique splits mass evenly; total mass ≈ 1 (integer-div
+    remainders only); deterministic across evaluations."""
+    from csvplus_spark.operators.graph import integer_pagerank
+
+    edges = spark.createDataFrame(
+        # star: 0 at center of 1..4; clique: 10-11-12 triangle
+        [(0, i) for i in range(1, 5)]
+        + [(10, 11), (11, 12), (10, 12)],
+        "doc_id_1 long, doc_id_2 long")
+    out = {r.node: r.pr for r in integer_pagerank(edges).collect()}
+    assert out[0] > out[1]
+    assert out[1] == out[2] == out[3] == out[4]
+    assert out[10] == out[11] == out[12]
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    out2 = {r.node: r.pr for r in integer_pagerank(edges).collect()}
+    assert out == out2
+    with pytest.raises(ValueError):
+        integer_pagerank(edges, damping_num=21)
