@@ -1254,6 +1254,65 @@ def q_pagerank(spark, sf_dir):
     return integer_pagerank(edges)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts of the MinHash near-dup graph
+    (operators/graph.py::triangle_count): oriented wedge join +
+    closure check — the cohesion diagnostic separating duplicate
+    cliques from false-positive bridges."""
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+    from csvplus_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return triangle_count(minhash_dedup_pairs(docs, 0.6))
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (supplier nation, order year) — a
+    4-fact/dim join tree (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
+    nation) with broadcast dims and ONE fact shuffle; profit =
+    exact integer-cents revenue minus a cost term (adapted: no
+    partsupp supplycost column — cost = retailprice·qty)."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df \
+        .filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier").df
+    n = load_table(spark, sf_dir, "nation").df
+    o = load_table(spark, sf_dir, "orders").df
+    amount = (_cents("l_extendedprice")
+              * (F.lit(100) - _cents("l_discount"))
+              - _cents("p_retailprice") * F.lit(100)
+              * F.col("l_quantity").cast("long"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(amount) / F.lit(10000.0)).alias("profit"))
+    )
+
+
+def q_window_lead_ntile(spark, sf_dir):
+    """Window-function breadth: lead/lag deltas and quartile ntile
+    over each customer's order history — partitioned windows only
+    (parallel per customer), exact integer cents and epoch µs."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").df
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    us = F.unix_micros(F.col("o_orderdate"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        us.alias("order_us"),
+        (F.lead(us).over(w) - us).alias("gap_to_next_us"),
+        (_cents("o_totalprice")
+         - F.lag(_cents("o_totalprice")).over(w)).alias("price_delta_c"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_mean_pool(spark, sf_dir):
     """Group mean-pooling of embeddings per label (operators/
     similarity.py::mean_pool_embeddings) — quantized-integer means
@@ -1464,6 +1523,50 @@ QUALIFY rank <= 5
 """
 
 
+def _minhash_pairs_cte(threshold: float = 0.6) -> str:
+    """WITH-body computing MATERIALIZED `pairs` (d1 < d2, verified
+    jaccard >= threshold) — the shared edge source of the graph
+    oracles (pagerank, triangles). Mirrors _MINHASH_SQL exactly."""
+    return f"""sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+{_minhash_cte_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+   AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM (
+    SELECT d1, d2,
+           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
+           len(s1.sh) AS n1, len(s2.sh) AS n2
+    FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id)
+  WHERE i * 1.0 / (n1 + n2 - i) >= {threshold}
+)"""
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()},
+e AS MATERIALIZED (
+  SELECT LEAST(d1, d2) AS a, GREATEST(d1, d2) AS b FROM pairs
+  WHERE d1 <> d2 GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM e x JOIN e y ON x.b = y.a
+  JOIN e z ON x.a = z.a AND y.b = z.b
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+"""
+
+
 def _pagerank_sql(iters: int = 3, num: int = 17, den: int = 20,
                   q: int = 1 << 40, ndigits: int = 6) -> str:
     rounds = []
@@ -1506,6 +1609,33 @@ pr0 AS MATERIALIZED (SELECT s, deg, {q} // (SELECT n FROM nn) AS q FROM deg),
 SELECT s AS node, ROUND(q / {float(q)}, {ndigits}) AS pr FROM pr{iters}
 """
 
+
+_TPCH_Q9_SQL = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT))
+           - CAST(floor(p.p_retailprice*100 + 0.5) AS BIGINT) * 100
+             * CAST(l.l_quantity AS BIGINT)) / 10000.0 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+_WINDOW_LEAD_NTILE_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       lead(epoch_us(o_orderdate)) OVER w - epoch_us(o_orderdate)
+         AS gap_to_next_us,
+       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+       - lag(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER w
+         AS price_delta_c,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
 
 _MEAN_POOL_SQL = """
 WITH ex AS (
@@ -4182,6 +4312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_pool": q_mean_pool,
         "linear_scorer": q_linear_scorer,
         "pagerank": q_pagerank,
+        "triangles": q_triangles,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "window_lead_ntile": q_window_lead_ntile,
         "bm25_search": q_bm25_search,
         "embedding_drift": q_embedding_drift,
         "multimodal_wav": q_multimodal_wav,
@@ -4423,6 +4556,9 @@ LIMIT 20
         "mean_pool": _MEAN_POOL_SQL,
         "linear_scorer": _linear_scorer_sql(),
         "pagerank": _pagerank_sql(),
+        "triangles": _triangles_sql(),
+        "tpch_q9_profit": _TPCH_Q9_SQL,
+        "window_lead_ntile": _WINDOW_LEAD_NTILE_SQL,
         "bm25_search": _bm25_search_sql(),
         "embedding_drift": _embedding_drift_sql(),
         "multimodal_wav": _MULTIMODAL_WAV_SQL,

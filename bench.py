@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_fast",
     "pagerank",
+    "triangles",
+    "tpch_q9_profit",
+    "window_lead_ntile",
     "tfidf",
     "simhash_pairs",
     "simhash_pairs60",

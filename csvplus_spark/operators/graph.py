@@ -83,3 +83,38 @@ def integer_pagerank(edges: DataFrame, src: str = "doc_id_1",
     return pr.select(F.col("__s__").alias("node"),
                      F.round(F.col("__q__") / F.lit(float(PR_Q)),
                              ndigits).alias("pr"))
+
+
+def triangle_count(edges: DataFrame, src: str = "doc_id_1",
+                   dst: str = "doc_id_2") -> DataFrame:
+    """Global triangle count + per-node triangle membership of an
+    undirected edge list — the graph-cohesion diagnostic for
+    near-dup graphs (high triangle density = tight duplicate cliques,
+    chains = likely false-positive bridges). Returns one row per
+    node participating in ≥1 triangle: ``(node, n_triangles)``.
+
+    Exact and enumeration-free-ish: edges are oriented low→high id, a
+    wedge join (a<b)⋈(b<c) finds paths a<b<c, and a semi-ish join
+    against the oriented edge set keeps closed wedges — each triangle
+    counted exactly once at its ordered form, then exploded to its 3
+    members for the per-node counts. All equi-joins on ids; the wedge
+    join is the Σdeg² step every distributed triangle counter pays
+    (orientation halves it), integer math throughout.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct().cache())
+    wedge = (e.alias("x").join(e.alias("y"),
+                               F.col("x.b") == F.col("y.a"))
+             .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                     F.col("y.b").alias("c")))
+    tri = wedge.alias("w").join(
+        e.alias("z"),
+        (F.col("w.a") == F.col("z.a"))
+        & (F.col("w.c") == F.col("z.b"))) \
+        .select(F.col("w.a").alias("a"), F.col("w.b").alias("b"),
+                F.col("w.c").alias("c"))
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

@@ -2107,3 +2107,16 @@ def test_integer_pagerank_properties(spark):
     assert out == out2
     with pytest.raises(ValueError):
         integer_pagerank(edges, damping_num=21)
+
+
+def test_triangle_count_exact(spark):
+    """Triangle membership: K4 gives 3 per node; adding a pendant
+    edge adds no triangles; a square (4-cycle) has none."""
+    from csvplus_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9)] + [(10, 11), (11, 12), (12, 13), (13, 10)],
+        "doc_id_1 long, doc_id_2 long")
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
