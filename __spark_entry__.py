@@ -4205,6 +4205,407 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
 """
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional trade volume between two nations
+    by ship year — both nation dims are pre-filtered to the two names
+    and broadcast (each fact row keeps at most the 2×2 name pairs, the
+    disjunctive pair predicate then prunes to the two directions), so
+    the only shuffles are the two fact-sized equi-joins (li⋈o on
+    orderkey, o⋈c on custkey). Exact integer-cents volume."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    o = load_table(spark, sf_dir, "orders").df
+    c = load_table(spark, sf_dir, "customer").df
+    s = load_table(spark, sf_dir, "supplier").df
+    na, nb = "NATION_1", "NATION_2"
+    n = load_table(spark, sf_dir, "nation").df.filter(
+        F.col("n_name").isin(na, nb))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(((F.col("supp_nation") == na) & (F.col("cust_nation") == nb))
+                | ((F.col("supp_nation") == nb)
+                   & (F.col("cust_nation") == na)))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(vol) / F.lit(10000.0)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       SUM(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT)))
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8_share(spark, sf_dir):
+    """TPC-H Q8 shape: market share of one supplier nation among a
+    customer region's purchases of one part type, by order year.
+    share = Σ(volume where supp_nation = N) / Σ(volume) — both sums
+    exact integer cents² aggregated in one pass (conditional sum, no
+    second scan), ONE double division per year at the very end.
+    Dims (part filtered by type, supplier, nation×2, region, and the
+    region-pruned customer lookup) broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    o = load_table(spark, sf_dir, "orders").df
+    s = load_table(spark, sf_dir, "supplier").df
+    p = load_table(spark, sf_dir, "part").df.filter(
+        F.col("p_type") == "ECONOMY")
+    n = load_table(spark, sf_dir, "nation").df
+    r = load_table(spark, sf_dir, "region").df.filter(
+        F.col("r_name") == "ASIA")
+    # customers in the target region: dim⋈dim⋈dim, stays broadcast-size
+    c = (load_table(spark, sf_dir, "customer").df
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("c_custkey"))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"]))
+    target = F.when(F.col("supp_nation") == "NATION_10", vol).otherwise(
+        F.lit(0).cast("long"))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(target).alias("num_c2"), F.sum(vol).alias("den_c2"))
+        .select("o_year",
+                (F.col("num_c2").cast("double")
+                 / F.col("den_c2").cast("double")).alias("mkt_share"),
+                "den_c2")
+    )
+
+
+_TPCH_Q8_SQL = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT)) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_10' THEN vol ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       SUM(vol) AS den_c2
+FROM j GROUP BY o_year
+"""
+
+
+def q_tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers — LEFT join with an extra join-side
+    predicate (priority <> '1-URGENT'), count(o_orderkey) so unmatched
+    customers count 0, then a second tiny-domain aggregate."""
+    c = load_table(spark, sf_dir, "customer").df
+    o = load_table(spark, sf_dir, "orders").df
+    per = (
+        c.join(o, (c["c_custkey"] == o["o_custkey"])
+               & (o["o_orderpriority"] != F.lit("1-URGENT")), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TPCH_Q13_SQL = """
+WITH per AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM per GROUP BY c_count
+"""
+
+
+def q_tpch_q15_topsupp(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier(s) by one quarter's revenue —
+    per-supplier exact-cents² aggregate, scalar max via a broadcast
+    single-row crossJoin (no global sort), equality keeps ALL ties,
+    then the tiny winner set broadcasts into the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    s = load_table(spark, sf_dir, "supplier").df
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey").agg(F.sum(vol).alias("rev_c2"))
+    )
+    mx = rev.agg(F.max("rev_c2").alias("mx_c2"))
+    top = rev.join(F.broadcast(mx)).filter(F.col("rev_c2") == F.col("mx_c2"))
+    return (
+        s.join(F.broadcast(top), s["s_suppkey"] == top["l_suppkey"])
+        .select("s_suppkey", "s_name",
+                (F.col("rev_c2") / F.lit(10000.0)).alias("total_revenue"))
+    )
+
+
+_TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)))
+           AS rev_c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.rev_c2 / 10000.0 AS total_revenue
+FROM supplier s
+JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.rev_c2 = (SELECT MAX(rev_c2) FROM rev)
+"""
+
+
+def q_tpch_q17_smallqty(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity lineitems of one
+    brand's parts — the correlated per-part AVG becomes a per-part
+    (Σqty, count) aggregate joined back to the same fact; the avg
+    comparison qty < 0.2·avg is done in EXACT integers
+    (5·qty·cnt < Σqty — l_quantity is integral in this data), so no
+    float boundary. Both the filtered part dim and the per-part stats
+    table broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df.filter(
+        F.col("p_brand") == "Brand#13")
+    qty = F.col("l_quantity").cast("long")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    stats = branded.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li"))
+    small = (
+        branded.join(F.broadcast(stats),
+                     F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(F.lit(5) * qty * F.col("n_li") < F.col("sum_qty"))
+    )
+    return small.agg(
+        (F.sum(_cents("l_extendedprice")) / F.lit(100.0) / F.lit(7.0))
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"))
+
+
+_TPCH_Q17_SQL = """
+WITH branded AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+),
+stats AS (
+  SELECT l_partkey AS sp_partkey, SUM(qty) AS sum_qty,
+         COUNT(*) AS n_li
+  FROM branded GROUP BY l_partkey
+)
+SELECT SUM(b.price_c) / 100.0 / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM branded b
+JOIN stats s ON b.l_partkey = s.sp_partkey
+WHERE 5 * b.qty * s.n_li < s.sum_qty
+"""
+
+
+def q_tpch_q20_promosupp(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped >50 units of any 'red'
+    part in 1996, restricted to one nation — the nested EXISTS chain
+    becomes aggregate → threshold → LeftSemi into the supplier dim
+    (adapted: no partsupp availqty, the threshold applies to shipped
+    quantity). Part dim filtered+broadcast; the qualifying
+    (supplier, part) table collapses to distinct suppkeys before the
+    semi join, so the probe side is tiny."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df.filter(
+        F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier").df
+    n = load_table(spark, sf_dir, "nation").df.filter(
+        F.col("n_name") == "NATION_3")
+    qual = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped"))
+        .filter(F.col("shipped") > 50)
+        .select("l_suppkey").distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_TPCH_Q20_SQL = """
+WITH qual AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l.l_suppkey, l.l_partkey,
+           SUM(CAST(l.l_quantity AS BIGINT)) AS shipped
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    WHERE year(l.l_shipdate) = 1996
+    GROUP BY l.l_suppkey, l.l_partkey
+  ) WHERE shipped > 50
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+"""
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus split by corpus-unigram LM
+    score (operators/text.py::ccnet_buckets): exact 1/3–2/3 quantiles
+    of the quantized score, one broadcast threshold row, no global
+    sort."""
+    from csvplus_spark.operators.text import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, sf_dir, "documents").df)
+
+
+def _ccnet_sql() -> str:
+    return f"""
+WITH scores AS ({_unigram_lm_sql()}),
+q AS (
+  SELECT doc_id, n_tokens, lp_mean,
+         CAST(floor(lp_mean * 1048576.0) AS BIGINT) AS lq
+  FROM scores
+),
+th AS (SELECT quantile_cont(lq, 1.0/3) AS t1,
+              quantile_cont(lq, 2.0/3) AS t2 FROM q)
+SELECT doc_id, n_tokens, lp_mean,
+       CASE WHEN CAST(lq AS DOUBLE) >= (SELECT t2 FROM th) THEN 'head'
+            WHEN CAST(lq AS DOUBLE) >= (SELECT t1 FROM th) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM q
+"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST near-dup collapse (operators/dedup.py::
+    cluster_representatives): one representative per ngram-Jaccard
+    cluster chosen by n_chars (longest copy wins, ties to smallest
+    id), singletons pass through — the curation-grade alternative to
+    the min-id convention of dedup_clusters."""
+    from csvplus_spark.operators.dedup import (cluster_representatives,
+                                               dup_clusters,
+                                               ngram_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents").df
+    clusters = dup_clusters(ngram_jaccard_pairs(docs, 0.6))
+    return cluster_representatives(docs, clusters,
+                                   F.col("n_chars").cast("long"))
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM npairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM npairs
+),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+),
+cl AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a),
+full_t AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         CAST(d.n_chars AS BIGINT) AS sc
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT cluster_id, doc_id AS rep_id, sc AS rep_score, n_members
+FROM (
+  SELECT cluster_id, doc_id, sc,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY sc DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM full_t
+)
+WHERE rn = 1
+"""
+
+
+def q_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/similarity.py::
+    kcenter_select): 8 farthest-point rounds, each one shuffle-free
+    corpus pass + a scalar max — picks AND coverage radii are
+    engine-exact (sequential d² folds), so the full greedy trajectory
+    is SQL-replayable."""
+    from csvplus_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(load_table(spark, sf_dir, "embeddings").df, 8)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center CTE chain mirroring kcenter_select
+    exactly: lowest-id start, per-round max-filter-min argmax,
+    least() running min-distance, sequential-fold d²."""
+    def d2(src: str, cte: str) -> str:
+        return (f"list_sum(list_transform(range(1, len({src}.e)+1), "
+                f"j -> ({src}.e[j]-{cte}.ce[j])*({src}.e[j]-{cte}.ce[j])))")
+
+    # AS MATERIALIZED is load-bearing: each s{i} is referenced three
+    # times (m{i}, w{i}, s{i+1}) and DuckDB inlines CTEs per reference
+    # — un-materialized, the chain re-evaluates 3^k times (the
+    # PageRank-oracle lesson; 320s → ~1s here)
+    parts = ["""v AS MATERIALIZED (SELECT vec_id AS vid,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+c0 AS MATERIALIZED (SELECT vid AS cid, e AS ce
+                    FROM v ORDER BY vid LIMIT 1),
+s1 AS MATERIALIZED (SELECT vid, e, """ + d2("v", "c0") + """ AS mind2
+       FROM v CROSS JOIN c0)"""]
+    rows = ["SELECT CAST(0 AS INTEGER) AS sel_order, "
+            "(SELECT cid FROM c0) AS vec_id, 0.0 AS radius_d2"]
+    for i in range(1, k):
+        parts.append(f"""m{i} AS MATERIALIZED (SELECT MAX(mind2) AS mx FROM s{i}),
+w{i} AS MATERIALIZED (SELECT MIN(vid) AS cid FROM s{i}
+         WHERE mind2 = (SELECT mx FROM m{i})),
+c{i} AS MATERIALIZED (SELECT v.vid AS cid, v.e AS ce
+         FROM v JOIN w{i} ON v.vid = w{i}.cid)""")
+        if i < k - 1:
+            parts.append(
+                f"""s{i + 1} AS MATERIALIZED (SELECT s{i}.vid, s{i}.e,
+         least(s{i}.mind2, {d2(f's{i}', f'c{i}')}) AS mind2
+         FROM s{i} CROSS JOIN c{i})""")
+        rows.append(f"SELECT CAST({i} AS INTEGER), (SELECT cid FROM w{i}),"
+                    f" (SELECT mx FROM m{i})")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": q_flagship,
@@ -4336,6 +4737,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_suppcnt": q_tpch_q16_suppcnt,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_share": q_tpch_q8_share,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q15_topsupp": q_tpch_q15_topsupp,
+        "tpch_q17_smallqty": q_tpch_q17_smallqty,
+        "tpch_q20_promosupp": q_tpch_q20_promosupp,
+        "ccnet_buckets": q_ccnet_buckets,
+        "dedup_keep_best": q_dedup_keep_best,
+        "kcenter": q_kcenter,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -4580,6 +4990,15 @@ LIMIT 20
         "tpch_q16_suppcnt": _TPCH_Q16_SQL,
         "tpch_q6_forecast": _TPCH_Q6_SQL,
         "tpch_q14_promo": _TPCH_Q14_SQL,
+        "tpch_q7_volume": _TPCH_Q7_SQL,
+        "tpch_q8_share": _TPCH_Q8_SQL,
+        "tpch_q13_custdist": _TPCH_Q13_SQL,
+        "tpch_q15_topsupp": _TPCH_Q15_SQL,
+        "tpch_q17_smallqty": _TPCH_Q17_SQL,
+        "tpch_q20_promosupp": _TPCH_Q20_SQL,
+        "ccnet_buckets": _ccnet_sql(),
+        "dedup_keep_best": _KEEP_BEST_SQL,
+        "kcenter": _kcenter_sql(),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

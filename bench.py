@@ -121,6 +121,15 @@ HEADLINE = [
     "tpch_q16_suppcnt",
     "multimodal_wav",
     "multimodal_mp4",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q13_custdist",
+    "tpch_q15_topsupp",
+    "tpch_q17_smallqty",
+    "tpch_q20_promosupp",
+    "ccnet_buckets",
+    "dedup_keep_best",
+    "kcenter",
 ]
 
 

@@ -915,6 +915,51 @@ def dup_clusters(pairs: DataFrame, id1: str = "doc_id_1", id2: str = "doc_id_2",
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def cluster_representatives(docs: DataFrame, clusters: DataFrame,
+                            score: F.Column, id_col: str = "doc_id") -> DataFrame:
+    """Keep-BEST near-dup collapse: one representative per cluster by
+    QUALITY instead of the min-id convention — the curation-grade
+    variant (pick the longest / highest-scoring copy of each near-dup
+    family, e.g. the un-truncated crawl of a page).
+
+    ``clusters`` is ``dup_clusters`` output (doc_id, cluster_id);
+    documents absent from it (no near-dup edge) are their own
+    singleton clusters via the left-join coalesce. ``score`` is any
+    deterministic Column over ``docs`` (n_chars, a gopher score, a
+    trained quality score); ties break to the SMALLEST doc id, so the
+    pick is total.
+
+    Shape: one equi-join docs⋈clusters (clusters is output-sized) and
+    ONE per-cluster window (row_number + count share the partition
+    key → a single shuffle); clusters are near-dup families, i.e.
+    small and numerous — the window parallelizes across them, nothing
+    is corpus-global. Returns
+    ``(cluster_id, rep_id, rep_score, n_members)``.
+    """
+    from pyspark.sql import Window
+
+    full = (
+        docs.select(F.col(id_col), score.alias("__score__"))
+        .join(clusters, id_col, "left")
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__score__").desc(), F.col(id_col))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        full.select(
+            "cluster_id", F.col(id_col),
+            F.col("__score__"),
+            F.row_number().over(w).alias("__rn__"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("__rn__") == 1)
+        .select("cluster_id", F.col(id_col).alias("rep_id"),
+                F.col("__score__").alias("rep_score"), "n_members")
+    )
+
+
 def dup_clusters_collapsed(docs: DataFrame, threshold: float = 0.6,
                            text_col: str = "text", id_col: str = "doc_id",
                            max_iter: int = 20) -> DataFrame:

@@ -1169,3 +1169,68 @@ def mean_pool_embeddings(df: DataFrame, group_col: str,
                                 / t["__c__"] / F.lit(KMEANS_Q))
                     .alias("pooled"),
                     F.col("n_members")))
+
+
+def kcenter_select(df: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the classic 2-approximation): start from the lowest-id
+    vector, then repeatedly add the point FARTHEST from the selected
+    set. The standard diversity-first data-selection primitive
+    (DeepCore/active-learning coresets): k rows that cover the corpus
+    with the smallest max distance any coreset of size k can
+    2-approximate.
+
+    Returns ``(sel_order, vec_id, radius_d2)`` — ``radius_d2`` is the
+    corpus coverage radius (max min-squared-distance) at the moment
+    the center was chosen, i.e. a monotone non-increasing curve whose
+    tail value bounds the final covering radius within 2×.
+
+    Shape: k passes over the corpus, each pass one broadcast of the
+    single new center + a running ``least(mind2, d²)`` column — no
+    shuffle at all on the corpus (narrow map + one max aggregate per
+    round); the argmax resolves as max-filter-min (scalar broadcast),
+    never a global sort. State is localCheckpointed per round so round
+    i does not replay rounds 0..i-1 (the PageRank lesson). All double
+    arithmetic is sequential left folds — engine-exact, so the whole
+    trajectory (picks AND radii) is SQL-replayable.
+
+    At 100 TB: k linear scans, each embarrassingly parallel; the only
+    driver-sized data is the k single-row centers. For k beyond ~100,
+    batch variants (k-center with per-round multi-pick) trade
+    approximation for fewer passes — out of scope here.
+    """
+    d2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    v = (with_double_vec(df.select(id_col, vec_col))
+         .select(F.col(id_col).alias("vid"), F.col("__vec__").alias("e"))
+         .cache())
+    c = (v.orderBy("vid").limit(1)
+         .select(F.col("vid").alias("cid"), F.col("e").alias("ce")))
+    outs = [c.select(F.lit(0).cast("int").alias("sel_order"),
+                     F.col("cid").alias(id_col),
+                     F.lit(0.0).alias("radius_d2"))]
+    state = (v.crossJoin(F.broadcast(c))
+             .select("vid", "e", d2(F.col("e"), F.col("ce")).alias("mind2")))
+    for i in range(1, k):
+        state = state.localCheckpoint(eager=False)
+        mx = state.agg(F.max("mind2").alias("mx"))
+        win = (state.join(F.broadcast(mx))
+               .filter(F.col("mind2") == F.col("mx"))
+               .agg(F.min("vid").alias("cid")))
+        c = (v.join(F.broadcast(win), F.col("vid") == F.col("cid"))
+             .select("cid", F.col("e").alias("ce")))
+        outs.append(
+            c.join(F.broadcast(mx))
+            .select(F.lit(i).cast("int").alias("sel_order"),
+                    F.col("cid").alias(id_col),
+                    F.col("mx").alias("radius_d2")))
+        state = (state.crossJoin(F.broadcast(c))
+                 .select("vid", "e",
+                         F.least(F.col("mind2"),
+                                 d2(F.col("e"), F.col("ce"))).alias("mind2")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1053,6 +1053,48 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", ndigits: int = 6) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020): score every document with the corpus-unigram LM
+    (:func:`unigram_logprob`), then split the corpus at the exact
+    1/3 and 2/3 quantiles of the score — ``head`` = most probable
+    (cleanest) third, ``tail`` = least. CCNet uses an external KenLM
+    perplexity; this is the self-trained proxy, same bucketing shape.
+
+    Determinism: the quantile runs over the score QUANTIZED to a
+    bigint (``floor(lp_mean·2^20)``) — ``lp_mean`` is already rounded
+    to ``ndigits`` so the quantization is stable, and both engines
+    interpolate percentiles of integers with the same
+    ``lo + (hi−lo)·frac`` double arithmetic. Bucket edges compare the
+    same bigint against the same double, so ties fall identically.
+
+    Shape: the LM score's one explode + two aggregates, plus ONE
+    2-value percentile aggregate whose single row broadcasts back via
+    crossJoin — no global sort, no per-doc window. Returns
+    ``(doc_id, n_tokens, lp_mean, bucket)``.
+    """
+    scores = unigram_logprob(df, text_col, id_col, ndigits)
+    lq = F.floor(F.col("lp_mean") * F.lit(1048576.0)).cast("long")
+    th = (
+        scores.select(lq.alias("__lq__"))
+        .agg(F.expr(
+            "percentile(__lq__, array(1.0D/3.0D, 2.0D/3.0D))")
+            .alias("__th__"))
+        .select(F.col("__th__")[0].alias("__t1__"),
+                F.col("__th__")[1].alias("__t2__"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(th))
+        .select(
+            F.col(id_col), "n_tokens", "lp_mean",
+            F.when(lq.cast("double") >= F.col("__t2__"), F.lit("head"))
+            .when(lq.cast("double") >= F.col("__t1__"), F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )
+
+
 def dsir_logweights(df: DataFrame, target: Column,
                     n_buckets: int = 10_000, text_col: str = "text",
                     id_col: str = "doc_id", ndigits: int = 6) -> DataFrame:

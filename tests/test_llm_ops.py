@@ -2120,3 +2120,53 @@ def test_triangle_count_exact(spark):
         "doc_id_1 long, doc_id_2 long")
     out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_cluster_representatives_keep_best(spark):
+    from csvplus_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], ["doc_id", "n_chars"])
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["doc_id", "cluster_id"])
+    got = {r["cluster_id"]: (r["rep_id"], r["rep_score"], r["n_members"])
+           for r in cluster_representatives(
+               docs, clusters, F.col("n_chars").cast("long")).collect()}
+    # cluster 1: best score 9 tied between 2 and 3 → smallest id wins;
+    # doc 4 has no edge → singleton cluster of itself
+    assert got == {1: (2, 9, 3), 4: (4, 7, 1)}
+
+
+def test_ccnet_buckets_partition_by_score(spark):
+    from csvplus_spark.operators.text import ccnet_buckets
+
+    common = "the cat sat on the mat and the dog sat too"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common + " again"), (3, common + " once more"),
+         (4, "zyx qwv plk jhg"), (5, "mnb vcx asd fgh"),
+         (6, common + " the the the")],
+        ["doc_id", "text"])
+    rows = ccnet_buckets(docs).collect()
+    assert len(rows) == 6 and {r["bucket"] for r in rows} == {
+        "head", "middle", "tail"}
+    by_bucket = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by_bucket[r["bucket"]].append(r["lp_mean"])
+    # buckets are ordered: every head score >= every middle >= every tail
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    # the rare-vocab docs are the tail
+    tail_ids = sorted(r["doc_id"] for r in rows if r["bucket"] == "tail")
+    assert set(tail_ids) <= {4, 5}
+
+
+def test_kcenter_greedy_trajectory(spark):
+    from csvplus_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i + 1, [float(x)]) for i, x in enumerate([0, 1, 10, 11, 20])],
+        "vec_id: long, embedding: array<float>")
+    got = sorted(tuple(r) for r in kcenter_select(df, 3).collect())
+    # start at min id (x=0); farthest is x=20 (d2=400); then x=10
+    # covers the middle (min-d2 100 beats 1, 81)
+    assert got == [(0, 1, 0.0), (1, 5, 400.0), (2, 3, 100.0)]
