@@ -4461,7 +4461,8 @@ def q_tpch_q20_promosupp(spark, sf_dir):
     )
     return (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .join(F.broadcast(qual), s["s_suppkey"] == qual["l_suppkey"],
+              "left_semi")
         .select("s_suppkey", "s_name")
     )
 

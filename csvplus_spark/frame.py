@@ -456,7 +456,8 @@ class Frame:
         return other.select(
             *[other[c].alias(f"__cp_ix_{c}__") for c in other.columns])
 
-    def join(self, index: "Index", *probe_cols: str, broadcast: bool | None = None) -> "Frame":
+    def join(self, index: "Index", *probe_cols: str, broadcast: bool | None = None,
+             assume_fk: bool = False) -> "Frame":
         """Inner equi-join against an Index; possibly 1-to-many.
 
         Reference semantics (csvplus.go:545-583):
@@ -472,15 +473,36 @@ class Frame:
         ``broadcast=True``), else sort-merge — the distributed
         replacement for the reference's per-row binary search
         (csvplus.go:893-897).
+
+        Uniqueness as a Catalyst-visible constraint (SURVEY §4.2):
+        when the index is UNIQUE and contributes no output columns
+        (key-only index whose names the probe side already carries),
+        the inner join cannot multiply rows — it is exactly an
+        existence filter, so it is planned as a LEFT SEMI join
+        instead. Catalyst cannot make this rewrite itself (it has no
+        uniqueness metadata); the semi form ships only key columns to
+        the build side and never materializes matched rows.
+        ``assume_fk=True`` additionally asserts referential integrity
+        (every probe key non-null and present in the index) — then
+        the existence filter passes everything and the join is
+        ELIMINATED outright (returns self; the classic FK + unique-key
+        join elimination). The caller owns that assertion: a violating
+        row that the join would have dropped is KEPT.
         """
         other = self._index_side(index)
-        conds, _ = self._join_conditions(other, index, probe_cols)
+        conds, probe = self._join_conditions(other, index, probe_cols)
+        probe_names = set(self._df.columns)
+        added = [c for c in index.df.columns if c not in probe_names]
+        if index.unique and not added:
+            if assume_fk:
+                return self
+            right = F.broadcast(other) if broadcast or (
+                broadcast is None and index.small) else other
+            return self._wrap(self._df.join(right, _and(conds), "left_semi"))
         right = F.broadcast(other) if broadcast or (broadcast is None and index.small) else other
         joined = self._df.join(right, _and(conds), "inner")
         # probe side wins name collisions; keep both sides otherwise
-        probe_names = set(self._df.columns)
-        out = [other[f"__cp_ix_{c}__"].alias(c)
-               for c in index.df.columns if c not in probe_names]
+        out = [other[f"__cp_ix_{c}__"].alias(c) for c in added]
         out += [self._df[c] for c in self._df.columns]
         return self._wrap(joined.select(*out))
 

@@ -202,3 +202,64 @@ def test_weighted_sample_no_data_sized_window(spark, sf_dir):
     # window whose child is the parquet scan with no aggregate below.
     assert p.count("Window") >= 2
     assert "partial_sum" in p
+
+
+def test_unique_keyonly_join_plans_left_semi(spark):
+    """Uniqueness as a Catalyst-visible constraint: an inner join
+    against a UNIQUE key-only index that adds no output columns is an
+    existence filter — planned as LeftSemi (which Catalyst alone
+    cannot infer without uniqueness metadata)."""
+    from csvplus_spark.frame import Frame
+
+    keys = Frame(spark.createDataFrame([(1,), (2,)], ["k"]))
+    probe = Frame(spark.createDataFrame(
+        [(1, "a"), (1, "b"), (3, "c")], ["k", "v"]))
+    out = probe.join(keys.unique_index_on("k"))
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = sorted((r["k"], r["v"]) for r in out.df.collect())
+    assert got == [(1, "a"), (1, "b")]  # filter only, no multiplication
+
+
+def test_unique_keyonly_join_assume_fk_eliminates(spark):
+    from csvplus_spark.frame import Frame
+
+    keys = Frame(spark.createDataFrame([(1,), (2,), (3,)], ["k"]))
+    probe = Frame(spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["k", "v"]))
+    out = probe.join(keys.unique_index_on("k"), assume_fk=True)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # eliminated outright
+    assert out.df is probe.df
+
+
+def test_nonunique_keyonly_join_stays_inner(spark):
+    """Without uniqueness the same shape MUST stay an inner join —
+    each matching index row multiplies the probe row."""
+    from csvplus_spark.frame import Frame
+
+    keys = Frame(spark.createDataFrame([(1,), (1,)], ["k"]))
+    probe = Frame(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    out = probe.join(keys.index_on("k"))
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    assert out.df.count() == 2
+
+
+def test_tpch_q7_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q7_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # s, n1, n2 at least
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_semi_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q20_promosupp")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_tpch_q15_no_global_sort(spark, sf_dir):
+    # scalar-max + equality keeps ties without a corpus-wide Sort
+    plan = _plan(spark, sf_dir, "tpch_q15_topsupp")
+    assert "TakeOrderedAndProject" not in plan
+    import re
+    assert not re.search(r"Sort \[rev_c2", plan)
