@@ -4607,6 +4607,129 @@ c{i} AS MATERIALIZED (SELECT v.vid AS cid, v.e AS ce
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/sketch.py): 4×1024
+    md5-hashed integer cell grid, exact top-20 terms each emitted with
+    exact count and CMS estimate; the CMS one-sided bound est ≥ exact
+    is ENFORCED in-plan via raise_error (the approx_distinct
+    pattern)."""
+    from csvplus_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "documents").df, 20)
+
+
+_CMS_SQL = f"""
+WITH term_stream AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+),
+cells AS MATERIALIZED (
+  SELECT r.row AS row,
+         {_H60.format(x="CAST(r.row AS VARCHAR) || '|' || term")} % 1024
+           AS bucket,
+         COUNT(*) AS ct
+  FROM term_stream, (VALUES (0), (1), (2), (3)) r(row)
+  GROUP BY 1, 2
+),
+exact AS (SELECT term, COUNT(*) AS exact_ct FROM term_stream GROUP BY term),
+top AS MATERIALIZED (
+  SELECT term, exact_ct FROM exact ORDER BY exact_ct DESC, term LIMIT 20
+)
+SELECT top.term, top.exact_ct, MIN(c.ct) AS cms_est, TRUE AS within_bound
+FROM top JOIN cells c
+  ON c.bucket = {_H60.format(x="CAST(c.row AS VARCHAR) || '|' || top.term")}
+               % 1024
+GROUP BY top.term, top.exact_ct
+"""
+
+
+def q_events_outliers(spark, sf_dir):
+    """Robust per-type outlier flags via median absolute deviation
+    (operators/profile.py::mad_outliers): quantized-integer exact
+    percentiles, per-group broadcast thresholds, no per-row window."""
+    from csvplus_spark.operators.profile import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").df
+    return mad_outliers(ev, "value", "event_type", 3.0,
+                        id_cols=["event_id"])
+
+
+_MAD_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(value * 1048576.0) AS BIGINT) AS q
+  FROM events
+),
+med AS (SELECT event_type, quantile_cont(q, 0.5) AS med
+        FROM base GROUP BY event_type),
+resid AS (
+  SELECT b.event_id, b.event_type, b.value,
+         CAST(floor(abs(b.q - m.med)) AS BIGINT) AS ad
+  FROM base b JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM resid GROUP BY event_type)
+SELECT r.event_type, r.event_id, r.value,
+       CAST(r.ad AS DOUBLE) > 3.0 * m.mad AS is_outlier
+FROM resid r JOIN mad m USING (event_type)
+"""
+
+
+def q_tpch_q2_mincost(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest regional supplier per part — the
+    correlated MIN subquery becomes a per-part min aggregate joined
+    back on (part, price) equality, keeping ALL tying suppliers.
+    Dims (size-filtered part, region-pruned supplier set) broadcast;
+    the fact is scanned once for offers and once (narrow) for the
+    min table."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    p = load_table(spark, sf_dir, "part").df.filter(F.col("p_size") == 10)
+    s = load_table(spark, sf_dir, "supplier").df
+    n = load_table(spark, sf_dir, "nation").df
+    r = load_table(spark, sf_dir, "region").df.filter(
+        F.col("r_name") == "EUROPE")
+    eu = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(eu), li["l_suppkey"] == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+                "n_name", _cents("l_extendedprice").alias("cost_c"))
+    )
+    mn = offers.groupBy(F.col("p_partkey").alias("__mp__")).agg(
+        F.min("cost_c").alias("__mn__"))
+    return (
+        offers.join(F.broadcast(mn),
+                    (F.col("p_partkey") == F.col("__mp__"))
+                    & (F.col("cost_c") == F.col("__mn__")))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+                (F.col("cost_c") / F.lit(100.0)).alias("min_cost"))
+        .distinct()
+    )
+
+
+_TPCH_Q2_SQL = """
+WITH eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+),
+offers AS (
+  SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name, eu.s_acctbal,
+         CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) AS cost_c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 10
+  JOIN eu ON l.l_suppkey = eu.s_suppkey
+),
+mn AS (SELECT p_partkey AS mp, MIN(cost_c) AS mn_c
+       FROM offers GROUP BY p_partkey)
+SELECT DISTINCT o.p_partkey, o.p_name, o.s_name, o.n_name, o.s_acctbal,
+       o.cost_c / 100.0 AS min_cost
+FROM offers o JOIN mn ON o.p_partkey = mn.mp AND o.cost_c = mn.mn_c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": q_flagship,
@@ -4747,6 +4870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_keep_best": q_dedup_keep_best,
         "kcenter": q_kcenter,
+        "cms_topk": q_cms_topk,
+        "events_outliers": q_events_outliers,
+        "tpch_q2_mincost": q_tpch_q2_mincost,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5000,6 +5126,9 @@ LIMIT 20
         "ccnet_buckets": _ccnet_sql(),
         "dedup_keep_best": _KEEP_BEST_SQL,
         "kcenter": _kcenter_sql(),
+        "cms_topk": _CMS_SQL,
+        "events_outliers": _MAD_SQL,
+        "tpch_q2_mincost": _TPCH_Q2_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -130,6 +130,9 @@ HEADLINE = [
     "ccnet_buckets",
     "dedup_keep_best",
     "kcenter",
+    "cms_topk",
+    "events_outliers",
+    "tpch_q2_mincost",
 ]
 
 

@@ -211,3 +211,38 @@ def embedding_drift(left: DataFrame, right: DataFrame,
                     F.round(var("r"), ndigits).alias("var_r"),
                     F.round(shift, ndigits).alias("shift"))
             .orderBy("dim"))
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_col: str,
+                 k: float = 3.0, id_cols: list[str] | None = None) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation:
+    flag rows with |value − median| > k·MAD — the monitoring-grade
+    alternative to mean/stddev z-scores (one corrupted batch can't
+    drag the threshold, since median and MAD have 50% breakdown).
+
+    Determinism: the value is QUANTIZED to a bigint (floor(x·2^20))
+    before both medians, so the exact-percentile interpolation
+    (lo + (hi−lo)·frac) runs on integers and lands on identical
+    doubles in Spark and DuckDB; comparisons are then exact.
+
+    Shape: two group aggregates (median, then MAD of the residuals)
+    over the same partition key, the ≤|groups|-row threshold table
+    broadcasts back — no per-row window, no global sort. MAD = 0
+    (constant group) flags only exact deviators when k·0 = 0.
+    """
+    q = F.floor(F.col(value_col) * F.lit(1048576.0)).cast("long")
+    base = df.withColumn("__q__", q)
+    med = (base.groupBy(group_col)
+           .agg(F.expr("percentile(__q__, 0.5D)").alias("__med__")))
+    resid = (base.join(F.broadcast(med), group_col)
+             .withColumn("__ad__",
+                         F.floor(F.abs(F.col("__q__") - F.col("__med__")))
+                         .cast("long")))
+    mad = (resid.groupBy(group_col)
+           .agg(F.expr("percentile(__ad__, 0.5D)").alias("__mad__")))
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c not in (value_col, group_col)]
+    return (resid.join(F.broadcast(mad), group_col)
+            .select(group_col, *keep, F.col(value_col),
+                    (F.col("__ad__").cast("double")
+                     > F.lit(k) * F.col("__mad__")).alias("is_outlier")))

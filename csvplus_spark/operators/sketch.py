@@ -1,0 +1,95 @@
+"""Frequency sketches for corpus-scale counting (BASELINE.json
+north-star; no reference counterpart — the reference is a CSV ETL
+library).
+
+Count-min sketch (Cormode & Muthukrishnan 2005): d independent hash
+rows × w buckets of integer counts. Every update/estimate uses the
+md5-derived ``hash60`` (operators/text.py) so the whole sketch —
+build AND estimates — is bit-identical across Spark and DuckDB and
+therefore oracle-checkable, unlike a seeded-random implementation.
+
+Scale shape: the sketch is ONE groupBy over (row, bucket) — d·w cells
+(4×1024 by default: 32 KB) regardless of corpus size — so it
+broadcasts anywhere, composes with streaming foreachBatch merges
+(cell-wise sum), and estimating any term set is a broadcast join
+against the cell table. The classic use: heavy-hitter candidates and
+frequency estimates without a corpus-wide distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash60, tokens
+
+
+def _bucket(row: int, term_col, w: int):
+    """Bucket of ``term`` in hash row ``row`` — md5-derived, engine-
+    portable: hash60('r|' || term) % w."""
+    return F.pmod(hash60(F.concat(F.lit(f"{row}|"), term_col)),
+                  F.lit(w))
+
+
+def cms_build(df: DataFrame, term_col: str = "term", d: int = 4,
+              w: int = 1024) -> DataFrame:
+    """Build a count-min sketch over a term stream: returns the cell
+    table ``(row, bucket, ct)`` with exactly the non-empty cells of
+    the d×w grid. One map-combined aggregate; the term column never
+    becomes a shuffle key wider than (row, bucket)."""
+    cells = None
+    for r in range(d):
+        part = df.select(F.lit(r).cast("int").alias("row"),
+                         _bucket(r, F.col(term_col), w).alias("bucket"))
+        cells = part if cells is None else cells.unionAll(part)
+    return (cells.groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("ct")))
+
+
+def cms_estimate(sketch: DataFrame, terms: DataFrame,
+                 term_col: str = "term", d: int = 4,
+                 w: int = 1024) -> DataFrame:
+    """Point-estimate each term's frequency: min over the d rows of
+    its cell counts. The sketch is tiny — broadcast join per row.
+    CMS guarantees est ≥ true count (one-sided error ≤ εN w.h.p.)."""
+    out = terms
+    for r in range(d):
+        cell = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"__b{r}__"), F.col("ct").alias(f"__c{r}__"))
+        out = out.join(
+            F.broadcast(cell),
+            _bucket(r, F.col(term_col), w) == F.col(f"__b{r}__"), "left")
+    est = F.least(*[F.coalesce(F.col(f"__c{r}__"), F.lit(0))
+                    for r in range(d)])
+    return out.select(term_col, est.alias("cms_est"))
+
+
+def cms_heavy_hitters(df: DataFrame, k: int = 20, d: int = 4,
+                      w: int = 1024, text_col: str = "text") -> DataFrame:
+    """Demo/validation composition over a document corpus: tokenize,
+    build the sketch, take the EXACT top-k terms, and emit each with
+    its exact count and CMS estimate — with the CMS one-sided bound
+    (est ≥ exact, always, by construction) ENFORCED in-plan via
+    raise_error, so the oracle row-match is meaningful (the
+    approx_distinct pattern). Returns (term, exact_ct, cms_est,
+    within_bound)."""
+    term_stream = df.select(F.explode(tokens(text_col)).alias("term"))
+    sketch = cms_build(term_stream, "term", d, w)
+    exact = (term_stream.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("exact_ct")))
+    # exact top-k, total order (count desc, term asc) — scalar-cutoff
+    # not needed at k=20: TakeOrderedAndProject
+    top = (exact.orderBy(F.col("exact_ct").desc(), F.col("term"))
+           .limit(k))
+    est = cms_estimate(sketch, top.select("term"), "term", d, w)
+    return (
+        top.join(F.broadcast(est), "term")
+        .select(
+            "term", "exact_ct",
+            F.when(F.col("cms_est") >= F.col("exact_ct"), F.col("cms_est"))
+            .otherwise(F.raise_error(
+                F.concat(F.lit("CMS under-estimated term "), F.col("term")))
+                .cast("long")).alias("cms_est"),
+            F.lit(True).alias("within_bound"),
+        )
+    )

@@ -2170,3 +2170,40 @@ def test_kcenter_greedy_trajectory(spark):
     # start at min id (x=0); farthest is x=20 (d2=400); then x=10
     # covers the middle (min-d2 100 beats 1, 81)
     assert got == [(0, 1, 0.0), (1, 5, 400.0), (2, 3, 100.0)]
+
+
+def test_cms_never_underestimates_and_collides_upward(spark):
+    from csvplus_spark.operators.sketch import cms_build, cms_estimate
+
+    terms = [("apple",)] * 5 + [("banana",)] * 3 + [("cherry",)] * 1
+    df = spark.createDataFrame(terms, ["term"])
+    # tiny width forces collisions: estimates may exceed, never undercut
+    sk = cms_build(df, "term", d=4, w=2)
+    uniq = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",)], ["term"])
+    est = {r["term"]: r["cms_est"]
+           for r in cms_estimate(sk, uniq, "term", d=4, w=2).collect()}
+    exact = {"apple": 5, "banana": 3, "cherry": 1}
+    for t, e in exact.items():
+        assert est[t] >= e, (t, est[t], e)
+    # with a wide grid the estimates are exact (no collisions at n=3)
+    sk2 = cms_build(df, "term", d=4, w=4096)
+    est2 = {r["term"]: r["cms_est"]
+            for r in cms_estimate(sk2, uniq, "term", d=4, w=4096).collect()}
+    assert est2 == exact
+
+
+def test_mad_outliers_flags_and_constant_group(spark):
+    from csvplus_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 1.0), (4, "a", 100.0),
+         (5, "b", 7.0), (6, "b", 7.0)],
+        ["event_id", "event_type", "value"])
+    got = {r["event_id"]: r["is_outlier"]
+           for r in mad_outliers(df, "value", "event_type", 3.0,
+                                 id_cols=["event_id"]).collect()}
+    # group a: MAD=0 -> any deviation from the median flags; group b
+    # constant -> nothing flags
+    assert got == {1: False, 2: False, 3: False, 4: True,
+                   5: False, 6: False}
