@@ -4559,6 +4559,22 @@ WHERE rn = 1
 """
 
 
+def q_dedup_keep_best_fast(spark, sf_dir):
+    """Keep-best representatives over the duplication-immune collapsed
+    cluster graph (dup_clusters_collapsed) — byte-identical clusters,
+    so byte-identical representatives (shares dedup_keep_best's
+    oracle). The raw pair graph multiplies by the corpus duplication
+    factor SQUARED (the 30× probe of the plain variant exhausts local
+    shuffle disk); the collapse bounds it by the DISTINCT corpus."""
+    from csvplus_spark.operators.dedup import (cluster_representatives,
+                                               dup_clusters_collapsed)
+
+    docs = load_table(spark, sf_dir, "documents").df
+    clusters = dup_clusters_collapsed(docs, 0.6)
+    return cluster_representatives(docs, clusters,
+                                   F.col("n_chars").cast("long"))
+
+
 def q_kcenter(spark, sf_dir):
     """Greedy k-center coreset selection (operators/similarity.py::
     kcenter_select): 8 farthest-point rounds, each one shuffle-free
@@ -4869,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_promosupp": q_tpch_q20_promosupp,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_keep_best_fast": q_dedup_keep_best_fast,
         "kcenter": q_kcenter,
         "cms_topk": q_cms_topk,
         "events_outliers": q_events_outliers,
@@ -5125,6 +5142,7 @@ LIMIT 20
         "tpch_q20_promosupp": _TPCH_Q20_SQL,
         "ccnet_buckets": _ccnet_sql(),
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "dedup_keep_best_fast": _KEEP_BEST_SQL,
         "kcenter": _kcenter_sql(),
         "cms_topk": _CMS_SQL,
         "events_outliers": _MAD_SQL,

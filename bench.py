@@ -133,6 +133,7 @@ HEADLINE = [
     "cms_topk",
     "events_outliers",
     "tpch_q2_mincost",
+    "dedup_keep_best_fast",
 ]
 
 
