@@ -4623,6 +4623,74 @@ c{i} AS MATERIALIZED (SELECT v.vid AS cid, v.e AS ce
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 
+def q_leakage_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split (operators/sampling.py::
+    leakage_safe_split): the split hash keys on the near-dup CLUSTER
+    (collapsed CC graph), so no near-dup pair straddles train/test."""
+    from csvplus_spark.operators.dedup import dup_clusters_collapsed
+    from csvplus_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return leakage_safe_split(docs, dup_clusters_collapsed(docs, 0.6))
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM npairs
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM npairs
+),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+),
+cl AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a),
+full_t AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_H60.format(x="'split' || '|' || CAST(cluster_id AS VARCHAR)")}
+                 % 10000 < 1000 THEN 'val'
+            WHEN {_H60.format(x="'split' || '|' || CAST(cluster_id AS VARCHAR)")}
+                 % 10000 < 2000 THEN 'test'
+            ELSE 'train' END AS split
+FROM full_t
+"""
+
+
+def q_events_rolling(spark, sf_dir):
+    """Rolling 7-day per-user window via a RANGE frame over epoch-µs
+    (window breadth: RANGE BETWEEN interval PRECEDING AND CURRENT ROW)
+    — partitioned windows only, exact integer cents and µs, peers with
+    equal timestamps included by RANGE semantics in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").df
+    us = F.unix_micros(F.col("ts"))
+    week_us = 7 * 24 * 3600 * 1000000
+    w = (Window.partitionBy("user_id").orderBy(us.alias("us"))
+         .rangeBetween(-week_us, 0))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id", "user_id", us.alias("ts_us"),
+        F.sum(cents).over(w).alias("wk_sum_c"),
+        F.count(F.lit(1)).over(w).alias("wk_events"),
+    )
+
+
+_EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS wk_sum_c,
+       COUNT(*) OVER w AS wk_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min sketch heavy hitters (operators/sketch.py): 4×1024
     md5-hashed integer cell grid, exact top-20 terms each emitted with
@@ -4890,6 +4958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "events_outliers": q_events_outliers,
         "tpch_q2_mincost": q_tpch_q2_mincost,
+        "leakage_split": q_leakage_split,
+        "events_rolling": q_events_rolling,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5147,6 +5217,8 @@ LIMIT 20
         "cms_topk": _CMS_SQL,
         "events_outliers": _MAD_SQL,
         "tpch_q2_mincost": _TPCH_Q2_SQL,
+        "leakage_split": _LEAKAGE_SPLIT_SQL,
+        "events_rolling": _EVENTS_ROLLING_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

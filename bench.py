@@ -134,6 +134,8 @@ HEADLINE = [
     "events_outliers",
     "tpch_q2_mincost",
     "dedup_keep_best_fast",
+    "leakage_split",
+    "events_rolling",
 ]
 
 

@@ -531,3 +531,29 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str, n: int,
         f"(CAST(__cp_cum__ + __cp_w__ AS DECIMAL(38,0)) * {n}) div __cp_t__"
         f" > (__cp_cum__ * {n}) div __cp_t__"))
     return kept.select(*df.columns)
+
+
+def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
+                       id_col: str = "doc_id", val_fraction: float = 0.1,
+                       test_fraction: float = 0.1,
+                       salt: str = "split") -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the CLUSTER, not the
+    document — every member of a near-dup family lands in the same
+    split, so evaluation never scores on a near-copy of a training
+    doc (the standard leakage failure of per-doc splitting).
+
+    ``clusters`` is ``dup_clusters`` / ``dup_clusters_collapsed``
+    output; docs without a near-dup edge are their own singleton
+    cluster (left-join coalesce), making this a strict generalization
+    of :func:`train_val_test_split` — identical labels when the pair
+    graph is empty.
+
+    Shape: one output-sized equi-join + the same stateless hash label;
+    nothing corpus-global. Returns (id, cluster_id, split).
+    """
+    full = (docs.select(F.col(id_col))
+            .join(clusters, id_col, "left")
+            .withColumn("cluster_id",
+                        F.coalesce(F.col("cluster_id"), F.col(id_col))))
+    return train_val_test_split(full, "cluster_id", val_fraction,
+                                test_fraction, salt)

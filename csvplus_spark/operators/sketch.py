@@ -93,3 +93,17 @@ def cms_heavy_hitters(df: DataFrame, k: int = 20, d: int = 4,
             F.lit(True).alias("within_bound"),
         )
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (d, w): cell-wise
+    sum. CMS is a linear sketch, so building per-partition / per-day /
+    per-micro-batch and merging is EXACTLY the sketch of the
+    concatenated stream — the property that makes it a distributed
+    rollup (combine per-executor sketches) and a streaming accumulator
+    (foreachBatch += batch sketch) with no re-scan of history."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionAll(s)
+    return (out.groupBy("row", "bucket")
+            .agg(F.sum("ct").alias("ct")))

@@ -193,3 +193,44 @@ def foreach_batch_drift(stream: DataFrame, reference: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
+                      term_col: str = "term", d: int = 4, w: int = 1024,
+                      trigger_available_now: bool = True):
+    """Streaming count-min accumulator: per micro-batch, build the
+    batch's CMS (operators/sketch.py) and fold it into the persisted
+    cell table with :func:`cms_merge` — CMS is linear, so the running
+    table is EXACTLY the sketch of everything that has arrived, at a
+    fixed d·w footprint, with no history re-scan.
+
+    The swap is the crash-safe two-rename used by upsert sinks
+    (replace_dataset): a batch retried by the checkpoint either sees
+    the pre-batch table (and merges again — idempotent only per the
+    usual foreachBatch at-least-once caveat) or the post-batch one.
+    """
+    from ..operators.sketch import cms_build, cms_merge
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        inc = cms_build(batch, term_col, d, w)
+        fs = _Fs(spark, sketch_path)
+        heal_swap(fs, sketch_path)
+        if not fs.exists(sketch_path):
+            # bootstrap gated on genuine non-existence, never on a
+            # failed read (foreach_batch_upsert's truncation guard)
+            inc.write.mode("overwrite").parquet(sketch_path)
+            return
+        merged = cms_merge(spark.read.parquet(sketch_path), inc)
+        replace_dataset(fs, sketch_path,
+                        lambda tmp: merged.write.mode("overwrite").parquet(tmp))
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -27,9 +27,11 @@ import __spark_entry__ as em
 #: back by hash, not cross)
 #: kmeans / cluster_balance broadcast the ≤k-row centroid table each
 #: Lloyd round — bounded fan-out, not a pair explosion
+#: ccnet_buckets broadcasts its single-row 2-quantile threshold;
+#: kcenter broadcasts one single-row center/max per greedy round
 CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ivf2_seeded", "ann_recall",
                  "skew_report", "temperature_mix", "kmeans",
-                 "cluster_balance"}
+                 "cluster_balance", "ccnet_buckets", "kcenter"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):

@@ -2207,3 +2207,25 @@ def test_mad_outliers_flags_and_constant_group(spark):
     # constant -> nothing flags
     assert got == {1: False, 2: False, 3: False, 4: True,
                    5: False, 6: False}
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    from csvplus_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+    from csvplus_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").df
+    pairs = ngram_jaccard_pairs(docs, 0.6).cache()
+    out = leakage_safe_split(docs, dup_clusters(pairs))
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    checked = 0
+    for r in pairs.collect():
+        assert split_of[r["doc_id_1"]] == split_of[r["doc_id_2"]]
+        checked += 1
+    assert checked > 0, "generator should plant near-dups"
+    # with an empty pair graph it degenerates to the per-doc split
+    from csvplus_spark.operators.sampling import train_val_test_split
+    empty = spark.createDataFrame([], "doc_id: long, cluster_id: long")
+    solo = leakage_safe_split(docs, empty)
+    base = train_val_test_split(docs.select("doc_id"), "doc_id")
+    assert ({(r["doc_id"], r["split"]) for r in solo.collect()}
+            == {(r["doc_id"], r["split"]) for r in base.collect()})

@@ -571,3 +571,50 @@ def test_foreach_batch_drift_per_batch_report(spark, sf_dir, tmp_path):
     # but is bounded; shift column is present and finite
     assert all(r["shift"] is not None and r["shift"] >= 0
                for r in rep.collect())
+
+
+def test_cms_merge_is_linear(spark):
+    from csvplus_spark.operators.sketch import cms_build, cms_merge
+
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, ["term"])
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 5, ["term"])
+    both = a.unionAll(b)
+    merged = {(r["row"], r["bucket"]): r["ct"]
+              for r in cms_merge(cms_build(a, "term", 4, 64),
+                                 cms_build(b, "term", 4, 64)).collect()}
+    direct = {(r["row"], r["bucket"]): r["ct"]
+              for r in cms_build(both, "term", 4, 64).collect()}
+    assert merged == direct  # linear sketch: merge == build-on-concat
+
+
+def test_foreach_batch_cms_accumulates(spark, tmp_path):
+    """Streaming CMS accumulator: two availableNow runs over arriving
+    term files fold into a cell table identical to the batch sketch of
+    everything that arrived."""
+    from csvplus_spark.operators.sketch import cms_build
+    from csvplus_spark.streaming.sinks import foreach_batch_cms
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("apple\nbanana\napple\n")
+    sketch = str(tmp_path / "sketch")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (spark.readStream.format("text")
+                  .schema("value string").load(str(src))
+                  .selectExpr("value AS term"))
+        q = foreach_batch_cms(stream, sketch, ck, "term", d=4, w=64)
+        q.awaitTermination(180)
+
+    run()
+    (src / "b.txt").write_text("apple\ncherry\n")
+    run()
+
+    all_terms = spark.createDataFrame(
+        [("apple",)] * 3 + [("banana",)] + [("cherry",)], ["term"])
+    want = {(r["row"], r["bucket"]): r["ct"]
+            for r in cms_build(all_terms, "term", 4, 64).collect()}
+    got = {(r["row"], r["bucket"]): r["ct"]
+           for r in spark.read.parquet(sketch).collect()}
+    assert got == want
