@@ -4691,6 +4691,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Exact n-gram CONTAINMENT pairs (operators/dedup.py::
+    ngram_containment_pairs): |A∩B|/min(|A|,|B|) ≥ 0.8 — catches
+    subset/superset duplication that symmetric Jaccard misses; same
+    cold-shingle blocking, smaller-member-hot-heavy fallback."""
+    from csvplus_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return ngram_containment_pairs(docs, 0.8)
+
+
+_CONTAINMENT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+       i * 1.0 / least(len(s1.sh), len(s2.sh)) AS containment
+FROM inter JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
+"""
+
+
+def q_dedup_containment_fast(spark, sf_dir):
+    """Duplication-immune containment pairs (ngram_containment_pairs_
+    collapsed): exact-copy collapse → rep-space containment → expand;
+    byte-identical to q_dedup_containment (shared oracle), cost bounded
+    by the DISTINCT corpus."""
+    from csvplus_spark.operators.dedup import ngram_containment_pairs_collapsed
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return ngram_containment_pairs_collapsed(docs, 0.8)
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min sketch heavy hitters (operators/sketch.py): 4×1024
     md5-hashed integer cell grid, exact top-20 terms each emitted with
@@ -4960,6 +4999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_mincost": q_tpch_q2_mincost,
         "leakage_split": q_leakage_split,
         "events_rolling": q_events_rolling,
+        "dedup_containment": q_dedup_containment,
+        "dedup_containment_fast": q_dedup_containment_fast,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5219,6 +5260,8 @@ LIMIT 20
         "tpch_q2_mincost": _TPCH_Q2_SQL,
         "leakage_split": _LEAKAGE_SPLIT_SQL,
         "events_rolling": _EVENTS_ROLLING_SQL,
+        "dedup_containment": _CONTAINMENT_SQL,
+        "dedup_containment_fast": _CONTAINMENT_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

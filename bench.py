@@ -136,6 +136,8 @@ HEADLINE = [
     "dedup_keep_best_fast",
     "leakage_split",
     "events_rolling",
+    "dedup_containment",
+    "dedup_containment_fast",
 ]
 
 

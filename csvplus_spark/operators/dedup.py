@@ -247,6 +247,116 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_df: int | None = HOT_SHINGLE_DF,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    over word-trigram shingle sets — catches SUBSET/SUPERSET
+    duplication (a page embedded in a longer page, a doc plus appended
+    boilerplate) that symmetric Jaccard structurally misses: for
+    B ⊇ A, J = |A|/|B| vanishes as B grows while C stays 1.0.
+    Returns (doc_id_1, doc_id_2, containment).
+
+    Same shared-cold-shingle blocking as :func:`ngram_jaccard_pairs`
+    (Σ|bucket|² bounded by the df cutoff), with a DIFFERENT fallback
+    argument: a qualifying pair missed by the cold join intersects
+    only in hot shingles, so inter ≤ h_A and inter ≤ h_B while
+    inter ≥ t·min(n_A, n_B) — the SMALLER member is hot-heavy at its
+    own size (h ≥ t·n); nothing constrains the larger member's ratio.
+    Hence the fallback is the HOT equi-join restricted to pairs with a
+    hot-heavy member (they share ≥1 hot shingle by inter ≥ 1 > 0):
+    cost Σ_hot |bucket ∩ hh|·|bucket| — linear in the corpus times the
+    (tiny, boilerplate-only) hot-heavy set, never df². Exact
+    intersections are then completed per candidate exactly as in the
+    Jaccard path.
+    """
+    ex = (shingles if shingles is not None
+          else shingle_pairs(df, text_col, id_col)).cache()
+    sizes = _shingle_sizes(ex)
+
+    def _inter_join(src: DataFrame) -> DataFrame:
+        return (
+            src.alias("a")
+            .join(src.alias("b"),
+                  (F.col("a.__s__") == F.col("b.__s__"))
+                  & (F.col("a.__id__") < F.col("b.__id__")))
+            .groupBy(F.col("a.__id__").alias("d1"),
+                     F.col("b.__id__").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("__ic__"))
+        )
+
+    cap = 10_000
+    hot_vals = [] if hot_df is None else [r[0] for r in (
+        ex.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") > hot_df)
+        .select("__s__").limit(cap + 1).collect()
+    )]
+    if not hot_vals:
+        inter = _inter_join(ex).withColumnRenamed("__ic__", "inter")
+    else:
+        if len(hot_vals) > cap:
+            hot_set = (
+                ex.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") > hot_df).select("__s__")
+            )
+            exh = ex.join(hot_set, "__s__").select("__id__", "__s__").cache()
+            exc = ex.join(hot_set, "__s__", "left_anti")
+        else:
+            is_hot = F.col("__s__").isin(hot_vals)
+            exh = ex.filter(is_hot).cache()
+            exc = ex.filter(~is_hot)
+        cold = _inter_join(exc)
+        # hot-heavy AT OWN SIZE — the smaller member of any missed pair
+        hh = (
+            exh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__h__"))
+            .join(sizes, "__id__")
+            .filter(F.col("__h__") >= F.lit(threshold) * F.col("__n__"))
+            .select("__id__")
+        )
+        fallback = (
+            exh.join(hh, "__id__").alias("a")
+            .join(exh.alias("y"),
+                  (F.col("a.__s__") == F.col("y.__s__"))
+                  & (F.col("a.__id__") != F.col("y.__id__")))
+            .select(F.least("a.__id__", "y.__id__").alias("d1"),
+                    F.greatest("a.__id__", "y.__id__").alias("d2"))
+            .distinct()
+            .join(cold.select("d1", "d2"), ["d1", "d2"], "left_anti")
+            .withColumn("__ic__", F.lit(0).cast("long"))
+        )
+        cand = cold.unionByName(fallback)
+        ih = (
+            exh.alias("x")
+            .join(cand.select("d1", "d2"), F.col("x.__id__") == F.col("d1"))
+            .join(exh.alias("y"),
+                  (F.col("y.__id__") == F.col("d2"))
+                  & (F.col("x.__s__") == F.col("y.__s__")))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("__ih__"))
+        )
+        inter = (
+            cand.join(ih, ["d1", "d2"], "left")
+            .withColumn("inter",
+                        F.col("__ic__") + F.coalesce("__ih__", F.lit(0)))
+            .select("d1", "d2", "inter")
+        )
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.__id__"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.__id__"))
+        .withColumn("containment",
+                    F.col("inter")
+                    / F.least(F.col("s1.__n__"), F.col("s2.__n__")))
+        .filter(F.col("containment") >= threshold)
+        .select(F.col("d1").alias("doc_id_1"),
+                F.col("d2").alias("doc_id_2"), "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -479,14 +589,18 @@ def minhash_dedup_pairs_collapsed(
 
 
 def _expand_rep_pairs(ex: DataFrame, rep_pairs: DataFrame,
-                      rep_shingles: DataFrame, id_col: str) -> DataFrame:
+                      rep_shingles: DataFrame, id_col: str,
+                      metric: str = "jaccard") -> DataFrame:
     """Expand a representative-space verified pair list back to doc
-    space: cross-cluster rep pairs over both memberships (jaccard
+    space: cross-cluster rep pairs over both memberships (the metric
     carries over — identical shingle sets) + intra-cluster pairs at
-    J = 1.0 for clusters whose rep has ≥1 shingle (shingle-free docs
-    never reach any blocking/banding table in the plain paths).
-    Both joins are output-sized. Shared by the minhash and ngram
-    collapsed variants."""
+    metric = 1.0 for clusters whose rep has ≥1 shingle (shingle-free
+    docs never reach any blocking/banding table in the plain paths).
+    Both joins are output-sized. Shared by the minhash, ngram, and
+    containment collapsed variants — ``metric`` names the carried
+    column (any SET function of the shingle sets expands this way:
+    exact copies have identical sets, so every cross pair inherits the
+    rep pair's value and every intra pair scores 1.0)."""
     members = ex.select(F.col("canonical_id").alias("__r__"),
                         F.col(id_col).alias("__m__"))
     cross = (
@@ -495,7 +609,7 @@ def _expand_rep_pairs(ex: DataFrame, rep_pairs: DataFrame,
         .join(members.alias("mb"), F.col("doc_id_2") == F.col("mb.__r__"))
         .select(F.least("ma.__m__", "mb.__m__").alias("doc_id_1"),
                 F.greatest("ma.__m__", "mb.__m__").alias("doc_id_2"),
-                "jaccard")
+                metric)
     )
     shingled = rep_shingles.select(F.col("__id__").alias("__r__")).distinct()
     mm = members.join(shingled, "__r__")
@@ -506,7 +620,7 @@ def _expand_rep_pairs(ex: DataFrame, rep_pairs: DataFrame,
               & (F.col("p.__m__") < F.col("q.__m__")))
         .select(F.col("p.__m__").alias("doc_id_1"),
                 F.col("q.__m__").alias("doc_id_2"),
-                F.lit(1.0).alias("jaccard"))
+                F.lit(1.0).alias(metric))
     )
     return cross.unionByName(intra)
 
@@ -533,6 +647,29 @@ def ngram_jaccard_pairs_collapsed(
     rep_pairs = ngram_jaccard_pairs(reps, threshold, text_col, id_col,
                                     shingles=sp)
     return _expand_rep_pairs(ex, rep_pairs, sp, id_col)
+
+
+def ngram_containment_pairs_collapsed(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` with exact-duplicate collapse —
+    byte-identical output, duplication-immune cost. Containment is a
+    pure SET function of the shingle sets, so the collapse identity of
+    the jaccard/minhash variants applies verbatim (exact copies have
+    identical sets: cross pairs inherit the rep pair's containment,
+    intra pairs score exactly 1.0 ≥ any threshold). The plain path's
+    30× duplication probe hits the copies² shuffle-disk wall exactly
+    like the raw cluster graph did; this is the scale path."""
+    ex = exact_dedup(df, text_col, id_col).cache()
+    reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    sp = shingle_pairs(reps, text_col, id_col)
+    rep_pairs = ngram_containment_pairs(reps, threshold, text_col, id_col,
+                                        shingles=sp)
+    return _expand_rep_pairs(ex, rep_pairs, sp, id_col,
+                             metric="containment")
 
 
 def semantic_dedup(

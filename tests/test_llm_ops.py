@@ -2229,3 +2229,43 @@ def test_leakage_safe_split_never_straddles(spark, sf_dir):
     base = train_val_test_split(docs.select("doc_id"), "doc_id")
     assert ({(r["doc_id"], r["split"]) for r in solo.collect()}
             == {(r["doc_id"], r["split"]) for r in base.collect()})
+
+
+def test_containment_catches_superset_dup_jaccard_misses(spark):
+    from csvplus_spark.operators.dedup import (ngram_containment_pairs,
+                                               ngram_jaccard_pairs)
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    extra = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, core), (2, core + " " + extra), (3, "unrelated text entirely")],
+        ["doc_id", "text"])
+    cont = {(r[0], r[1]): r[2]
+            for r in ngram_containment_pairs(df, 0.8).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # A's shingles ⊆ B's
+    jac = {(r[0], r[1]) for r in ngram_jaccard_pairs(df, 0.6).collect()}
+    assert (1, 2) not in jac  # symmetric Jaccard structurally misses it
+
+
+def test_containment_hot_fallback_is_lossless(spark, sf_dir):
+    from csvplus_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").df
+    plain = {(r[0], r[1]) for r in
+             ngram_containment_pairs(docs, 0.8, hot_df=None).collect()}
+    # hot_df=1 marks EVERY repeated shingle hot — maximal fallback load
+    hot = {(r[0], r[1]) for r in
+           ngram_containment_pairs(docs, 0.8, hot_df=1).collect()}
+    assert plain and hot == plain
+
+
+def test_containment_collapsed_identity(spark, sf_dir):
+    from csvplus_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_containment_pairs_collapsed)
+
+    docs = load_table(spark, sf_dir, "documents").df
+    plain = {(r[0], r[1], round(r[2], 9))
+             for r in ngram_containment_pairs(docs, 0.8).collect()}
+    fast = {(r[0], r[1], round(r[2], 9))
+            for r in ngram_containment_pairs_collapsed(docs, 0.8).collect()}
+    assert plain and fast == plain
