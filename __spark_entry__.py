@@ -4719,6 +4719,134 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_winsorize(spark, sf_dir):
+    """Robust per-group winsorization: clip event values to the exact
+    [p05, p95] of the QUANTIZED value (integer percentiles interpolate
+    identically across engines), thresholds broadcast back — the
+    outlier-taming normalization step before any mean-based stat."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").df
+    q = F.floor(F.col("value") * F.lit(1048576.0)).cast("long")
+    th = (ev.select(F.col("event_type"), q.alias("__q__"))
+          .groupBy("event_type")
+          .agg(F.expr("percentile(__q__, 0.05D)").alias("__lo__"),
+               F.expr("percentile(__q__, 0.95D)").alias("__hi__")))
+    return (ev.join(F.broadcast(th), "event_type")
+            .select("event_type", "event_id", "value",
+                    (F.least(F.greatest(q.cast("double"), F.col("__lo__")),
+                             F.col("__hi__")) / F.lit(1048576.0))
+                    .alias("clipped")))
+
+
+_WINSORIZE_SQL = """
+WITH base AS (
+  SELECT event_type, event_id, value,
+         CAST(floor(value * 1048576.0) AS BIGINT) AS q
+  FROM events
+),
+th AS (SELECT event_type, quantile_cont(q, 0.05) AS lo,
+              quantile_cont(q, 0.95) AS hi
+       FROM base GROUP BY event_type)
+SELECT b.event_type, b.event_id, b.value,
+       least(greatest(CAST(b.q AS DOUBLE), t.lo), t.hi) / 1048576.0
+         AS clipped
+FROM base b JOIN th t USING (event_type)
+"""
+
+
+def q_tpch_q11_share(spark, sf_dir):
+    """TPC-H Q11 shape: (supplier, part) positions whose value exceeds
+    a multiple of the MEAN group value — the group-vs-global-scalar
+    HAVING. Q11's spec fraction scales 0.0001/SF precisely because a
+    fixed fraction goes empty as group count grows; value > 3·mean is
+    the scale-free equivalent. The comparison value·n > 3·total runs
+    in DECIMAL(38,0)/HUGEINT (both exact — the weighted_sample
+    precedent), never a float threshold; the single-row (total, n)
+    broadcasts via a scalar join."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    val = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    per = (li.groupBy("l_suppkey", "l_partkey")
+           .agg(F.sum(val).alias("value_c2")))
+    tot = per.agg(F.sum("value_c2").alias("__tot__"),
+                  F.count(F.lit(1)).alias("__n__"))
+    big = F.col("value_c2").cast("decimal(38,0)") * F.col("__n__") \
+        > F.lit(3) * F.col("__tot__").cast("decimal(38,0)")
+    return (per.join(F.broadcast(tot))
+            .filter(big)
+            .select("l_suppkey", "l_partkey", "value_c2"))
+
+
+_TPCH_Q11_SQL = """
+WITH per AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)))
+           AS value_c2
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+tot AS (SELECT SUM(value_c2) AS t, COUNT(*) AS n FROM per)
+SELECT l_suppkey, l_partkey, value_c2
+FROM per, tot
+WHERE CAST(value_c2 AS HUGEINT) * n > 3 * CAST(t AS HUGEINT)
+"""
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """LSH threshold calibration: histogram of MinHash signature
+    agreement (0..32 matching hashes — an INTEGER Jaccard estimate in
+    32nds) over the band-candidate pairs. Reading this histogram is
+    how one picks band/row settings for a target threshold; every
+    count is integer and the signatures are the deterministic
+    MINHASH_COEF family, so the whole diagnostic is engine-exact."""
+    from csvplus_spark.operators.dedup import (minhash_bands,
+                                               minhash_signatures,
+                                               shingle_pairs)
+
+    docs = load_table(spark, sf_dir, "documents").df
+    ex = shingle_pairs(docs).cache()  # one shingle pass for both stages
+    sigs = minhash_signatures(docs, 32, pairs=ex).cache()
+    bands = minhash_bands(docs, 32, 2, pairs=ex)
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.sig") == F.col("b.sig"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+            .distinct())
+    agree = sum(
+        (F.col(f"s1.__sig{i}__") == F.col(f"s2.__sig{i}__")).cast("int")
+        for i in range(32))
+    return (cand
+            .join(sigs.alias("s1"), F.col("d1") == F.col("s1.__id__"))
+            .join(sigs.alias("s2"), F.col("d2") == F.col("s2.__id__"))
+            .select(agree.alias("n_matching"))
+            .groupBy("n_matching")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def _minhash_calibration_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(32))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+{_minhash_cte_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+)
+SELECT ({agree}) AS n_matching, COUNT(*) AS n_pairs
+FROM cand
+JOIN sigs sa ON cand.d1 = sa.doc_id
+JOIN sigs sb ON cand.d2 = sb.doc_id
+GROUP BY 1
+"""
+
+
 def q_dedup_containment_fast(spark, sf_dir):
     """Duplication-immune containment pairs (ngram_containment_pairs_
     collapsed): exact-copy collapse → rep-space containment → expand;
@@ -5001,6 +5129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "dedup_containment": q_dedup_containment,
         "dedup_containment_fast": q_dedup_containment_fast,
+        "winsorize": q_winsorize,
+        "tpch_q11_share": q_tpch_q11_share,
+        "minhash_calibration": q_minhash_calibration,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5262,6 +5393,9 @@ LIMIT 20
         "events_rolling": _EVENTS_ROLLING_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
         "dedup_containment_fast": _CONTAINMENT_SQL,
+        "winsorize": _WINSORIZE_SQL,
+        "tpch_q11_share": _TPCH_Q11_SQL,
+        "minhash_calibration": _minhash_calibration_sql(),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

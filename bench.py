@@ -138,6 +138,9 @@ HEADLINE = [
     "events_rolling",
     "dedup_containment",
     "dedup_containment_fast",
+    "winsorize",
+    "tpch_q11_share",
+    "minhash_calibration",
 ]
 
 

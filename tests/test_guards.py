@@ -28,10 +28,12 @@ import __spark_entry__ as em
 #: kmeans / cluster_balance broadcast the ≤k-row centroid table each
 #: Lloyd round — bounded fan-out, not a pair explosion
 #: ccnet_buckets broadcasts its single-row 2-quantile threshold;
-#: kcenter broadcasts one single-row center/max per greedy round
+#: kcenter broadcasts one single-row center/max per greedy round;
+#: tpch_q11_share broadcasts its single-row (total, n) scalar
 CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ivf2_seeded", "ann_recall",
                  "skew_report", "temperature_mix", "kmeans",
-                 "cluster_balance", "ccnet_buckets", "kcenter"}
+                 "cluster_balance", "ccnet_buckets", "kcenter",
+                 "tpch_q11_share"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):
