@@ -4719,6 +4719,57 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_kcore(spark, sf_dir):
+    """2-core of the MinHash near-dup graph (operators/graph.py::
+    kcore_peel): 6 bounded peeling rounds — where duplication is
+    structurally dense; degree-1 one-off pairs peel immediately.
+    Purely integer/set-valued, trajectory SQL-replayed."""
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+    from csvplus_spark.operators.graph import kcore_peel
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return kcore_peel(minhash_dedup_pairs(docs, 0.6), k=2, rounds=6)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 6) -> str:
+    # same MinHash pair-graph preamble as _pagerank_sql; each peel CTE
+    # is referenced twice (degree + next round) → AS MATERIALIZED
+    chain = []
+    for i in range(1, rounds + 1):
+        chain.append(f"""d{i} AS MATERIALIZED (
+  SELECT a, COUNT(*) AS c FROM e{i - 1} GROUP BY a),
+k{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)""")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+{_minhash_cte_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+   AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM (
+    SELECT d1, d2,
+           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
+           len(s1.sh) AS n1, len(s2.sh) AS n2
+    FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id)
+  WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
+),
+e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs WHERE d1 <> d2
+      UNION SELECT d2, d1 FROM pairs WHERE d1 <> d2),
+{",".join(chain)}
+SELECT a AS doc_id, COUNT(*) AS core_degree
+FROM e{rounds} GROUP BY a HAVING COUNT(*) >= {k}
+"""
+
+
 def q_winsorize(spark, sf_dir):
     """Robust per-group winsorization: clip event values to the exact
     [p05, p95] of the QUANTIZED value (integer percentiles interpolate
@@ -5132,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "tpch_q11_share": q_tpch_q11_share,
         "minhash_calibration": q_minhash_calibration,
+        "kcore": q_kcore,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5396,6 +5448,7 @@ LIMIT 20
         "winsorize": _WINSORIZE_SQL,
         "tpch_q11_share": _TPCH_Q11_SQL,
         "minhash_calibration": _minhash_calibration_sql(),
+        "kcore": _kcore_sql(),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

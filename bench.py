@@ -141,6 +141,7 @@ HEADLINE = [
     "winsorize",
     "tpch_q11_share",
     "minhash_calibration",
+    "kcore",
 ]
 
 

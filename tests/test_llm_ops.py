@@ -2269,3 +2269,24 @@ def test_containment_collapsed_identity(spark, sf_dir):
     fast = {(r[0], r[1], round(r[2], 9))
             for r in ngram_containment_pairs_collapsed(docs, 0.8).collect()}
     assert plain and fast == plain
+
+
+def test_kcore_peels_pendants_keeps_triangle(spark):
+    from csvplus_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6)],
+        ["doc_id_1", "doc_id_2"])
+    got = sorted(tuple(r) for r in kcore_peel(edges, 2, 4).collect())
+    assert got == [(1, 2), (2, 2), (3, 2)]  # 2-core = the triangle
+
+
+def test_kcore_rounds_reach_fixpoint(spark, sf_dir):
+    from csvplus_spark.operators.dedup import minhash_dedup_pairs
+    from csvplus_spark.operators.graph import kcore_peel
+
+    pairs = minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents").df, 0.6).cache()
+    at6 = sorted(tuple(r) for r in kcore_peel(pairs, 2, 6).collect())
+    at7 = sorted(tuple(r) for r in kcore_peel(pairs, 2, 7).collect())
+    assert at6 and at7 == at6  # one extra peel changes nothing
