@@ -77,6 +77,16 @@ SHOW = [
                    "per-doc ordered fold, N as scalar subquery"),
     ("bm25", "BM25: tf/df/dl aggregates + term join + per-doc top-k "
              "window, N and avgdl as scalar subqueries"),
+    ("tpch_q7_volume", "Q7: nation dims pre-filtered + broadcast, "
+                       "disjunctive direction predicate, two fact joins"),
+    ("tpch_q20_promosupp", "Q20: aggregate→threshold→distinct → broadcast "
+                           "LeftSemi into the supplier dim"),
+    ("winsorize", "winsorization: two-quantile group agg broadcast back, "
+                  "no per-row window"),
+    ("cms_topk", "count-min sketch: one (row,bucket) map-combined agg → "
+                 "32 KB cell table, broadcast estimate joins"),
+    ("leakage_split", "cluster-keyed split: collapsed CC + output-sized "
+                      "join + stateless hash label"),
 ]
 
 
