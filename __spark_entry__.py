@@ -4719,6 +4719,27 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_edit1_names(spark, sf_dir):
+    """Edit-distance-≤1 part-name pairs via deletion-neighborhood
+    hashing (operators/dedup.py::edit1_value_pairs) — the short-field
+    record-matching primitive ('cold bolt' ↔ 'old bolt'); candidates
+    from an equi-join on deletion keys, exact levenshtein verify. The
+    oracle is an INDEPENDENT method: brute-force all distinct-value
+    pairs."""
+    from csvplus_spark.operators.dedup import edit1_value_pairs
+
+    return edit1_value_pairs(load_table(spark, sf_dir, "part").df, "p_name")
+
+
+_EDIT1_SQL = """
+WITH v AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+SELECT a.s AS value_1, b.s AS value_2,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM v a JOIN v b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
 def q_kcore(spark, sf_dir):
     """2-core of the MinHash near-dup graph (operators/graph.py::
     kcore_peel): 6 bounded peeling rounds — where duplication is
@@ -5184,6 +5205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_share": q_tpch_q11_share,
         "minhash_calibration": q_minhash_calibration,
         "kcore": q_kcore,
+        "edit1_names": q_edit1_names,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5449,6 +5471,7 @@ LIMIT 20
         "tpch_q11_share": _TPCH_Q11_SQL,
         "minhash_calibration": _minhash_calibration_sql(),
         "kcore": _kcore_sql(),
+        "edit1_names": _EDIT1_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

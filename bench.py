@@ -142,6 +142,7 @@ HEADLINE = [
     "tpch_q11_share",
     "minhash_calibration",
     "kcore",
+    "edit1_names",
 ]
 
 

@@ -1730,3 +1730,44 @@ def minhash_join_collapsed(left: DataFrame, right: DataFrame,
         .select(F.col("ma.__m__").alias("left_id"),
                 F.col("mb.__m__").alias("right_id"), "jaccard")
     )
+
+
+def edit1_value_pairs(df: DataFrame, col: str) -> DataFrame:
+    """Edit-distance-≤1 pairs over the DISTINCT values of a short-string
+    column (names, titles, codes) via DELETION-NEIGHBORHOOD hashing
+    (the SymSpell/FastSS trick): each value emits itself plus every
+    single-character-deletion variant as join keys; two strings within
+    one edit ALWAYS share a key (equal → the identity key; substitution
+    at i → both delete i; insert/delete → the longer's deletion equals
+    the shorter), so the candidate join is an EQUI-join on short keys —
+    never an all-pairs levenshtein. Candidates are then verified with
+    the exact levenshtein (identical integer DP in Spark and DuckDB).
+
+    Runs in VALUE space (one row per distinct string): a column where
+    one value repeats a million times contributes one node, not 10¹²
+    pairs — join back to rows by value afterwards if row pairs are
+    wanted. Keys per value = length+1, so this is for short fields;
+    long-text near-dup belongs to the shingle/MinHash family.
+
+    Returns (value_1, value_2, dist) with value_1 < value_2.
+    """
+    v = df.select(F.col(col).cast("string").alias("s")) \
+        .filter(F.col("s").isNotNull()).distinct()
+    # Spark sequence(1, 0) DESCENDS (NOTES trap) — guard empty strings
+    dels = F.expr(
+        "CASE WHEN length(s) < 1 THEN array() "
+        "ELSE transform(sequence(1, length(s)), "
+        "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)))) "
+        "END")
+    keys = v.select(
+        "s", F.explode(F.concat(F.array(F.col("s")), dels)).alias("k"))
+    cand = (keys.alias("a")
+            .join(keys.alias("b"),
+                  (F.col("a.k") == F.col("b.k"))
+                  & (F.col("a.s") < F.col("b.s")))
+            .select(F.col("a.s").alias("value_1"),
+                    F.col("b.s").alias("value_2"))
+            .distinct())
+    dist = F.levenshtein(F.col("value_1"), F.col("value_2"))
+    return (cand.filter(dist <= 1)
+            .select("value_1", "value_2", dist.cast("int").alias("dist")))

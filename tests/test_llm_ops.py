@@ -2290,3 +2290,39 @@ def test_kcore_rounds_reach_fixpoint(spark, sf_dir):
     at6 = sorted(tuple(r) for r in kcore_peel(pairs, 2, 6).collect())
     at7 = sorted(tuple(r) for r in kcore_peel(pairs, 2, 7).collect())
     assert at6 and at7 == at6  # one extra peel changes nothing
+
+
+def test_edit1_value_pairs_neighborhood_complete(spark):
+    from csvplus_spark.operators.dedup import edit1_value_pairs
+
+    df = spark.createDataFrame(
+        [("cat",), ("cart",), ("bat",), ("dog",), ("cat",), ("",), ("a",)],
+        ["name"])
+    got = sorted(tuple(r) for r in edit1_value_pairs(df, "name").collect())
+    # insertion ("" vs "a"), substitution (bat/cat), deletion (cart/cat);
+    # duplicate values collapse; dog isolated; no d=2 pairs (bat/cart)
+    assert got == [("", "a", 1), ("bat", "cat", 1), ("cart", "cat", 1)]
+
+
+def test_edit1_matches_bruteforce(spark, sf_dir):
+    from csvplus_spark.operators.dedup import edit1_value_pairs
+
+    part = load_table(spark, sf_dir, "part").df
+    got = {tuple(r) for r in edit1_value_pairs(part, "p_name").collect()}
+    names = [r[0] for r in part.select("p_name").distinct().collect()]
+    import itertools
+
+    def lev1(a, b):  # brute edit<=1 check for short strings
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, t = (a, b) if la < lb else (b, a)
+        return any(t[:i] + t[i + 1:] == s for i in range(len(t)))
+
+    want = {(min(a, b), max(a, b), 1)
+            for a, b in itertools.combinations(names, 2) if lev1(a, b)}
+    assert got == want and got
