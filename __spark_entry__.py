@@ -4719,6 +4719,40 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution (operators/events_analytics.py
+    ::last_touch_attribution): last non-purchase event strictly before
+    each user's first purchase, total order (µs, event_id)."""
+    from csvplus_spark.operators.events_analytics import last_touch_attribution
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events").df)
+
+
+_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+),
+fc2 AS (
+  SELECT user_id, us AS first_conv_us, event_id AS fc_id
+  FROM ev WHERE event_type = 'purchase'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) = 1
+),
+prior AS (
+  SELECT e.user_id, f.first_conv_us, e.event_type, e.us, e.event_id
+  FROM ev e JOIN fc2 f USING (user_id)
+  WHERE e.event_type <> 'purchase'
+    AND (e.us < f.first_conv_us
+         OR (e.us = f.first_conv_us AND e.event_id < f.fc_id))
+)
+SELECT user_id, first_conv_us, event_type AS attributed_type,
+       us AS attributed_us, event_id AS attributed_event_id
+FROM prior
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY us DESC, event_id DESC) = 1
+"""
+
+
 def q_edit1_names(spark, sf_dir):
     """Edit-distance-≤1 part-name pairs via deletion-neighborhood
     hashing (operators/dedup.py::edit1_value_pairs) — the short-field
@@ -5206,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "kcore": q_kcore,
         "edit1_names": q_edit1_names,
+        "attribution": q_attribution,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5472,6 +5507,7 @@ LIMIT 20
         "minhash_calibration": _minhash_calibration_sql(),
         "kcore": _kcore_sql(),
         "edit1_names": _EDIT1_SQL,
+        "attribution": _ATTRIBUTION_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

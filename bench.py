@@ -143,6 +143,7 @@ HEADLINE = [
     "minhash_calibration",
     "kcore",
     "edit1_names",
+    "attribution",
 ]
 
 

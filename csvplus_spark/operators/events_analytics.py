@@ -89,3 +89,52 @@ def cohort_retention(df: DataFrame, period_us: int = 7 * 24 * 3600
                      - F.col("cohort_period")).alias("period_offset"))
             .groupBy("cohort_period", "period_offset")
             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+def last_touch_attribution(df: DataFrame, conversion: str = "purchase",
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id") -> DataFrame:
+    """Last-touch conversion attribution: for each user who converts,
+    the LAST non-conversion event strictly before their FIRST
+    conversion — the standard marketing-attribution primitive.
+
+    Total order is (epoch-µs, event id), so simultaneous events break
+    ties deterministically and identically across engines. Shape: one
+    per-user min aggregate over conversions (broadcast-joined back),
+    one filtered per-user window (partitioned — parallel across
+    users); users whose first conversion has no prior event drop out
+    (inner semantics).
+
+    Returns (user_id, first_conv_us, attributed_type, attributed_us,
+    attributed_event_id).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    ev = df.select(F.col(user_col), F.col(type_col), F.col(id_col),
+                   us.alias("__us__"))
+    first_conv = (
+        ev.filter(F.col(type_col) == conversion)
+        .groupBy(user_col)
+        .agg(F.min(F.struct(F.col("__us__"), F.col(id_col))).alias("__fc__"))
+        .select(F.col(user_col),
+                F.col("__fc__")["__us__"].alias("first_conv_us"),
+                F.col("__fc__")[id_col].alias("__fc_id__"))
+    )
+    prior = (
+        ev.filter(F.col(type_col) != conversion)
+        .join(first_conv, user_col)
+        .filter((F.col("__us__") < F.col("first_conv_us"))
+                | ((F.col("__us__") == F.col("first_conv_us"))
+                   & (F.col(id_col) < F.col("__fc_id__"))))
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("__us__").desc(), F.col(id_col).desc())
+    return (prior.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(user_col, "first_conv_us",
+                    F.col(type_col).alias("attributed_type"),
+                    F.col("__us__").alias("attributed_us"),
+                    F.col(id_col).alias("attributed_event_id")))

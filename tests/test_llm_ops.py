@@ -2326,3 +2326,23 @@ def test_edit1_matches_bruteforce(spark, sf_dir):
     want = {(min(a, b), max(a, b), 1)
             for a, b in itertools.combinations(names, 2) if lev1(a, b)}
     assert got == want and got
+
+
+def test_last_touch_attribution_semantics(spark):
+    import datetime
+
+    from csvplus_spark.operators.events_analytics import last_touch_attribution
+
+    t = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, t(1), 10, "view"), (2, t(2), 10, "click"),
+         (3, t(3), 10, "purchase"), (4, t(4), 10, "view"),
+         (5, t(5), 10, "purchase"),           # 2nd purchase ignored
+         (6, t(1), 20, "purchase"),           # converts with no prior
+         (7, t(1), 30, "view")],              # never converts
+        ["event_id", "ts", "user_id", "event_type"])
+    got = {r["user_id"]: (r["attributed_type"], r["attributed_event_id"])
+           for r in last_touch_attribution(df).collect()}
+    # user 10: click (id 2) is the last touch before the FIRST purchase;
+    # user 20 has no prior event, user 30 never converts — both absent
+    assert got == {10: ("click", 2)}
