@@ -618,3 +618,42 @@ def test_foreach_batch_cms_accumulates(spark, tmp_path):
     got = {(r["row"], r["bucket"]): r["ct"]
            for r in spark.read.parquet(sketch).collect()}
     assert got == want
+
+
+def test_foreach_batch_cms_recovers_interrupted_swap(spark, tmp_path):
+    """The CMS accumulator shares the upsert sink's two-rename swap: a
+    crash that left only `sketch__prev__` must roll back on the next
+    batch, not cold-start a fresh sketch from one micro-batch."""
+    import os
+
+    from csvplus_spark.operators.sketch import cms_build
+    from csvplus_spark.streaming.sinks import foreach_batch_cms
+
+    src = tmp_path / "in"
+    src.mkdir()
+    sketch = str(tmp_path / "sketch")
+    (src / "a.txt").write_text("apple\nbanana\napple\n")
+
+    def run(ck):
+        stream = (spark.readStream.format("text")
+                  .schema("value string").load(str(src))
+                  .selectExpr("value AS term"))
+        q = foreach_batch_cms(stream, sketch, str(tmp_path / ck),
+                              "term", d=4, w=64)
+        q.awaitTermination(120)
+
+    run("ck1")
+    # crash window: table moved aside, replacement never arrived
+    os.rename(sketch, sketch + "__prev__")
+    (src / "b.txt").write_text("apple\ncherry\n")
+    run("ck2")  # fresh checkpoint replays BOTH files after heal
+
+    all_terms = spark.createDataFrame(
+        # batch 1 counted once by run 1; run 2 (new checkpoint) replays
+        # a.txt AND b.txt on top of the healed table → a.txt twice
+        [("apple",)] * 5 + [("banana",)] * 2 + [("cherry",)], ["term"])
+    want = {(r["row"], r["bucket"]): r["ct"]
+            for r in cms_build(all_terms, "term", 4, 64).collect()}
+    got = {(r["row"], r["bucket"]): r["ct"]
+           for r in spark.read.parquet(sketch).collect()}
+    assert got == want
