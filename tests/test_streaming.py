@@ -409,3 +409,79 @@ def test_stream_events_explicit_schema_for_ns_files(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["ts"] for r in spark.sql("SELECT ts FROM ns_events").collect())
     assert got == [t0, t0 + datetime.timedelta(seconds=1)]
+
+
+def test_stream_interval_join_left_outer_emits_nulls_at_watermark(spark, tmp_path):
+    """how='left': a purchase with NO click inside ±10 min must emit
+    with null right columns once the watermark (advanced by a later
+    micro-batch) proves no match can arrive — the state-eviction
+    semantics, not just the inner fast path."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.joins import stream_interval_join
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id: long, ts: long, user_id: long, "
+                  "event_type: string, value: double, props: string")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / ("b_" + name)))
+        return glob.glob(str(tmp_path / ("b_" + name) / "part-*.parquet"))[0]
+
+    t0 = 1_750_000_000_000_000_000  # ns epoch
+    m, h = 60 * 10**9, 3600 * 10**9
+    src = tmp_path / "in"
+    src.mkdir()
+    b0 = write_batch("0", [
+        (1, t0, 10, "purchase", 1.0, "{}"),
+        (2, t0 + m, 10, "click", 1.0, "{}"),     # matches user 10
+        (3, t0, 20, "purchase", 1.0, "{}"),      # never matched
+    ])
+    # the global watermark is the MIN over BOTH withWatermark nodes
+    # (purchases AND clicks) — late events must pass both filters or
+    # neither side's watermark moves (first cut used 'view' events:
+    # filtered out upstream, watermark pinned at t0 forever). The 99s
+    # are >10 min apart so they never match each other.
+    b1 = write_batch("1", [
+        (8, t0 + 5 * h, 99, "purchase", 1.0, "{}"),
+        (9, t0 + 5 * h + 3 * h, 99, "click", 1.0, "{}"),
+    ])
+    # outer rows emit in the batch AFTER the watermark advance — give
+    # the stream one more batch to flush evicted state
+    b2 = write_batch("2", [
+        (11, t0 + 9 * h, 99, "purchase", 1.0, "{}"),
+        (12, t0 + 12 * h, 99, "click", 1.0, "{}"),
+    ])
+    import os
+    import time
+
+    # FileStreamSource orders micro-batches by mtime: copies landing in
+    # the same clock second can process out of order, making batch 0's
+    # events LATE (below the already-advanced watermark → dropped).
+    # Pin distinct mtimes to fix the arrival order.
+    now = time.time()
+    for i, b in enumerate([b0, b1, b2]):
+        dst = src / f"{i}.parquet"
+        shutil.copy(b, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    ev = stream_events(spark, str(src), max_files_per_trigger=1)
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    j = stream_interval_join(purchases, clicks, "user_id",
+                             within="10 minutes", watermark="30 minutes",
+                             how="left")
+    q = (j.select("user_id", "r_click_id")
+         .writeStream.format("memory").queryName("ssj_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["user_id"], r["r_click_id"])
+                 for r in spark.sql("SELECT * FROM ssj_outer").collect())
+    assert (10, 2) in got            # matched pair emitted
+    assert (20, None) in got         # unmatched left emitted with nulls
+    assert (10, None) not in got     # the matched left row does NOT null
