@@ -4719,6 +4719,64 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_scd2(spark, sf_dir):
+    """Type-2 SCD batch apply (operators/maintenance.py::scd2_apply):
+    customer balances as an open history, one update batch (every 7th
+    key +100.00, every 11th an idempotent no-op re-delivery) →
+    close/version/no-op rows, exact integer cents and µs."""
+    from csvplus_spark.operators.maintenance import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer").df
+    hist = c.select(
+        F.col("c_custkey"),
+        _cents("c_acctbal").alias("acct_c"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"))
+    changed = (c.filter(F.col("c_custkey") % 7 == 0)
+               .select("c_custkey",
+                       (_cents("c_acctbal") + F.lit(10000)).alias("acct_c"),
+                       F.lit(10**9).cast("long").alias("ts_us")))
+    noop = (c.filter((F.col("c_custkey") % 11 == 0)
+                     & (F.col("c_custkey") % 7 != 0))
+            .select("c_custkey", _cents("c_acctbal").alias("acct_c"),
+                    F.lit(10**9).cast("long").alias("ts_us")))
+    return scd2_apply(hist, changed.unionByName(noop),
+                      ["c_custkey"], ["acct_c"])
+
+
+_SCD2_SQL = """
+WITH hist AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acct_c,
+         CAST(0 AS BIGINT) AS valid_from_us,
+         CAST(NULL AS BIGINT) AS valid_to_us
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) + 10000 AS nv,
+         CAST(1000000000 AS BIGINT) AS uts
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT),
+         CAST(1000000000 AS BIGINT)
+  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+),
+changed AS (
+  SELECT h.c_custkey, h.acct_c, u.nv, u.uts
+  FROM hist h JOIN upd u USING (c_custkey)
+  WHERE h.acct_c IS DISTINCT FROM u.nv
+)
+SELECT h.c_custkey, h.acct_c, h.valid_from_us, h.valid_to_us
+FROM hist h LEFT JOIN changed ch USING (c_custkey)
+WHERE ch.c_custkey IS NULL                       -- untouched / no-op
+UNION ALL
+SELECT c_custkey, acct_c, 0, uts FROM changed    -- closed old version
+UNION ALL
+SELECT c_custkey, nv, uts, NULL FROM changed     -- new current version
+"""
+
+
 def q_attribution(spark, sf_dir):
     """Last-touch conversion attribution (operators/events_analytics.py
     ::last_touch_attribution): last non-purchase event strictly before
@@ -5241,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "edit1_names": q_edit1_names,
         "attribution": q_attribution,
+        "scd2": q_scd2,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5508,6 +5567,7 @@ LIMIT 20
         "kcore": _kcore_sql(),
         "edit1_names": _EDIT1_SQL,
         "attribution": _ATTRIBUTION_SQL,
+        "scd2": _SCD2_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -144,6 +144,7 @@ HEADLINE = [
     "kcore",
     "edit1_names",
     "attribution",
+    "scd2",
 ]
 
 

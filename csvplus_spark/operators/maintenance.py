@@ -216,3 +216,90 @@ def merge_upsert(spark: SparkSession, path: str, updates,
                     merged.write.mode("overwrite").parquet(tmp))
     n_after = spark.read.parquet(path).count()
     return n_before, n_after
+
+
+def scd2_apply(history, updates, key_cols: list[str],
+               tracked_cols: list[str], ts_col: str = "ts_us",
+               valid_from: str = "valid_from_us",
+               valid_to: str = "valid_to_us"):
+    """Apply one batch of updates to a TYPE-2 slowly-changing-dimension
+    history table: the warehouse primitive that keeps every key's full
+    value timeline instead of overwriting (MERGE ... WHEN MATCHED THEN
+    close / insert in transactional formats — expressed here as a pure
+    DataFrame transformation over plain parquet).
+
+    ``history`` rows carry ``valid_from/valid_to`` (µs; NULL valid_to
+    = current). ``updates`` carries the keys, the tracked columns'
+    new values, and ``ts_col``. Per key and batch, the LATEST update
+    wins (ties on the full key order). Semantics:
+
+      * changed value  → current row closed at the update ts, new
+        current row opened at it;
+      * unchanged value → no-op (idempotent re-deliveries don't grow
+        the history);
+      * new key        → new current row;
+      * already-closed rows pass through untouched.
+
+    Null-safe comparison (``eqNullSafe``) so NULL→value and
+    value→NULL count as changes. Shape: one key-equi join of the
+    current slice against the (deduplicated) batch + three unions —
+    no windows over the history, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), *[F.col(c) for c in tracked_cols])
+    upd = (updates.withColumn("__rn__", F.row_number().over(w))
+           .filter(F.col("__rn__") == 1)
+           .select(*key_cols, *tracked_cols, ts_col))
+    # both inputs may share lineage (updates derived from the same
+    # table as the history) — rename EVERY column on EACH side to a
+    # disjoint temp name so the joins resolve by name, never by
+    # attribute id (Spark's ambiguous-self-join check)
+    upd = upd.select(
+        *[F.col(c).alias(f"__u_{c}__") for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}__") for c in tracked_cols],
+        F.col(ts_col).alias("__uts__"))
+    hcols = list(history.columns)
+    other_cols = [c for c in hcols
+                  if c not in (*key_cols, *tracked_cols,
+                               valid_from, valid_to)]
+    if other_cols:
+        raise ValueError(
+            f"scd2_apply: history columns {other_cols} are neither keys,"
+            " tracked columns, nor validity bounds — list them in"
+            " tracked_cols or drop them")
+    closed = history.filter(F.col(valid_to).isNotNull())
+    cur = (history.filter(F.col(valid_to).isNull())
+           .select(*[F.col(c).alias(f"__h_{c}__") for c in hcols]))
+    key_eq = [F.col(f"__h_{k}__") == F.col(f"__u_{k}__") for k in key_cols]
+    same = _scd2_and([F.col(f"__h_{c}__").eqNullSafe(F.col(f"__n_{c}__"))
+                      for c in tracked_cols])
+    hit = F.col(f"__u_{key_cols[0]}__").isNotNull()
+    j = cur.join(upd, _scd2_and(key_eq), "left")
+    keep_open = j.filter(~hit | same).select(
+        *[F.col(f"__h_{c}__").alias(c) for c in hcols])
+    close = j.filter(hit & ~same).select(
+        *[(F.col("__uts__") if c == valid_to
+           else F.col(f"__h_{c}__")).alias(c) for c in hcols])
+    # new versions: changed keys reopen; genuinely new keys insert
+    anti = upd.join(cur, _scd2_and(key_eq), "left")
+    fresh = anti.filter(
+        F.col(f"__h_{key_cols[0]}__").isNull()
+        | ~_scd2_and([F.col(f"__h_{c}__").eqNullSafe(F.col(f"__n_{c}__"))
+                      for c in tracked_cols]))
+    new_rows = fresh.select(*[
+        (F.col(f"__u_{c}__") if c in key_cols
+         else F.col(f"__n_{c}__") if c in tracked_cols
+         else F.col("__uts__") if c == valid_from
+         else F.lit(None).cast("long")).alias(c)
+        for c in hcols])
+    return closed.unionByName(keep_open).unionByName(close) \
+        .unionByName(new_rows)
+
+
+def _scd2_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -2346,3 +2346,29 @@ def test_last_touch_attribution_semantics(spark):
     # user 10: click (id 2) is the last touch before the FIRST purchase;
     # user 20 has no prior event, user 30 never converts — both absent
     assert got == {10: ("click", 2)}
+
+
+def test_scd2_apply_semantics(spark):
+    from csvplus_spark.operators.maintenance import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, 100, 0, None), (2, 200, 0, None),
+         (3, 300, 0, 50), (3, 310, 50, None)],
+        "k: long, v: long, valid_from_us: long, valid_to_us: long")
+    upd = spark.createDataFrame(
+        [(1, 150, 100), (2, 200, 100), (4, 400, 100),
+         (1, 140, 90)],  # stale duplicate for key 1 — latest wins
+        "k: long, v: long, ts_us: long")
+    got = sorted(tuple(r)
+                 for r in scd2_apply(hist, upd, ["k"], ["v"]).collect())
+    assert got == sorted([
+        (1, 100, 0, 100),     # changed: old version closed at uts
+        (1, 150, 100, None),  # ...and reopened with the new value
+        (2, 200, 0, None),    # idempotent no-op update
+        (3, 300, 0, 50),      # closed history passes through
+        (3, 310, 50, None),   # current row with no update
+        (4, 400, 100, None),  # brand-new key
+    ])
+    import pytest
+    with pytest.raises(ValueError, match="neither keys"):
+        scd2_apply(hist.withColumn("extra", hist.k), upd, ["k"], ["v"])
