@@ -4719,6 +4719,48 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_events_ema(spark, sf_dir):
+    """Per-user exponential moving average of event value (α = 1/2,
+    exact binary) — the classic smoothing/forecast primitive. EMA is
+    an ORDER-SENSITIVE float recursion, so it runs as a per-user
+    position-ordered LEFT FOLD (the unigram_lm discipline) seeded by
+    the first element — which is also the one fold shape DuckDB's
+    no-initial-value list_reduce can replay exactly. Values go through
+    exact cents (floor(v·100+0.5)/100) so both engines fold identical
+    doubles; round(6) absorbs nothing here but keeps the output
+    convention. One per-user aggregate; state bounded by per-user
+    history length."""
+    ev = load_table(spark, sf_dir, "events").df
+    v = (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+         .cast("double") / F.lit(100.0))
+    per = (ev.select(F.col("user_id"),
+                     F.struct(F.unix_micros("ts").alias("us"),
+                              F.col("event_id"), v.alias("x"))
+                     .alias("__e__"))
+           .groupBy("user_id")
+           .agg(F.array_sort(F.collect_list("__e__")).alias("__a__")))
+    seed = F.element_at(F.col("__a__"), 1)["x"]
+    rest = F.slice(F.col("__a__"), 2,
+                   F.greatest(F.size("__a__") - 1, F.lit(0)))
+    ema = F.aggregate(rest, seed,
+                      lambda acc, e: acc * F.lit(0.5) + e["x"] * F.lit(0.5))
+    return per.select("user_id", F.size("__a__").alias("n_events"),
+                      F.round(ema, 6).alias("ema"))
+
+
+_EVENTS_EMA_SQL = """
+WITH per AS (
+  SELECT user_id,
+         list(CAST(floor(value*100 + 0.5) AS BIGINT) / 100.0
+              ORDER BY epoch_us(ts), event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS INTEGER) AS n_events,
+       ROUND(list_reduce(xs, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ema
+FROM per
+"""
+
+
 def q_scd2(spark, sf_dir):
     """Type-2 SCD batch apply (operators/maintenance.py::scd2_apply):
     customer balances as an open history, one update batch (every 7th
@@ -5300,6 +5342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit1_names": q_edit1_names,
         "attribution": q_attribution,
         "scd2": q_scd2,
+        "events_ema": q_events_ema,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5568,6 +5611,7 @@ LIMIT 20
         "edit1_names": _EDIT1_SQL,
         "attribution": _ATTRIBUTION_SQL,
         "scd2": _SCD2_SQL,
+        "events_ema": _EVENTS_EMA_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

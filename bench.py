@@ -145,6 +145,7 @@ HEADLINE = [
     "edit1_names",
     "attribution",
     "scd2",
+    "events_ema",
 ]
 
 

@@ -2372,3 +2372,24 @@ def test_scd2_apply_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="neither keys"):
         scd2_apply(hist.withColumn("extra", hist.k), upd, ["k"], ["v"])
+
+
+def test_events_ema_hand_example(spark):
+    import datetime
+
+    import __spark_entry__ as em
+
+    t = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, t(1), 10, "view", 1.0, "{}"),
+         (2, t(2), 10, "view", 3.0, "{}"),
+         (3, t(3), 10, "view", 5.0, "{}"),
+         (4, t(1), 20, "view", 7.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    import tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {r["user_id"]: (r["n_events"], r["ema"])
+           for r in em.queries()["events_ema"](spark, d).collect()}
+    # user 10: ema = ((1*.5+3*.5)*.5 + 5*.5) = 1.0+ ... -> (2)*0.5+2.5 = 3.5
+    assert got == {10: (3, 3.5), 20: (1, 7.0)}
