@@ -4719,6 +4719,92 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_bloom_contam(spark, sf_dir):
+    """Bloom-filter decontamination (operators/sketch.py::bloom_build/
+    bloom_contains): the benchmark's shingle set folds into an ~8 KB
+    broadcast bitmap; corpus shingles test membership scan-side —
+    the 100 TB alternative to shuffling corpus shingles into a join.
+    Emits per-doc shingle counts, exact benchmark hits, and Bloom
+    hits with the ONE-SIDED guarantee bloom ≥ exact ENFORCED in-plan
+    via raise_error (the approx_distinct pattern)."""
+    from csvplus_spark.operators.dedup import shingle_pairs
+    from csvplus_spark.operators.sketch import bloom_build, bloom_contains
+
+    docs = load_table(spark, sf_dir, "documents").df
+    bsh = (shingle_pairs(docs.filter(F.col("doc_id") % 10 == 0))
+           .select(F.col("__s__").alias("term")).distinct())
+    csh = (shingle_pairs(docs.filter(F.col("doc_id") % 10 != 0))
+           .select(F.col("__id__").alias("doc_id"),
+                   F.col("__s__").alias("term")))
+    probed = bloom_contains(bloom_build(bsh), csh)
+    bl = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("in_bloom").cast("long")).alias("bloom_hits"))
+    ex = (csh.join(bsh, "term", "left_semi")
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("exact_hits")))
+    j = bl.join(ex, "doc_id", "left") \
+        .withColumn("exact_hits",
+                    F.coalesce(F.col("exact_hits"), F.lit(0).cast("long")))
+    return j.select(
+        "doc_id", "n_shingles", "exact_hits",
+        F.when(F.col("bloom_hits") >= F.col("exact_hits"),
+               F.col("bloom_hits"))
+        .otherwise(F.raise_error(F.lit("bloom missed an inserted term"))
+                   .cast("long")).alias("bloom_hits"))
+
+
+_BLOOM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+bterms AS MATERIALIZED (
+  SELECT DISTINCT s AS term
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0)
+),
+cterms AS MATERIALIZED (
+  SELECT doc_id, s AS term
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0)
+),
+pos AS (
+  SELECT i.i AS i, term,
+         {_H60.format(x="CAST(i.i AS VARCHAR) || '|' || term")} % 65536
+           AS p
+  FROM bterms, (VALUES (0), (1), (2), (3)) i(i)
+),
+bloom AS MATERIALIZED (
+  SELECT p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT c.doc_id, c.term,
+         COUNT(*) FILTER (
+           WHERE (COALESCE(b.bits, 0)
+                  & (CAST(1 AS BIGINT)
+                     << CAST({_H60.format(x="CAST(i.i AS VARCHAR) || '|' || c.term")} % 65536 % 63 AS INTEGER)))
+                 <> 0) AS hits
+  FROM cterms c CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+  LEFT JOIN bloom b
+    ON b.word = ({_H60.format(x="CAST(i.i AS VARCHAR) || '|' || c.term")} % 65536) // 63
+  GROUP BY c.doc_id, c.term
+),
+bl AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS bloom_hits
+  FROM probe GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id, COUNT(*) AS exact_hits
+  FROM cterms WHERE term IN (SELECT term FROM bterms)
+  GROUP BY doc_id
+)
+SELECT bl.doc_id, bl.n_shingles, COALESCE(ex.exact_hits, 0) AS exact_hits,
+       bl.bloom_hits
+FROM bl LEFT JOIN ex USING (doc_id)
+"""
+
+
 def q_events_ema(spark, sf_dir):
     """Per-user exponential moving average of event value (α = 1/2,
     exact binary) — the classic smoothing/forecast primitive. EMA is
@@ -5343,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "scd2": q_scd2,
         "events_ema": q_events_ema,
+        "bloom_contam": q_bloom_contam,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5612,6 +5699,7 @@ LIMIT 20
         "attribution": _ATTRIBUTION_SQL,
         "scd2": _SCD2_SQL,
         "events_ema": _EVENTS_EMA_SQL,
+        "bloom_contam": _BLOOM_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -146,6 +146,7 @@ HEADLINE = [
     "attribution",
     "scd2",
     "events_ema",
+    "bloom_contam",
 ]
 
 

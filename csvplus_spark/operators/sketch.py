@@ -107,3 +107,58 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
         out = out.unionAll(s)
     return (out.groupBy("row", "bucket")
             .agg(F.sum("ct").alias("ct")))
+
+
+def bloom_build(df: DataFrame, term_col: str = "term", k: int = 4,
+                m_bits: int = 1 << 16) -> DataFrame:
+    """Deterministic Bloom filter over a term set: k md5-derived bit
+    positions per term, OR-folded into an ``m_bits`` bitmap stored as
+    a (word, bits) long table (≤ m_bits/64 rows — 8 KB at the 2^16
+    default). At 100 TB this is THE decontamination shape: broadcast
+    the benchmark's 8 KB Bloom to every executor and filter the corpus
+    scan-side, instead of shuffling corpus shingles into a join.
+    One-sided by construction: every inserted term tests positive;
+    false-positive rate ≈ (1 − e^(−kn/m))^k. Engine-portable — bit
+    positions, shifts, and bit_or are identical integer ops in Spark
+    and DuckDB, so the exact bitmap is oracle-checkable."""
+    pos = None
+    for i in range(k):
+        p = df.select(F.pmod(
+            hash60(F.concat(F.lit(f"{i}|"), F.col(term_col))),
+            F.lit(m_bits)).alias("__p__"))
+        pos = p if pos is None else pos.unionAll(p)
+    return (pos.select(
+        (F.col("__p__") / 63).cast("long").alias("word"),
+        # F.shiftleft takes a literal bit count — column shifts go
+        # through the SQL form
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CAST(__p__ % 63 AS INT))").alias("__m__"))
+            .groupBy("word")
+            .agg(F.bit_or("__m__").alias("bits")))
+
+
+def bloom_contains(bloom: DataFrame, terms: DataFrame,
+                   term_col: str = "term", k: int = 4,
+                   m_bits: int = 1 << 16) -> DataFrame:
+    """Membership test against a :func:`bloom_build` table: a term is
+    (probably) present iff ALL k of its bit positions are set. The
+    bloom table broadcasts; each of the k probes is a word equi-join.
+    Adds ``in_bloom`` (boolean; definitely-false is exact)."""
+    out = terms
+    cond = None
+    for i in range(k):
+        p = F.pmod(hash60(F.concat(F.lit(f"{i}|"), F.col(term_col))),
+                   F.lit(m_bits))
+        w = bloom.select(F.col("word").alias(f"__w{i}__"),
+                         F.col("bits").alias(f"__b{i}__"))
+        out = out.withColumn(f"__p{i}__", p)
+        out = out.join(F.broadcast(w),
+                       (F.col(f"__p{i}__") / 63).cast("long")
+                       == F.col(f"__w{i}__"), "left")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                      f"CAST(__p{i}__ % 63 AS INT))")
+        hit = (F.coalesce(F.col(f"__b{i}__"), F.lit(0))
+               .bitwiseAND(mask) != 0)
+        cond = hit if cond is None else (cond & hit)
+    keep = [c for c in terms.columns]
+    return out.select(*keep, cond.alias("in_bloom"))

@@ -2393,3 +2393,25 @@ def test_events_ema_hand_example(spark):
            for r in em.queries()["events_ema"](spark, d).collect()}
     # user 10: ema = ((1*.5+3*.5)*.5 + 5*.5) = 1.0+ ... -> (2)*0.5+2.5 = 3.5
     assert got == {10: (3, 3.5), 20: (1, 7.0)}
+
+
+def test_bloom_one_sided_and_false_positive_behavior(spark):
+    from csvplus_spark.operators.sketch import bloom_build, bloom_contains
+
+    inserted = spark.createDataFrame(
+        [(f"term{i}",) for i in range(50)], ["term"])
+    bloom = bloom_build(inserted)  # 2^16 bits, 4 hashes
+    # every inserted term tests positive (one-sided guarantee)
+    got = {r["term"]: r["in_bloom"]
+           for r in bloom_contains(bloom, inserted).collect()}
+    assert all(got.values()) and len(got) == 50
+    # absent terms: definitely-false dominates at 200 bits set / 65536
+    absent = spark.createDataFrame(
+        [(f"other{i}",) for i in range(200)], ["term"])
+    hits = (bloom_contains(bloom, absent)
+            .filter("in_bloom").count())
+    assert hits <= 2  # fp rate ~(200/65536)^4 — collisions ~impossible
+    # tiny m forces false positives but never false negatives
+    b2 = bloom_build(inserted, m_bits=64)
+    got2 = bloom_contains(b2, inserted, m_bits=64).collect()
+    assert all(r["in_bloom"] for r in got2)
