@@ -4719,6 +4719,37 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_copurchase(spark, sf_dir):
+    """Market-basket pair mining: parts co-occurring in the same order
+    with support ≥ 3 — the association-rule candidate stage. The
+    self-join is keyed by order, so cost is Σ|basket|² (baskets are
+    small and bounded by order size), never |parts|²; support filter
+    is a map-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").df
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        b.alias("a")
+        .join(b.alias("bb"),
+              (F.col("a.l_orderkey") == F.col("bb.l_orderkey"))
+              & (F.col("a.l_partkey") < F.col("bb.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_1"),
+                 F.col("bb.l_partkey").alias("part_2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+
+
+_COPURCHASE_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_1, c.l_partkey AS part_2,
+       COUNT(*) AS support
+FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                 AND a.l_partkey < c.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 def q_bloom_contam(spark, sf_dir):
     """Bloom-filter decontamination (operators/sketch.py::bloom_build/
     bloom_contains): the benchmark's shingle set folds into an ~8 KB
@@ -5430,6 +5461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "events_ema": q_events_ema,
         "bloom_contam": q_bloom_contam,
+        "copurchase": q_copurchase,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5700,6 +5732,7 @@ LIMIT 20
         "scd2": _SCD2_SQL,
         "events_ema": _EVENTS_EMA_SQL,
         "bloom_contam": _BLOOM_SQL,
+        "copurchase": _COPURCHASE_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

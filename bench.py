@@ -147,6 +147,7 @@ HEADLINE = [
     "scd2",
     "events_ema",
     "bloom_contam",
+    "copurchase",
 ]
 
 
