@@ -4719,6 +4719,73 @@ WHERE i * 1.0 / least(len(s1.sh), len(s2.sh)) >= 0.8
 """
 
 
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation: recency (µs since last order,
+    relative to the corpus max — a scalar), frequency (order count),
+    monetary (exact total cents), each cut at its own exact 1/3–2/3
+    quantiles → 27 segments. All thresholds are ONE 6-value aggregate
+    broadcast back (the ccnet_buckets shape) — no corpus-wide ntile
+    window, which is the standard RFM recipe's scale trap."""
+    o = load_table(spark, sf_dir, "orders").df
+    mx = o.agg(F.max(F.unix_micros("o_orderdate")).alias("__mx__"))
+    per = (o.crossJoin(F.broadcast(mx))
+           .groupBy("o_custkey")
+           .agg(F.min(F.col("__mx__")
+                      - F.unix_micros("o_orderdate")).alias("rec_us"),
+                F.count(F.lit(1)).alias("freq"),
+                F.sum(_cents("o_totalprice")).alias("mon_c")))
+    th = per.agg(
+        F.expr("percentile(rec_us, array(1.0D/3.0D, 2.0D/3.0D))").alias("r"),
+        F.expr("percentile(freq, array(1.0D/3.0D, 2.0D/3.0D))").alias("f"),
+        F.expr("percentile(mon_c, array(1.0D/3.0D, 2.0D/3.0D))").alias("m"))
+
+    def bucket(col, t, asc):
+        # tercile 1..3; recency: smaller = better (3), others larger = 3
+        lo, hi = F.col(t)[0], F.col(t)[1]
+        v = F.col(col).cast("double")
+        if asc:  # larger value → higher bucket
+            return (F.when(v >= hi, 3).when(v >= lo, 2).otherwise(1))
+        return (F.when(v >= hi, 1).when(v >= lo, 2).otherwise(3))
+
+    return (per.crossJoin(F.broadcast(th))
+            .select("o_custkey", "rec_us", "freq", "mon_c",
+                    bucket("rec_us", "r", False).alias("r_bucket"),
+                    bucket("freq", "f", True).alias("f_bucket"),
+                    bucket("mon_c", "m", True).alias("m_bucket")))
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         (SELECT MAX(epoch_us(o_orderdate)) FROM orders)
+           - MAX(epoch_us(o_orderdate)) AS rec_us,
+         COUNT(*) AS freq,
+         SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS mon_c
+  FROM orders GROUP BY o_custkey
+),
+th AS (
+  SELECT quantile_cont(rec_us, 1.0/3) AS r_lo,
+         quantile_cont(rec_us, 2.0/3) AS r_hi,
+         quantile_cont(freq, 1.0/3) AS f_lo,
+         quantile_cont(freq, 2.0/3) AS f_hi,
+         quantile_cont(mon_c, 1.0/3) AS m_lo,
+         quantile_cont(mon_c, 2.0/3) AS m_hi
+  FROM per
+)
+SELECT o_custkey, rec_us, freq, mon_c,
+       CASE WHEN CAST(rec_us AS DOUBLE) >= r_hi THEN 1
+            WHEN CAST(rec_us AS DOUBLE) >= r_lo THEN 2 ELSE 3 END
+         AS r_bucket,
+       CASE WHEN CAST(freq AS DOUBLE) >= f_hi THEN 3
+            WHEN CAST(freq AS DOUBLE) >= f_lo THEN 2 ELSE 1 END
+         AS f_bucket,
+       CASE WHEN CAST(mon_c AS DOUBLE) >= m_hi THEN 3
+            WHEN CAST(mon_c AS DOUBLE) >= m_lo THEN 2 ELSE 1 END
+         AS m_bucket
+FROM per, th
+"""
+
+
 def q_copurchase(spark, sf_dir):
     """Market-basket pair mining: parts co-occurring in the same order
     with support ≥ 3 — the association-rule candidate stage. The
@@ -5462,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ema": q_events_ema,
         "bloom_contam": q_bloom_contam,
         "copurchase": q_copurchase,
+        "rfm": q_rfm,
         "snapshot_diff": q_snapshot_diff,
         "expectations": q_expectations,
         "gopher_quality": q_gopher_quality,
@@ -5733,6 +5801,7 @@ LIMIT 20
         "events_ema": _EVENTS_EMA_SQL,
         "bloom_contam": _BLOOM_SQL,
         "copurchase": _COPURCHASE_SQL,
+        "rfm": _RFM_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "gopher_quality": _GOPHER_SQL,

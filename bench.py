@@ -148,6 +148,7 @@ HEADLINE = [
     "events_ema",
     "bloom_contam",
     "copurchase",
+    "rfm",
 ]
 
 

@@ -29,11 +29,13 @@ import __spark_entry__ as em
 #: Lloyd round — bounded fan-out, not a pair explosion
 #: ccnet_buckets broadcasts its single-row 2-quantile threshold;
 #: kcenter broadcasts one single-row center/max per greedy round;
-#: tpch_q11_share broadcasts its single-row (total, n) scalar
+#: tpch_q11_share broadcasts its single-row (total, n) scalar;
+#: rfm broadcasts the single-row corpus-max date and the single-row
+#: 6-value tercile thresholds
 CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ivf2_seeded", "ann_recall",
                  "skew_report", "temperature_mix", "kmeans",
                  "cluster_balance", "ccnet_buckets", "kcenter",
-                 "tpch_q11_share"}
+                 "tpch_q11_share", "rfm"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):
