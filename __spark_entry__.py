@@ -4604,7 +4604,7 @@ def _kcenter_sql(k: int = 8) -> str:
 c0 AS MATERIALIZED (SELECT vid AS cid, e AS ce
                     FROM v ORDER BY vid LIMIT 1),
 s1 AS MATERIALIZED (SELECT vid, e, """ + d2("v", "c0") + """ AS mind2
-       FROM v CROSS JOIN c0)"""]
+       FROM v CROSS JOIN c0 WHERE v.vid <> c0.cid)"""]
     rows = ["SELECT CAST(0 AS INTEGER) AS sel_order, "
             "(SELECT cid FROM c0) AS vec_id, 0.0 AS radius_d2"]
     for i in range(1, k):
@@ -4617,9 +4617,9 @@ c{i} AS MATERIALIZED (SELECT v.vid AS cid, v.e AS ce
             parts.append(
                 f"""s{i + 1} AS MATERIALIZED (SELECT s{i}.vid, s{i}.e,
          least(s{i}.mind2, {d2(f's{i}', f'c{i}')}) AS mind2
-         FROM s{i} CROSS JOIN c{i})""")
-        rows.append(f"SELECT CAST({i} AS INTEGER), (SELECT cid FROM w{i}),"
-                    f" (SELECT mx FROM m{i})")
+         FROM s{i} CROSS JOIN c{i} WHERE s{i}.vid <> c{i}.cid)""")
+        rows.append(f"SELECT CAST({i} AS INTEGER), cid,"
+                    f" (SELECT mx FROM m{i}) FROM w{i} WHERE cid IS NOT NULL")
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 

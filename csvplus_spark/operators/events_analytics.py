@@ -75,17 +75,22 @@ def cohort_retention(df: DataFrame, period_us: int = 7 * 24 * 3600
     """
     us = F.unix_micros(F.col(ts_col))
     ev = df.select(F.col(user_col).alias("user_id"), us.alias("__us__"))
-    # integer `div`, not floor(x/p): double division of µs magnitudes
-    # is exact under 2^53 but the idiom here is the NOTES ns→µs rule —
-    # integer division never sits on a float boundary
+    # exact-integer FLOOR division (subtract the non-negative pmod
+    # remainder, then the division is exact): `div` truncates toward
+    # zero, so pre-epoch (negative-µs) timestamps would land in the
+    # wrong cohort and produce inconsistent offsets; float floor(x/p)
+    # would sit on a 2^53 boundary for large µs. DuckDB's `//` is
+    # floor — this keeps both engines identical for ALL timestamps.
     cohort = (ev.groupBy("user_id")
               .agg(F.min("__us__").alias("__m__"))
               .select("user_id",
-                      F.expr(f"__m__ div {period_us}")
+                      F.expr(f"(__m__ - pmod(__m__, {period_us}))"
+                             f" div {period_us}")
                       .alias("cohort_period")))
     return (ev.join(cohort, "user_id")
             .select("user_id", "cohort_period",
-                    (F.expr(f"__us__ div {period_us}")
+                    (F.expr(f"(__us__ - pmod(__us__, {period_us}))"
+                            f" div {period_us}")
                      - F.col("cohort_period")).alias("period_offset"))
             .groupBy("cohort_period", "period_offset")
             .agg(F.count_distinct("user_id").alias("n_users")))

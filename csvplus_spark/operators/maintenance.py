@@ -206,7 +206,10 @@ def merge_upsert(spark: SparkSession, path: str, updates,
     n_before = current.count()
     kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
     if delete_filter is not None:
-        kept = kept.filter(~delete_filter)
+        # MERGE delete semantics KEEP rows the predicate doesn't match;
+        # NULL-evaluating rows (NULL in a filtered column) must be kept
+        # too — a bare ~NULL is NULL and would silently drop them
+        kept = kept.filter(~F.coalesce(delete_filter, F.lit(False)))
     merged = kept.unionByName(updates)
     # ordering note: replace_dataset writes the WHOLE merge to the tmp
     # dir FIRST and only then renames `path` aside — the lazy read of

@@ -1211,7 +1211,16 @@ def kcenter_select(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     outs = [c.select(F.lit(0).cast("int").alias("sel_order"),
                      F.col("cid").alias(id_col),
                      F.lit(0.0).alias("radius_d2"))]
+    # picked points are REMOVED from state: a selected center (mind2=0)
+    # must never win the argmax again — with heavy exact duplication
+    # (max(mind2)=0) a bare max-filter-min re-selects centers forever,
+    # yielding duplicate coreset rows (r7 advice). Excluding picks keeps
+    # the trajectory identical on non-degenerate data (a removed point
+    # has mind2=0 and can't win a positive max) and picks a DISTINCT
+    # duplicate-position point under degeneracy; with n < k the later
+    # rounds are simply empty.
     state = (v.crossJoin(F.broadcast(c))
+             .filter(F.col("vid") != F.col("cid"))
              .select("vid", "e", d2(F.col("e"), F.col("ce")).alias("mind2")))
     for i in range(1, k):
         state = state.localCheckpoint(eager=False)
@@ -1227,6 +1236,7 @@ def kcenter_select(df: DataFrame, k: int = 8, id_col: str = "vec_id",
                     F.col("cid").alias(id_col),
                     F.col("mx").alias("radius_d2")))
         state = (state.crossJoin(F.broadcast(c))
+                 .filter(F.col("vid") != F.col("cid"))
                  .select("vid", "e",
                          F.least(F.col("mind2"),
                                  d2(F.col("e"), F.col("ce"))).alias("mind2")))

@@ -242,6 +242,14 @@ class Reader:
                         continue
                     files.append(uri)
             else:
+                # directly-matched files get the same hidden filter on
+                # the FINAL segment (a glob like dir/* matches _SUCCESS
+                # and .crc sidecars, which the scan itself ignores) —
+                # parent segments belong to the user's own path and may
+                # legitimately contain dots
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
                 files.append(st.getPath().toString())
         files = sorted(files)
         if not files:

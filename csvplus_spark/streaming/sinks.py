@@ -205,11 +205,23 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
     fixed d·w footprint, with no history re-scan.
 
     The swap is the crash-safe two-rename used by upsert sinks
-    (replace_dataset): a batch retried by the checkpoint either sees
-    the pre-batch table (and merges again — idempotent only per the
-    usual foreachBatch at-least-once caveat) or the post-batch one.
+    (replace_dataset), and the fold is IDEMPOTENT under foreachBatch
+    at-least-once delivery: every row of the persisted cell table
+    carries ``applied_batch_id`` + ``applied_ck`` (the last batch
+    folded in and the checkpoint it belongs to, swapped atomically
+    with the cells), and a replayed batch whose id is ≤ the stored one
+    FOR THE SAME CHECKPOINT is skipped instead of merged twice —
+    without the marker, a batch replayed after a post-swap crash would
+    permanently inflate every estimate it touched (r7 advice). Batch
+    ids are monotonically increasing per checkpoint, so one high-water
+    mark suffices; a DIFFERENT checkpoint restarts ids at 0 and is a
+    deliberate re-feed, so its batches always merge.
     """
+    from pyspark.sql import functions as F
+
     from ..operators.sketch import cms_build, cms_merge
+
+    MARK, CK = "applied_batch_id", "applied_ck"
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
@@ -218,12 +230,26 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
         inc = cms_build(batch, term_col, d, w)
         fs = _Fs(spark, sketch_path)
         heal_swap(fs, sketch_path)
+        mark = lambda df: (df
+                           .withColumn(MARK, F.lit(batch_id).cast("long"))
+                           .withColumn(CK, F.lit(checkpoint)))
         if not fs.exists(sketch_path):
             # bootstrap gated on genuine non-existence, never on a
             # failed read (foreach_batch_upsert's truncation guard)
-            inc.write.mode("overwrite").parquet(sketch_path)
+            mark(inc).write.mode("overwrite").parquet(sketch_path)
             return
-        merged = cms_merge(spark.read.parquet(sketch_path), inc)
+        cur = spark.read.parquet(sketch_path)
+        if MARK in cur.columns:
+            head = (cur.select(F.max(MARK).alias("b"),
+                               F.max(CK).alias("c")).first()
+                    if CK in cur.columns else
+                    cur.select(F.max(MARK).alias("b"),
+                               F.lit(None).alias("c")).first())
+            if (head["b"] is not None and head["c"] == checkpoint
+                    and batch_id <= head["b"]):
+                return  # replayed batch — already folded in
+            cur = cur.drop(MARK, CK)
+        merged = mark(cms_merge(cur, inc))
         replace_dataset(fs, sketch_path,
                         lambda tmp: merged.write.mode("overwrite").parquet(tmp))
 

@@ -241,3 +241,18 @@ def test_expect_header_skips_comment_and_blank_lines(spark, tmp_path):
     with pytest.raises(HeaderError):
         from_file(spark, p).comment_char("#") \
             .expect_header({"name": 0}).to_frame()
+
+
+def test_remote_glob_direct_match_skips_hidden_files(spark, tmp_path):
+    """ADVICE r7: a remote glob that matches FILES directly (dir/*)
+    must not pick _SUCCESS or a dotfile as the header-peek file —
+    Spark's scan ignores them, so the peek must too."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    # sort BEFORE the real data file on purpose
+    (d / "_SUCCESS").write_text("")
+    (d / ".hidden.crc").write_text("junk\n")
+    (d / "data.csv").write_text("id,name\n1,a\n2,b\n")
+    f = from_file(spark, f"file://{d}/*").to_frame()
+    assert f.columns == ["id", "name"]
+    assert sorted(r["id"] for r in f.to_rows()) == ["1", "2"]

@@ -2415,3 +2415,66 @@ def test_bloom_one_sided_and_false_positive_behavior(spark):
     b2 = bloom_build(inserted, m_bits=64)
     got2 = bloom_contains(b2, inserted, m_bits=64).collect()
     assert all(r["in_bloom"] for r in got2)
+
+
+def test_merge_upsert_delete_filter_keeps_null_rows(spark, tmp_path):
+    """SQL MERGE delete semantics KEEP non-matching rows — a row where
+    the delete predicate evaluates to NULL (NULL in the filtered
+    column) must be kept, not silently dropped by ~NULL = NULL."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 300)], "id long, v long")
+    merge_upsert(spark, path, base, ["id"])
+    upd = spark.createDataFrame([(4, 40)], "id long, v long")
+    merge_upsert(spark, path, upd, ["id"], delete_filter=F.col("v") >= 200)
+    rows = {r.id for r in spark.read.parquet(path).collect()}
+    # id=2 (v NULL) does NOT match the delete predicate → kept
+    assert rows == {1, 2, 4}
+
+
+def test_kcenter_no_duplicate_centers_under_duplication(spark):
+    """With fewer distinct vectors than k, max(mind2) hits 0; the
+    argmax must then pick DISTINCT duplicate-position ids, never
+    re-select an already-chosen center (duplicate coreset rows)."""
+    from csvplus_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]),
+         (4, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = kcenter_select(df, k=4).collect()
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids)) == 4  # all four ids, no repeats
+    # and with n < k the trailing rounds are simply empty
+    out2 = kcenter_select(df.limit(2), k=4).collect()
+    ids2 = [r.vec_id for r in out2]
+    assert len(ids2) == len(set(ids2)) == 2
+
+
+def test_cohort_retention_pre_epoch_floor(spark):
+    """Period math is FLOOR division, not truncation toward zero:
+    a pre-epoch (negative-µs) event one period before a user's
+    1970+ cohort must land at offset -1, not 0."""
+    import datetime as dt
+
+    from csvplus_spark.operators.events_analytics import cohort_retention
+
+    p_us = 7 * 24 * 3600 * 1_000_000
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        # user A: first event 3 days BEFORE epoch → cohort -1;
+        # second event 3 days after epoch → period 0 → offset 1
+        ("A", epoch - dt.timedelta(days=3)),
+        ("A", epoch + dt.timedelta(days=3)),
+        # user B: both events in week 0
+        ("B", epoch + dt.timedelta(days=1)),
+        ("B", epoch + dt.timedelta(days=2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {(r.cohort_period, r.period_offset): r.n_users
+           for r in cohort_retention(df, period_us=p_us).collect()}
+    assert out == {(-1, 0): 1, (-1, 1): 1, (0, 0): 1}

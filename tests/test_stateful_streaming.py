@@ -657,3 +657,48 @@ def test_foreach_batch_cms_recovers_interrupted_swap(spark, tmp_path):
     got = {(r["row"], r["bucket"]): r["ct"]
            for r in spark.read.parquet(sketch).collect()}
     assert got == want
+
+
+def test_foreach_batch_cms_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay must not double-count: deleting the last
+    checkpoint commit makes the restart replay that micro-batch, and
+    the applied_batch_id high-water mark must skip the re-merge —
+    without it, a batch replayed after a post-swap crash permanently
+    inflates every estimate it touched."""
+    import os
+
+    from csvplus_spark.operators.sketch import cms_build
+    from csvplus_spark.streaming.sinks import foreach_batch_cms
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("apple\nbanana\napple\n")
+    sketch = str(tmp_path / "sketch")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (spark.readStream.format("text")
+                  .schema("value string").load(str(src))
+                  .selectExpr("value AS term"))
+        q = foreach_batch_cms(stream, sketch, ck, "term", d=4, w=64)
+        q.awaitTermination(180)
+
+    run()
+    # simulate post-swap crash: sketch swap landed but the checkpoint
+    # commit did not → the restart replays the same batch id
+    commits = os.path.join(ck, "commits")
+    last = sorted(f for f in os.listdir(commits)
+                  if not f.startswith("."))[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # hadoop LocalFS refuses the commit rewrite
+    run()
+
+    once = spark.createDataFrame(
+        [("apple",)] * 2 + [("banana",)], ["term"])
+    want = {(r["row"], r["bucket"]): r["ct"]
+            for r in cms_build(once, "term", 4, 64).collect()}
+    got = {(r["row"], r["bucket"]): r["ct"]
+           for r in spark.read.parquet(sketch).collect()}
+    assert got == want  # replay folded ZERO new counts in
