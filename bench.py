@@ -49,7 +49,12 @@ HEADLINE = [
     "tpch_q9_profit",
     "window_lead_ntile",
     "tfidf",
-    "simhash_pairs",
+    # simhash_pairs (32-bit legacy) is EXCLUDED from the timed set: its
+    # answer is ~n²/6 rows on template corpora (1.9G rows at sf3,
+    # SCALE.md), so its timing measures output materialization, not
+    # plan quality — the linear simhash_pairs60/simhash_reps60 shapes
+    # below are the recommended entry points and stay timed. The
+    # oracle entry remains in queries() for continuity. (r7 verdict 4)
     "simhash_pairs60",
     "simhash_reps60",
     "dedup_embedding",
@@ -100,6 +105,7 @@ HEADLINE = [
     "semantic_contam",
     "temperature_mix",
     "multimodal_png",
+    "multimodal_jpeg",
     "approx_quantiles",
     "bigram_lm",
     "dsir",
@@ -149,6 +155,42 @@ HEADLINE = [
     "bloom_contam",
     "copurchase",
     "rfm",
+    # r8: every remaining queries() entry gets a timing row (r7
+    # verdict 6 — no silent caps); the ONLY timed-set exclusion is
+    # simhash_pairs, documented above
+    "select_project",
+    "drop_columns",
+    "filter_any",
+    "map_derive",
+    "index_find",
+    "sub_index",
+    "drop_offset",
+    "take_while",
+    "drop_while",
+    "union_distinct",
+    "stream_tumbling",
+    "events_sliding",
+    "asof_join",
+    "join_outer",
+    "rollup_agg",
+    "window_running",
+    "intersect",
+    "except_all",
+    "intersect_all",
+    "incremental_dedup",
+    "agg_distinct",
+    "multimodal_meta",
+    "explode_tokens",
+    "cube_agg",
+    "scalar_string_math",
+    "quantiles",
+    "pivot",
+    "approx_distinct",
+    "date_arith",
+    "null_funcs",
+    "ivf_seeded",
+    "multimodal_features",
+    "lang_cap",
 ]
 
 

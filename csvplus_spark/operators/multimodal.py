@@ -76,7 +76,7 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                     have_pil = True
                 except ImportError:
                     have_pil = False
-                from . import pngcodec
+                from . import jpegcodec, pngcodec
 
                 widths, heights = [], []
                 for blob in pdf["data"]:
@@ -88,11 +88,18 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                         w, h, _depth, _ct = pngcodec.png_info(bytes(blob))
                         widths.append(w)
                         heights.append(h)
+                    elif jpegcodec.is_jpeg(bytes(blob)):
+                        # SOF-marker walk: real dimensions without a
+                        # pixel decode (operators/jpegcodec.py)
+                        w, h, _nc, _prog = jpegcodec.jpeg_info(bytes(blob))
+                        widths.append(w)
+                        heights.append(h)
                     else:
                         raise NotImplementedError(
                             "real_codec=True but no image codec importable "
-                            "on this executor for a non-PNG blob (the "
-                            "built-in pure-Python codec handles PNG only; "
+                            "on this executor for a non-PNG/JPEG blob (the "
+                            "built-in pure-Python codecs parse PNG fully "
+                            "and JPEG geometry via the SOF marker walk; "
                             "pip install Pillow, or use the deterministic "
                             "stub with real_codec=False)")
                 out = pd.DataFrame({

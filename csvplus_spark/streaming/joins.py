@@ -32,9 +32,12 @@ def stream_interval_join(
     Requirements Spark imposes on stream-stream joins are handled
     here: both inputs get event-time watermarks, and the join
     condition carries the explicit time-range predicate the state
-    manager needs to evict buffered rows. ``how`` may be ``inner`` or
+    manager needs to evict buffered rows. ``how`` may be ``inner``,
     ``left`` (left-outer emits unmatched left rows once the watermark
-    proves no match can arrive).
+    proves no match can arrive) or ``full`` (both sides' unmatched
+    rows emit with nulls at state eviction — Spark supports full-outer
+    stream-stream joins under the same watermark + time-range-condition
+    requirements).
 
     Column naming: every right-side column is prefixed ``r_`` in the
     output (the join key and timestamps included), so self-joins of
@@ -44,8 +47,10 @@ def stream_interval_join(
     buffered rows per side; the join itself shuffles both streams by
     key — the same partitioning any keyed stateful op uses.
     """
-    if how not in ("inner", "left", "leftOuter", "left_outer"):
-        raise ValueError(f"stream_interval_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "leftOuter", "left_outer",
+                   "full", "fullOuter", "full_outer"):
+        raise ValueError(
+            f"stream_interval_join supports inner/left/full, got {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     rw = rw.select(*[F.col(c).alias(f"r_{c}") for c in rw.columns])
@@ -56,4 +61,6 @@ def stream_interval_join(
         & (F.col(f"r_{right_ts}")
            <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "left_outer" if how.startswith("left") else "inner")
+    join_type = ("full_outer" if how.startswith("full")
+                 else "left_outer" if how.startswith("left") else "inner")
+    return lw.join(rw, cond, join_type)

@@ -1,0 +1,59 @@
+"""Automated per-query bench regression gate (r7 verdict item 3):
+BENCH_HISTORY.jsonl was previously write-only — the r2 and r6 timing
+regressions were both caught only by manual A/B. This runs the same
+comparison tools/check_bench_regression.py exposes, inside the
+ordinary pytest sweep, and fails the suite on a >1.5× slowdown of any
+shared ≥0.5s query between the two most recent bench runs."""
+
+import sys
+import os
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "tools"))
+
+from check_bench_regression import compare, load_history, trend_table
+
+
+def test_no_per_query_bench_regression():
+    hist = load_history()
+    if len(hist) < 2:
+        pytest.skip("bench history has <2 runs")
+    regressions, table = compare(hist[-2], hist[-1])
+    assert not regressions, "\n" + trend_table(table) + "\nregressions: " + \
+        ", ".join(f"{r['query']} {r['base']}s->{r['cur']}s" for r in regressions)
+
+
+def test_compare_logic():
+    """Unit-pin the gate's semantics: floor, threshold, shared-only,
+    failed (-1) timings skipped."""
+    base = {"queries": {"a": 1.0, "b": 0.2, "c": 2.0, "d": 1.0, "gone": 1.0}}
+    cur = {"queries": {"a": 1.6, "b": 0.9, "c": -1.0, "d": 1.4, "new": 9.9}}
+    regressions, table = compare(base, cur)
+    names = {r["query"] for r in regressions}
+    assert names == {"a"}          # 1.6x on a >=0.5s query
+    # b regressed 4.5x but base < floor; c failed (skipped); d is 1.4x
+    assert {r["query"] for r in table} == {"a", "b", "d"}
+
+
+def test_headline_covers_every_query():
+    """No silent caps (r7 verdict 6): every queries() entry has a
+    timing row in bench.py's HEADLINE set, except the explicitly
+    documented exclusions (each with a reason in bench.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    import bench
+    import __spark_entry__ as em
+
+    DOCUMENTED_EXCLUSIONS = {
+        # data-quadratic OUTPUT (~n²/6 rows on template corpora): its
+        # timing measures output materialization, not plan quality —
+        # the linear simhash_pairs60/simhash_reps60 shapes are timed
+        "simhash_pairs",
+    }
+    qs = set(em.queries())
+    hs = set(bench.HEADLINE)
+    assert len(bench.HEADLINE) == len(hs), "duplicate HEADLINE entry"
+    assert hs <= qs, sorted(hs - qs)
+    assert qs - hs == DOCUMENTED_EXCLUSIONS, sorted(qs - hs)

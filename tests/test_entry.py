@@ -40,7 +40,7 @@ def test_coverage_query_index_matches_queries():
     listed = set(("flagship " + m.group(1)).split())
     qs = set(em.queries())
     assert listed == qs, (sorted(qs - listed), sorted(listed - qs))
-    # every oracle key must be a query key, and only bpe_counts is
-    # deliberately rows-only
-    assert set(em.oracle_sql()) <= qs
-    assert sorted(qs - set(em.oracle_sql())) == ["bpe_counts"]
+    # every oracle key must be a query key, and since r8 EVERY query
+    # has an oracle (bpe_counts graduated via in-plan bounds + frozen
+    # pinned literals)
+    assert set(em.oracle_sql()) == qs

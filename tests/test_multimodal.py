@@ -306,3 +306,64 @@ def test_mp4_info_box_walk(spark):
     r = decode_video_meta(df, real_codec=True).collect()[0]
     assert (r.timescale, r.duration_units, r.duration_us) == (600, 1500,
                                                               2_500_000)
+
+
+def test_jpegcodec_marker_walk():
+    """SOF marker walk: roundtrip through encode_minimal_jpeg for
+    baseline + progressive, fill bytes tolerated, malformed streams
+    raise instead of guessing."""
+    import struct
+
+    import pytest as _pt
+
+    from csvplus_spark.operators.jpegcodec import (encode_minimal_jpeg,
+                                                   is_jpeg, jpeg_info)
+
+    for w, h, nc, prog in [(1, 1, 1, False), (640, 480, 3, False),
+                           (65535, 65535, 4, True), (13, 7, 2, True)]:
+        blob = encode_minimal_jpeg(w, h, nc, prog)
+        assert is_jpeg(blob)
+        assert jpeg_info(blob) == (w, h, nc, prog)
+
+    base = encode_minimal_jpeg(33, 44, 3)
+    # extra APPn + COM segments before SOF are walked over
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    padded = base[:2] + b"\xff" + com + app1 + base[2:]  # fill byte too
+    assert jpeg_info(padded)[:2] == (33, 44)
+    # restart markers (standalone, no length) are skipped
+    with_rst = base[:2] + b"\xff\xd0" + base[2:]
+    assert jpeg_info(with_rst)[:2] == (33, 44)
+
+    with _pt.raises(ValueError):
+        jpeg_info(b"\x89PNG\r\n\x1a\n")        # not a JPEG
+    with _pt.raises(ValueError):
+        jpeg_info(b"\xff\xd8\xff\xd9")          # EOI before any SOF
+    with _pt.raises(ValueError):
+        jpeg_info(base[:10])                    # truncated mid-segment
+    # DHT (C4) must NOT be mistaken for a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    assert jpeg_info(base[:2] + dht + base[2:])[:2] == (33, 44)
+
+
+def test_decode_images_jpeg_without_pillow(spark):
+    """The real_codec image path handles JPEG blobs via the marker
+    walk when Pillow is absent — only non-PNG/JPEG formats env-gate."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed: exercises PIL, not the walker")
+    except ImportError:
+        pass
+    import pandas as pd
+
+    from csvplus_spark.operators.jpegcodec import encode_minimal_jpeg
+    from csvplus_spark.operators.multimodal import decode_images
+    from csvplus_spark.operators.pngcodec import encode_png
+
+    rows = [(1, bytearray(encode_minimal_jpeg(100, 50, 3))),
+            (2, bytearray(encode_png(4, 3, 1, bytes(range(12))))),
+            (3, bytearray(encode_minimal_jpeg(7, 9, 1, progressive=True)))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r.media_id: (r.width, r.height, r.n_pixels)
+           for r in decode_images(df, real_codec=True).collect()}
+    assert out == {1: (100, 50, 5000), 2: (4, 3, 12), 3: (7, 9, 63)}

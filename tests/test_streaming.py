@@ -485,3 +485,75 @@ def test_stream_interval_join_left_outer_emits_nulls_at_watermark(spark, tmp_pat
     assert (10, 2) in got            # matched pair emitted
     assert (20, None) in got         # unmatched left emitted with nulls
     assert (10, None) not in got     # the matched left row does NOT null
+
+
+def test_stream_interval_join_full_outer_nulls_both_sides(spark, tmp_path):
+    """how='full': unmatched LEFT rows null the right columns AND
+    unmatched RIGHT rows null the left columns, each emitted once the
+    watermark proves no match can arrive — completing the stream-stream
+    join surface next to the r7 left-outer coverage."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.joins import stream_interval_join
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id: long, ts: long, user_id: long, "
+                  "event_type: string, value: double, props: string")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / ("b_" + name)))
+        return glob.glob(str(tmp_path / ("b_" + name) / "part-*.parquet"))[0]
+
+    t0 = 1_750_000_000_000_000_000  # ns epoch
+    m, h = 60 * 10**9, 3600 * 10**9
+    src = tmp_path / "in"
+    src.mkdir()
+    b0 = write_batch("0", [
+        (1, t0, 10, "purchase", 1.0, "{}"),
+        (2, t0 + m, 10, "click", 1.0, "{}"),     # matches user 10
+        (3, t0, 20, "purchase", 1.0, "{}"),      # unmatched LEFT
+        (4, t0, 30, "click", 1.0, "{}"),         # unmatched RIGHT
+    ])
+    # advance BOTH sides' watermarks (global watermark = min over both
+    # withWatermark nodes); the user-99 pair is >10 min apart so it
+    # never matches itself
+    b1 = write_batch("1", [
+        (8, t0 + 5 * h, 99, "purchase", 1.0, "{}"),
+        (9, t0 + 5 * h + 3 * h, 99, "click", 1.0, "{}"),
+    ])
+    b2 = write_batch("2", [
+        (11, t0 + 9 * h, 99, "purchase", 1.0, "{}"),
+        (12, t0 + 12 * h, 99, "click", 1.0, "{}"),
+    ])
+    now = time.time()
+    for i, b in enumerate([b0, b1, b2]):
+        dst = src / f"{i}.parquet"
+        shutil.copy(b, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    ev = stream_events(spark, str(src), max_files_per_trigger=1)
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    j = stream_interval_join(purchases, clicks, "user_id",
+                             within="10 minutes", watermark="30 minutes",
+                             how="full")
+    q = (j.select("purchase_id", "r_click_id")
+         .writeStream.format("memory").queryName("ssj_full")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["purchase_id"], r["r_click_id"])
+           for r in spark.sql("SELECT * FROM ssj_full").collect()
+           # drop the user-99 watermark-advancer events (8/11, 9/12)
+           if r["purchase_id"] not in (8, 11)
+           and r["r_click_id"] not in (9, 12)}
+    assert (1, 2) in got             # matched pair
+    assert (3, None) in got          # unmatched left → null right
+    assert (None, 4) in got          # unmatched right → null left
+    assert (1, None) not in got and (None, 2) not in got

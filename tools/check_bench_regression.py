@@ -1,0 +1,102 @@
+"""Per-query bench regression gate over artifacts/BENCH_HISTORY.jsonl.
+
+BENCH_HISTORY.jsonl gets one row per bench run (bench.py appends the
+full warm+cold payload). This gate compares the LATEST run's warm
+timings to the run before it (or an explicit --baseline index) and
+fails on any shared query that slowed by more than THRESHOLD× while
+taking at least FLOOR seconds in the baseline — the r2
+agg_pricing_summary 2.17× and r6 collapse-by-default 5.9→9.4s
+regressions were both caught only by manual A/B; this automates that
+check (r7 verdict item 3).
+
+Usage:
+    python tools/check_bench_regression.py [--baseline N] [--threshold X]
+
+Also importable: ``compare(base, cur)`` returns (regressions, table)
+so the pytest wrapper (tests/test_bench_gate.py) runs the same logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+THRESHOLD = 1.5   # fail when cur/base exceeds this ...
+FLOOR = 0.5       # ... and base took at least this many seconds
+
+HISTORY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "BENCH_HISTORY.jsonl")
+
+
+def load_history(path: str = HISTORY) -> list[dict]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def compare(base: dict, cur: dict, threshold: float = THRESHOLD,
+            floor: float = FLOOR) -> tuple[list[dict], list[dict]]:
+    """(regressions, full trend table) between two history entries.
+
+    Only queries present in BOTH runs with positive timings are
+    compared (a -1 marks a failed query — correctness gates catch
+    those; new/removed queries have no baseline to regress from).
+    """
+    b, c = base.get("queries") or {}, cur.get("queries") or {}
+    table = []
+    for name in sorted(set(b) & set(c)):
+        tb, tc = b[name], c[name]
+        if tb is None or tc is None or tb <= 0 or tc <= 0:
+            continue
+        table.append({"query": name, "base": tb, "cur": tc,
+                      "ratio": round(tc / tb, 3)})
+    table.sort(key=lambda r: -r["ratio"])
+    regressions = [r for r in table
+                   if r["base"] >= floor and r["ratio"] > threshold]
+    return regressions, table
+
+
+def trend_table(table: list[dict], top: int = 15) -> str:
+    lines = [f"{'query':<28} {'base':>7} {'cur':>7} {'ratio':>6}"]
+    for r in table[:top]:
+        lines.append(f"{r['query']:<28} {r['base']:>7.2f} "
+                     f"{r['cur']:>7.2f} {r['ratio']:>6.2f}")
+    return "\n".join(lines)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    baseline_ix = -2
+    threshold = THRESHOLD
+    while args:
+        if args[0] == "--baseline":
+            baseline_ix = int(args[1]); args = args[2:]
+        elif args[0] == "--threshold":
+            threshold = float(args[1]); args = args[2:]
+        else:
+            print(f"unknown arg: {args[0]}"); return 2
+    hist = load_history()
+    if len(hist) < 2:
+        print("bench history has <2 runs — nothing to compare")
+        return 0
+    base, cur = hist[baseline_ix], hist[-1]
+    regressions, table = compare(base, cur, threshold=threshold)
+    print(f"comparing run {len(hist) + baseline_ix} (total "
+          f"{base.get('value')}s, {len(base.get('queries') or {})} queries)"
+          f" -> run {len(hist) - 1} (total {cur.get('value')}s, "
+          f"{len(cur.get('queries') or {})} queries)")
+    print(trend_table(table))
+    if regressions:
+        print(f"\nREGRESSIONS (> {threshold}x on a >= {FLOOR}s query):")
+        for r in regressions:
+            print(f"  {r['query']}: {r['base']}s -> {r['cur']}s "
+                  f"({r['ratio']}x)")
+        return 1
+    print("\nno per-query regression")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
