@@ -16,11 +16,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from check_bench_regression import compare, load_history, trend_table
 
 
+#: deliberate slowdowns, waived with a reason and pruned next round —
+#: a query whose SEMANTICS changed does more work on purpose; an entry
+#: here is an explicit, auditable decision, never a silent cap
+EXPECTED_SLOWDOWNS = {
+    "bpe_counts": "r8 graduation to hash-checked doubled the work by "
+                  "design (bounds join back to text + pinned sample "
+                  "union on top of the original counting pass)",
+}
+
+
 def test_no_per_query_bench_regression():
     hist = load_history()
     if len(hist) < 2:
         pytest.skip("bench history has <2 runs")
     regressions, table = compare(hist[-2], hist[-1])
+    regressions = [r for r in regressions
+                   if r["query"] not in EXPECTED_SLOWDOWNS]
     assert not regressions, "\n" + trend_table(table) + "\nregressions: " + \
         ", ".join(f"{r['query']} {r['base']}s->{r['cur']}s" for r in regressions)
 
