@@ -130,16 +130,16 @@ def foreach_batch_expectations(stream: DataFrame, rules: dict,
                                trigger_available_now: bool = True):
     """Per-micro-batch data-quality telemetry: evaluate
     ``check_expectations(batch, rules)`` on every micro-batch and
-    APPEND the violation report (plus ``batch_id``) to a parquet
-    monitoring table — the streaming shape of the batch quality gate
-    (operators/profile.py::check_expectations).
+    write the violation report to its own ``batch_id=N`` partition of
+    a parquet monitoring table — the streaming shape of the batch
+    quality gate (operators/profile.py::check_expectations).
 
-    Append-only (no swap dance needed — each batch writes only its own
-    report rows, and foreachBatch replays are idempotent per the
-    commit log only if the sink dedups; the report keys on batch_id so
-    a replayed batch at worst rewrites identical rows). One aggregate
-    job per batch over that batch's rows only — no state, no
-    re-reading the landing zone.
+    Replay-idempotent: each batch DYNAMIC-overwrites only its own
+    batch_id partition, so an at-least-once replay rewrites identical
+    rows instead of appending duplicates (a plain append would
+    double-count the replayed batch's violations — r7 advice applied
+    to the report sinks too). One aggregate job per batch over that
+    batch's rows only — no state, no re-reading the landing zone.
     """
     from pyspark.sql import functions as F
 
@@ -148,7 +148,13 @@ def foreach_batch_expectations(stream: DataFrame, rules: dict,
     def _report(batch: DataFrame, batch_id: int) -> None:
         rep = check_expectations(batch, rules) \
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        rep.write.mode("append").parquet(report_path)
+        # partition-per-batch + DYNAMIC overwrite: an at-least-once
+        # replay rewrites only its own batch_id=N partition with
+        # identical rows instead of appending duplicates — genuinely
+        # idempotent, matching the docstring's restart contract
+        (rep.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(report_path))
 
     writer = (
         stream.writeStream.foreachBatch(_report)
@@ -166,9 +172,9 @@ def foreach_batch_drift(stream: DataFrame, reference: DataFrame,
     """Per-micro-batch EMBEDDING drift telemetry: compare every
     arriving batch of vectors against a fixed reference corpus with
     :func:`~csvplus_spark.operators.profile.embedding_drift` and
-    append the per-dimension report (plus ``batch_id``) to a parquet
-    monitoring table — the streaming answer to "did the encoder /
-    upstream distribution move" while embeddings land.
+    write the per-dimension report to its own ``batch_id=N`` partition
+    of a parquet monitoring table — the streaming answer to "did the
+    encoder / upstream distribution move" while embeddings land.
 
     The reference side's moments are recomputed per batch from the
     (lazy) reference frame; pass a small aggregated reference or a
@@ -184,7 +190,11 @@ def foreach_batch_drift(stream: DataFrame, reference: DataFrame,
             return  # no vectors in this batch — nothing to report
         rep = embedding_drift(reference, batch, vec_col=vec_col) \
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        rep.write.mode("append").parquet(report_path)
+        # dynamic per-batch partition overwrite — replay-idempotent
+        # (see foreach_batch_expectations)
+        (rep.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(report_path))
 
     writer = (
         stream.writeStream.foreachBatch(_report)

@@ -40,14 +40,24 @@ def test_decode_stub_deterministic(media_df):
         assert 16 <= w <= 271 and 16 <= h <= 271
 
 
-def test_decode_real_codec_raises_without_pillow(media_df):
+def test_decode_real_codec_raises_without_pillow(media_df, spark):
     try:
         import PIL  # noqa: F401
         pytest.skip("Pillow installed: env-gate does not fire")
     except ImportError:
         pass
+    # a format NO built-in codec handles (not PNG, not JPEG) hits the
+    # honest env-gate
+    unknown = spark.createDataFrame(
+        [(4, bytearray(b"\x00\x01\x02\x03unknownblob"))],
+        "media_id long, data binary")
     with pytest.raises(Exception, match="no image codec importable"):
-        decode_images(media_df, real_codec=True).collect()
+        decode_images(unknown, real_codec=True).collect()
+    # a JPEG-magic blob with a garbage body is a MALFORMED stream: the
+    # r8 marker walk raises ValueError rather than guessing dimensions
+    with pytest.raises(Exception, match="marker|segment|SOF"):
+        decode_images(media_df.filter("media_id = 1"),
+                      real_codec=True).collect()
 
 
 def test_real_codec_smoke_with_pillow(spark, tmp_path):

@@ -347,8 +347,10 @@ def test_stream_interval_join_rejects_bad_mode(spark, sf_dir, tmp_path):
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "p0.parquet")
     ev = stream_events(spark, str(src))
-    with pytest.raises(ValueError, match="inner/left"):
-        stream_interval_join(ev, ev, "user_id", how="full")
+    # 'full' became a supported mode in r8 — 'right' stays rejected
+    # (Spark has no right-outer stream-stream join)
+    with pytest.raises(ValueError, match="inner/left/full"):
+        stream_interval_join(ev, ev, "user_id", how="right")
 
 
 def test_stream_schema_header_policy_explicit(spark, tmp_path):
