@@ -238,7 +238,8 @@ def auto_n_cells(n_rows: int, per_cell: int = 4096, floor: int = 16,
 
 
 def seed_voronoi_distances(v: DataFrame, n_cells: int,
-                           id_col: str = "vec_id") -> DataFrame:
+                           id_col: str = "vec_id",
+                           seed_src: DataFrame | None = None) -> DataFrame:
     """Per-(vector, seed-cell) exact squared-L2 distances — the shared
     deterministic assignment stage of :func:`ivf_seeded_topk` and
     ``dedup.semantic_dedup`` (one copy so the two stay oracle-parity
@@ -246,9 +247,16 @@ def seed_voronoi_distances(v: DataFrame, n_cells: int,
     cells are seeded with the ``n_cells`` lowest-id vectors (tiny
     driver collect), broadcast, and folded with the same left-fold d²
     the SQL oracle uses. Ids are passed through untouched, so any
-    orderable id type works."""
+    orderable id type works.
+
+    ``seed_src`` (default: ``v`` itself) supplies the seed rows when
+    the assigned frame is a REDUCED view of the corpus but the cells
+    must stay identical to a full-corpus assignment — semantic_dedup's
+    duplicate-collapse path assigns only distinct-vector reps, yet its
+    output contract requires the plain path's exact cells."""
     spark = v.sparkSession
-    seeds = v.orderBy(F.col(id_col)).limit(n_cells).collect()
+    seeds = (seed_src if seed_src is not None else v) \
+        .orderBy(F.col(id_col)).limit(n_cells).collect()
     id_dt = v.schema[id_col].dataType.simpleString()
     cent = spark.createDataFrame(
         [(r[id_col], [float(x) for x in r["__vec__"]]) for r in seeds],

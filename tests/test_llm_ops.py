@@ -2478,3 +2478,34 @@ def test_cohort_retention_pre_epoch_floor(spark):
     out = {(r.cohort_period, r.period_offset): r.n_users
            for r in cohort_retention(df, period_us=p_us).collect()}
     assert out == {(-1, 0): 1, (-1, 1): 1, (0, 0): 1}
+
+
+def test_semantic_dedup_collapse_identity(spark):
+    """r8 duplication-immunity: semantic_dedup(collapse=True) must be
+    output-BYTE-IDENTICAL to the plain path on a corpus with heavy
+    exact duplication, including the edges the collapse must respect —
+    zero-norm vectors (pairwise cosine NULL → singletons either way)
+    and a duplicate sitting among the would-be seed ids."""
+    from csvplus_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    # 6 copies of vector A spanning the seed range, 4 of B, 2 of C,
+    # one near-A (cos > 0.4), one orthogonal, two ZERO vectors
+    for i in range(6):
+        rows.append((i, [1.0, 0.0, 0.0]))
+    for i in range(6, 10):
+        rows.append((i, [0.0, 1.0, 0.0]))
+    rows += [(10, [0.0, 0.0, 1.0]), (11, [0.0, 0.0, 1.0]),
+             (12, [0.9, 0.1, 0.0]),       # near A
+             (13, [0.0, 0.0, 0.0]), (14, [0.0, 0.0, 0.0])]  # zero-norm
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = sorted(tuple(r) for r in
+                   semantic_dedup(df, 0.4, n_cells=4, collapse=False)
+                   .collect())
+    fast = sorted(tuple(r) for r in
+                  semantic_dedup(df, 0.4, n_cells=4, collapse=True)
+                  .collect())
+    assert plain == fast
+    out = dict((r[0], r[1]) for r in fast)
+    assert out[13] == 13 and out[14] == 14  # zero vectors stay singletons
+    assert out[5] == 0 and out[12] == 0     # dup group + near-dup share A's min id

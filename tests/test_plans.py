@@ -263,3 +263,13 @@ def test_tpch_q15_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" not in plan
     import re
     assert not re.search(r"Sort \[rev_c2", plan)
+
+
+def test_approx_distinct_no_expand(spark, sf_dir):
+    """r8: mixing count_distinct with the rsd=0.01 HLL in one agg
+    plans an Expand that updates the ~100 KB HLL buffer per EXPANDED
+    row (6.3s at sf0.1); the distinct-first shape must stay
+    Expand-free (1.4s, identical estimate)."""
+    plan = _plan(spark, sf_dir, "approx_distinct")
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
