@@ -5539,12 +5539,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling", "events_sliding", "events_session",
         "window_running", "rollup_agg",
     ]
+    # all 20 slots draw from the NEVER-driver-verified backlog
+    # (tools/rotation_status.py reads CORRECTNESS_r*.json and prints
+    # it; training_set/dedup_clusters/canonicalize/tfidf already
+    # earned green rows in earlier rounds, so they yield their slots)
     rotation_r8 = [
-        "training_set", "dedup_clusters", "pagerank", "kcore", "scd2",
-        "attribution", "edit1_names", "fuzzy_join", "pq_topk",
-        "kcenter", "leakage_split", "retention", "funnel", "triangles",
-        "kmeans", "canonicalize", "dedup_keep_best", "gopher_quality",
-        "tfidf", "knn_label",
+        "pagerank", "kcore", "scd2", "attribution", "edit1_names",
+        "fuzzy_join", "pq_topk", "kcenter", "leakage_split",
+        "retention", "funnel", "triangles", "kmeans",
+        "dedup_keep_best", "gopher_quality", "knn_label",
+        "bpe_counts", "multimodal_jpeg", "dedup_clusters_fast",
+        "approx_distinct",
     ]
     out = {k: q[k] for k in anchors + rotation_r8}
     out.update((k, v) for k, v in q.items() if k not in out)

@@ -375,3 +375,27 @@ def test_pngcodec_roundtrip_random_images():
             sx, sy = (x * w) // nw, (y * h) // nh
             assert out[(y * nw + x) * ch:(y * nw + x + 1) * ch] == \
                 px[(sy * w + sx) * ch:(sy * w + sx + 1) * ch]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 65535), st.integers(1, 65535),
+       st.integers(1, 4), st.booleans(),
+       st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_marker_walk_roundtrip(w, h, nc, prog, junk):
+    """jpeg_info inverts encode_minimal_jpeg for every geometry, and
+    stays correct with arbitrary APPn payloads injected before SOF."""
+    import struct
+
+    from csvplus_spark.operators.jpegcodec import is_jpeg, jpeg_info
+    from csvplus_spark.operators.jpegcodec import encode_minimal_jpeg
+
+    blob = encode_minimal_jpeg(w, h, nc, prog)
+    assert is_jpeg(blob)
+    assert jpeg_info(blob) == (w, h, nc, prog)
+    # inject an APP7 segment carrying arbitrary bytes before the SOF
+    app = b"\xff\xe7" + struct.pack(">H", len(junk) + 2) + junk
+    assert jpeg_info(blob[:2] + app + blob[2:]) == (w, h, nc, prog)

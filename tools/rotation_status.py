@@ -1,0 +1,65 @@
+"""Driver-verification rotation bookkeeping (r7 verdict item 1).
+
+The round driver hash-checks only the FIRST 50 entries of
+``queries()``; this tool walks every committed CORRECTNESS_r*.json,
+unions the queries that have ever earned a driver-green row, and
+prints the remaining backlog — the pool the next round's rotation
+slots should draw from (see the rotation block in
+``__spark_entry__.py::queries``).
+
+Usage: python tools/rotation_status.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def driver_green() -> dict[str, list[str]]:
+    """query -> rounds in which the driver verified it green."""
+    green: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        try:
+            sheet = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in sheet.items():
+            ok = (row.get("rows_match") and row.get("schema_match")
+                  and (row.get("hash_match") or row.get("err") == "no_oracle"))
+            if ok:
+                green.setdefault(name, []).append(rnd)
+    return green
+
+
+def main() -> int:
+    import __spark_entry__ as em
+
+    qs = list(em.queries())
+    green = driver_green()
+    verified = [q for q in qs if q in green]
+    backlog = [q for q in qs if q not in green]
+    window = qs[:50]
+    first_time = [q for q in window if q not in green]
+    print(f"declared queries: {len(qs)}")
+    print(f"ever driver-green: {len(verified)}")
+    print(f"backlog (never driver-verified): {len(backlog)}")
+    print(f"current window: {len(window)} entries, "
+          f"{len(first_time)} would earn a first-time row:")
+    for q in first_time:
+        print(f"  + {q}")
+    nxt = [q for q in backlog if q not in window]
+    print(f"next rotation pool ({len(nxt)}):")
+    for q in nxt:
+        print(f"  - {q}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
