@@ -270,3 +270,77 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_uniform_sample(stream: DataFrame, sample_path: str,
+                                 checkpoint: str, key_cols, k: int = 1000,
+                                 salt: str = "stream_sample",
+                                 trigger_available_now: bool = True):
+    """Fixed-size uniform sample over an UNBOUNDED stream — the
+    "held-out validation set from a firehose" primitive: keep the ``k``
+    rows whose deterministic key hash (``hash60(salt|key)``, the exact
+    tag :func:`~csvplus_spark.operators.sampling.hash_sample` filters
+    on) is smallest across everything that has ever arrived.
+
+    Equivalent to classic reservoir sampling but with a CONTENT-DERIVED
+    tag instead of a random draw, which buys three properties at once:
+
+    * **replay-idempotent for free** — a re-delivered batch re-offers
+      the same (tag, row) pairs and the min-k merge is a set union, so
+      at-least-once foreachBatch delivery cannot bias the sample (no
+      batch-id bookkeeping needed, unlike the CMS accumulator);
+    * **cross-engine checkable** — the end state over any finite corpus
+      is exactly ``ORDER BY tag, key LIMIT k`` in any SQL engine;
+    * **mergeable** — min-k of per-stream min-k states is the min-k of
+      the union (same shard-merge law the sketches rely on).
+
+    State is ONE k-row parquet table swapped with the crash-safe
+    two-rename (``replace_dataset``); per batch: tag the batch, union
+    with the current state, keep the k smallest — an O(k + |batch|)
+    job with a k-row output, never a history re-scan. Duplicate keys
+    (redelivery, genuine dup events) collapse before the cut so the
+    sample holds k DISTINCT keys once the stream has offered that many.
+
+    At 100 TB: the state table is k rows regardless of stream volume;
+    the only per-batch shuffle is the global top-k (TakeOrdered-style)
+    over k + |batch| rows.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.text import hash60
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def _tagged(df: DataFrame) -> DataFrame:
+        key = F.concat_ws(
+            "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+        return df.withColumn("__tag__", hash60(key))
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        inc = _tagged(batch)
+        fs = _Fs(spark, sample_path)
+        heal_swap(fs, sample_path)
+        # dedup exact key repeats, then keep the k smallest tags; the
+        # (tag, key...) ordering is total, so the cut is deterministic,
+        # and orderBy+limit plans a TakeOrdered top-k, not a global sort
+        cut = lambda df: (df.dropDuplicates(key_cols)
+                          .orderBy("__tag__", *key_cols).limit(k))
+        if not fs.exists(sample_path):
+            # bootstrap gated on genuine non-existence (upsert pattern)
+            cut(inc).write.mode("overwrite").parquet(sample_path)
+            return
+        merged = cut(spark.read.parquet(sample_path).unionByName(inc))
+        replace_dataset(fs, sample_path,
+                        lambda tmp: merged.write.mode("overwrite")
+                        .parquet(tmp))
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -702,3 +702,57 @@ def test_foreach_batch_cms_replay_is_idempotent(spark, tmp_path):
     got = {(r["row"], r["bucket"]): r["ct"]
            for r in spark.read.parquet(sketch).collect()}
     assert got == want  # replay folded ZERO new counts in
+
+
+def test_foreach_batch_uniform_sample_matches_batch_topk(spark, tmp_path):
+    """Streaming fixed-k uniform sample: after all files arrive, the
+    state table equals the batch ORDER BY hash60(salt|key) LIMIT k over
+    the full corpus — and a replayed commit cannot change it (the min-k
+    merge is a set union, idempotent by construction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csvplus_spark.operators.text import hash60
+    from csvplus_spark.streaming.sinks import foreach_batch_uniform_sample
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"doc{i}" for i in range(40)) + "\n")
+    sample = str(tmp_path / "sample")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (spark.readStream.format("text")
+                  .schema("value string").load(str(src))
+                  .selectExpr("value AS key"))
+        q = foreach_batch_uniform_sample(stream, sample, ck, "key", k=10)
+        q.awaitTermination(180)
+
+    run()
+    (src / "b.txt").write_text("\n".join(f"doc{i}" for i in range(40, 90))
+                               + "\n")
+    run()
+
+    corpus = spark.createDataFrame([(f"doc{i}",) for i in range(90)],
+                                   ["key"])
+    tag = hash60(F.concat_ws("|", F.lit("stream_sample"),
+                             F.col("key").cast("string")))
+    want = [r["key"] for r in corpus.withColumn("__tag__", tag)
+            .orderBy("__tag__", "key").limit(10).collect()]
+    got = [r["key"] for r in spark.read.parquet(sample)
+           .orderBy("__tag__", "key").collect()]
+    assert got == want
+
+    # replay the last commit: sample must be unchanged
+    commits = os.path.join(ck, "commits")
+    last = sorted(f for f in os.listdir(commits)
+                  if not f.startswith("."))[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    got2 = [r["key"] for r in spark.read.parquet(sample)
+            .orderBy("__tag__", "key").collect()]
+    assert got2 == want
