@@ -1261,6 +1261,30 @@ def q_pagerank(spark, sf_dir):
     return integer_pagerank(edges)
 
 
+def q_pagerank_reps(spark, sf_dir):
+    """Duplicate-cluster centrality the 100 TB way: exact-dedup FIRST,
+    then PageRank over the near-dup graph of the CANONICAL docs only —
+    the graph-after-dedup pipeline order docs/SCALE.md recommends
+    (the raw pair graph holds f²-sized cliques at duplication factor
+    f; the sf10 probe measured the raw-graph pagerank exhausting the
+    sandbox at f=100 while this shape stays collapse-sized)."""
+    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+    from csvplus_spark.operators.graph import integer_pagerank
+
+    docs = load_table(spark, sf_dir, "documents").df
+    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
+    reps = docs.join(keep, "doc_id")
+    return integer_pagerank(minhash_dedup_pairs(reps, 0.6))
+
+
+_PAGERANK_REPS_DOCS_SRC = """(
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents) GROUP BY fp) k USING (doc_id))"""
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts of the MinHash near-dup graph
     (operators/graph.py::triangle_count): oriented wedge join +
@@ -1639,7 +1663,8 @@ GROUP BY node
 
 
 def _pagerank_sql(iters: int = 3, num: int = 17, den: int = 20,
-                  q: int = 1 << 40, ndigits: int = 6) -> str:
+                  q: int = 1 << 40, ndigits: int = 6,
+                  docs_src: str = "documents") -> str:
     rounds = []
     for i in range(1, iters + 1):
         p = f"pr{i - 1}"
@@ -1654,7 +1679,7 @@ pr{i} AS MATERIALIZED (SELECT {p}.s, {p}.deg,
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
-  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  FROM (SELECT doc_id, {_TOKS} AS t FROM {docs_src})
 ),
 {_minhash_cte_sql()},
 cand AS (
@@ -5664,6 +5689,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_pool": q_mean_pool,
         "linear_scorer": q_linear_scorer,
         "pagerank": q_pagerank,
+        "pagerank_reps": q_pagerank_reps,
         "triangles": q_triangles,
         "tpch_q9_profit": q_tpch_q9_profit,
         "window_lead_ntile": q_window_lead_ntile,
@@ -5937,6 +5963,7 @@ LIMIT 20
         "mean_pool": _MEAN_POOL_SQL,
         "linear_scorer": _linear_scorer_sql(),
         "pagerank": _pagerank_sql(),
+        "pagerank_reps": _pagerank_sql(docs_src=_PAGERANK_REPS_DOCS_SRC),
         "triangles": _triangles_sql(),
         "tpch_q9_profit": _TPCH_Q9_SQL,
         "window_lead_ntile": _WINDOW_LEAD_NTILE_SQL,

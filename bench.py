@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_fast",
     "pagerank",
+    "pagerank_reps",
     "triangles",
     "tpch_q9_profit",
     "window_lead_ntile",
