@@ -1297,6 +1297,33 @@ def q_triangles(spark, sf_dir):
     return triangle_count(minhash_dedup_pairs(docs, 0.6))
 
 
+def q_kcore_reps(spark, sf_dir):
+    """2-core of the graph-after-dedup near-dup graph: exact-dedup
+    first, peel the canonical docs' graph (see q_pagerank_reps — the
+    raw graph is f²-edged under duplication factor f)."""
+    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+    from csvplus_spark.operators.graph import kcore_peel
+
+    docs = load_table(spark, sf_dir, "documents").df
+    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
+    reps = docs.join(keep, "doc_id")
+    return kcore_peel(minhash_dedup_pairs(reps, 0.6), k=2, rounds=6)
+
+
+def q_triangles_reps(spark, sf_dir):
+    """Per-node triangle counts of the graph-after-dedup near-dup
+    graph (see q_pagerank_reps: raw triangle count is ~f³ under
+    duplication — the sf10 probe's honest failure; this is the
+    shipped scale shape)."""
+    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+    from csvplus_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents").df
+    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
+    reps = docs.join(keep, "doc_id")
+    return triangle_count(minhash_dedup_pairs(reps, 0.6))
+
+
 def q_tpch_q9_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit by (supplier nation, order year) — a
     4-fact/dim join tree (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
@@ -1618,13 +1645,16 @@ QUALIFY rank <= 5
 """
 
 
-def _minhash_pairs_cte(threshold: float = 0.6) -> str:
+def _minhash_pairs_cte(threshold: float = 0.6,
+                       docs_src: str = "documents") -> str:
     """WITH-body computing MATERIALIZED `pairs` (d1 < d2, verified
     jaccard >= threshold) — the shared edge source of the graph
-    oracles (pagerank, triangles). Mirrors _MINHASH_SQL exactly."""
+    oracles (pagerank, triangles). Mirrors _MINHASH_SQL exactly.
+    ``docs_src`` swaps in the exact-dedup-collapsed doc source for
+    the graph-after-dedup `_reps` variants."""
     return f"""sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
-  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  FROM (SELECT doc_id, {_TOKS} AS t FROM {docs_src})
 ),
 {_minhash_cte_sql()},
 cand AS (
@@ -1643,9 +1673,9 @@ pairs AS MATERIALIZED (
 )"""
 
 
-def _triangles_sql() -> str:
+def _triangles_sql(docs_src: str = "documents") -> str:
     return f"""
-WITH {_minhash_pairs_cte()},
+WITH {_minhash_pairs_cte(docs_src=docs_src)},
 e AS MATERIALIZED (
   SELECT LEAST(d1, d2) AS a, GREATEST(d1, d2) AS b FROM pairs
   WHERE d1 <> d2 GROUP BY 1, 2
@@ -5221,7 +5251,8 @@ def q_kcore(spark, sf_dir):
     return kcore_peel(minhash_dedup_pairs(docs, 0.6), k=2, rounds=6)
 
 
-def _kcore_sql(k: int = 2, rounds: int = 6) -> str:
+def _kcore_sql(k: int = 2, rounds: int = 6,
+               docs_src: str = "documents") -> str:
     # same MinHash pair-graph preamble as _pagerank_sql; each peel CTE
     # is referenced twice (degree + next round) → AS MATERIALIZED
     chain = []
@@ -5233,25 +5264,7 @@ e{i} AS MATERIALIZED (
   SELECT e.a, e.b FROM e{i - 1} e
   JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)""")
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES} AS sh
-  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
-),
-{_minhash_cte_sql()},
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.x = b.x AND a.y = b.y
-   AND a.doc_id < b.doc_id
-),
-pairs AS MATERIALIZED (
-  SELECT d1, d2 FROM (
-    SELECT d1, d2,
-           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
-           len(s1.sh) AS n1, len(s2.sh) AS n2
-    FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id)
-  WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
-),
+WITH {_minhash_pairs_cte(docs_src=docs_src)},
 e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs WHERE d1 <> d2
       UNION SELECT d2, d1 FROM pairs WHERE d1 <> d2),
 {",".join(chain)}
@@ -5690,6 +5703,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_scorer": q_linear_scorer,
         "pagerank": q_pagerank,
         "pagerank_reps": q_pagerank_reps,
+        "kcore_reps": q_kcore_reps,
+        "triangles_reps": q_triangles_reps,
         "triangles": q_triangles,
         "tpch_q9_profit": q_tpch_q9_profit,
         "window_lead_ntile": q_window_lead_ntile,
@@ -5964,6 +5979,8 @@ LIMIT 20
         "linear_scorer": _linear_scorer_sql(),
         "pagerank": _pagerank_sql(),
         "pagerank_reps": _pagerank_sql(docs_src=_PAGERANK_REPS_DOCS_SRC),
+        "kcore_reps": _kcore_sql(docs_src=_PAGERANK_REPS_DOCS_SRC),
+        "triangles_reps": _triangles_sql(docs_src=_PAGERANK_REPS_DOCS_SRC),
         "triangles": _triangles_sql(),
         "tpch_q9_profit": _TPCH_Q9_SQL,
         "window_lead_ntile": _WINDOW_LEAD_NTILE_SQL,

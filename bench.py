@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_clusters_fast",
     "pagerank",
     "pagerank_reps",
+    "kcore_reps",
+    "triangles_reps",
     "triangles",
     "tpch_q9_profit",
     "window_lead_ntile",
