@@ -13,7 +13,8 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tools"))
 
-from check_bench_regression import compare, load_history, trend_table
+from check_bench_regression import (compare, load_history,
+                                    median_baseline, trend_table)
 
 
 #: deliberate slowdowns, waived with a reason and pruned next round —
@@ -30,7 +31,9 @@ def test_no_per_query_bench_regression():
     hist = load_history()
     if len(hist) < 2:
         pytest.skip("bench history has <2 runs")
-    regressions, table = compare(hist[-2], hist[-1])
+    # baseline = per-query MEDIAN of the last 3 runs: one anomalously
+    # fast run must not flag the next normal run (winnow r8)
+    regressions, table = compare(median_baseline(hist), hist[-1])
     regressions = [r for r in regressions
                    if r["query"] not in EXPECTED_SLOWDOWNS]
     assert not regressions, "\n" + trend_table(table) + "\nregressions: " + \
@@ -69,3 +72,17 @@ def test_headline_covers_every_query():
     assert len(bench.HEADLINE) == len(hs), "duplicate HEADLINE entry"
     assert hs <= qs, sorted(hs - qs)
     assert qs - hs == DOCUMENTED_EXCLUSIONS, sorted(qs - hs)
+
+
+def test_median_baseline_absorbs_outlier_run():
+    """One lucky (fast) run in the window must not flag the next
+    normal run; a persistent slowdown still flags."""
+    hist = [{"queries": {"a": 1.0, "b": 1.0}, "value": 2.0},
+            {"queries": {"a": 1.1, "b": 1.0}, "value": 2.1},
+            {"queries": {"a": 0.5, "b": 1.0}, "value": 1.5},  # outlier
+            {"queries": {"a": 1.05, "b": 2.0}, "value": 3.05}]
+    base = median_baseline(hist)
+    assert base["queries"]["a"] == 1.0   # median(1.0, 1.1, 0.5)
+    regressions, _ = compare(base, hist[-1])
+    names = {r["query"] for r in regressions}
+    assert names == {"b"}  # real 2x persists; a's 1.05/1.0 passes

@@ -36,6 +36,24 @@ def load_history(path: str = HISTORY) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def median_baseline(history: list[dict], n: int = 3) -> dict:
+    """Per-query MEDIAN over the last ``n`` runs before the current
+    one — a single anomalously fast run must not turn the next normal
+    run into a false regression (winnow r8: 1.75, 1.83, 0.93, 1.72 —
+    the 0.93 was the outlier). A real regression persists against the
+    median; a lucky baseline doesn't."""
+    import statistics
+
+    prev = history[-(n + 1):-1] if len(history) > 1 else []
+    vals: dict[str, list[float]] = {}
+    for e in prev:
+        for k, v in (e.get("queries") or {}).items():
+            if v is not None and v > 0:
+                vals.setdefault(k, []).append(v)
+    return {"queries": {k: statistics.median(v) for k, v in vals.items()},
+            "value": prev[-1].get("value") if prev else None}
+
+
 def compare(base: dict, cur: dict, threshold: float = THRESHOLD,
             floor: float = FLOOR) -> tuple[list[dict], list[dict]]:
     """(regressions, full trend table) between two history entries.
@@ -81,10 +99,14 @@ def main() -> int:
     if len(hist) < 2:
         print("bench history has <2 runs — nothing to compare")
         return 0
-    base, cur = hist[baseline_ix], hist[-1]
+    base = (median_baseline(hist) if baseline_ix == -2
+            else hist[baseline_ix])
+    cur = hist[-1]
     regressions, table = compare(base, cur, threshold=threshold)
-    print(f"comparing run {len(hist) + baseline_ix} (total "
-          f"{base.get('value')}s, {len(base.get('queries') or {})} queries)"
+    label = ("median of last 3 runs" if baseline_ix == -2
+             else f"run {len(hist) + baseline_ix}")
+    print(f"comparing {label} "
+          f"({len(base.get('queries') or {})} queries)"
           f" -> run {len(hist) - 1} (total {cur.get('value')}s, "
           f"{len(cur.get('queries') or {})} queries)")
     print(trend_table(table))
