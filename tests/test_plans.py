@@ -273,3 +273,28 @@ def test_approx_distinct_no_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "approx_distinct")
     assert "Expand" not in plan
     assert "HashAggregate" in plan
+
+
+def test_graph_reps_plans_clean(spark, sf_dir):
+    """r8 graph-after-dedup variants: the exact-dedup pre-filter plus
+    the graph op must stay free of cartesian products and row-wise
+    Python — the whole chain is equi-joins + aggregates."""
+    for q in ("pagerank_reps", "kcore_reps", "triangles_reps"):
+        plan = _plan(spark, sf_dir, q)
+        for marker in ("CartesianProduct", "BatchEvalPython"):
+            assert marker not in plan, (q, marker)
+
+
+def test_semantic_dedup_collapse_plan(spark, sf_dir):
+    """r8 collapse path: the final expansion join is a plain keyed
+    join with no row-wise Python or nested loops. (The CC stage's
+    localCheckpoint cuts the visible lineage to an ExistingRDD scan,
+    so the per-cell Arrow BLAS stage is guarded upstream instead —
+    its shape is shared with semantic_contam, plan-asserted in
+    test_semantic_contam_plan_shape, and the cross-engine hash pins
+    the whole pipeline.)"""
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "coalesce(cluster_id" in plan  # the rep-expansion join
