@@ -748,8 +748,11 @@ def semantic_dedup(
         # per-id fingerprint so they never merge
         sq = F.aggregate(F.transform(F.col("__vec__"), lambda x: x * x),
                          F.lit(0.0), lambda acc, x: acc + x)
-        fp = F.when(sq == 0.0, F.concat(F.lit("z:"),
-                                        F.col(id_col).cast("string"))) \
+        # NULL vectors get a unique fingerprint too (md5(NULL) is NULL
+        # and would silently merge every NULL row into one group); the
+        # plain path never links them either
+        fp = F.when(F.col("__vec__").isNull() | (sq == 0.0),
+                    F.concat(F.lit("z:"), F.col(id_col).cast("string"))) \
             .otherwise(F.md5(F.col("__vec__").cast("string")))
         vg = v.withColumn("__fp__", fp)
         grp = vg.groupBy("__fp__").agg(
