@@ -23,7 +23,7 @@ from .functions.casts import safe_get_value, value_as_double, value_as_int
 from .functions.predicates import all_, any_, like_, not_
 from .index import Index
 from .session import get_spark
-from .sources import (Reader, from_csv_text, from_file, from_jsonl,
+from .sources import (Reader, from_avro, from_csv_text, from_file, from_jsonl,
                       from_orc, from_parquet, from_text, load_table, read_bucketed,
                       take_rows, write_bucketed)
 
@@ -49,6 +49,7 @@ __all__ = [
     "from_file",
     "from_csv_text",
     "from_parquet",
+    "from_avro",
     "from_jsonl",
     "from_orc",
     "from_text",

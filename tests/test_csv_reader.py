@@ -256,3 +256,25 @@ def test_remote_glob_direct_match_skips_hidden_files(spark, tmp_path):
     f = from_file(spark, f"file://{d}/*").to_frame()
     assert f.columns == ["id", "name"]
     assert sorted(r["id"] for r in f.to_rows()) == ["1", "2"]
+
+
+def test_from_avro_env_gate_or_roundtrip(spark, tmp_path):
+    """Avro is an external Spark module: with it on the classpath the
+    scan works like ORC/parquet; without it (this container) the gate
+    raises a CLEAR actionable error, never Spark's generic one."""
+    from csvplus_spark import from_avro
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "a.avro")
+    try:
+        df.write.format("avro").save(path)
+        have_avro = True
+    except Exception:
+        have_avro = False
+    if have_avro:
+        f = from_avro(spark, path)
+        assert sorted((r["id"], r["s"]) for r in f.to_rows()) == \
+            [(1, "a"), (2, "b")]
+    else:
+        with pytest.raises(ImportError, match="spark-avro"):
+            from_avro(spark, path)
