@@ -66,6 +66,15 @@ SHOW = [
                            "rep-space LSH + verify → output-sized expansion"),
     ("tpch_q18_bigorders", "Q18: HAVING semi-join grouped on the already-"
                            "shuffled l_orderkey, no extra exchange"),
+    ("pagerank_reps", "graph-after-dedup PageRank: exact-collapse "
+                      "anti-dup pre-filter, then LSH pair graph + "
+                      "integer rounds (the f²-edge-immune scale shape)"),
+    ("multimodal_jpeg", "mixed PNG+JPEG decode: ONE Arrow mapInPandas "
+                        "stage dispatching per-format pure-Python codecs"),
+    ("bpe_counts", "merges-table BPE: Arrow mapInPandas count + in-plan "
+                   "raise_error bounds + pinned-literal union"),
+    ("approx_distinct", "HLL + exact in one pass over the pre-distinct "
+                        "projection — Expand-free (r8: 4.5x)"),
     ("semantic_dedup", "SemDeDup: broadcast centroids, per-cell BLAS "
                        "prefilter (ArrowEvalPython group map), fold rescore, "
                        "CC joins"),
