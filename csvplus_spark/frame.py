@@ -240,16 +240,21 @@ class Frame:
         rows — but Catalyst column pruning means a column nobody reads
         is never checked.
         """
+        # a row where the check can't evaluate (NULL — e.g. `v > 0`
+        # with v NULL) is a VIOLATION, not a pass: ~NULL is NULL and a
+        # bare negated filter would silently wave such rows through
+        # (same hazard class as the r7 merge_upsert delete_filter)
+        viol = ~F.coalesce(cond, F.lit(False))
         if eager:
             from .errors import DataSourceError
 
-            bad = self._df.filter(~cond).limit(1)
+            bad = self._df.filter(viol).limit(1)
             if self.order and self.order[0][0] == ROW_ID:
                 # row lineage (SURVEY §7 H5): report the 1-based ingest
                 # position of the first violating row, like the
                 # reference's DataSourceError{Line} — the extra jobs run
                 # only on the failure path
-                first_bad = self._df.filter(~cond).agg(F.min(ROW_ID)).collect()[0][0]
+                first_bad = self._df.filter(viol).agg(F.min(ROW_ID)).collect()[0][0]
                 if first_bad is not None:
                     line = self._df.filter(F.col(ROW_ID) <= first_bad).count()
                     raise DataSourceError(message, line=line)
@@ -260,7 +265,7 @@ class Frame:
         for field in self._df.schema.fields:
             c = F.col(field.name)
             err = F.raise_error(F.lit(message)).cast(field.dataType)
-            exprs.append(F.when(~cond, err).otherwise(c).alias(field.name))
+            exprs.append(F.when(viol, err).otherwise(c).alias(field.name))
         return self._wrap(self._df.select(*exprs))
 
     # ------------------------------------------------------------------

@@ -177,3 +177,26 @@ def test_take_rows_empty_source(spark):
 
     f = take_rows(spark, [])
     assert f.count() == 0 and f.to_rows() == []
+
+
+def test_validate_null_evaluating_check_is_violation(spark):
+    """A check that can't evaluate (NULL — `v > 0` with v NULL) must
+    FAIL validation, not silently pass through ~NULL = NULL (the
+    merge_upsert delete_filter hazard class, applied to validate)."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark import DataSourceError, take_rows
+
+    f = take_rows(spark, [{"v": "1"}, {"v": None}]) \
+        .with_columns(v=F.col("v").cast("int"))
+    with pytest.raises(DataSourceError):
+        f.validate(F.col("v") > 0, "null v slipped through")
+    # and the lazy variant raises at consumption
+    with pytest.raises(Exception, match="null v slipped"):
+        f.validate(F.col("v") > 0, "null v slipped (lazy)",
+                   eager=False).to_rows()
+    # rows that genuinely pass still flow
+    ok = take_rows(spark, [{"v": "1"}]) \
+        .with_columns(v=F.col("v").cast("int")) \
+        .validate(F.col("v") > 0, "nope")
+    assert [r["v"] for r in ok.to_rows()] == [1]
