@@ -56,7 +56,11 @@ def asof_join(
         "__asof_payload__", F.lit(None).cast(
             right.select(payload).schema["__asof_payload__"].dataType)
     )
-    rhs = right.select(
+    # a right row with an unknown (NULL) timestamp can never be "the
+    # nearest state": under the ascending window NULL sorts FIRST, so
+    # an unfiltered NULL right row would be carried into EVERY left
+    # row until the next real right row — silent wrong matches
+    rhs = right.filter(F.col(on).isNotNull()).select(
         *by, F.col(on),
         F.lit(r_tag).alias("__asof_tag__"),
         payload,
@@ -71,7 +75,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = allrows.withColumn(
-        "__asof_match__", F.last("__asof_payload__", ignorenulls=True).over(w)
+        "__asof_match__",
+        # a LEFT row with a NULL timestamp matches nothing either: in
+        # the descending (forward) window NULLs sort last and would
+        # pick up whatever payload was carried to the end of the key
+        F.when(F.col(on).isNotNull(),
+               F.last("__asof_payload__", ignorenulls=True).over(w))
     )
     out = carried.filter(F.col("__asof_tag__") == l_tag).drop(
         "__asof_tag__", "__asof_payload__"

@@ -125,3 +125,27 @@ def test_within_range_join_accepts_left_outer_aliases(spark):
         got = {(row["lid"], row["rid"])
                for row in within_range_join(l, r, "lv", "rv", 60.0, how=how).collect()}
         assert got == expect, how
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL timestamps on either side must match NOTHING: an
+    unfiltered NULL right row sorts NULLS-FIRST into the backward
+    window and silently poisons every left row until the next real
+    right row; a NULL-ts left row in the forward direction picks up
+    the stale end-of-key carry."""
+    from csvplus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, None, "Lnull"), (1, 2, "L2")],
+        "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, None, "POISON"), (1, 5, "R5")],
+        "k long, ts long, rv string")
+    back = {r["lv"]: r["rv"]
+            for r in asof_join(left, right, "ts", by="k").collect()}
+    # L2 precedes every real right row -> no match; NULL-left no match
+    assert back == {"L10": "R5", "Lnull": None, "L2": None}
+    fwd = {r["lv"]: r["rv"]
+           for r in asof_join(left, right, "ts", by="k",
+                              direction="forward").collect()}
+    assert fwd == {"L10": None, "Lnull": None, "L2": "R5"}
