@@ -1261,6 +1261,18 @@ def q_pagerank(spark, sf_dir):
     return integer_pagerank(edges)
 
 
+def _dedup_reps_pairs(spark, sf_dir):
+    """Shared graph-after-dedup preamble (SCALE.md sf10 findings): the
+    near-dup pair graph of the exact-dedup CANONICAL docs only — one
+    recipe for all three `_reps` graph queries, kept in lockstep with
+    the shared _PAGERANK_REPS_DOCS_SRC oracle CTE."""
+    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").df
+    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
+    return minhash_dedup_pairs(docs.join(keep, "doc_id"), 0.6)
+
+
 def q_pagerank_reps(spark, sf_dir):
     """Duplicate-cluster centrality the 100 TB way: exact-dedup FIRST,
     then PageRank over the near-dup graph of the CANONICAL docs only —
@@ -1268,13 +1280,9 @@ def q_pagerank_reps(spark, sf_dir):
     (the raw pair graph holds f²-sized cliques at duplication factor
     f; the sf10 probe measured the raw-graph pagerank exhausting the
     sandbox at f=100 while this shape stays collapse-sized)."""
-    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
     from csvplus_spark.operators.graph import integer_pagerank
 
-    docs = load_table(spark, sf_dir, "documents").df
-    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
-    reps = docs.join(keep, "doc_id")
-    return integer_pagerank(minhash_dedup_pairs(reps, 0.6))
+    return integer_pagerank(_dedup_reps_pairs(spark, sf_dir))
 
 
 _PAGERANK_REPS_DOCS_SRC = """(
@@ -1301,13 +1309,9 @@ def q_kcore_reps(spark, sf_dir):
     """2-core of the graph-after-dedup near-dup graph: exact-dedup
     first, peel the canonical docs' graph (see q_pagerank_reps — the
     raw graph is f²-edged under duplication factor f)."""
-    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
     from csvplus_spark.operators.graph import kcore_peel
 
-    docs = load_table(spark, sf_dir, "documents").df
-    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
-    reps = docs.join(keep, "doc_id")
-    return kcore_peel(minhash_dedup_pairs(reps, 0.6), k=2, rounds=6)
+    return kcore_peel(_dedup_reps_pairs(spark, sf_dir), k=2, rounds=6)
 
 
 def q_triangles_reps(spark, sf_dir):
@@ -1315,13 +1319,9 @@ def q_triangles_reps(spark, sf_dir):
     graph (see q_pagerank_reps: raw triangle count is ~f³ under
     duplication — the sf10 probe's honest failure; this is the
     shipped scale shape)."""
-    from csvplus_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
     from csvplus_spark.operators.graph import triangle_count
 
-    docs = load_table(spark, sf_dir, "documents").df
-    keep = exact_dedup(docs).filter("is_canonical").select("doc_id")
-    reps = docs.join(keep, "doc_id")
-    return triangle_count(minhash_dedup_pairs(reps, 0.6))
+    return triangle_count(_dedup_reps_pairs(spark, sf_dir))
 
 
 def q_tpch_q9_profit(spark, sf_dir):
@@ -1555,8 +1555,12 @@ def q_bpe_counts(spark, sf_dir):
     counts = bpe_token_counts(docs)  # corpus-trained merges, real path
     txt = docs.select("doc_id",
                       F.coalesce(F.col("text"), F.lit("")).alias("__t__"))
-    ws = F.when(F.trim("__t__") == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim("__t__"), r"\s+"))).cast("long")
+    # count NON-EMPTY split chunks: F.trim strips only ASCII spaces, so
+    # a tab/newline-only text slips the trim==\"\" guard and splits to
+    # ["", ""] — naive size() would claim 2 ws tokens > 1 bpe token and
+    # trip the raise_error on valid input (r8 review finding)
+    ws = F.size(F.filter(F.split("__t__", r"\s+"),
+                         lambda x: x != "")).cast("long")
     nb = F.octet_length("__t__").cast("long")
     ok = F.when((F.col("__ws__") <= F.col("n_tokens_bpe"))
                 & (F.col("n_tokens_bpe") <= F.col("__nb__")),
@@ -2621,10 +2625,18 @@ FROM s3
 
 _RETENTION_SQL = """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-c AS (SELECT user_id, MIN(us) // 604800000000 AS cohort_period
+-- FLOOR period division via the posmod trick: DuckDB's integer //
+-- TRUNCATES toward zero (r8 review: SELECT -1 // p = 0, not -1), so
+-- pre-epoch timestamps need the same exact-integer floor the Spark
+-- side computes
+c AS (SELECT user_id,
+             (MIN(us) - ((MIN(us) % 604800000000 + 604800000000)
+                          % 604800000000)) // 604800000000
+               AS cohort_period
       FROM ev GROUP BY user_id)
 SELECT c.cohort_period,
-       e.us // 604800000000 - c.cohort_period AS period_offset,
+       (e.us - ((e.us % 604800000000 + 604800000000) % 604800000000))
+         // 604800000000 - c.cohort_period AS period_offset,
        COUNT(DISTINCT e.user_id) AS n_users
 FROM ev e JOIN c ON e.user_id = c.user_id
 GROUP BY 1, 2
@@ -5545,9 +5557,9 @@ def _bpe_counts_sql() -> str:
         for i, _s, exp in _BPE_PINS)
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, 'bounds' AS kind,
-       CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(coalesce(text, '')),
-                                           '\\s+')) END AS BIGINT) AS val1,
+       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS val1,
        CAST(strlen(coalesce(text, '')) AS BIGINT) AS val2, TRUE AS ok
 FROM documents
 UNION ALL

@@ -748,12 +748,17 @@ def semantic_dedup(
         # per-id fingerprint so they never merge
         sq = F.aggregate(F.transform(F.col("__vec__"), lambda x: x * x),
                          F.lit(0.0), lambda acc, x: acc + x)
-        # NULL vectors get a unique fingerprint too (md5(NULL) is NULL
-        # and would silently merge every NULL row into one group); the
-        # plain path never links them either
-        fp = F.when(F.col("__vec__").isNull() | (sq == 0.0),
-                    F.concat(F.lit("z:"), F.col(id_col).cast("string"))) \
-            .otherwise(F.md5(F.col("__vec__").cast("string")))
+        # a row is COLLAPSIBLE only when its squared norm is a real
+        # positive number: sq is NULL for a NULL vector AND for a
+        # vector containing a NULL element (the fold propagates it) —
+        # both must stay singletons, because their pairwise cosine is
+        # NULL in the plain path and never links them (r8 review: the
+        # earlier `isNull | sq==0` guard evaluated NULL for
+        # partial-NULL vectors and fell through to the md5 branch,
+        # merging them and breaking byte-identity)
+        collapsible = F.coalesce(sq > 0.0, F.lit(False))
+        fp = F.when(collapsible, F.md5(F.col("__vec__").cast("string"))) \
+            .otherwise(F.concat(F.lit("z:"), F.col(id_col).cast("string")))
         vg = v.withColumn("__fp__", fp)
         grp = vg.groupBy("__fp__").agg(
             F.min(id_col).alias("__rep__"),

@@ -79,8 +79,9 @@ def cohort_retention(df: DataFrame, period_us: int = 7 * 24 * 3600
     # remainder, then the division is exact): `div` truncates toward
     # zero, so pre-epoch (negative-µs) timestamps would land in the
     # wrong cohort and produce inconsistent offsets; float floor(x/p)
-    # would sit on a 2^53 boundary for large µs. DuckDB's `//` is
-    # floor — this keeps both engines identical for ALL timestamps.
+    # would sit on a 2^53 boundary for large µs. DuckDB's integer `//`
+    # ALSO truncates (r8 review: -1 // p = 0), so the oracle applies
+    # the same posmod floor — both engines identical for ALL inputs.
     cohort = (ev.groupBy("user_id")
               .agg(F.min("__us__").alias("__m__"))
               .select("user_id",

@@ -80,21 +80,30 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
 
                 widths, heights = [], []
                 for blob in pdf["data"]:
+                    blob = bytes(blob)
+                    wh = None
                     if have_pil:
-                        with Image.open(io.BytesIO(bytes(blob))) as im:
-                            widths.append(im.width)
-                            heights.append(im.height)
-                    elif pngcodec.is_png(bytes(blob)):
-                        w, h, _depth, _ct = pngcodec.png_info(bytes(blob))
-                        widths.append(w)
-                        heights.append(h)
-                    elif jpegcodec.is_jpeg(bytes(blob)):
+                        # PIL first — but fall through to the built-in
+                        # codecs when it can't open the blob: a valid
+                        # header-only JPEG (SOI+SOF+EOI, no scan data —
+                        # encode_minimal_jpeg's fixture shape) has real
+                        # dimensions PIL refuses to parse, and installing
+                        # Pillow must never make a query fail that
+                        # succeeds without it (r8 review finding)
+                        try:
+                            with Image.open(io.BytesIO(blob)) as im:
+                                wh = (im.width, im.height)
+                        except Exception:
+                            wh = None
+                    if wh is None and pngcodec.is_png(blob):
+                        w, h, _depth, _ct = pngcodec.png_info(blob)
+                        wh = (w, h)
+                    if wh is None and jpegcodec.is_jpeg(blob):
                         # SOF-marker walk: real dimensions without a
                         # pixel decode (operators/jpegcodec.py)
-                        w, h, _nc, _prog = jpegcodec.jpeg_info(bytes(blob))
-                        widths.append(w)
-                        heights.append(h)
-                    else:
+                        w, h, _nc, _prog = jpegcodec.jpeg_info(blob)
+                        wh = (w, h)
+                    if wh is None:
                         raise NotImplementedError(
                             "real_codec=True but no image codec importable "
                             "on this executor for a non-PNG/JPEG blob (the "
@@ -102,6 +111,8 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                             "and JPEG geometry via the SOF marker walk; "
                             "pip install Pillow, or use the deterministic "
                             "stub with real_codec=False)")
+                    widths.append(wh[0])
+                    heights.append(wh[1])
                 out = pd.DataFrame({
                     "media_id": pdf["media_id"],
                     "width": widths,

@@ -125,6 +125,31 @@ def foreach_batch_upsert(stream: DataFrame, path: str, checkpoint: str,
     return writer.start()
 
 
+def _require_partitioned_report_layout(spark: SparkSession,
+                                       report_path: str) -> None:
+    """Raise with migration guidance when ``report_path`` holds a
+    pre-r8 APPEND-mode report (root-level parquet data files, batch_id
+    as a data column): writing batch_id=N partition directories next
+    to those files corrupts partition discovery for every future read
+    ("Conflicting directory structures"). One metadata listing, run
+    once per sink start."""
+    fs = _Fs(spark, report_path)
+    if not fs.exists(report_path):
+        return
+    it = fs._fs.listStatus(fs._Path(report_path))
+    for st in it:
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            raise ValueError(
+                f"report table at {report_path!r} uses the pre-r8 "
+                "append layout (root-level data files); the sink now "
+                "writes one batch_id=N partition per micro-batch. "
+                "Migrate once with: df = spark.read.parquet(path); "
+                "df.write.partitionBy('batch_id').mode('overwrite')"
+                ".parquet(new_path) — or point the sink at a fresh "
+                "directory")
+
+
 def foreach_batch_expectations(stream: DataFrame, rules: dict,
                                report_path: str, checkpoint: str,
                                trigger_available_now: bool = True):
@@ -140,12 +165,24 @@ def foreach_batch_expectations(stream: DataFrame, rules: dict,
     double-count the replayed batch's violations — r7 advice applied
     to the report sinks too). One aggregate job per batch over that
     batch's rows only — no state, no re-reading the landing zone.
+
+    Layout migration: a report table written by the pre-r8 APPEND code
+    has root-level parquet files with batch_id as a data column; mixing
+    the partitioned layout into it would corrupt partition discovery
+    for every future read, so the first batch pre-flights the target
+    and raises with migration guidance instead (r8 review finding).
     """
     from pyspark.sql import functions as F
 
     from ..operators.profile import check_expectations
 
+    checked: list[bool] = []
+
     def _report(batch: DataFrame, batch_id: int) -> None:
+        if not checked:
+            _require_partitioned_report_layout(
+                batch.sparkSession, report_path)
+            checked.append(True)
         rep = check_expectations(batch, rules) \
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         # partition-per-batch + DYNAMIC overwrite: an at-least-once
@@ -185,9 +222,15 @@ def foreach_batch_drift(stream: DataFrame, reference: DataFrame,
 
     from ..operators.profile import embedding_drift
 
+    checked: list[bool] = []
+
     def _report(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return  # no vectors in this batch — nothing to report
+        if not checked:
+            _require_partitioned_report_layout(
+                batch.sparkSession, report_path)
+            checked.append(True)
         rep = embedding_drift(reference, batch, vec_col=vec_col) \
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         # dynamic per-batch partition overwrite — replay-idempotent

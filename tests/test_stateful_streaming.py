@@ -756,3 +756,29 @@ def test_foreach_batch_uniform_sample_matches_batch_topk(spark, tmp_path):
     got2 = [r["key"] for r in spark.read.parquet(sample)
             .orderBy("__tag__", "key").collect()]
     assert got2 == want
+
+
+def test_report_sink_rejects_pre_r8_append_layout(spark, tmp_path):
+    """A report table written by the old APPEND code (root-level data
+    files, batch_id as a data column) must be rejected with migration
+    guidance — mixing partition dirs into it would corrupt partition
+    discovery for every future read."""
+    from csvplus_spark.streaming.sinks import foreach_batch_expectations
+
+    report = str(tmp_path / "report")
+    spark.createDataFrame([(1, "not_null", 0, True, 0)],
+                          "col_name string, rule string, n_violations long,"
+                          " passed boolean, batch_id long") \
+        .coalesce(1).write.parquet(report)  # old layout: root data files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("x\n")
+    stream = (spark.readStream.format("text")
+              .schema("value string").load(str(src)))
+    q = foreach_batch_expectations(stream, {"value": {"not_null": True}},
+                                   report, str(tmp_path / "ck"))
+    import pytest as _pt
+    with _pt.raises(Exception, match="pre-r8 append layout"):
+        q.awaitTermination(120)
+        raise AssertionError("sink accepted the mixed layout")

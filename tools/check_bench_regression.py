@@ -86,7 +86,7 @@ def trend_table(table: list[dict], top: int = 15) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
-    baseline_ix = -2
+    baseline_ix = None  # None = median mode; an explicit index wins
     threshold = THRESHOLD
     while args:
         if args[0] == "--baseline":
@@ -99,11 +99,11 @@ def main() -> int:
     if len(hist) < 2:
         print("bench history has <2 runs — nothing to compare")
         return 0
-    base = (median_baseline(hist) if baseline_ix == -2
+    base = (median_baseline(hist) if baseline_ix is None
             else hist[baseline_ix])
     cur = hist[-1]
     regressions, table = compare(base, cur, threshold=threshold)
-    label = ("median of last 3 runs" if baseline_ix == -2
+    label = ("median of last 3 runs" if baseline_ix is None
              else f"run {len(hist) + baseline_ix}")
     print(f"comparing {label} "
           f"({len(base.get('queries') or {})} queries)"
