@@ -1558,8 +1558,11 @@ def q_bpe_counts(spark, sf_dir):
     # count NON-EMPTY split chunks: F.trim strips only ASCII spaces, so
     # a tab/newline-only text slips the trim==\"\" guard and splits to
     # ["", ""] — naive size() would claim 2 ws tokens > 1 bpe token and
-    # trip the raise_error on valid input (r8 review finding)
-    ws = F.size(F.filter(F.split("__t__", r"\s+"),
+    # trip the raise_error on valid input (r8 review finding). The
+    # whitespace class is spelled out because Java's \\s includes
+    # vertical tab while RE2's does not (second review finding) —
+    # an explicit class is identical in both engines by construction.
+    ws = F.size(F.filter(F.split("__t__", "[ \t\n\x0b\f\r]+"),
                          lambda x: x != "")).cast("long")
     nb = F.octet_length("__t__").cast("long")
     ok = F.when((F.col("__ws__") <= F.col("n_tokens_bpe"))
@@ -5558,7 +5561,7 @@ def _bpe_counts_sql() -> str:
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, 'bounds' AS kind,
        CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
-                                                   '\\s+'),
+                                                   '[ \t\n\x0b\f\r]+'),
                             x -> x <> '')) AS BIGINT) AS val1,
        CAST(strlen(coalesce(text, '')) AS BIGINT) AS val2, TRUE AS ok
 FROM documents

@@ -105,12 +105,16 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                         wh = (w, h)
                     if wh is None:
                         raise NotImplementedError(
-                            "real_codec=True but no image codec importable "
-                            "on this executor for a non-PNG/JPEG blob (the "
-                            "built-in pure-Python codecs parse PNG fully "
-                            "and JPEG geometry via the SOF marker walk; "
-                            "pip install Pillow, or use the deterministic "
-                            "stub with real_codec=False)")
+                            "real_codec=True: the blob is not a PNG/JPEG "
+                            "the built-in pure-Python codecs can parse" + (
+                                " and Pillow could not open it either — "
+                                "likely a corrupt or unsupported format"
+                                if have_pil else
+                                " and Pillow is not importable on this "
+                                "executor (pip install Pillow for other "
+                                "formats)")
+                            + "; use the deterministic stub with "
+                              "real_codec=False for plumbing tests")
                     widths.append(wh[0])
                     heights.append(wh[1])
                 out = pd.DataFrame({
@@ -252,26 +256,42 @@ def resize_stub(width: int = 64, height: int = 64,
 
                 out_blobs = []
                 for blob in pdf["data"]:
+                    blob = bytes(blob)
+                    done = None
                     if have_pil:
-                        with Image.open(io.BytesIO(bytes(blob))) as im:
-                            buf = io.BytesIO()
-                            im.resize((width, height)).save(buf, format="PNG")
-                            out_blobs.append(buf.getvalue())
-                    elif pngcodec.is_png(bytes(blob)):
+                        # same fallback invariant as decode_image_stub
+                        # (r8 review): a blob PIL rejects but the
+                        # built-in codec handles (e.g. a PNG tripping
+                        # PIL's decompression-bomb guard) must not fail
+                        # just because Pillow is installed
+                        try:
+                            with Image.open(io.BytesIO(blob)) as im:
+                                buf = io.BytesIO()
+                                im.resize((width, height)).save(
+                                    buf, format="PNG")
+                                done = buf.getvalue()
+                        except Exception:
+                            done = None
+                    if done is None and pngcodec.is_png(blob):
                         # pure-Python path: full IDAT decode, nearest-
                         # neighbor resample, re-encode (pngcodec.py)
-                        w0, h0, ch, px = pngcodec.decode_png(bytes(blob))
-                        out_blobs.append(pngcodec.encode_png(
+                        w0, h0, ch, px = pngcodec.decode_png(blob)
+                        done = pngcodec.encode_png(
                             width, height, ch,
                             pngcodec.resize_nearest(w0, h0, ch, px,
-                                                    width, height)))
-                    else:
+                                                    width, height))
+                    if done is None:
                         raise NotImplementedError(
-                            "real_codec=True but no image codec importable "
-                            "on this executor for a non-PNG blob (the "
-                            "built-in pure-Python codec handles PNG only; "
-                            "pip install Pillow, or use the deterministic "
-                            "stub with real_codec=False)")
+                            "real_codec=True resize: the blob is not a "
+                            "PNG the built-in pure-Python codec can "
+                            "decode" + (
+                                " and Pillow could not open it either"
+                                if have_pil else
+                                " and Pillow is not importable on this "
+                                "executor (pip install Pillow)")
+                            + "; use the deterministic stub with "
+                              "real_codec=False for plumbing tests")
+                    out_blobs.append(done)
                 yield pd.DataFrame({
                     "media_id": pdf["media_id"],
                     "data": out_blobs,

@@ -57,6 +57,18 @@ def from_text(spark: SparkSession, path: str, whole_file: bool = False,
     return Frame(df, [(id_col, True)], string_mode=False)
 
 
+def _finish_columnar(spark: SparkSession, df, string_mode: bool) -> Frame:
+    """Shared tail of the columnar sources (ORC/Avro): timestamp
+    normalization + optional string-compat cast + Frame wrap — ONE
+    copy so the formats can't silently drift (r8 review)."""
+    from .parquet import normalize_timestamps
+
+    df = normalize_timestamps(df)
+    if string_mode:
+        df = df.select(*[df[c].cast("string").alias(c) for c in df.columns])
+    return Frame(df, None, string_mode)
+
+
 def from_orc(spark: SparkSession, path: str, string_mode: bool = False) -> Frame:
     """ORC scan — the other columnar interchange format warehouses
     hand over. Same Catalyst benefits as parquet (predicate pushdown,
@@ -64,13 +76,10 @@ def from_orc(spark: SparkSession, path: str, string_mode: bool = False) -> Frame
     timestamp normalization, so a corpus delivered as ORC behaves
     identically to the parquet path.
     """
-    from .parquet import configure_parquet_session, normalize_timestamps
+    from .parquet import configure_parquet_session
 
     configure_parquet_session(spark)
-    df = normalize_timestamps(spark.read.orc(path))
-    if string_mode:
-        df = df.select(*[df[c].cast("string").alias(c) for c in df.columns])
-    return Frame(df, None, string_mode)
+    return _finish_columnar(spark, spark.read.orc(path), string_mode)
 
 
 def from_avro(spark: SparkSession, path: str, string_mode: bool = False) -> Frame:
@@ -84,7 +93,7 @@ def from_avro(spark: SparkSession, path: str, string_mode: bool = False) -> Fram
     data-source-not-found (honest env-gate — this container has no
     network to fetch the package, so the path is gated, never faked).
     """
-    from .parquet import configure_parquet_session, normalize_timestamps
+    from .parquet import configure_parquet_session
 
     configure_parquet_session(spark)
     try:
@@ -97,7 +106,4 @@ def from_avro(spark: SparkSession, path: str, string_mode: bool = False) -> Fram
                 "your Spark version); it is not bundled with a plain "
                 "pyspark install") from exc
         raise
-    df = normalize_timestamps(df)
-    if string_mode:
-        df = df.select(*[df[c].cast("string").alias(c) for c in df.columns])
-    return Frame(df, None, string_mode)
+    return _finish_columnar(spark, df, string_mode)

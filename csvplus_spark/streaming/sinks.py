@@ -53,6 +53,16 @@ class _Fs:
         carry, so string prefix comparisons against them are sound."""
         return self._fs.makeQualified(self._Path(p)).toString()
 
+    def is_dir(self, p: str) -> bool:
+        return self._fs.getFileStatus(self._Path(p)).isDirectory()
+
+    def child_files(self, p: str) -> list[str]:
+        """Names of the DIRECT (non-recursive) file children of ``p``
+        — directories excluded."""
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._Path(p))
+                if st.isFile()]
+
 
 def heal_swap(fs: _Fs, path: str) -> None:
     """Recover from a crash inside :func:`replace_dataset`: if only the
@@ -136,10 +146,13 @@ def _require_partitioned_report_layout(spark: SparkSession,
     fs = _Fs(spark, report_path)
     if not fs.exists(report_path):
         return
-    it = fs._fs.listStatus(fs._Path(report_path))
-    for st in it:
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith(("_", ".")):
+    if not fs.is_dir(report_path):
+        raise ValueError(
+            f"report_path {report_path!r} is a FILE — the sink writes "
+            "a partitioned parquet DIRECTORY; point it at a directory "
+            "path")
+    for name in fs.child_files(report_path):
+        if not name.startswith(("_", ".")):
             raise ValueError(
                 f"report table at {report_path!r} uses the pre-r8 "
                 "append layout (root-level data files); the sink now "

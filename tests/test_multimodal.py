@@ -51,7 +51,7 @@ def test_decode_real_codec_raises_without_pillow(media_df, spark):
     unknown = spark.createDataFrame(
         [(4, bytearray(b"\x00\x01\x02\x03unknownblob"))],
         "media_id long, data binary")
-    with pytest.raises(Exception, match="no image codec importable"):
+    with pytest.raises(Exception, match="Pillow is not importable"):
         decode_images(unknown, real_codec=True).collect()
     # a JPEG-magic blob with a garbage body is a MALFORMED stream: the
     # r8 marker walk raises ValueError rather than guessing dimensions
@@ -116,7 +116,7 @@ def test_resize_binary_roundtrip(media_df):
     try:
         import PIL  # noqa: F401
     except ImportError:
-        with pytest.raises(Exception, match="no image codec importable"):
+        with pytest.raises(Exception, match="Pillow is not importable"):
             resize_images(media_df, 32, 16, real_codec=True).collect()
 
 

@@ -99,12 +99,17 @@ def main() -> int:
     if len(hist) < 2:
         print("bench history has <2 runs — nothing to compare")
         return 0
-    base = (median_baseline(hist) if baseline_ix is None
-            else hist[baseline_ix])
+    if baseline_ix is not None:
+        run_no = baseline_ix if baseline_ix >= 0 else len(hist) + baseline_ix
+        if run_no == len(hist) - 1:
+            print("--baseline points at the CURRENT run — comparing a "
+                  "run to itself proves nothing")
+            return 2
+        base, label = hist[baseline_ix], f"run {run_no}"
+    else:
+        base, label = median_baseline(hist), "median of last 3 runs"
     cur = hist[-1]
     regressions, table = compare(base, cur, threshold=threshold)
-    label = ("median of last 3 runs" if baseline_ix is None
-             else f"run {len(hist) + baseline_ix}")
     print(f"comparing {label} "
           f"({len(base.get('queries') or {})} queries)"
           f" -> run {len(hist) - 1} (total {cur.get('value')}s, "
