@@ -1252,12 +1252,16 @@ def q_pagerank(spark, sf_dir):
     graph.py::integer_pagerank): duplicate-cluster centrality, 3
     rounds, rational 17/20 damping — every mass quantity an exact
     int64, so the whole trajectory (and the upstream LSH pair set) is
-    bit-replayed by the oracle."""
+    bit-replayed by the oracle. Guarded: the raw pair graph is f²-edged
+    at duplication factor f (sf10 probe), so require_low_duplication
+    routes high-f corpora to q_pagerank_reps instead of an OOM."""
     from csvplus_spark.operators.dedup import minhash_dedup_pairs
-    from csvplus_spark.operators.graph import integer_pagerank
+    from csvplus_spark.operators.graph import (integer_pagerank,
+                                               require_low_duplication)
 
     docs = load_table(spark, sf_dir, "documents").df
-    edges = minhash_dedup_pairs(docs, 0.6)
+    edges = minhash_dedup_pairs(
+        require_low_duplication(docs, operator="pagerank"), 0.6)
     return integer_pagerank(edges)
 
 
@@ -1297,12 +1301,16 @@ def q_triangles(spark, sf_dir):
     """Per-node triangle counts of the MinHash near-dup graph
     (operators/graph.py::triangle_count): oriented wedge join +
     closure check — the cohesion diagnostic separating duplicate
-    cliques from false-positive bridges."""
+    cliques from false-positive bridges. Guarded: raw triangle count
+    is ~f³ at duplication factor f, so require_low_duplication routes
+    high-f corpora to q_triangles_reps."""
     from csvplus_spark.operators.dedup import minhash_dedup_pairs
-    from csvplus_spark.operators.graph import triangle_count
+    from csvplus_spark.operators.graph import (require_low_duplication,
+                                               triangle_count)
 
     docs = load_table(spark, sf_dir, "documents").df
-    return triangle_count(minhash_dedup_pairs(docs, 0.6))
+    return triangle_count(minhash_dedup_pairs(
+        require_low_duplication(docs, operator="triangles"), 0.6))
 
 
 def q_kcore_reps(spark, sf_dir):
@@ -5258,12 +5266,16 @@ def q_kcore(spark, sf_dir):
     """2-core of the MinHash near-dup graph (operators/graph.py::
     kcore_peel): 6 bounded peeling rounds — where duplication is
     structurally dense; degree-1 one-off pairs peel immediately.
-    Purely integer/set-valued, trajectory SQL-replayed."""
+    Purely integer/set-valued, trajectory SQL-replayed. Guarded:
+    require_low_duplication routes high-f corpora to q_kcore_reps."""
     from csvplus_spark.operators.dedup import minhash_dedup_pairs
-    from csvplus_spark.operators.graph import kcore_peel
+    from csvplus_spark.operators.graph import (kcore_peel,
+                                               require_low_duplication)
 
     docs = load_table(spark, sf_dir, "documents").df
-    return kcore_peel(minhash_dedup_pairs(docs, 0.6), k=2, rounds=6)
+    return kcore_peel(minhash_dedup_pairs(
+        require_low_duplication(docs, operator="kcore"), 0.6),
+        k=2, rounds=6)
 
 
 def _kcore_sql(k: int = 2, rounds: int = 6,

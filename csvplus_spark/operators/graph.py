@@ -16,9 +16,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csvplus_spark.errors import CsvPlusError
+
 #: one unit of PageRank mass = 2^-40 — big enough that integer-div
 #: remainders are negligible, small enough that N·Q stays << 2^63
 PR_Q = 1 << 40
+
+
+class GraphScaleError(CsvPlusError):
+    """A graph input violates a documented scale contract.
+
+    Raised by :func:`require_low_duplication` before the pair pipeline
+    runs, so callers get routing guidance instead of an executor OOM
+    hours later.
+    """
+
+
+def duplication_factor(docs: DataFrame, text_col: str = "text") -> float:
+    """Exact duplication factor of a document corpus: row count over
+    distinct-normalized-fingerprint count. ONE aggregate over one scan
+    (count + approximate-free countDistinct of a 32-char key) — cheap
+    at any corpus size relative to the pair pipeline it guards."""
+    from csvplus_spark.operators.dedup import fingerprint
+
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(fingerprint(text_col)).alias("d")).collect()[0]
+    return (row["n"] / row["d"]) if row["d"] else 1.0
+
+
+def require_low_duplication(docs: DataFrame, text_col: str = "text",
+                            max_factor: float = 8.0,
+                            operator: str = "graph") -> DataFrame:
+    """Pre-flight guard for RAW-graph analytics over near-dup pair
+    graphs (the checkpoint-pre-flight pattern applied to graphs).
+
+    The near-dup pair graph of a corpus with duplication factor ``f``
+    holds f-member cliques — f² edges per duplicate family and ~f³
+    triangles. The sf10 probe (docs/SCALE.md, 100× duplication)
+    measured raw pagerank exhausting a 64 GB driver heap and raw
+    triangle counting failing outright, while the graph-after-dedup
+    ``_reps`` shapes (exact_dedup → pair graph of canonical docs →
+    same graph op) ran the same corpus in seconds. This probe measures
+    ``f`` with one aggregate and raises :class:`GraphScaleError` with
+    that routing guidance instead of letting the pair pipeline OOM.
+
+    Returns ``docs`` unchanged when the corpus passes, so it chains:
+    ``minhash_dedup_pairs(require_low_duplication(docs), ...)``.
+    """
+    f = duplication_factor(docs, text_col)
+    if f > max_factor:
+        raise GraphScaleError(
+            f"{operator}: corpus duplication factor {f:.1f} exceeds "
+            f"{max_factor:g}; the raw near-dup pair graph would hold "
+            f"~{f:.0f}-member cliques (f² edges, ~f³ triangles) per "
+            "duplicate family. Run exact dedup first and use the "
+            "graph-after-dedup shape (pagerank_reps / kcore_reps / "
+            "triangles_reps, or exact_dedup(...).filter('is_canonical') "
+            "before building pairs) — see docs/SCALE.md."
+        )
+    return docs
 
 
 def integer_pagerank(edges: DataFrame, src: str = "doc_id_1",

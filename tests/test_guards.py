@@ -173,3 +173,42 @@ def test_bench_line_stays_under_driver_tail_budget():
     kept = parsed2["queries"]
     assert "query_with_a_rather_long_name_219" in kept
     assert "query_with_a_rather_long_name_000" not in kept
+
+
+def test_raw_graph_duplication_guard(spark):
+    """require_low_duplication: the raw-graph pre-flight (VERDICT r8
+    item 2). A high-duplication corpus must raise GraphScaleError with
+    route-to-_reps guidance BEFORE the pair pipeline runs; a
+    low-duplication corpus passes through unchanged."""
+    import pyspark.sql.functions as F
+
+    from csvplus_spark.operators.graph import (GraphScaleError,
+                                               duplication_factor,
+                                               require_low_duplication)
+
+    # engineered f=50 corpus: one text repeated 50x + 2 uniques
+    rows = [(i, "the same boilerplate text repeated") for i in range(50)]
+    rows += [(100, "unique alpha"), (101, "unique beta")]
+    high = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplication_factor(high) > 15
+    try:
+        require_low_duplication(high, operator="pagerank")
+        assert False, "high-f corpus must raise"
+    except GraphScaleError as e:
+        msg = str(e)
+        assert "pagerank" in msg and "_reps" in msg or "reps" in msg
+        assert "exact dedup" in msg.lower() or "exact_dedup" in msg
+
+    # low-f corpus passes through as the SAME plan (chainable)
+    low = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(20)],
+        "doc_id long, text string")
+    out = require_low_duplication(low, operator="pagerank")
+    assert out is low
+    # factor exactly 1.0 on an all-unique corpus
+    assert duplication_factor(low) == 1.0
+
+    # empty corpus: no division blow-up, passes
+    empty = low.filter(F.lit(False))
+    assert duplication_factor(empty) == 1.0
+    assert require_low_duplication(empty) is empty
