@@ -1883,11 +1883,19 @@ def q_simhash_pairs60(spark, sf_dir):
     60 bits is discriminating even on template corpora, so the answer
     (and the chunk-join candidate volume) stays near-linear where the
     32-bit table yields ~n²/6 pairs (operators/dedup.py::
-    simhash_near_pairs, VERDICT r2 item 4)."""
+    simhash_near_pairs, VERDICT r2 item 4). max_pairs_per_group=1000
+    bounds the one remaining quadratic term — Hamming-0 duplicate
+    families at duplication factor f emit C(f,2) pairs uncapped (72×
+    per 10× at sf10) — by swapping oversized groups to their
+    connectivity-identical star/bridge rows. The cap never binds below
+    group size 45, so the all-pairs oracle is exact at driver scales
+    (sf0.01: zero same-hash groups anywhere near that; identity vs the
+    uncapped form is pinned by test_simhash_pair_cap)."""
     from csvplus_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
-        load_table(spark, sf_dir, "documents").df, 3, n_bits=60)
+        load_table(spark, sf_dir, "documents").df, 3, n_bits=60,
+        max_pairs_per_group=1000)
 
 
 def q_simhash_reps60(spark, sf_dir):

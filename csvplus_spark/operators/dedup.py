@@ -1480,7 +1480,8 @@ def embedding_near_pairs(
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       n_bits: int = 60) -> DataFrame:
+                       n_bits: int = 60,
+                       max_pairs_per_group: int | None = None) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Default is the 60-bit hash: at 32 bits, template-heavy corpora
@@ -1490,6 +1491,19 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     set output-sized. Pass ``n_bits=32`` only for legacy comparison.
     For corpus-scale runs prefer :func:`simhash_reps` — linear output
     (one representative per near-dup cluster), the 100 TB entry point.
+
+    ``max_pairs_per_group`` bounds the one remaining quadratic term:
+    duplicate-text docs share a simhash, so a duplication-factor-f
+    corpus yields C(f,2) Hamming-0 pairs per duplicate family (72× per
+    10× measured at sf10 — docs/SCALE.md). With a cap set, any
+    same-hash group whose full expansion would exceed it emits the
+    STAR instead (min-id rep paired with every other member, g−1
+    rows), and any cross-hash group pair whose g1·g2 expansion would
+    exceed it emits the single rep–rep bridge row. Connectivity is
+    preserved exactly — same-hash groups are Hamming-0 cliques and the
+    star spans them, so the connected components (what pair consumers
+    build) are identical — while output drops from O(f²) to O(n).
+    ``None`` (default) keeps the full pair contract.
 
     Chunk blocking (pigeonhole): the ``n_bits`` hash is split into
     ``max_hamming + 1`` contiguous chunks; two hashes within Hamming
@@ -1546,26 +1560,80 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                     F.bit_count(F.col("__h1__").bitwiseXOR(F.col("__h2__"))))
         .filter(F.col("hamming") <= max_hamming)
     )
-    intra = (
-        sh.alias("a")
-        .join(sh.alias("b"),
+    if max_pairs_per_group is None:
+        intra = (
+            sh.alias("a")
+            .join(sh.alias("b"),
+                  (F.col("a.simhash") == F.col("b.simhash"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_id_1"),
+                    F.col(f"b.{id_col}").alias("doc_id_2"),
+                    F.lit(0).cast("integer").alias("hamming"))
+        )
+        d1 = sh.select(F.col("simhash").alias("__h1__"),
+                       F.col(id_col).alias("__i1__"))
+        d2 = sh.select(F.col("simhash").alias("__h2__"),
+                       F.col(id_col).alias("__i2__"))
+        cross = (
+            hpairs.join(d1, "__h1__").join(d2, "__h2__")
+            .select(F.least("__i1__", "__i2__").alias("doc_id_1"),
+                    F.greatest("__i1__", "__i2__").alias("doc_id_2"),
+                    F.col("hamming").cast("integer").alias("hamming"))
+        )
+        return intra.unionByName(cross)
+    # capped expansion: per-hash (size, min-id rep) is a distinct-
+    # hash-sized aggregate; every branch below is output-bounded —
+    # full pairs only where the group fits the cap, star/bridge rows
+    # elsewhere — so the materialized pair set is O(n + hash_pairs)
+    # at ANY duplication factor
+    cap = int(max_pairs_per_group)
+    grp = sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("__g__"),
+        F.min(id_col).alias("__rep__")).localCheckpoint(eager=False)
+    shg = sh.join(grp, "simhash")
+    small = shg.filter((F.col("__g__") * (F.col("__g__") - 1)) / 2 <= cap)
+    intra_full = (
+        small.alias("a")
+        .join(small.alias("b"),
               (F.col("a.simhash") == F.col("b.simhash"))
               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_id_1"),
                 F.col(f"b.{id_col}").alias("doc_id_2"),
                 F.lit(0).cast("integer").alias("hamming"))
     )
+    intra_star = (
+        shg.filter((F.col("__g__") * (F.col("__g__") - 1)) / 2 > cap)
+        .filter(F.col(id_col) != F.col("__rep__"))
+        .select(F.col("__rep__").alias("doc_id_1"),  # rep = min id < id
+                F.col(id_col).alias("doc_id_2"),
+                F.lit(0).cast("integer").alias("hamming"))
+    )
+    g1 = grp.select(F.col("simhash").alias("__h1__"),
+                    F.col("__g__").alias("__g1__"),
+                    F.col("__rep__").alias("__r1__"))
+    g2 = grp.select(F.col("simhash").alias("__h2__"),
+                    F.col("__g__").alias("__g2__"),
+                    F.col("__rep__").alias("__r2__"))
+    hp = hpairs.join(g1, "__h1__").join(g2, "__h2__")
+    hp_small = hp.filter(F.col("__g1__") * F.col("__g2__") <= cap)
     d1 = sh.select(F.col("simhash").alias("__h1__"),
                    F.col(id_col).alias("__i1__"))
     d2 = sh.select(F.col("simhash").alias("__h2__"),
                    F.col(id_col).alias("__i2__"))
-    cross = (
-        hpairs.join(d1, "__h1__").join(d2, "__h2__")
+    cross_full = (
+        hp_small.join(d1, "__h1__").join(d2, "__h2__")
         .select(F.least("__i1__", "__i2__").alias("doc_id_1"),
                 F.greatest("__i1__", "__i2__").alias("doc_id_2"),
                 F.col("hamming").cast("integer").alias("hamming"))
     )
-    return intra.unionByName(cross)
+    cross_bridge = (
+        hp.filter(F.col("__g1__") * F.col("__g2__") > cap)
+        .select(F.least("__r1__", "__r2__").alias("doc_id_1"),
+                F.greatest("__r1__", "__r2__").alias("doc_id_2"),
+                F.col("hamming").cast("integer").alias("hamming"))
+    )
+    return (intra_full.unionByName(intra_star)
+            .unionByName(cross_full).unionByName(cross_bridge))
 
 
 def simhash_reps(df: DataFrame, max_hamming: int = 3,

@@ -2509,3 +2509,47 @@ def test_semantic_dedup_collapse_identity(spark):
     out = dict((r[0], r[1]) for r in fast)
     assert out[13] == 13 and out[14] == 14  # zero vectors stay singletons
     assert out[5] == 0 and out[12] == 0     # dup group + near-dup share A's min id
+
+
+def test_simhash_pair_cap(spark, sf_dir):
+    """max_pairs_per_group (VERDICT r8 item 3): identity vs the
+    uncapped form on low-duplication data; bounded star/bridge output
+    with IDENTICAL connected components on a high-duplication corpus."""
+    docs = load_table(spark, sf_dir, "documents").df.limit(120)
+    key = lambda r: (r["doc_id_1"], r["doc_id_2"], r["hamming"])
+    uncapped = sorted(map(key, simhash_near_pairs(docs, 3).collect()))
+    capped = sorted(map(key, simhash_near_pairs(
+        docs, 3, max_pairs_per_group=1000).collect()))
+    assert capped == uncapped and capped
+
+    # engineered duplication factor 40: two 40-member duplicate
+    # families + 3 uniques. Uncapped: 2*C(40,2)=1560 Hamming-0 pairs;
+    # capped at 100: 39 star rows per family.
+    rows = [(i, "template family one with shared words") for i in range(40)]
+    rows += [(100 + i, "totally different second template body")
+             for i in range(40)]
+    rows += [(900, "odd one out"), (901, "another loner xyz"),
+             (902, "qwerty unrelated")]
+    high = spark.createDataFrame(rows, "doc_id long, text string")
+    full = simhash_near_pairs(high, 3).collect()
+    cap = simhash_near_pairs(high, 3, max_pairs_per_group=100).collect()
+    assert len(full) >= 2 * (40 * 39 // 2)
+    assert len(cap) < len(full) / 5  # bounded, not quadratic
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = find(r["doc_id_1"]), find(r["doc_id_2"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        return {x: find(x) for x in list(parent)}
+
+    assert components(cap) == components(full)  # connectivity preserved
