@@ -3148,7 +3148,8 @@ _MULTIMODAL_PNG_SQL = """
 SELECT doc_id AS media_id,
        CAST(doc_id % 16 + 1 AS INT) AS width,
        CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
-       CAST((doc_id % 16 + 1) * ((doc_id // 16) % 16 + 1) AS INT) AS n_pixels
+       CAST((doc_id % 16 + 1) * ((doc_id // 16) % 16 + 1) AS INT) AS n_pixels,
+       CAST(1 AS INT) AS orientation
 FROM documents
 """
 
@@ -3157,10 +3158,12 @@ def q_multimodal_jpeg(spark, sf_dir):
     """MIXED-FORMAT real image decode (r7 verdict item 5): even doc_ids
     become deterministic PNGs (full struct+zlib decode path), odd ones
     structurally valid JPEGs (SOF-marker walk, operators/jpegcodec.py —
-    baseline and progressive frames alternating), all flowing through
-    ONE decode_images(real_codec=True) plan — the format dispatch the
-    100 TB binary-column case actually needs. The oracle replays the
-    geometry arithmetic per format."""
+    baseline and progressive frames alternating, most carrying an APP1
+    EXIF orientation tag the decode surfaces as an `orientation`
+    column; doc_id%9==0 omits the EXIF block and must default to 1),
+    all flowing through ONE decode_images(real_codec=True) plan — the
+    format dispatch the 100 TB binary-column case actually needs. The
+    oracle replays the geometry + orientation arithmetic per format."""
     from csvplus_spark.operators.multimodal import decode_images
 
     docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
@@ -3182,10 +3185,12 @@ def q_multimodal_jpeg(spark, sf_dir):
                                for y in range(h) for x in range(w))
                     blobs.append(encode_png(w, h, 1, px))
                 else:
-                    blobs.append(encode_minimal_jpeg(
+                    o = did % 9  # 0 → no EXIF block (orientation
+                    blobs.append(encode_minimal_jpeg(  # defaults to 1)
                         did % 640 + 1, (did // 3) % 480 + 1,
                         n_components=did % 3 + 1,
-                        progressive=(did % 5 == 0)))
+                        progressive=(did % 5 == 0),
+                        orientation=o if o else None))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
 
     blobs = docs.mapInPandas(make, "media_id long, data binary")
@@ -3201,7 +3206,9 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 2 = 0
             THEN (doc_id % 16 + 1) * ((doc_id // 16) % 16 + 1)
             ELSE (doc_id % 640 + 1) * ((doc_id // 3) % 480 + 1)
-            END AS INT) AS n_pixels
+            END AS INT) AS n_pixels,
+       CAST(CASE WHEN doc_id % 2 = 0 OR doc_id % 9 = 0 THEN 1
+            ELSE doc_id % 9 END AS INT) AS orientation
 FROM documents
 """
 

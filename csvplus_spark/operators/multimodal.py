@@ -78,7 +78,7 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                     have_pil = False
                 from . import jpegcodec, pngcodec
 
-                widths, heights = [], []
+                widths, heights, orients = [], [], []
                 for blob in pdf["data"]:
                     blob = bytes(blob)
                     wh = None
@@ -117,12 +117,19 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                               "real_codec=False for plumbing tests")
                     widths.append(wh[0])
                     heights.append(wh[1])
+                    # EXIF orientation (1-8; 1 when absent) — advisory
+                    # crop/rotate metadata real pipelines need; PNG has
+                    # no EXIF block in this walker, so non-JPEG is 1
+                    orients.append(
+                        jpegcodec.jpeg_orientation(blob)
+                        if jpegcodec.is_jpeg(blob) else 1)
                 out = pd.DataFrame({
                     "media_id": pdf["media_id"],
                     "width": widths,
                     "height": heights,
                 })
                 out["n_pixels"] = out.width * out.height
+                out["orientation"] = orients
                 yield out
                 continue
             widths, heights = [], []
@@ -136,12 +143,14 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                 "height": heights,
             })
             out["n_pixels"] = out.width * out.height
+            out["orientation"] = 1  # the stub decodes no EXIF
             yield out
 
     return decode
 
 
-DECODE_SCHEMA = "media_id long, width int, height int, n_pixels int"
+DECODE_SCHEMA = ("media_id long, width int, height int, n_pixels int, "
+                 "orientation int")
 
 
 def decode_images(df: DataFrame, real_codec: bool = False) -> DataFrame:

@@ -377,3 +377,62 @@ def test_decode_images_jpeg_without_pillow(spark):
     out = {r.media_id: (r.width, r.height, r.n_pixels)
            for r in decode_images(df, real_codec=True).collect()}
     assert out == {1: (100, 50, 5000), 2: (4, 3, 12), 3: (7, 9, 63)}
+
+
+def test_jpeg_exif_orientation_walk():
+    """EXIF orientation marker-walk (VERDICT r9 task 7 + ADVICE r8):
+    crafted fixtures for both TIFF byte orders, the no-EXIF default,
+    out-of-range degradation, and the progressive-SOF marker family."""
+    import struct
+
+    from csvplus_spark.operators.jpegcodec import (encode_minimal_jpeg,
+                                                   jpeg_info,
+                                                   jpeg_orientation)
+
+    # encoder round-trip, every legal value (little-endian TIFF)
+    for o in range(1, 9):
+        blob = encode_minimal_jpeg(20, 10, orientation=o)
+        assert jpeg_orientation(blob) == o
+        assert jpeg_info(blob) == (20, 10, 3, False)  # EXIF untouched
+
+    # no EXIF block → upright default
+    assert jpeg_orientation(encode_minimal_jpeg(20, 10)) == 1
+
+    # big-endian (MM) TIFF, hand-built: same tag must parse
+    ifd = (struct.pack(">H", 1)
+           + struct.pack(">HHIHH", 0x0112, 3, 1, 6, 0)
+           + struct.pack(">I", 0))
+    tiff = b"MM" + struct.pack(">HI", 42, 8) + ifd
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    base = encode_minimal_jpeg(20, 10)
+    mm = base[:2] + app1 + base[2:]
+    assert jpeg_orientation(mm) == 6
+
+    # out-of-range orientation value (9) degrades to default, not error
+    bad_ifd = (struct.pack("<H", 1)
+               + struct.pack("<HHIHH", 0x0112, 3, 1, 9, 0)
+               + struct.pack("<I", 0))
+    bad_tiff = b"II" + struct.pack("<HI", 42, 8) + bad_ifd
+    bad_payload = b"Exif\x00\x00" + bad_tiff
+    bad_app1 = (b"\xff\xe1" + struct.pack(">H", len(bad_payload) + 2)
+                + bad_payload)
+    assert jpeg_orientation(base[:2] + bad_app1 + base[2:]) == 1
+
+    # encoder rejects out-of-range up front
+    try:
+        encode_minimal_jpeg(20, 10, orientation=0)
+        assert False
+    except ValueError:
+        pass
+
+    # progressive flag covers the whole SOF family (ADVICE r8): byte-
+    # patch the fixture's SOF2 marker to SOF6/SOF10/SOF14
+    prog = encode_minimal_jpeg(20, 10, progressive=True)
+    assert jpeg_info(prog)[3] is True
+    for m in (0xC6, 0xCA, 0xCE):
+        patched = prog.replace(b"\xff\xc2", bytes([0xFF, m]))
+        assert jpeg_info(patched) == (20, 10, 3, True), hex(m)
+    # and a baseline-extended SOF1 frame is NOT progressive
+    sof1 = prog.replace(b"\xff\xc2", b"\xff\xc1")
+    assert jpeg_info(sof1) == (20, 10, 3, False)
