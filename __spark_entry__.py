@@ -3213,6 +3213,48 @@ FROM documents
 """
 
 
+def q_avro_ingest(spark, sf_dir):
+    """Jar-less Avro ingestion through the oracle gate (r9 task 6):
+    the 200 lowest-doc_id documents are encoded into TWO sharded Avro
+    Object Container Files by the pure-Python encoder (one deflate,
+    one null-codec — sources/avrocodec.py), read back through
+    from_avro's binaryFile fallback (spark-avro is absent in this
+    container), and aggregated per source. The oracle recomputes the
+    same aggregate straight from the parquet view, so a decode error
+    anywhere in the varint/union/block path breaks the hash."""
+    import os
+    import tempfile
+
+    from csvplus_spark.sources.avrocodec import encode_container
+    from csvplus_spark.sources.jsonl import from_avro
+
+    docs = load_table(spark, sf_dir, "documents").df
+    rows = [r.asDict() for r in docs.select("doc_id", "text", "source")
+            .orderBy("doc_id").limit(200).collect()]  # bounded fixture
+    schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "source", "type": ["null", "string"]}]}
+    d = tempfile.mkdtemp(prefix="cp_avro_gate_")
+    with open(os.path.join(d, "part-0.avro"), "wb") as fh:
+        fh.write(encode_container(schema, rows[:100], codec="deflate"))
+    with open(os.path.join(d, "part-1.avro"), "wb") as fh:
+        fh.write(encode_container(schema, rows[100:], codec="null"))
+    f = from_avro(spark, d)
+    return (f.df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_id"),
+                 F.sum(F.length("text")).alias("sum_chars")))
+
+
+_AVRO_INGEST_SQL = """
+SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS sum_id,
+       SUM(length(text)) AS sum_chars
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+GROUP BY source
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based source rebalancing, the mT5 data-mixture
     recipe (operators/sampling.py::temperature_mix): alpha=0.5
@@ -5808,6 +5850,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_bigrams": q_novel_bigrams,
         "source_mix": q_source_mix,
         "knn_label": q_knn_label,
+        "avro_ingest": q_avro_ingest,
     }
 
 
@@ -6006,6 +6049,7 @@ LIMIT 20
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "multimodal_png": _MULTIMODAL_PNG_SQL,
         "multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
+        "avro_ingest": _AVRO_INGEST_SQL,
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

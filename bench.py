@@ -109,6 +109,7 @@ HEADLINE = [
     "temperature_mix",
     "multimodal_png",
     "multimodal_jpeg",
+    "avro_ingest",
     "approx_quantiles",
     "bigram_lm",
     "dsir",

@@ -1,0 +1,452 @@
+"""Pure-Python Avro Object Container File codec (decode + fixture
+encode) — the pngcodec/jpegcodec pattern applied to the row-oriented
+interchange format Kafka/ingest pipelines hand over.
+
+Spark ships Avro support as an EXTERNAL jar (spark-avro); codec-less
+containers (like this one — no network to fetch packages) previously
+hit an honest env-gate. Avro OCF is simple enough to decode directly
+(spec: https://avro.apache.org/docs/current/specification/): a header
+(magic ``Obj\\x01``, a metadata map carrying the JSON schema and codec
+name, a 16-byte sync marker) followed by data blocks (object count,
+byte length, binary-encoded objects, sync marker). Values use zigzag
+varints for int/long, little-endian IEEE for float/double,
+length-prefixed bytes/strings, field-order records, index-prefixed
+unions, and block-encoded arrays/maps.
+
+Scope (the realistic corpus subset): records of primitives, nullable
+``["null", T]`` unions, arrays, string-keyed maps, nested records,
+enums (as strings), fixed (as bytes), and the date /
+timestamp-millis / timestamp-micros logical types. ``null`` and
+``deflate`` block codecs are built in; ``snappy`` works when
+python-snappy is importable and raises an honest ImportError when not
+(the only remaining env-gate).
+
+Reference parity note: csvplus (csvplus.go) has no Avro surface; this
+is extension code for the sources family (SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, Iterator
+
+MAGIC = b"Obj\x01"
+
+
+class AvroError(ValueError):
+    """Malformed Avro container or unsupported schema feature."""
+
+
+# --------------------------------------------------------------- decode
+
+class _Reader:
+    __slots__ = ("b", "pos")
+
+    def __init__(self, blob: bytes, pos: int = 0):
+        self.b = blob
+        self.pos = pos
+
+    def long(self) -> int:
+        """Zigzag-encoded varint (Avro int and long)."""
+        b, pos, shift, acc = self.b, self.pos, 0, 0
+        while True:
+            if pos >= len(b):
+                raise AvroError("truncated varint")
+            byte = b[pos]
+            pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise AvroError("varint too long")
+        self.pos = pos
+        return (acc >> 1) ^ -(acc & 1)
+
+    def raw(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.b):
+            raise AvroError("truncated data")
+        out = self.b[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def bytes_(self) -> bytes:
+        return self.raw(self.long())
+
+    def utf8(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+
+def _decode_value(schema: Any, r: _Reader, names: dict[str, Any]) -> Any:
+    """One value per the (parsed-JSON) schema node."""
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            return _decode_value(names[t], r, names)
+        if t == "null":
+            return None
+        if t == "boolean":
+            return r.raw(1) != b"\x00"
+        if t in ("int", "long"):
+            return r.long()
+        if t == "float":
+            return struct.unpack("<f", r.raw(4))[0]
+        if t == "double":
+            return struct.unpack("<d", r.raw(8))[0]
+        if t == "bytes":
+            return r.bytes_()
+        if t == "string":
+            return r.utf8()
+        raise AvroError(f"unsupported Avro type: {t!r}")
+    if isinstance(schema, list):  # union: long index, then that branch
+        idx = r.long()
+        if not 0 <= idx < len(schema):
+            raise AvroError(f"union index {idx} out of range")
+        return _decode_value(schema[idx], r, names)
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: _decode_value(f["type"], r, names)
+                for f in schema["fields"]}
+    if t == "enum":
+        syms = schema["symbols"]
+        idx = r.long()
+        if not 0 <= idx < len(syms):
+            raise AvroError(f"enum index {idx} out of range")
+        return syms[idx]
+    if t == "fixed":
+        return r.raw(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # block-size form: abs count + byte length
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_decode_value(schema["items"], r, names))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.utf8()  # key BEFORE value (RHS evaluates first)
+                out[k] = _decode_value(schema["values"], r, names)
+    if isinstance(t, (dict, list)):  # inline nested/union type node
+        return _decode_value(t, r, names)
+    # primitive spelled as {"type": "long", "logicalType": ...}
+    val = _decode_value(t, r, names)
+    return _apply_logical(schema, val)
+
+
+def _apply_logical(schema: dict, val: Any) -> Any:
+    lt = schema.get("logicalType")
+    if lt is None or val is None:
+        return val
+    import datetime as dt
+
+    if lt == "date":  # days since epoch
+        return dt.date(1970, 1, 1) + dt.timedelta(days=val)
+    if lt == "timestamp-millis":
+        return (dt.datetime(1970, 1, 1)
+                + dt.timedelta(milliseconds=val))
+    if lt == "timestamp-micros":
+        return (dt.datetime(1970, 1, 1)
+                + dt.timedelta(microseconds=val))
+    return val  # unknown logical types fall back to the raw primitive
+
+
+def _collect_names(schema: Any, names: dict[str, Any]) -> None:
+    """Register named types (record/enum/fixed) for by-name reuse."""
+    if isinstance(schema, list):
+        for s in schema:
+            _collect_names(s, names)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "enum", "fixed") and "name" in schema:
+        names[schema["name"]] = schema
+    if t == "record":
+        for f in schema.get("fields", ()):
+            _collect_names(f.get("type"), names)
+    elif t == "array":
+        _collect_names(schema.get("items"), names)
+    elif t == "map":
+        _collect_names(schema.get("values"), names)
+
+
+def parse_header(blob: bytes) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync_marker, body_offset) from an OCF header."""
+    if blob[:4] != MAGIC:
+        raise AvroError("not an Avro object container file (bad magic)")
+    r = _Reader(blob, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            # NB assignment evaluates the RHS first — read key then
+            # value explicitly, in stream order
+            k = r.utf8()
+            meta[k] = r.bytes_()
+    sync = r.raw(16)
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except KeyError:
+        raise AvroError("container header has no avro.schema") from None
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, r.pos
+
+
+def _decompress(block: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return block
+    if codec == "deflate":  # raw deflate, no zlib header (spec)
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        try:
+            import snappy  # type: ignore
+        except ImportError as exc:
+            raise ImportError(
+                "this Avro file uses the snappy codec; pip install "
+                "python-snappy to read it (null and deflate are "
+                "built in)") from exc
+        return snappy.decompress(block[:-4])  # spec: 4-byte CRC suffix
+    raise AvroError(f"unsupported Avro codec: {codec!r}")
+
+
+def decode_container(blob: bytes) -> tuple[dict, list[dict]]:
+    """Decode a whole OCF blob → (schema, records). Raises AvroError
+    on malformed input — never a silent wrong answer."""
+    schema, codec, sync, pos = parse_header(blob)
+    names: dict[str, Any] = {}
+    _collect_names(schema, names)
+    out: list[dict] = []
+    r = _Reader(blob, pos)
+    while r.pos < len(blob):
+        n_obj = r.long()
+        block = _decompress(r.bytes_(), codec)
+        if r.raw(16) != sync:
+            raise AvroError("sync marker mismatch (corrupt block)")
+        br = _Reader(block)
+        for _ in range(n_obj):
+            out.append(_decode_value(schema, br, names))
+        if br.pos != len(block):
+            raise AvroError("trailing bytes in data block")
+    return schema, out
+
+
+# ------------------------------------------------- schema -> Spark type
+
+def avro_to_spark_type(schema: Any, names: dict[str, Any] | None = None):
+    """Parsed Avro schema node → pyspark DataType. Unions must be the
+    nullable ``["null", T]`` form (general unions have no Spark
+    column-type counterpart — raise, don't guess)."""
+    from pyspark.sql import types as T
+
+    if names is None:
+        names = {}
+        _collect_names(schema, names)
+    prim = {"boolean": T.BooleanType(), "int": T.IntegerType(),
+            "long": T.LongType(), "float": T.FloatType(),
+            "double": T.DoubleType(), "bytes": T.BinaryType(),
+            "string": T.StringType(), "null": T.NullType()}
+    if isinstance(schema, str):
+        if schema in names:
+            return avro_to_spark_type(names[schema], names)
+        if schema in prim:
+            return prim[schema]
+        raise AvroError(f"unsupported Avro type: {schema!r}")
+    if isinstance(schema, list):
+        branches = [s for s in schema if s != "null"]
+        if len(branches) != 1 or len(branches) == len(schema):
+            raise AvroError(
+                "only nullable ['null', T] unions map to a Spark type")
+        return avro_to_spark_type(branches[0], names)
+    t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt == "date":
+        return T.DateType()
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType()
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"],
+                          avro_to_spark_type(f["type"], names),
+                          nullable=_is_nullable(f["type"]))
+            for f in schema["fields"]])
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"], names))
+    if t == "map":
+        return T.MapType(T.StringType(),
+                         avro_to_spark_type(schema["values"], names))
+    return avro_to_spark_type(t, names)
+
+
+def _is_nullable(schema: Any) -> bool:
+    return (schema == "null"
+            or (isinstance(schema, list) and "null" in schema))
+
+
+# ------------------------------------------------------ fixture encode
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)  # zigzag
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _encode_value(schema: Any, val: Any, out: io.BytesIO,
+                  names: dict[str, Any]) -> None:
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            return _encode_value(names[t], val, out, names)
+        if t == "null":
+            return
+        if t == "boolean":
+            out.write(b"\x01" if val else b"\x00")
+        elif t in ("int", "long"):
+            _write_long(out, int(val))
+        elif t == "float":
+            out.write(struct.pack("<f", val))
+        elif t == "double":
+            out.write(struct.pack("<d", val))
+        elif t == "bytes":
+            _write_bytes(out, bytes(val))
+        elif t == "string":
+            _write_bytes(out, val.encode("utf-8"))
+        else:
+            raise AvroError(f"unsupported Avro type: {t!r}")
+        return
+    if isinstance(schema, list):
+        # nullable-union convention: null -> its branch, else first
+        # non-null branch (the fixture subset)
+        if val is None and "null" in schema:
+            _write_long(out, schema.index("null"))
+            return
+        for i, s in enumerate(schema):
+            if s != "null":
+                _write_long(out, i)
+                return _encode_value(s, val, out, names)
+        raise AvroError("no matching union branch")
+    t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt is not None:
+        import datetime as dt
+
+        if lt == "date" and isinstance(val, dt.date):
+            val = (val - dt.date(1970, 1, 1)).days
+        elif lt == "timestamp-millis" and isinstance(val, dt.datetime):
+            val = int((val - dt.datetime(1970, 1, 1)).total_seconds()
+                      * 1000)
+        elif lt == "timestamp-micros" and isinstance(val, dt.datetime):
+            delta = val - dt.datetime(1970, 1, 1)
+            val = (delta.days * 86400 + delta.seconds) * 1_000_000 \
+                + delta.microseconds
+        return _encode_value(t, val, out, names)
+    if t == "record":
+        for f in schema["fields"]:
+            _encode_value(f["type"], val[f["name"]], out, names)
+        return
+    if t == "enum":
+        _write_long(out, schema["symbols"].index(val))
+        return
+    if t == "fixed":
+        if len(val) != schema["size"]:
+            raise AvroError("fixed value size mismatch")
+        out.write(bytes(val))
+        return
+    if t == "array":
+        if val:
+            _write_long(out, len(val))
+            for item in val:
+                _encode_value(schema["items"], item, out, names)
+        _write_long(out, 0)
+        return
+    if t == "map":
+        if val:
+            _write_long(out, len(val))
+            for k, v in val.items():
+                _write_bytes(out, k.encode("utf-8"))
+                _encode_value(schema["values"], v, out, names)
+        _write_long(out, 0)
+        return
+    return _encode_value(t, val, out, names)
+
+
+def encode_container(schema: dict | str, records: list[dict],
+                     codec: str = "deflate",
+                     objects_per_block: int = 1000) -> bytes:
+    """Records → OCF bytes (deterministic: the sync marker is derived
+    from the schema text, so identical inputs give identical files —
+    the encode_minimal_* fixture convention)."""
+    import hashlib
+
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    schema_text = json.dumps(schema, separators=(",", ":"))
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"encode supports null/deflate, not {codec!r}")
+    names: dict[str, Any] = {}
+    _collect_names(schema, names)
+    sync = hashlib.md5(schema_text.encode()).digest()
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": schema_text.encode(),
+            "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+    for start in range(0, len(records), objects_per_block):
+        chunk = records[start:start + objects_per_block]
+        body = io.BytesIO()
+        for rec in chunk:
+            _encode_value(schema, rec, body, names)
+        raw = body.getvalue()
+        if codec == "deflate":
+            comp = zlib.compressobj(wbits=-15)
+            raw = comp.compress(raw) + comp.flush()
+        _write_long(out, len(chunk))
+        _write_bytes(out, raw)
+        out.write(sync)
+    return out.getvalue()
+
+
+def iter_container_records(blob: bytes) -> Iterator[dict]:
+    """Generator form of decode_container's record stream (executor-
+    side use: one file's blocks decode lazily per partition)."""
+    _schema, records = decode_container(blob)
+    yield from records

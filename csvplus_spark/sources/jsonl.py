@@ -84,14 +84,18 @@ def from_orc(spark: SparkSession, path: str, string_mode: bool = False) -> Frame
 
 def from_avro(spark: SparkSession, path: str, string_mode: bool = False) -> Frame:
     """Avro scan — the row-oriented interchange format Kafka/ingest
-    pipelines hand over. Spark ships Avro as an EXTERNAL module
-    (spark-avro must be on the classpath: ``--packages
-    org.apache.spark:spark-avro_2.13:<spark version>``); when it is,
-    the scan gets the same timestamp normalization and string-compat
-    treatment as parquet/ORC. Without the module this raises a clear
-    ImportError-style message instead of Spark's generic
-    data-source-not-found (honest env-gate — this container has no
-    network to fetch the package, so the path is gated, never faked).
+    pipelines hand over. Prefers Spark's EXTERNAL spark-avro module
+    when it is on the classpath (``--packages
+    org.apache.spark:spark-avro_2.13:<spark version>`` — block-level
+    splitting + JVM-side decode, the right plan at 100 TB). Without
+    the jar (this container has no network to fetch it) the scan
+    falls back to the built-in pure-Python Object Container File
+    decoder (sources/avrocodec.py): a ``binaryFile`` scan + per-file
+    block decode — FILE-level parallelism, so a sharded corpus (the
+    normal Kafka-ingest layout: many container files) still
+    distributes; only the ``snappy`` block codec stays env-gated
+    (needs python-snappy). Either path then gets the same timestamp
+    normalization and string-compat treatment as parquet/ORC.
     """
     from .parquet import configure_parquet_session
 
@@ -99,11 +103,39 @@ def from_avro(spark: SparkSession, path: str, string_mode: bool = False) -> Fram
     try:
         df = spark.read.format("avro").load(path)
     except Exception as exc:
-        if "Failed to find data source: avro" in str(exc):
-            raise ImportError(
-                "from_avro needs the external spark-avro module on the "
-                "classpath (org.apache.spark:spark-avro_2.13 matching "
-                "your Spark version); it is not bundled with a plain "
-                "pyspark install") from exc
-        raise
+        # loose match (ADVICE r8): any data-source-resolution failure
+        # naming avro routes to the fallback, so Spark message churn
+        # ("Failed to find data source" vs "Failed to find THE data
+        # source", error-class renames) can't silently degrade it
+        msg = str(exc).lower()
+        if not ("data source" in msg and "avro" in msg):
+            raise
+        df = _avro_pure_scan(spark, path)
     return _finish_columnar(spark, df, string_mode)
+
+
+def _avro_pure_scan(spark: SparkSession, path: str):
+    """Jar-less Avro OCF read: schema from ONE file's header (bounded
+    driver pull), then a distributed per-file decode — imperative
+    per-partition work, the sanctioned RDD use-case."""
+    from . import avrocodec
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    head = files.limit(1).collect()
+    if not head:
+        raise avrocodec.AvroError(f"no Avro files matched: {path}")
+    schema, _codec, _sync, _pos = avrocodec.parse_header(
+        bytes(head[0]["content"]))
+    stype = avrocodec.avro_to_spark_type(schema)
+    from pyspark.sql import types as T
+
+    if not isinstance(stype, T.StructType):
+        raise avrocodec.AvroError(
+            "top-level Avro schema must be a record")
+    field_names = [f["name"] for f in schema["fields"]]
+
+    def rows(row):
+        for rec in avrocodec.iter_container_records(bytes(row["content"])):
+            yield tuple(rec.get(n) for n in field_names)
+
+    return spark.createDataFrame(files.rdd.flatMap(rows), stype)

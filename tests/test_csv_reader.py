@@ -259,22 +259,84 @@ def test_remote_glob_direct_match_skips_hidden_files(spark, tmp_path):
 
 
 def test_from_avro_env_gate_or_roundtrip(spark, tmp_path):
-    """Avro is an external Spark module: with it on the classpath the
-    scan works like ORC/parquet; without it (this container) the gate
-    raises a CLEAR actionable error, never Spark's generic one."""
+    """Avro reads work JAR-LESS now (r9): with spark-avro on the
+    classpath the scan uses it; without it (this container) the
+    pure-Python OCF decoder (sources/avrocodec.py) reads the same
+    files through a binaryFile scan — same Frame either way."""
     from csvplus_spark import from_avro
+    from csvplus_spark.sources.avrocodec import encode_container
 
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
-    path = str(tmp_path / "a.avro")
-    try:
-        df.write.format("avro").save(path)
-        have_avro = True
-    except Exception:
-        have_avro = False
-    if have_avro:
-        f = from_avro(spark, path)
-        assert sorted((r["id"], r["s"]) for r in f.to_rows()) == \
-            [(1, "a"), (2, "b")]
-    else:
-        with pytest.raises(ImportError, match="spark-avro"):
-            from_avro(spark, path)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]}]}
+    recs = [{"id": 1, "s": "a"}, {"id": 2, "s": "b"},
+            {"id": 3, "s": None}]
+    d = tmp_path / "avro"
+    d.mkdir()
+    # two shards → the fallback's per-file parallelism is exercised
+    (d / "part-0.avro").write_bytes(encode_container(schema, recs[:2]))
+    (d / "part-1.avro").write_bytes(
+        encode_container(schema, recs[2:], codec="null"))
+    f = from_avro(spark, str(d))
+    assert sorted(((r["id"], r["s"]) for r in f.to_rows()),
+                  key=lambda t: t[0]) == [(1, "a"), (2, "b"), (3, None)]
+    assert dict(f.df.dtypes) == {"id": "bigint", "s": "string"}
+
+
+def test_avrocodec_roundtrip_types(tmp_path):
+    """Pure-Python OCF codec: every supported type round-trips through
+    encode_container → decode_container, both block codecs."""
+    import datetime as dt
+
+    from csvplus_spark.sources.avrocodec import (AvroError,
+                                                 decode_container,
+                                                 encode_container)
+
+    schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "neg", "type": "int"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "ratio", "type": "float"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                "size": 4}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "sub", "type": {"type": "record", "name": "inner",
+                                 "fields": [{"name": "x",
+                                             "type": "long"}]}},
+    ]}
+    recs = [
+        {"id": 7, "neg": -123456, "text": "hello", "score": 2.5,
+         "ratio": 0.25, "ok": True, "raw": b"\x00\xff", "tags": ["x", "y"],
+         "props": {"a": 1, "b": -2}, "kind": "B", "fx": b"abcd",
+         "day": dt.date(2026, 8, 15),
+         "ts": dt.datetime(2026, 8, 15, 12, 30, 0, 123456),
+         "sub": {"x": 42}},
+        {"id": -9, "neg": 0, "text": None, "score": -1e300,
+         "ratio": 1.0, "ok": False, "raw": b"", "tags": [],
+         "props": {}, "kind": "A", "fx": b"\x00\x00\x00\x00",
+         "day": dt.date(1969, 12, 31),
+         "ts": dt.datetime(1955, 1, 1), "sub": {"x": -1}},
+    ]
+    for codec in ("deflate", "null"):
+        blob = encode_container(schema, recs, codec=codec)
+        got_schema, got = decode_container(blob)
+        assert got_schema == schema
+        assert got == recs, codec
+    # determinism: same inputs → same bytes
+    assert encode_container(schema, recs) == encode_container(schema, recs)
+    # corruption is detected, not silently decoded
+    blob = bytearray(encode_container(schema, recs))
+    blob[-1] ^= 0xFF  # flip a sync-marker byte
+    with pytest.raises(AvroError):
+        decode_container(bytes(blob))
+    with pytest.raises(AvroError):
+        decode_container(b"NotAvro" + bytes(16))
