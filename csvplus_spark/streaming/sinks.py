@@ -296,9 +296,16 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
         inc = cms_build(batch, term_col, d, w)
         fs = _Fs(spark, sketch_path)
         heal_swap(fs, sketch_path)
+        # qualify the checkpoint before storing/comparing (ADVICE r8):
+        # restarting the same job with an equivalent-but-differently-
+        # spelled checkpoint (relative vs absolute, trailing slash,
+        # scheme-qualified) must still match the stored marker, or a
+        # replayed batch re-merges and permanently inflates counts —
+        # the exact failure the marker prevents
+        ck = _Fs(spark, checkpoint).qualify(checkpoint)
         mark = lambda df: (df
                            .withColumn(MARK, F.lit(batch_id).cast("long"))
-                           .withColumn(CK, F.lit(checkpoint)))
+                           .withColumn(CK, F.lit(ck)))
         if not fs.exists(sketch_path):
             # bootstrap gated on genuine non-existence, never on a
             # failed read (foreach_batch_upsert's truncation guard)
@@ -311,7 +318,7 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
                     if CK in cur.columns else
                     cur.select(F.max(MARK).alias("b"),
                                F.lit(None).alias("c")).first())
-            if (head["b"] is not None and head["c"] == checkpoint
+            if (head["b"] is not None and head["c"] == ck
                     and batch_id <= head["b"]):
                 return  # replayed batch — already folded in
             cur = cur.drop(MARK, CK)

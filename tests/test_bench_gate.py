@@ -86,3 +86,19 @@ def test_median_baseline_absorbs_outlier_run():
     regressions, _ = compare(base, hist[-1])
     names = {r["query"] for r in regressions}
     assert names == {"b"}  # real 2x persists; a's 1.05/1.0 passes
+
+
+def test_rotated_out_queries_stay_green_in_local_sweep():
+    """ADVICE r8: the driver window rotation must not turn past driver
+    coverage into advisory-only coverage — every query that EVER
+    earned a driver-green row must stay hash-green in the newest
+    committed local full sweep. (Queries newer than the sweep artifact
+    have no baseline and are skipped by the helper.)"""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tools"))
+    import rotation_status
+
+    assert rotation_status.latest_local_sweep() is not None, \
+        "no committed local sweep artifact found"
+    bad = rotation_status.rotated_out_regressions()
+    assert bad == [], f"previously driver-green queries now red: {bad}"

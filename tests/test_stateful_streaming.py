@@ -676,11 +676,12 @@ def test_foreach_batch_cms_replay_is_idempotent(spark, tmp_path):
     sketch = str(tmp_path / "sketch")
     ck = str(tmp_path / "ck")
 
-    def run():
+    def run(ck_spelling=ck):
         stream = (spark.readStream.format("text")
                   .schema("value string").load(str(src))
                   .selectExpr("value AS term"))
-        q = foreach_batch_cms(stream, sketch, ck, "term", d=4, w=64)
+        q = foreach_batch_cms(stream, sketch, ck_spelling, "term",
+                              d=4, w=64)
         q.awaitTermination(180)
 
     run()
@@ -693,7 +694,10 @@ def test_foreach_batch_cms_replay_is_idempotent(spark, tmp_path):
     crc = os.path.join(commits, f".{last}.crc")
     if os.path.exists(crc):
         os.remove(crc)  # hadoop LocalFS refuses the commit rewrite
-    run()
+    # restart with an EQUIVALENT but differently-spelled checkpoint
+    # (trailing slash + doubled separator): the marker comparison is
+    # qualified (ADVICE r8), so the replay must still be skipped
+    run(ck_spelling=str(tmp_path) + "//ck/")
 
     once = spark.createDataFrame(
         [("apple",)] * 2 + [("banana",)], ["term"])

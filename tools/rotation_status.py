@@ -38,6 +38,42 @@ def driver_green() -> dict[str, list[str]]:
     return green
 
 
+def latest_local_sweep() -> tuple[str, dict] | None:
+    """Newest committed artifacts/CORRECTNESS_LOCAL_r*.json, or None."""
+    paths = sorted(glob.glob(
+        os.path.join(ROOT, "artifacts", "CORRECTNESS_LOCAL_r*.json")))
+    paths = [p for p in paths if not p.endswith("_pre.json")]
+    if not paths:
+        return None
+    try:
+        return paths[-1], json.load(open(paths[-1]))
+    except Exception:
+        return None
+
+
+def rotated_out_regressions() -> list[str]:
+    """Every query that EVER earned a driver-green row must stay
+    hash-green in the newest local full sweep (ADVICE r8: rotation
+    must not turn past driver coverage into advisory-only coverage).
+    Returns the regressed names; queries absent from the sweep
+    artifact (added after it was generated) are skipped, not failed —
+    they have no baseline yet."""
+    latest = latest_local_sweep()
+    if latest is None:
+        return []
+    _path, sweep = latest
+    bad = []
+    for name in driver_green():
+        row = sweep.get(name)
+        if row is None:
+            continue
+        ok = (row.get("rows_match") and row.get("schema_match")
+              and (row.get("hash_match") or row.get("err") == "no_oracle"))
+        if not ok:
+            bad.append(name)
+    return sorted(bad)
+
+
 def main() -> int:
     import __spark_entry__ as em
 
@@ -58,6 +94,13 @@ def main() -> int:
     print(f"next rotation pool ({len(nxt)}):")
     for q in nxt:
         print(f"  - {q}")
+    bad = rotated_out_regressions()
+    if bad:
+        print(f"REGRESSED (driver-green before, local sweep now red): "
+              f"{bad}")
+        return 1
+    print("rotated-out coverage: all previously driver-green queries "
+          "stay green in the latest local sweep")
     return 0
 
 
