@@ -1707,47 +1707,79 @@ GROUP BY node
 """
 
 
+def _pagerank_chain_ctes(sh_cte: str = "sh", prefix: str = "",
+                         iters: int = 3, num: int = 17, den: int = 20,
+                         q: int = 1 << 40) -> tuple[str, str]:
+    """The integer-PageRank CTE chain over the MinHash near-dup graph
+    of docs in ``sh_cte`` (columns: doc_id, sh = shingle list). Every
+    internal CTE name carries ``prefix`` so the chain composes into a
+    host query (the training_set oracle) without name collisions.
+    Returns (cte_text, final_cte_name) — the final CTE has columns
+    (s, deg, q)."""
+    P = prefix
+    from csvplus_spark.operators.dedup import MINHASH_COEF, MINHASH_P
+
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS s{s}"
+        for s, (a, b) in enumerate(MINHASH_COEF[:32]))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{2 * b} AS x, s{2 * b + 1} AS y "
+        f"FROM {P}sigs" for b in range(16))
+    rounds = []
+    for i in range(1, iters + 1):
+        p = f"{P}pr{i - 1}"
+        rounds.append(
+            f"""{P}c{i} AS (SELECT e.d AS node, {p}.q // {p}.deg AS c
+        FROM {P}e e JOIN {p} ON e.s = {p}.s),
+{P}i{i} AS (SELECT node, SUM(c) AS m FROM {P}c{i} GROUP BY node),
+{P}pr{i} AS MATERIALIZED (SELECT {p}.s, {p}.deg,
+          ({num} * COALESCE({P}i{i}.m, 0)) // {den}
+          + ({den - num} * ({q} // (SELECT n FROM {P}nn))) // {den} AS q
+          FROM {p} LEFT JOIN {P}i{i} ON {p}.s = {P}i{i}.node)""")
+    chain = ",\n".join(rounds)
+    ctes = f"""{P}hx AS (
+  SELECT doc_id, {_H60.format(x="s")} % {MINHASH_P} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM {sh_cte})
+),
+{P}sigs AS MATERIALIZED (SELECT doc_id, {mins} FROM {P}hx GROUP BY doc_id),
+{P}bands AS ({bands}),
+{P}cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM {P}bands a JOIN {P}bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+   AND a.doc_id < b.doc_id
+),
+{P}pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM (
+    SELECT d1, d2,
+           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
+           len(s1.sh) AS n1, len(s2.sh) AS n2
+    FROM {P}cand JOIN {sh_cte} s1 ON d1 = s1.doc_id
+    JOIN {sh_cte} s2 ON d2 = s2.doc_id)
+  WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
+),
+{P}e AS MATERIALIZED (
+  SELECT d1 AS s, d2 AS d FROM {P}pairs WHERE d1 <> d2
+  UNION SELECT d2, d1 FROM {P}pairs WHERE d1 <> d2),
+{P}deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM {P}e GROUP BY s),
+{P}nn AS (SELECT COUNT(*) AS n FROM {P}deg),
+{P}pr0 AS MATERIALIZED (
+  SELECT s, deg, {q} // (SELECT n FROM {P}nn) AS q FROM {P}deg),
+{chain}"""
+    return ctes, f"{P}pr{iters}"
+
+
 def _pagerank_sql(iters: int = 3, num: int = 17, den: int = 20,
                   q: int = 1 << 40, ndigits: int = 6,
                   docs_src: str = "documents") -> str:
-    rounds = []
-    for i in range(1, iters + 1):
-        p = f"pr{i - 1}"
-        rounds.append(f"""c{i} AS (SELECT e.d AS node, {p}.q // {p}.deg AS c
-        FROM e JOIN {p} ON e.s = {p}.s),
-i{i} AS (SELECT node, SUM(c) AS m FROM c{i} GROUP BY node),
-pr{i} AS MATERIALIZED (SELECT {p}.s, {p}.deg,
-          ({num} * COALESCE(i{i}.m, 0)) // {den}
-          + ({den - num} * ({q} // (SELECT n FROM nn))) // {den} AS q
-          FROM {p} LEFT JOIN i{i} ON {p}.s = i{i}.node)""")
-    chain = ",\n".join(rounds)
+    ctes, final = _pagerank_chain_ctes("sh", "", iters, num, den, q)
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_TOKS} AS t FROM {docs_src})
 ),
-{_minhash_cte_sql()},
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.x = b.x AND a.y = b.y
-   AND a.doc_id < b.doc_id
-),
-pairs AS MATERIALIZED (
-  SELECT d1, d2 FROM (
-    SELECT d1, d2,
-           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS i,
-           len(s1.sh) AS n1, len(s2.sh) AS n2
-    FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id)
-  WHERE i * 1.0 / (n1 + n2 - i) >= 0.6
-),
-e AS MATERIALIZED (SELECT d1 AS s, d2 AS d FROM pairs WHERE d1 <> d2
-      UNION SELECT d2, d1 FROM pairs WHERE d1 <> d2),
-deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
-nn AS (SELECT COUNT(*) AS n FROM deg),
-pr0 AS MATERIALIZED (SELECT s, deg, {q} // (SELECT n FROM nn) AS q FROM deg),
-{chain}
-SELECT s AS node, ROUND(q / {float(q)}, {ndigits}) AS pr FROM pr{iters}
+{ctes}
+SELECT s AS node, ROUND(q / {float(q)}, {ndigits}) AS pr FROM {final}
 """
 
 
@@ -2262,15 +2294,25 @@ FROM lab
 def q_training_set(spark, sf_dir):
     """THE composition: quality filter → exact dedup → near-dup
     canonicalization → decontamination (probes = docs with id < 10) →
-    deterministic split, as one lazy plan
+    deterministic split → graph-after-dedup PageRank centrality as a
+    quality feature (r9: the pipeline now exercises the _reps scale
+    shape end-to-end), as one lazy plan
     (operators/pipeline.py::build_training_set). Oracle recomputes the
-    entire pipeline in SQL — every stage is hash-deterministic."""
+    entire pipeline in SQL — every stage is hash-deterministic,
+    including the integer-PageRank trajectory."""
     from csvplus_spark.operators.pipeline import build_training_set
 
     docs = load_table(spark, sf_dir, "documents").df
     probes = docs.filter(F.col("doc_id") < 10) \
         .select(F.col("doc_id").alias("probe_id"), "text")
-    return build_training_set(docs, probes, exclude_self_ids=True)
+    return build_training_set(docs, probes, exclude_self_ids=True,
+                              with_centrality=True)
+
+
+def _pg_chain_for_training() -> tuple[str, str]:
+    """The training_set oracle's centrality chain: the shared
+    _pagerank_chain_ctes over the survivors' shingles, pg-prefixed."""
+    return _pagerank_chain_ctes("tsh", "pg")
 
 
 def _training_set_sql(quality_min: float = 0.5, t: float = 0.6) -> str:
@@ -2339,17 +2381,33 @@ final AS (
   SELECT surv.doc_id FROM surv
   LEFT JOIN cont ON surv.doc_id = cont.doc_id
   WHERE cont.doc_id IS NULL
-)
-SELECT doc_id,
-       CASE WHEN pb < 1000 THEN 'val'
-            WHEN pb < 2000 THEN 'test'
-            ELSE 'train' END AS split
-FROM (
+),
+labeled AS MATERIALIZED (
   SELECT doc_id,
-         {_HASH60_SQL.format(x="'split' || '|' || CAST(doc_id AS VARCHAR)")}
-           % 10000 AS pb
-  FROM final
-)
+         CASE WHEN pb < 1000 THEN 'val'
+              WHEN pb < 2000 THEN 'test'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id,
+           {_HASH60_SQL.format(x="'split' || '|' || CAST(doc_id AS VARCHAR)")}
+             % 10000 AS pb
+    FROM final
+  )
+),
+-- graph-after-dedup centrality (r9, the pagerank_reps shape):
+-- integer PageRank over the MinHash near-dup graph of the POST-
+-- EXACT-DEDUP docs (tsh = the pipeline's ded shingles — NOT the
+-- survivors: canonicalization removes exactly the >=t pairs, so a
+-- survivors-only graph is empty by construction), projected onto
+-- the labeled survivors. Same chain as the pagerank oracle,
+-- prefixed to avoid CTE collisions; tsh MATERIALIZED so the band-
+-- table fanout can't inline (and re-run) the upstream joins ~32x
+tsh AS MATERIALIZED (SELECT doc_id, sh FROM sh),
+{_pg_chain_for_training()[0]}
+SELECT l.doc_id, l.split,
+       COALESCE(ROUND(p.q / {float(1 << 40)}, 6), 0.0) AS centrality
+FROM labeled l
+LEFT JOIN {_pg_chain_for_training()[1]} p ON l.doc_id = p.s
 """
 
 

@@ -3,6 +3,7 @@ engine actually runs over a raw corpus (BASELINE.json north-star).
 
     ingest → quality filter → exact dedup → near-dup canonicalization
            → benchmark decontamination → deterministic split
+           [→ graph-after-dedup centrality feature]
 
 Every stage is one of the engine's first-class operators, so the whole
 pipeline stays a single lazy DataFrame plan (no driver materialization
@@ -28,12 +29,27 @@ def build_training_set(
     id_col: str = "doc_id",
     probe_id: str = "probe_id",
     exclude_self_ids: bool = False,
+    with_centrality: bool = False,
 ) -> DataFrame:
     """Returns (id, split) for every document that survives the
     pipeline. ``probes`` is the eval benchmark to decontaminate
     against (sharing ANY word trigram removes the doc);
     ``exclude_self_ids`` ignores probe rows whose id equals the doc id
     (for demos where probes are drawn from the corpus itself).
+
+    ``with_centrality=True`` appends the graph-after-dedup stage
+    (SCALE.md pipeline order, the ``pagerank_reps`` shape): integer
+    PageRank over the MinHash near-dup graph of the POST-EXACT-DEDUP
+    corpus, projected onto the surviving canonical docs as a
+    ``centrality`` quality feature (0.0 for survivors with no
+    near-dup edges). The graph input must be the pre-canonicalization
+    set: canonicalization removes precisely the ≥threshold pairs, so
+    a survivors-only graph is empty by construction; ranking the
+    exact-dedup graph instead scores each surviving rep by how hub-
+    like its near-dup neighborhood was. Because exact dedup already
+    collapsed duplicates, the graph is collapse-sized — the shape the
+    sf10 probe showed survives duplication factor 100 where
+    raw-corpus graphs do not.
 
     Scale shape: quality + exact dedup are narrow/one-aggregate; the
     near-dup stage is the skew-proofed n-gram path; decontamination is
@@ -50,6 +66,10 @@ def build_training_set(
         stats.filter(F.col("quality") >= quality_min).select(id_col), id_col)
     ex = exact_dedup(d1, text_col, id_col)
     d2 = d1.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    if with_centrality:
+        # d2 fans out into canonicalization AND the centrality graph —
+        # checkpoint it so the quality/exact-dedup upstream runs once
+        d2 = d2.localCheckpoint(eager=False)
     canon = canonicalize_clusters(d2, threshold=jaccard_threshold,
                                   text_col=text_col, id_col=id_col)
     d3 = d2.join(canon.filter(F.col("keep")).select(id_col), id_col)
@@ -59,9 +79,21 @@ def build_training_set(
         if exclude_self_ids:
             cont = cont.filter(F.col(id_col) != F.col(probe_id))
         d3 = d3.join(cont.select(id_col).distinct(), id_col, "left_anti")
-    return train_val_test_split(
+    split = train_val_test_split(
         d3, id_col, val_fraction, test_fraction
     ).select(F.col(id_col), "split")
+    if not with_centrality:
+        return split
+    from .dedup import minhash_dedup_pairs
+    from .graph import integer_pagerank
+
+    pr = integer_pagerank(
+        minhash_dedup_pairs(d2, jaccard_threshold,
+                            text_col=text_col, id_col=id_col))
+    return (split.join(pr, split[id_col] == pr["node"], "left")
+            .select(F.col(id_col), "split",
+                    F.coalesce(F.col("pr"), F.lit(0.0))
+                    .alias("centrality")))
 
 
 def write_training_shards(labeled: DataFrame, path: str, n_shards: int = 16,

@@ -24,6 +24,11 @@ EXPECTED_SLOWDOWNS = {
     "bpe_counts": "r8 graduation to hash-checked doubled the work by "
                   "design (bounds join back to text + pinned sample "
                   "union on top of the original counting pass)",
+    "training_set": "r9 appends the graph-after-dedup stage (MinHash "
+                    "pair graph + 3 integer-PageRank rounds over the "
+                    "survivors as a centrality feature) to the "
+                    "pipeline — strictly more work by design; sf10 "
+                    "factor stays 2.55x per 10x",
 }
 
 

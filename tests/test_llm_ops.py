@@ -145,6 +145,22 @@ def test_build_training_set_stages(spark):
              for r in build_training_set(docs, probes).collect()}
     assert again == out
 
+    # r9: with_centrality appends the graph-after-dedup PageRank
+    # feature (the pagerank_reps shape) — same survivors and splits,
+    # plus a centrality column. Survivor 2 had a near-dup (doc 4) in
+    # the post-exact-dedup graph, so it ranks >0; isolated 5 ranks 0.
+    cent = {r["doc_id"]: (r["split"], r["centrality"])
+            for r in build_training_set(docs, probes,
+                                        with_centrality=True).collect()}
+    assert {k: v[0] for k, v in cent.items()} == out
+    assert cent[2][1] > 0.0   # hub of its near-dup pair
+    assert cent[5][1] == 0.0  # no near-dup edges → no rank
+    # deterministic: the integer trajectory repeats exactly
+    cent2 = {r["doc_id"]: (r["split"], r["centrality"])
+             for r in build_training_set(docs, probes,
+                                         with_centrality=True).collect()}
+    assert cent2 == cent
+
 
 def test_write_training_shards(spark, sf_dir, tmp_path):
     from csvplus_spark.operators.pipeline import write_training_shards
