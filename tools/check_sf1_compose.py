@@ -132,6 +132,11 @@ def main() -> int:
             base_dir = args[1]; args = args[2:]
         elif args[0] == "--big":
             big_dir = args[1]; args = args[2:]
+        elif args[0] == "--copies":
+            # sf10 = 100 key-shifted copies of sf0.1 (same OFF); the
+            # laws are copy-count-generic (r9 VERDICT task 4)
+            global COPIES
+            COPIES = int(args[1]); args = args[2:]
         else:
             only.add(args.pop(0))
 
@@ -192,7 +197,55 @@ def main() -> int:
             return exp.withColumn(
                 "keep", F.col("doc_id") == F.col("canonical_id"))
         if name == "training_set":
-            return run(name)  # copies die in exact dedup: sf1 == base
+            # copies die in exact dedup: sf-f == base bit-for-bit —
+            # including the r9 centrality column (the post-exact-dedup
+            # graph is the base graph)
+            return run(name)
+        if name == "dedup_exact":
+            # sf-f fingerprint group = base group x copies; min id =
+            # base canonical (copy 0: offsets dominate)
+            out = run(name)
+            copies = F.broadcast(spark.createDataFrame(
+                [(c,) for c in range(COPIES)], "c long"))
+            return out.crossJoin(copies).select(
+                (F.col("doc_id") + F.col("c") * F.lit(OFF)).alias("doc_id"),
+                F.col("canonical_id"),
+                (F.col("is_canonical") & (F.col("c") == 0))
+                .alias("is_canonical"))
+        if name == "dedup_ngram_fast":
+            # byte-identical-to-plain contract: the dedup_ngram law
+            return expand_pairs(run(name), "doc_id_1", "doc_id_2").unionByName(
+                self_pairs(shingled, "doc_id_1", "doc_id_2",
+                           jaccard=F.lit(1.0)))
+        if name == "dedup_minhash_fast":
+            return expand_pairs(run(name), "doc_id_1", "doc_id_2").unionByName(
+                self_pairs(shingled, "doc_id_1", "doc_id_2",
+                           jaccard=F.lit(1.0)))
+        if name == "dedup_containment_fast":
+            # self-containment of a shingled doc's copies is exactly 1.0
+            return expand_pairs(run(name), "doc_id_1", "doc_id_2").unionByName(
+                self_pairs(shingled, "doc_id_1", "doc_id_2",
+                           containment=F.lit(1.0)))
+        if name == "dedup_keep_best_fast":
+            # components are copy-closures: same cluster_id (min id =
+            # copy 0), same best-quality rep (equal quality ties break
+            # to the min id = copy 0), same score, members x COPIES
+            out = run(name)
+            return out.select(
+                "cluster_id", "rep_id", "rep_score",
+                (F.col("n_members") * F.lit(COPIES))
+                .cast(dict(out.dtypes)["n_members"]).alias("n_members"))
+        if name == "fuzzy_join_fast":
+            # KEY_OFFSET is even, so copies keep their parity side:
+            # expansion preserves left/right roles (never reorients),
+            # and there are no intra-copy self pairs across sides
+            combos = _combos(spark, cross=True)
+            return run(name).crossJoin(combos).select(
+                (F.col("left_id") + F.col("i") * F.lit(OFF))
+                .alias("left_id"),
+                (F.col("right_id") + F.col("k") * F.lit(OFF))
+                .alias("right_id"),
+                F.col("jaccard"))
         if name in ("dedup_embedding", "dedup_embedding_lsh"):
             return expand_pairs(run(name), "id_1", "id_2").unionByName(
                 self_pairs(emb_self.select("vec_id", "sim"), "id_1", "id_2",
@@ -234,7 +287,16 @@ def main() -> int:
     names = ["dedup_ngram", "dedup_minhash", "simhash", "simhash_pairs",
              "simhash_pairs60", "simhash_reps60", "dedup_clusters",
              "dedup_clusters_fast", "canonicalize", "training_set",
-             "dedup_embedding", "dedup_embedding_lsh", "semantic_dedup"]
+             "dedup_embedding", "dedup_embedding_lsh", "semantic_dedup",
+             "dedup_exact", "dedup_ngram_fast", "dedup_minhash_fast",
+             "dedup_containment_fast", "dedup_keep_best_fast",
+             "fuzzy_join_fast"]
+    # NB at --copies 100 (sf10) restrict the run to the collapse
+    # family + labelings + training_set via the [query ...] args: the
+    # PLAIN pair/cluster paths are documented sf3+ disk failures
+    # (SCALE.md), and the CAPPED simhash_pairs60 deliberately departs
+    # from the uncapped expansion law once groups exceed the cap
+    # (its bounded output is pinned by test_simhash_pair_cap instead)
 
     def actual_for(name) -> DataFrame:
         if name == "semantic_dedup":
