@@ -306,6 +306,57 @@ def _is_nullable(schema: Any) -> bool:
             or (isinstance(schema, list) and "null" in schema))
 
 
+def spark_to_avro_schema(schema, name: str = "row") -> dict:
+    """pyspark StructType → Avro record schema (the reverse of
+    :func:`avro_to_spark_type`, same supported subset). Nullable
+    fields become ``["null", T]`` unions; date/timestamp map to their
+    logical types (timestamps as timestamp-micros, Spark's native
+    precision)."""
+    from pyspark.sql import types as T
+
+    def conv(dt, field_name: str) -> Any:
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array",
+                    "items": _maybe_null(conv(dt.elementType, field_name),
+                                         dt.containsNull)}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise AvroError("Avro maps require string keys")
+            return {"type": "map",
+                    "values": _maybe_null(conv(dt.valueType, field_name),
+                                          dt.valueContainsNull)}
+        if isinstance(dt, T.StructType):
+            return spark_to_avro_schema(dt, f"{name}_{field_name}")
+        raise AvroError(f"no Avro mapping for Spark type {dt}")
+
+    return {"type": "record", "name": name, "fields": [
+        {"name": f.name,
+         "type": _maybe_null(conv(f.dataType, f.name), f.nullable)}
+        for f in schema.fields]}
+
+
+def _maybe_null(avro_type: Any, nullable: bool) -> Any:
+    return ["null", avro_type] if nullable else avro_type
+
+
 # ------------------------------------------------------ fixture encode
 
 def _write_long(out: io.BytesIO, v: int) -> None:

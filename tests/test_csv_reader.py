@@ -340,3 +340,28 @@ def test_avrocodec_roundtrip_types(tmp_path):
         decode_container(bytes(blob))
     with pytest.raises(AvroError):
         decode_container(b"NotAvro" + bytes(16))
+
+
+def test_to_avro_file_roundtrip(spark, tmp_path):
+    """Frame.to_avro_file → from_avro roundtrip, jar-less: typed
+    columns (long/string/double/bool/date/timestamp/array) survive
+    bit-for-bit through the pure-Python container codec."""
+    import datetime as dt
+
+    from csvplus_spark import Frame, from_avro
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, True, dt.date(2026, 8, 15),
+          dt.datetime(2026, 8, 15, 12, 0, 0, 123456), [1, 2]),
+         (2, None, -0.0, False, None, None, [])],
+        "id long, s string, x double, b boolean, d date, ts timestamp,"
+        " arr array<bigint>")
+    out = tmp_path / "out.avro"
+    Frame(df, None, False).to_avro_file(str(out))
+    back = from_avro(spark, str(out))
+    got = sorted((r["id"], r["s"], r["x"], r["b"], r["d"], r["ts"],
+                  r["arr"]) for r in back.to_rows())
+    want = sorted((r["id"], r["s"], r["x"], r["b"], r["d"], r["ts"],
+                   list(r["arr"])) for r in df.collect())
+    assert got == want
+    assert dict(back.df.dtypes) == dict(df.dtypes)
