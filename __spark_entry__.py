@@ -3271,6 +3271,35 @@ FROM documents
 """
 
 
+def q_dup_factor(spark, sf_dir):
+    """The r9 raw-graph pre-flight probe as an oracle-gated query
+    (operators/graph.py::duplication_factor): corpus rows over
+    distinct normalized fingerprints — the one-aggregate answer to
+    'is the raw near-dup pair graph safe to build'. Returned as the
+    exact integer pair (n_docs, n_distinct) plus the rounded factor
+    the guard thresholds on."""
+    from csvplus_spark.operators.dedup import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").df
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_distinct"),
+        F.round(F.count(F.lit(1))
+                / F.countDistinct(fingerprint("text")), 6)
+        .alias("factor"))
+
+
+_DUP_FACTOR_SQL = r"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ',
+                                         'g'))) AS n_distinct,
+       ROUND(COUNT(*) * 1.0 /
+             COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+',
+                                               ' ', 'g'))), 6) AS factor
+FROM documents
+"""
+
+
 def q_avro_ingest(spark, sf_dir):
     """Jar-less Avro ingestion through the oracle gate (r9 task 6):
     the 200 lowest-doc_id documents are encoded into TWO sharded Avro
@@ -5909,6 +5938,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "knn_label": q_knn_label,
         "avro_ingest": q_avro_ingest,
+        "dup_factor": q_dup_factor,
     }
 
 
@@ -6108,6 +6138,7 @@ LIMIT 20
         "multimodal_png": _MULTIMODAL_PNG_SQL,
         "multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
         "avro_ingest": _AVRO_INGEST_SQL,
+        "dup_factor": _DUP_FACTOR_SQL,
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_png",
     "multimodal_jpeg",
     "avro_ingest",
+    "dup_factor",
     "approx_quantiles",
     "bigram_lm",
     "dsir",
