@@ -1717,14 +1717,6 @@ def _pagerank_chain_ctes(sh_cte: str = "sh", prefix: str = "",
     Returns (cte_text, final_cte_name) — the final CTE has columns
     (s, deg, q)."""
     P = prefix
-    from csvplus_spark.operators.dedup import MINHASH_COEF, MINHASH_P
-
-    mins = ", ".join(
-        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS s{s}"
-        for s, (a, b) in enumerate(MINHASH_COEF[:32]))
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, s{2 * b} AS x, s{2 * b + 1} AS y "
-        f"FROM {P}sigs" for b in range(16))
     rounds = []
     for i in range(1, iters + 1):
         p = f"{P}pr{i - 1}"
@@ -1737,12 +1729,7 @@ def _pagerank_chain_ctes(sh_cte: str = "sh", prefix: str = "",
           + ({den - num} * ({q} // (SELECT n FROM {P}nn))) // {den} AS q
           FROM {p} LEFT JOIN {P}i{i} ON {p}.s = {P}i{i}.node)""")
     chain = ",\n".join(rounds)
-    ctes = f"""{P}hx AS (
-  SELECT doc_id, {_H60.format(x="s")} % {MINHASH_P} AS h
-  FROM (SELECT doc_id, unnest(sh) AS s FROM {sh_cte})
-),
-{P}sigs AS MATERIALIZED (SELECT doc_id, {mins} FROM {P}hx GROUP BY doc_id),
-{P}bands AS ({bands}),
+    ctes = f"""{_minhash_cte_sql(sh_cte, P)},
 {P}cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM {P}bands a JOIN {P}bands b
@@ -3837,27 +3824,34 @@ reach(a, r) AS (
 SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
 """
 
-def _minhash_cte_sql() -> str:
+def _minhash_cte_sql(sh_cte: str = "sh", prefix: str = "") -> str:
     """sigs/bands CTEs mirroring operators/dedup.py exactly: base =
     hash60(shingle) % P, sig_s = min((a_s*base + b_s) % P), banded
-    r=2 × b=16."""
+    r=2 × b=16. ``prefix``/``sh_cte`` let the same chain compose into
+    host queries with their own CTE namespaces (r9: the pagerank chain
+    and the training_set oracle reuse THIS generator — the one copy of
+    the minhash convention in SQL). sigs is MATERIALIZED: the 16-way
+    band fanout would otherwise inline the signature aggregate (and
+    everything upstream of ``sh_cte``) once per band."""
     from csvplus_spark.operators.dedup import MINHASH_COEF, MINHASH_P
 
+    P = prefix
     mins = ", ".join(
         f"MIN(({a} * h + {b}) % {MINHASH_P}) AS s{s}"
         for s, (a, b) in enumerate(MINHASH_COEF[:32])
     )
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, s{2 * b} AS x, s{2 * b + 1} AS y FROM sigs"
+        f"SELECT doc_id, {b} AS band, s{2 * b} AS x, s{2 * b + 1} AS y "
+        f"FROM {P}sigs"
         for b in range(16)
     )
     return f"""
-hx AS (
+{P}hx AS (
   SELECT doc_id, {_H60.format(x="s")} % {MINHASH_P} AS h
-  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+  FROM (SELECT doc_id, unnest(sh) AS s FROM {sh_cte})
 ),
-sigs AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
-bands AS ({bands})
+{P}sigs AS MATERIALIZED (SELECT doc_id, {mins} FROM {P}hx GROUP BY doc_id),
+{P}bands AS ({bands})
 """
 
 

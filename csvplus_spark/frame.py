@@ -687,48 +687,14 @@ class Frame:
         form (SURVEY §7 H6); for corpus-scale Avro output use Spark's
         external spark-avro writer (``df.write.format("avro")``), which
         writes sharded files executor-side."""
-        import io as _io
-
         from .sources import avrocodec as ac
 
         schema = ac.spark_to_avro_schema(self.df.schema)
-        df = self.ordered_df()
+        rows = (row.asDict(recursive=True)
+                for row in self.ordered_df().toLocalIterator())
         with open(path, "wb") as fh:
-            # header exactly as encode_container writes it
-            head = ac.encode_container(schema, [], codec=codec)
-            fh.write(head)
-            names: dict = {}
-            ac._collect_names(schema, names)
-            import hashlib
-            import json as _json
-            import zlib as _zlib
-
-            sync = hashlib.md5(_json.dumps(
-                schema, separators=(",", ":")).encode()).digest()
-            block: list[dict] = []
-
-            def flush():
-                if not block:
-                    return
-                body = _io.BytesIO()
-                for rec in block:
-                    ac._encode_value(schema, rec, body, names)
-                raw = body.getvalue()
-                if codec == "deflate":
-                    comp = _zlib.compressobj(wbits=-15)
-                    raw = comp.compress(raw) + comp.flush()
-                out = _io.BytesIO()
-                ac._write_long(out, len(block))
-                ac._write_bytes(out, raw)
-                out.write(sync)
-                fh.write(out.getvalue())
-                block.clear()
-
-            for row in df.toLocalIterator():
-                block.append(row.asDict(recursive=True))
-                if len(block) >= objects_per_block:
-                    flush()
-            flush()
+            ac.write_container(fh, schema, rows, codec=codec,
+                               objects_per_block=objects_per_block)
 
     def to_parquet(self, path: str, partition_by: Sequence[str] | None = None) -> None:
         df = self.df

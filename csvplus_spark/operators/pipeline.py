@@ -66,12 +66,28 @@ def build_training_set(
         stats.filter(F.col("quality") >= quality_min).select(id_col), id_col)
     ex = exact_dedup(d1, text_col, id_col)
     d2 = d1.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
+    sh2 = None
     if with_centrality:
         # d2 fans out into canonicalization AND the centrality graph —
-        # checkpoint it so the quality/exact-dedup upstream runs once
+        # checkpoint it so the quality/exact-dedup upstream runs once,
+        # and shingle it ONCE: both the ngram canonicalization pairs
+        # and the MinHash centrality pairs consume the same
+        # shingle_pairs(d2) table (one tokenize+explode pass instead
+        # of two — the dominant shared cost at corpus scale)
         d2 = d2.localCheckpoint(eager=False)
-    canon = canonicalize_clusters(d2, threshold=jaccard_threshold,
-                                  text_col=text_col, id_col=id_col)
+        from .dedup import ngram_jaccard_pairs, shingle_pairs
+
+        sh2 = shingle_pairs(d2, text_col, id_col).localCheckpoint(
+            eager=False)
+        canon = canonicalize_clusters(
+            d2, pairs=ngram_jaccard_pairs(d2, jaccard_threshold,
+                                          text_col, id_col,
+                                          shingles=sh2),
+            threshold=jaccard_threshold,
+            text_col=text_col, id_col=id_col)
+    else:
+        canon = canonicalize_clusters(d2, threshold=jaccard_threshold,
+                                      text_col=text_col, id_col=id_col)
     d3 = d2.join(canon.filter(F.col("keep")).select(id_col), id_col)
     if probes is not None:
         cont = contamination_check(d3, probes, corpus_text=text_col,
@@ -89,7 +105,8 @@ def build_training_set(
 
     pr = integer_pagerank(
         minhash_dedup_pairs(d2, jaccard_threshold,
-                            text_col=text_col, id_col=id_col))
+                            text_col=text_col, id_col=id_col,
+                            shingles=sh2))
     return (split.join(pr, split[id_col] == pr["node"], "left")
             .select(F.col(id_col), "split",
                     F.coalesce(F.col("pr"), F.lit(0.0))

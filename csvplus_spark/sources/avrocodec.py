@@ -156,12 +156,15 @@ def _apply_logical(schema: dict, val: Any) -> Any:
 
     if lt == "date":  # days since epoch
         return dt.date(1970, 1, 1) + dt.timedelta(days=val)
+    # Avro timestamps are UTC epoch offsets by spec — return AWARE
+    # UTC datetimes so downstream consumers (Spark's TimestampType
+    # toInternal included) can't reinterpret them as machine-local
+    # wall-clock and shift them by the host timezone offset
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
     if lt == "timestamp-millis":
-        return (dt.datetime(1970, 1, 1)
-                + dt.timedelta(milliseconds=val))
+        return epoch + dt.timedelta(milliseconds=val)
     if lt == "timestamp-micros":
-        return (dt.datetime(1970, 1, 1)
-                + dt.timedelta(microseconds=val))
+        return epoch + dt.timedelta(microseconds=val)
     return val  # unknown logical types fall back to the raw primitive
 
 
@@ -415,15 +418,22 @@ def _encode_value(schema: Any, val: Any, out: io.BytesIO,
     if lt is not None:
         import datetime as dt
 
-        if lt == "date" and isinstance(val, dt.date):
+        if lt == "date" and isinstance(val, dt.date) \
+                and not isinstance(val, dt.datetime):
             val = (val - dt.date(1970, 1, 1)).days
-        elif lt == "timestamp-millis" and isinstance(val, dt.datetime):
-            val = int((val - dt.datetime(1970, 1, 1)).total_seconds()
-                      * 1000)
-        elif lt == "timestamp-micros" and isinstance(val, dt.datetime):
-            delta = val - dt.datetime(1970, 1, 1)
-            val = (delta.days * 86400 + delta.seconds) * 1_000_000 \
+        elif lt in ("timestamp-millis", "timestamp-micros") \
+                and isinstance(val, dt.datetime):
+            # naive datetimes are LOCAL wall-clock (that is what
+            # Spark's collect/toLocalIterator hands back); attach the
+            # local zone before differencing against the UTC epoch so
+            # the stored micros are true UTC offsets per the Avro spec
+            if val.tzinfo is None:
+                val = val.astimezone()
+            delta = val - dt.datetime(1970, 1, 1,
+                                      tzinfo=dt.timezone.utc)
+            micros = (delta.days * 86400 + delta.seconds) * 1_000_000 \
                 + delta.microseconds
+            val = micros // 1000 if lt == "timestamp-millis" else micros
         return _encode_value(t, val, out, names)
     if t == "record":
         for f in schema["fields"]:
@@ -455,12 +465,16 @@ def _encode_value(schema: Any, val: Any, out: io.BytesIO,
     return _encode_value(t, val, out, names)
 
 
-def encode_container(schema: dict | str, records: list[dict],
-                     codec: str = "deflate",
-                     objects_per_block: int = 1000) -> bytes:
-    """Records → OCF bytes (deterministic: the sync marker is derived
-    from the schema text, so identical inputs give identical files —
-    the encode_minimal_* fixture convention)."""
+def write_container(fh, schema: dict | str, records,
+                    codec: str = "deflate",
+                    objects_per_block: int = 1000) -> None:
+    """Stream ``records`` (any iterable of dicts) into ``fh`` as one
+    OCF — header then bounded blocks, so nothing corpus-sized is held
+    at once. Deterministic: the sync marker derives from the schema
+    text, so identical inputs give identical files (the
+    encode_minimal_* fixture convention). This is THE block-framing
+    implementation — encode_container and Frame.to_avro_file both
+    delegate here so the spec logic lives in one place."""
     import hashlib
 
     if isinstance(schema, str):
@@ -471,18 +485,17 @@ def encode_container(schema: dict | str, records: list[dict],
     names: dict[str, Any] = {}
     _collect_names(schema, names)
     sync = hashlib.md5(schema_text.encode()).digest()
-    out = io.BytesIO()
-    out.write(MAGIC)
+    fh.write(MAGIC)
     meta = {"avro.schema": schema_text.encode(),
             "avro.codec": codec.encode()}
-    _write_long(out, len(meta))
+    _write_long(fh, len(meta))
     for k, v in meta.items():
-        _write_bytes(out, k.encode())
-        _write_bytes(out, v)
-    _write_long(out, 0)
-    out.write(sync)
-    for start in range(0, len(records), objects_per_block):
-        chunk = records[start:start + objects_per_block]
+        _write_bytes(fh, k.encode())
+        _write_bytes(fh, v)
+    _write_long(fh, 0)
+    fh.write(sync)
+
+    def flush(chunk: list) -> None:
         body = io.BytesIO()
         for rec in chunk:
             _encode_value(schema, rec, body, names)
@@ -490,9 +503,26 @@ def encode_container(schema: dict | str, records: list[dict],
         if codec == "deflate":
             comp = zlib.compressobj(wbits=-15)
             raw = comp.compress(raw) + comp.flush()
-        _write_long(out, len(chunk))
-        _write_bytes(out, raw)
-        out.write(sync)
+        _write_long(fh, len(chunk))
+        _write_bytes(fh, raw)
+        fh.write(sync)
+
+    block: list = []
+    for rec in records:
+        block.append(rec)
+        if len(block) >= objects_per_block:
+            flush(block)
+            block = []
+    if block:
+        flush(block)
+
+
+def encode_container(schema: dict | str, records: list[dict],
+                     codec: str = "deflate",
+                     objects_per_block: int = 1000) -> bytes:
+    """Records → OCF bytes (in-memory form of :func:`write_container`)."""
+    out = io.BytesIO()
+    write_container(out, schema, records, codec, objects_per_block)
     return out.getvalue()
 
 

@@ -133,9 +133,27 @@ def _avro_pure_scan(spark: SparkSession, path: str):
         raise avrocodec.AvroError(
             "top-level Avro schema must be a record")
     field_names = [f["name"] for f in schema["fields"]]
+    # schema fingerprint of the header-peeked file: every shard must
+    # match, or a schema-evolved corpus would silently drop/NULL the
+    # divergent fields — raise instead (the codec's no-silent-wrong-
+    # answer contract)
+    import json as _json
+
+    expect_schema = _json.dumps(schema, sort_keys=True,
+                                separators=(",", ":"))
 
     def rows(row):
-        for rec in avrocodec.iter_container_records(bytes(row["content"])):
+        blob = bytes(row["content"])
+        got, _c, _s, _p = avrocodec.parse_header(blob)
+        if _json.dumps(got, sort_keys=True,
+                       separators=(",", ":")) != expect_schema:
+            raise avrocodec.AvroError(
+                "Avro shard schema differs from the first file's "
+                "(schema evolution across shards): reading would "
+                "silently drop or NULL the divergent fields — read "
+                "the generations separately or install spark-avro, "
+                "whose reader resolves schemas per file")
+        for rec in avrocodec.iter_container_records(blob):
             yield tuple(rec.get(n) for n in field_names)
 
     return spark.createDataFrame(files.rdd.flatMap(rows), stype)

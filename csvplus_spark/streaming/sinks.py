@@ -318,7 +318,14 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
                     if CK in cur.columns else
                     cur.select(F.max(MARK).alias("b"),
                                F.lit(None).alias("c")).first())
-            if (head["b"] is not None and head["c"] == ck
+            # qualify the STORED spelling too: sketches written before
+            # the qualification fix hold the raw caller string, and a
+            # raw-vs-qualified mismatch would re-merge a replayed batch
+            # across the upgrade — the exact failure being guarded
+            stored = head["c"]
+            stored_q = (_Fs(spark, stored).qualify(stored)
+                        if stored is not None else None)
+            if (head["b"] is not None and stored_q == ck
                     and batch_id <= head["b"]):
                 return  # replayed batch — already folded in
             cur = cur.drop(MARK, CK)

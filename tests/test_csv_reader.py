@@ -318,13 +318,18 @@ def test_avrocodec_roundtrip_types(tmp_path):
          "ratio": 0.25, "ok": True, "raw": b"\x00\xff", "tags": ["x", "y"],
          "props": {"a": 1, "b": -2}, "kind": "B", "fx": b"abcd",
          "day": dt.date(2026, 8, 15),
-         "ts": dt.datetime(2026, 8, 15, 12, 30, 0, 123456),
+         # Avro timestamps are UTC by spec: the codec encodes aware
+         # values verbatim and decodes to AWARE UTC (naive inputs are
+         # treated as local wall-clock — the Spark collect contract)
+         "ts": dt.datetime(2026, 8, 15, 12, 30, 0, 123456,
+                           tzinfo=dt.timezone.utc),
          "sub": {"x": 42}},
         {"id": -9, "neg": 0, "text": None, "score": -1e300,
          "ratio": 1.0, "ok": False, "raw": b"", "tags": [],
          "props": {}, "kind": "A", "fx": b"\x00\x00\x00\x00",
          "day": dt.date(1969, 12, 31),
-         "ts": dt.datetime(1955, 1, 1), "sub": {"x": -1}},
+         "ts": dt.datetime(1955, 1, 1, tzinfo=dt.timezone.utc),
+         "sub": {"x": -1}},
     ]
     for codec in ("deflate", "null"):
         blob = encode_container(schema, recs, codec=codec)

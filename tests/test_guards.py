@@ -196,7 +196,7 @@ def test_raw_graph_duplication_guard(spark):
         assert False, "high-f corpus must raise"
     except GraphScaleError as e:
         msg = str(e)
-        assert "pagerank" in msg and "_reps" in msg or "reps" in msg
+        assert "pagerank" in msg and "_reps" in msg
         assert "exact dedup" in msg.lower() or "exact_dedup" in msg
 
     # low-f corpus passes through as the SAME plan (chainable)
