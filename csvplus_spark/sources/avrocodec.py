@@ -232,10 +232,13 @@ def _decompress(block: bytes, codec: str) -> bytes:
     raise AvroError(f"unsupported Avro codec: {codec!r}")
 
 
-def decode_container(blob: bytes) -> tuple[dict, list[dict]]:
+def decode_container(blob: bytes,
+                     header: tuple | None = None) -> tuple[dict, list[dict]]:
     """Decode a whole OCF blob → (schema, records). Raises AvroError
-    on malformed input — never a silent wrong answer."""
-    schema, codec, sync, pos = parse_header(blob)
+    on malformed input — never a silent wrong answer. ``header``
+    accepts a pre-parsed :func:`parse_header` tuple so callers that
+    already inspected the header don't parse it twice."""
+    schema, codec, sync, pos = header or parse_header(blob)
     names: dict[str, Any] = {}
     _collect_names(schema, names)
     out: list[dict] = []
@@ -428,7 +431,15 @@ def _encode_value(schema: Any, val: Any, out: io.BytesIO,
             # local zone before differencing against the UTC epoch so
             # the stored micros are true UTC offsets per the Avro spec
             if val.tzinfo is None:
-                val = val.astimezone()
+                try:
+                    val = val.astimezone()
+                except (OSError, OverflowError):
+                    # Windows mktime cannot resolve pre-epoch local
+                    # offsets; approximate with the zone's CURRENT
+                    # offset rather than crash (exact DST history for
+                    # pre-1970 local times is unavailable there)
+                    val = val.replace(
+                        tzinfo=dt.datetime.now().astimezone().tzinfo)
             delta = val - dt.datetime(1970, 1, 1,
                                       tzinfo=dt.timezone.utc)
             micros = (delta.days * 86400 + delta.seconds) * 1_000_000 \
@@ -526,8 +537,9 @@ def encode_container(schema: dict | str, records: list[dict],
     return out.getvalue()
 
 
-def iter_container_records(blob: bytes) -> Iterator[dict]:
+def iter_container_records(blob: bytes,
+                           header: tuple | None = None) -> Iterator[dict]:
     """Generator form of decode_container's record stream (executor-
     side use: one file's blocks decode lazily per partition)."""
-    _schema, records = decode_container(blob)
+    _schema, records = decode_container(blob, header=header)
     yield from records

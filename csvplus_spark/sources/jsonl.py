@@ -133,27 +133,32 @@ def _avro_pure_scan(spark: SparkSession, path: str):
         raise avrocodec.AvroError(
             "top-level Avro schema must be a record")
     field_names = [f["name"] for f in schema["fields"]]
-    # schema fingerprint of the header-peeked file: every shard must
-    # match, or a schema-evolved corpus would silently drop/NULL the
-    # divergent fields — raise instead (the codec's no-silent-wrong-
-    # answer contract)
-    import json as _json
+    # structural fingerprint of the header-peeked file: every shard
+    # must PROJECT to the same (field name -> Spark type) mapping, or
+    # a schema-evolved corpus would silently drop/NULL the divergent
+    # fields — raise instead (the codec's no-silent-wrong-answer
+    # contract). Compared at the projected-type level, not raw schema
+    # JSON: cosmetic spellings (namespace/doc attrs, {"type":"string"}
+    # vs "string", field order) differ across writers and each shard
+    # decodes per its OWN header anyway.
+    def fingerprint(avro_schema) -> list[tuple[str, str]]:
+        t = avrocodec.avro_to_spark_type(avro_schema)
+        return sorted((f.name, f.dataType.simpleString())
+                      for f in t.fields)
 
-    expect_schema = _json.dumps(schema, sort_keys=True,
-                                separators=(",", ":"))
+    expect_fp = fingerprint(schema)
 
     def rows(row):
         blob = bytes(row["content"])
-        got, _c, _s, _p = avrocodec.parse_header(blob)
-        if _json.dumps(got, sort_keys=True,
-                       separators=(",", ":")) != expect_schema:
+        header = avrocodec.parse_header(blob)
+        if fingerprint(header[0]) != expect_fp:
             raise avrocodec.AvroError(
-                "Avro shard schema differs from the first file's "
-                "(schema evolution across shards): reading would "
-                "silently drop or NULL the divergent fields — read "
-                "the generations separately or install spark-avro, "
-                "whose reader resolves schemas per file")
-        for rec in avrocodec.iter_container_records(blob):
+                "Avro shard schema projects differently from the "
+                "first file's (schema evolution across shards): "
+                "reading would silently drop or NULL the divergent "
+                "fields — read the generations separately or install "
+                "spark-avro, whose reader resolves schemas per file")
+        for rec in avrocodec.iter_container_records(blob, header=header):
             yield tuple(rec.get(n) for n in field_names)
 
     return spark.createDataFrame(files.rdd.flatMap(rows), stype)

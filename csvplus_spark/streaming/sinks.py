@@ -321,10 +321,17 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
             # qualify the STORED spelling too: sketches written before
             # the qualification fix hold the raw caller string, and a
             # raw-vs-qualified mismatch would re-merge a replayed batch
-            # across the upgrade — the exact failure being guarded
+            # across the upgrade — the exact failure being guarded.
+            # Best-effort: the stored string's scheme may not be
+            # loadable here (s3a marker, local restart, no aws jars) —
+            # fall back to the raw string rather than crash the stream
             stored = head["c"]
-            stored_q = (_Fs(spark, stored).qualify(stored)
-                        if stored is not None else None)
+            stored_q = None
+            if stored is not None:
+                try:
+                    stored_q = _Fs(spark, stored).qualify(stored)
+                except Exception:
+                    stored_q = stored
             if (head["b"] is not None and stored_q == ck
                     and batch_id <= head["b"]):
                 return  # replayed batch — already folded in

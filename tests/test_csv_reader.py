@@ -370,3 +370,34 @@ def test_to_avro_file_roundtrip(spark, tmp_path):
                    list(r["arr"])) for r in df.collect())
     assert got == want
     assert dict(back.df.dtypes) == dict(df.dtypes)
+
+
+def test_from_avro_shard_schema_divergence_raises(spark, tmp_path):
+    """r9 review: a schema-evolved shard (extra field) must RAISE, not
+    silently drop/NULL the divergent field — while cosmetic spelling
+    differences ({'type': 'long'} vs 'long') stay readable."""
+    from csvplus_spark import from_avro
+    from csvplus_spark.sources.avrocodec import (AvroError,
+                                                 encode_container)
+
+    base = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}]}
+    spelled = {"type": "record", "name": "r2", "fields": [
+        {"name": "id", "type": {"type": "long"}}]}  # same projection
+    evolved = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "extra", "type": ["null", "string"]}]}
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(
+        encode_container(base, [{"id": 1}]))
+    (d / "part-1.avro").write_bytes(
+        encode_container(spelled, [{"id": 2}]))
+    # cosmetic difference reads fine
+    assert sorted(r["id"] for r in from_avro(spark, str(d)).to_rows()) \
+        == [1, 2]
+    (d / "part-2.avro").write_bytes(
+        encode_container(evolved, [{"id": 3, "extra": "x"}]))
+    with pytest.raises(Exception) as ei:
+        from_avro(spark, str(d)).to_rows()
+    assert "schema" in str(ei.value)
