@@ -3329,6 +3329,84 @@ GROUP BY source
 """
 
 
+def _jpeg_px_fixture(k: int) -> bytes:
+    """Deterministic baseline-JPEG fixture #k (16 variants spanning
+    gray/RGB, 4:4:4/4:2:0, restart intervals, non-multiple-of-8
+    geometry) — REAL scan data, encoded by the pure-Python encoder."""
+    from csvplus_spark.operators.jpegcodec import encode_baseline_jpeg
+
+    w = 8 * (k % 3 + 1) + (k % 5)      # 8..26, often not /8
+    h = 8 * ((k // 3) % 3 + 1) + (k % 3)
+    ch = 1 if k % 2 else 3
+    px = bytes(((k * 13 + x * 7 + y * 5 + c * 11) % 256)
+               for y in range(h) for x in range(w) for c in range(ch))
+    return encode_baseline_jpeg(
+        w, h, ch, px, quality=90,
+        restart_interval=2 if k % 5 == 0 else 0,
+        subsampling="420" if k % 4 == 0 else "444")
+
+
+def _jpeg_px_stats(k: int) -> tuple[int, int, int, int, int]:
+    """(width, height, channels, sum_px, max_px) of the DECODED
+    fixture #k — the pinned expectation both sides share."""
+    from csvplus_spark.operators.jpegcodec import decode_baseline_jpeg
+
+    w, h, c, px = decode_baseline_jpeg(_jpeg_px_fixture(k))
+    return w, h, c, sum(px), max(px)
+
+
+def q_multimodal_jpeg_px(spark, sf_dir):
+    """FULL JPEG pixel decode through the oracle gate (r9: the last
+    multimodal env-gate closed for baseline streams): each doc maps to
+    one of 16 deterministic baseline JPEGs (gray + RGB, 4:4:4 + 4:2:0,
+    restart intervals, real huffman scan data), decoded EXECUTOR-SIDE
+    by the pure-Python huffman+IDCT decoder
+    (operators/jpegcodec.py::decode_baseline_jpeg); the oracle pins
+    the identical decode computed at SQL-build time as literals — the
+    bpe_counts pinned-sample pattern, proving the distributed decode
+    is bit-identical to the driver-side one. Codec fidelity itself
+    (bounded roundtrip error vs the source pixels) is pinned by the
+    jpegcodec unit tests."""
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def decode(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.jpegcodec import decode_baseline_jpeg
+
+        cache: dict[int, tuple] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                k = int(did) % 16
+                if k not in cache:
+                    w, h, c, px = decode_baseline_jpeg(_jpeg_px_fixture(k))
+                    cache[k] = (w, h, c, sum(px), max(px))
+                rows.append((int(did),) + cache[k])
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels",
+                "sum_px", "max_px"])
+
+    return docs.mapInPandas(
+        decode, "media_id long, width int, height int, channels int, "
+                "sum_px long, max_px int")
+
+
+def _multimodal_jpeg_px_sql() -> str:
+    pins = ",\n  ".join(
+        f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
+        for k, (w, h, c, s, m) in ((k, _jpeg_px_stats(k))
+                                   for k in range(16)))
+    return f"""
+SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
+       p.sum_px, p.max_px
+FROM documents d
+JOIN (VALUES
+  {pins}) p(k, width, height, channels, sum_px, max_px)
+  ON d.doc_id % 16 = p.k
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based source rebalancing, the mT5 data-mixture
     recipe (operators/sampling.py::temperature_mix): alpha=0.5
@@ -5933,6 +6011,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label": q_knn_label,
         "avro_ingest": q_avro_ingest,
         "dup_factor": q_dup_factor,
+        "multimodal_jpeg_px": q_multimodal_jpeg_px,
     }
 
 
@@ -6133,6 +6212,7 @@ LIMIT 20
         "multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
         "avro_ingest": _AVRO_INGEST_SQL,
         "dup_factor": _DUP_FACTOR_SQL,
+        "multimodal_jpeg_px": _multimodal_jpeg_px_sql(),
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_jpeg",
     "avro_ingest",
     "dup_factor",
+    "multimodal_jpeg_px",
     "approx_quantiles",
     "bigram_lm",
     "dsir",

@@ -7,10 +7,14 @@ segments (ITU-T T.81 §B) — ``FF xx`` markers, most followed by a
 (SOF0–SOF15, minus the non-frame DHT/JPG/DAC codes) carries sample
 precision, height, width, and component count, and appears BEFORE any
 entropy-coded scan data, so a straight segment walk recovers the
-geometry without any DCT work. Full pixel decode (huffman + IDCT)
-stays honestly env-gated behind Pillow — this module makes
-``multimodal_meta`` / dimension extraction work on real JPEG bytes in
-codec-less containers.
+geometry without any DCT work.
+
+Round 9 adds the FULL pixel codec for baseline-sequential streams:
+:func:`decode_baseline_jpeg` (huffman + dequant + IDCT + chroma
+upsampling + YCbCr→RGB, restart intervals, byte stuffing) and the
+fixture-grade :func:`encode_baseline_jpeg` — so real JPEG pixels
+decode in codec-less containers too. Progressive / arithmetic /
+12-bit frames remain the honest Pillow gate.
 
 Reference parity note: csvplus (csvplus.go) has no multimodal surface;
 this is north-star extension code for binary-column pipelines.
@@ -189,3 +193,556 @@ def encode_minimal_jpeg(width: int, height: int, n_components: int = 3,
                + struct.pack(">H", len(sof) + 2) + sof)
     out.append(b"\xff\xd9")
     return b"".join(out)
+
+
+# --------------------------------------------------------------------
+# Baseline-sequential pixel codec (r9): full huffman + DCT decode and
+# a fixture-grade encoder, pure Python — closes the "JPEG pixel decode
+# needs Pillow" env-gate for SOF0 streams (the overwhelmingly common
+# baseline case). Progressive/arithmetic/12-bit stay honestly gated.
+# All tables are the ITU-T T.81 Annex K standards.
+
+#: zig-zag scan order (T.81 figure A.6)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.1 / K.2 base quantization tables (natural order)
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K.3 huffman specs: (BITS[1..16], HUFFVAL)
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+import math as _math
+
+#: 8x8 DCT-II basis matrix C[u][x] = a(u)·cos((2x+1)uπ/16)
+_DCT_C = [[(_math.sqrt(1 / 8) if u == 0 else _math.sqrt(2 / 8))
+           * _math.cos((2 * x + 1) * u * _math.pi / 16)
+           for x in range(8)] for u in range(8)]
+
+
+def _fdct8x8(block):
+    """2-D forward DCT of a level-shifted 8x8 block (row-major list)."""
+    tmp = [[sum(_DCT_C[u][x] * block[y * 8 + x] for x in range(8))
+            for u in range(8)] for y in range(8)]
+    return [sum(_DCT_C[v][y] * tmp[y][u] for y in range(8))
+            for v in range(8) for u in range(8)]
+
+
+def _idct8x8(coef):
+    """2-D inverse DCT → 8x8 spatial block (row-major list of floats)."""
+    tmp = [[sum(_DCT_C[u][x] * coef[v * 8 + u] for u in range(8))
+            for x in range(8)] for v in range(8)]
+    return [sum(_DCT_C[v][y] * tmp[v][x] for v in range(8))
+            for y in range(8) for x in range(8)]
+
+
+def _scaled_quant(base, quality: int):
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1-100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (q * scale + 50) // 100)) for q in base]
+
+
+def _build_huff_encode(spec):
+    bits, vals = spec
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_huff_decode(spec):
+    """(mincode, maxcode, valptr, huffval) per T.81 F.2.2.3."""
+    bits, vals = spec
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        else:
+            maxcode[length] = -1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, blob: bytes, pos: int):
+        self.b = blob
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated JPEG scan data")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.b[self.pos] if self.pos < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # a real marker (EOI / RSTn reached mid-read)
+                    raise ValueError("unexpected marker in scan data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, idx: int):
+        """Consume an RSTn marker at an MCU-restart boundary."""
+        self.acc, self.n = 0, 0
+        if (self.pos + 1 < len(self.b) and self.b[self.pos] == 0xFF
+                and self.b[self.pos + 1] == 0xD0 + (idx & 7)):
+            self.pos += 2
+        else:
+            raise ValueError("missing restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _huff_decode_symbol(r: _BitReader, table) -> int:
+    mincode, maxcode, valptr, vals = table
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | r.bit()
+        length += 1
+        if length > 16:
+            raise ValueError("invalid huffman code")
+        if maxcode[length] >= 0 and code <= maxcode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+
+
+def _magnitude(v: int):
+    """(size, code) for a DC diff / AC level per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def encode_baseline_jpeg(width: int, height: int, channels: int,
+                         pixels: bytes, quality: int = 90,
+                         restart_interval: int = 0,
+                         subsampling: str = "444") -> bytes:
+    """Encode raw 8-bit pixels (grayscale ``channels=1`` or interleaved
+    RGB ``channels=3``, row-major) as a baseline-sequential JFIF JPEG
+    (SOF0, Annex K tables scaled by ``quality``; ``subsampling`` is
+    ``"444"`` or ``"420"`` — 4:2:0 box-averages chroma 2x2, the
+    real-world default; ``restart_interval`` MCUs per restart segment
+    when >0). Deterministic: identical inputs give identical bytes —
+    fixture twin of :func:`decode_baseline_jpeg` (JPEG is lossy, so
+    the roundtrip contract is bounded error, not identity)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("width/height out of JPEG range")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    # planar full-resolution samples (YCbCr or just Y)
+    if channels == 1:
+        planes = [[float(p) for p in pixels]]
+    else:
+        y, cb, cr = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            y.append(0.299 * r + 0.587 * g + 0.114 * b)
+            cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+            cr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+        planes = [y, cb, cr]
+    sub2 = channels == 3 and subsampling == "420"
+    # per-component sampling factors + (possibly subsampled) planes
+    hv = [(2, 2), (1, 1), (1, 1)][:channels] if sub2 \
+        else [(1, 1)] * channels
+    sizes, splanes = [], []
+    for ci in range(channels):
+        if sub2 and ci > 0:  # 2x2 box-average chroma
+            cw, chh = (width + 1) // 2, (height + 1) // 2
+            src = planes[ci]
+            out = []
+            for sy in range(chh):
+                for sx in range(cw):
+                    acc, cnt = 0.0, 0
+                    for dy in range(2):
+                        for dx in range(2):
+                            px_, py_ = sx * 2 + dx, sy * 2 + dy
+                            if px_ < width and py_ < height:
+                                acc += src[py_ * width + px_]
+                                cnt += 1
+                    out.append(acc / cnt)
+            sizes.append((cw, chh))
+            splanes.append(out)
+        else:
+            sizes.append((width, height))
+            splanes.append(planes[ci])
+    quants = [ql] + [qc] * (channels - 1)
+    dc_enc = [_build_huff_encode(HUFF_DC_LUMA)] + \
+        [_build_huff_encode(HUFF_DC_CHROMA)] * (channels - 1)
+    ac_enc = [_build_huff_encode(HUFF_AC_LUMA)] + \
+        [_build_huff_encode(HUFF_AC_CHROMA)] * (channels - 1)
+
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    wr = _BitWriter()
+    pred = [0] * channels
+    mcu = 0
+
+    def encode_block(ci: int, bx0: int, by0: int) -> None:
+        plane, q = splanes[ci], quants[ci]
+        cw, chh = sizes[ci]
+        block = []
+        for yy in range(8):
+            sy = min(by0 + yy, chh - 1)
+            for xx in range(8):
+                sx = min(bx0 + xx, cw - 1)  # edge-replicate pad
+                block.append(plane[sy * cw + sx] - 128.0)
+        coef = _fdct8x8(block)
+        qz = [int(round(coef[ZIGZAG[k]] / q[ZIGZAG[k]]))
+              for k in range(64)]
+        diff = qz[0] - pred[ci]
+        pred[ci] = qz[0]
+        size, code = _magnitude(diff)
+        hc, hl = dc_enc[ci][size]
+        wr.write(hc, hl)
+        if size:
+            wr.write(code, size)
+        run = 0
+        for k in range(1, 64):
+            if qz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_enc[ci][0xF0]  # ZRL
+                wr.write(zc, zl)
+                run -= 16
+            size, code = _magnitude(qz[k])
+            hc, hl = ac_enc[ci][(run << 4) | size]
+            wr.write(hc, hl)
+            wr.write(code, size)
+            run = 0
+        if run:
+            ec, el = ac_enc[ci][0x00]  # EOB
+            wr.write(ec, el)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align, then the RSTn marker goes into the scan
+                # RAW (markers are never byte-stuffed)
+                wr.flush()
+                wr.buf += bytes([0xFF,
+                                 0xD0 + ((mcu // restart_interval - 1) & 7)])
+                pred = [0] * channels
+            mcu += 1
+            for ci in range(channels):
+                h, v = hv[ci]
+                for vy in range(v):
+                    for vx in range(h):
+                        encode_block(ci, (mx * h + vx) * 8,
+                                     (my * v + vy) * 8)
+    wr.flush()
+
+    out = [b"\xff\xd8"]
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out.append(b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0)
+    for tid, q in ([(0, ql)] if channels == 1 else [(0, ql), (1, qc)]):
+        body = bytes([tid]) + bytes(q[ZIGZAG[k]] for k in range(64))
+        out.append(b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body)
+    comps = b"".join(bytes([c + 1, (hv[c][0] << 4) | hv[c][1],
+                            0 if c == 0 else 1])
+                     for c in range(channels))
+    sof = struct.pack(">BHHB", 8, height, width, channels) + comps
+    out.append(b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof)
+    huffs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if channels == 3:
+        huffs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tid, (bits, vals) in huffs:
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out.append(b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body)
+    if restart_interval:
+        out.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+    sos = bytes([channels]) + b"".join(
+        bytes([c + 1, 0x00 if c == 0 else 0x11]) for c in range(channels)
+    ) + bytes([0, 63, 0])
+    out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+    out.append(bytes(wr.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode of a baseline-sequential (SOF0) JPEG →
+    (width, height, channels, pixels) with pixels 8-bit row-major
+    (interleaved RGB for 3 components, gray for 1). Supports the
+    common sampling factors (4:4:4, 4:2:2, 4:2:0 — box upsampling),
+    restart intervals, and byte stuffing. Raises ValueError on
+    malformed streams and on non-baseline frames (progressive /
+    arithmetic / 12-bit) — the remaining honest gate."""
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    i, n = 2, len(blob)
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame = None
+    restart = 0
+    scan = None
+    while i < n:
+        if blob[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i < n and blob[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = blob[i]
+        i += 1
+        if marker == 0xD9:
+            break
+        if marker in _STANDALONE:
+            continue
+        if i + 2 > n:
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("bad segment length")
+        seg = blob[i + 2:i + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(seg[p:p + 64])
+                p += 64
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = zz[k]
+                quant[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                bits = list(seg[p:p + 16])
+                p += 16
+                cnt = sum(bits)
+                vals = list(seg[p:p + cnt])
+                p += cnt
+                tbl = _build_huff_decode((bits, vals))
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif marker in _SOF_MARKERS:
+            if marker != 0xC0 and marker != 0xC1:
+                raise ValueError(
+                    "only baseline/extended-sequential huffman frames "
+                    f"are pixel-decodable (SOF{marker - 0xC0} found); "
+                    "progressive/arithmetic streams need Pillow")
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = (width, height, comps)
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            scan = (sel, i + seg_len)
+            break
+        i += seg_len
+    if frame is None or scan is None:
+        raise ValueError("no frame/scan found")
+    width, height, comps = frame
+    sel, data_pos = scan
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]   # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
+        if c["id"] not in sel:
+            raise ValueError("component missing from scan")
+        c["dc"], c["ac"] = sel[c["id"]]
+    r = _BitReader(blob, data_pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_restart(rst_idx)
+                rst_idx += 1
+                for c in comps:
+                    pred[c["id"]] = 0
+            mcu_count += 1
+            for c in comps:
+                if c["dc"] not in huff_dc or c["ac"] not in huff_ac:
+                    raise ValueError("missing huffman table")
+                q = quant.get(c["tq"])
+                if q is None:
+                    raise ValueError("missing quant table")
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        t = _huff_decode_symbol(r, huff_dc[c["dc"]])
+                        diff = _extend(r.bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode_symbol(r, huff_ac[c["ac"]])
+                            rr, ss = rs >> 4, rs & 0xF
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(r.bits(ss), ss)
+                            k += 1
+                        coef = [0.0] * 64
+                        for kk in range(64):
+                            coef[ZIGZAG[kk]] = zz[kk] * q[ZIGZAG[kk]]
+                        px = _idct8x8(coef)
+                        bx0 = (mx * c["h"] + vx) * 8
+                        by0 = (my * c["v"] + vy) * 8
+                        row_w = c["bw"] * 8
+                        for yy in range(8):
+                            base = (by0 + yy) * row_w + bx0
+                            for xx in range(8):
+                                c["plane"][base + xx] = px[yy * 8 + xx]
+    # upsample + color-convert to the output buffer
+    ncomp = len(comps)
+    out = bytearray(width * height * ncomp)
+    for yy in range(height):
+        for xx in range(width):
+            vals = []
+            for c in comps:
+                sx = xx * c["h"] // hmax
+                sy = yy * c["v"] // vmax
+                v = c["plane"][sy * c["bw"] * 8 + sx] + 128.0
+                vals.append(v)
+            o = (yy * width + xx) * ncomp
+            if ncomp == 1:
+                out[o] = max(0, min(255, int(round(vals[0]))))
+            elif ncomp == 3:
+                y, cb, cr = vals[0], vals[1] - 128.0, vals[2] - 128.0
+                rgb = (y + 1.402 * cr,
+                       y - 0.344136 * cb - 0.714136 * cr,
+                       y + 1.772 * cb)
+                for j, v in enumerate(rgb):
+                    out[o + j] = max(0, min(255, int(round(v))))
+            else:
+                raise ValueError("only 1- or 3-component scans supported")
+    return width, height, ncomp, bytes(out)

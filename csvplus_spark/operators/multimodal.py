@@ -2,10 +2,12 @@
 columns with typed metadata (BASELINE.json north-star).
 
 Decode paths, most-real-first: Pillow when importable on the
-executors (``real_codec=True``), else the built-in pure-Python PNG
-codec (pngcodec.py — struct+zlib, works in THIS container), else an
-honest NotImplementedError for non-PNG blobs; ``real_codec=False``
-keeps the deterministic fake for oracle-checkable plumbing tests.
+executors (``real_codec=True``), else the built-in pure-Python codecs
+(pngcodec.py — struct+zlib; jpegcodec.py — r9's full baseline
+huffman+IDCT pixel decode; both work in THIS container), else an
+honest NotImplementedError for blobs neither handles (progressive
+JPEG, other formats); ``real_codec=False`` keeps the deterministic
+fake for oracle-checkable plumbing tests.
 The Spark-side plumbing is identical across all of them:
   * schema: ``data binary`` + ``media_meta struct<...>``;
   * per-batch Arrow transfer via mapInPandas (never per-row Python);
@@ -290,10 +292,22 @@ def resize_stub(width: int = 64, height: int = 64,
                             pngcodec.resize_nearest(w0, h0, ch, px,
                                                     width, height))
                     if done is None:
+                        from . import jpegcodec
+                        if jpegcodec.is_jpeg(blob):
+                            # r9: full baseline pixel decode — resample
+                            # and re-encode without Pillow (progressive
+                            # frames still raise ValueError below)
+                            w0, h0, ch, px = \
+                                jpegcodec.decode_baseline_jpeg(blob)
+                            done = jpegcodec.encode_baseline_jpeg(
+                                width, height, ch,
+                                pngcodec.resize_nearest(
+                                    w0, h0, ch, px, width, height))
+                    if done is None:
                         raise NotImplementedError(
                             "real_codec=True resize: the blob is not a "
-                            "PNG the built-in pure-Python codec can "
-                            "decode" + (
+                            "PNG or baseline JPEG the built-in "
+                            "pure-Python codecs can decode" + (
                                 " and Pillow could not open it either"
                                 if have_pil else
                                 " and Pillow is not importable on this "
