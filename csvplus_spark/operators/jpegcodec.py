@@ -22,6 +22,7 @@ this is north-star extension code for binary-column pipelines.
 
 from __future__ import annotations
 
+import math as _math
 import struct
 
 #: SOFn marker codes that ARE frame headers (T.81 table B.1):
@@ -38,9 +39,53 @@ _PROGRESSIVE_SOF = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
 #: standalone markers with NO length field (T.81 §B.1.1.3)
 _STANDALONE = frozenset({0x01, *range(0xD0, 0xD8)})  # TEM, RST0–RST7
 
+#: the JFIF 1.1 APP0 segment both encoders emit (no thumbnail)
+_JFIF_APP0 = (lambda p: b"\xff\xe0"
+              + struct.pack(">H", len(p) + 2) + p)(
+    b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00")
+
 
 def is_jpeg(blob: bytes) -> bool:
     return len(blob) >= 3 and blob[:2] == b"\xff\xd8" and blob[2] == 0xFF
+
+
+def _segments(blob: bytes, strict: bool = True):
+    """THE segment walk (T.81 §B.1), shared by every parser in this
+    module: yields ``(marker, payload, end_pos)`` per length-carrying
+    segment, skipping fill bytes and standalone markers, stopping at
+    EOI — and AFTER yielding SOS (entropy-coded data follows;
+    ``end_pos`` is where it starts). ``strict=False`` returns quietly
+    on structural damage instead of raising (the advisory-metadata
+    walkers); strict walkers get ValueError."""
+    i, n = 2, len(blob)
+    while i < n:
+        if blob[i] != 0xFF:
+            if strict:
+                raise ValueError(f"expected marker at offset {i}")
+            return
+        while i < n and blob[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            return
+        marker = blob[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            return
+        if marker in _STANDALONE:
+            continue
+        if i + 2 > n:
+            if strict:
+                raise ValueError("truncated segment length")
+            return
+        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
+        if seg_len < 2 or i + seg_len > n:
+            if strict:
+                raise ValueError("bad segment length")
+            return
+        yield marker, blob[i + 2:i + seg_len], i + seg_len
+        if marker == 0xDA:  # start of scan — entropy data follows
+            return
+        i += seg_len
 
 
 def jpeg_info(blob: bytes) -> tuple[int, int, int, bool]:
@@ -49,38 +94,15 @@ def jpeg_info(blob: bytes) -> tuple[int, int, int, bool]:
     stream — never a silent wrong answer."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
-    i = 2
-    n = len(blob)
-    while i < n:
-        # fill bytes: any number of FFs may pad before a marker code
-        if blob[i] != 0xFF:
-            raise ValueError(f"expected marker at offset {i}")
-        while i < n and blob[i] == 0xFF:
-            i += 1
-        if i >= n:
-            break
-        marker = blob[i]
-        i += 1
-        if marker == 0xD9:  # EOI
-            break
-        if marker in _STANDALONE:
-            continue
-        if i + 2 > n:
-            raise ValueError("truncated segment length")
-        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
-        if seg_len < 2 or i + seg_len > n:
-            raise ValueError("bad segment length")
+    for marker, seg, _end in _segments(blob):
         if marker in _SOF_MARKERS:
-            if seg_len < 8:
+            if len(seg) < 6:
                 raise ValueError("SOF segment too short")
-            _prec, height, width, ncomp = struct.unpack(
-                ">BHHB", blob[i + 2:i + 8])
+            _prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             return width, height, ncomp, marker in _PROGRESSIVE_SOF
         if marker == 0xDA:
-            # start of scan — entropy-coded data follows; a stream with
-            # SOS before SOF is malformed
+            # a stream with SOS before SOF is malformed
             raise ValueError("SOS before SOF (no frame header)")
-        i += seg_len
     raise ValueError("no SOF frame header found")
 
 
@@ -103,31 +125,15 @@ def jpeg_orientation(blob: bytes) -> int:
     """
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
-    i, n = 2, len(blob)
-    while i < n:
-        if blob[i] != 0xFF:
+    # strict=False: orientation is advisory — structural damage past
+    # the point we reached degrades to the default, never an error
+    for marker, seg, _end in _segments(blob, strict=False):
+        if marker == 0xDA:  # EXIF must precede the scan
             break
-        while i < n and blob[i] == 0xFF:
-            i += 1
-        if i >= n:
-            break
-        marker = blob[i]
-        i += 1
-        if marker == 0xD9 or marker == 0xDA:  # EOI / scan data: EXIF
-            break                             # must precede both
-        if marker in _STANDALONE:
-            continue
-        if i + 2 > n:
-            break
-        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
-        if seg_len < 2 or i + seg_len > n:
-            break
-        if marker == 0xE1 and blob[i + 2:i + 8] == b"Exif\x00\x00":
-            tiff = blob[i + 8:i + seg_len]
-            o = _tiff_orientation(tiff)
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            o = _tiff_orientation(seg[6:])
             if o is not None:
                 return o
-        i += seg_len
     return 1
 
 
@@ -182,9 +188,7 @@ def encode_minimal_jpeg(width: int, height: int, n_components: int = 3,
         raise ValueError("width/height out of JPEG range")
     if not (1 <= n_components <= 4):
         raise ValueError("1-4 components")
-    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    out = [b"\xff\xd8",
-           b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0]
+    out = [b"\xff\xd8", _JFIF_APP0]
     if orientation is not None:
         out.append(_exif_app1(orientation))
     comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(n_components))
@@ -263,8 +267,6 @@ HUFF_AC_CHROMA = (
      0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
-
-import math as _math
 
 #: 8x8 DCT-II basis matrix C[u][x] = a(u)·cos((2x+1)uπ/16)
 _DCT_C = [[(_math.sqrt(1 / 8) if u == 0 else _math.sqrt(2 / 8))
@@ -433,6 +435,8 @@ def encode_baseline_jpeg(width: int, height: int, channels: int,
         raise ValueError("width/height out of JPEG range")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be 0-65535")
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
     # planar full-resolution samples (YCbCr or just Y)
@@ -540,9 +544,7 @@ def encode_baseline_jpeg(width: int, height: int, channels: int,
                                      (my * v + vy) * 8)
     wr.flush()
 
-    out = [b"\xff\xd8"]
-    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    out.append(b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0)
+    out = [b"\xff\xd8", _JFIF_APP0]
     for tid, q in ([(0, ql)] if channels == 1 else [(0, ql), (1, qc)]):
         body = bytes([tid]) + bytes(q[ZIGZAG[k]] for k in range(64))
         out.append(b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body)
@@ -578,32 +580,13 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     arithmetic / 12-bit) — the remaining honest gate."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
-    i, n = 2, len(blob)
     quant: dict[int, list[int]] = {}
     huff_dc: dict[int, tuple] = {}
     huff_ac: dict[int, tuple] = {}
     frame = None
     restart = 0
     scan = None
-    while i < n:
-        if blob[i] != 0xFF:
-            raise ValueError(f"expected marker at offset {i}")
-        while i < n and blob[i] == 0xFF:
-            i += 1
-        if i >= n:
-            break
-        marker = blob[i]
-        i += 1
-        if marker == 0xD9:
-            break
-        if marker in _STANDALONE:
-            continue
-        if i + 2 > n:
-            raise ValueError("truncated segment length")
-        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
-        if seg_len < 2 or i + seg_len > n:
-            raise ValueError("bad segment length")
-        seg = blob[i + 2:i + seg_len]
+    for marker, seg, end_pos in _segments(blob):
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -611,7 +594,9 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 p += 1
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
-                zz = list(seg[p:p + 64])
+                if p + 64 > len(seg):
+                    raise ValueError("truncated quantization table")
+                zz = seg[p:p + 64]
                 p += 64
                 tbl = [0] * 64
                 for k in range(64):
@@ -622,9 +607,13 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 p += 1
+                if p + 16 > len(seg):
+                    raise ValueError("truncated huffman table")
                 bits = list(seg[p:p + 16])
                 p += 16
                 cnt = sum(bits)
+                if p + cnt > len(seg):
+                    raise ValueError("truncated huffman table")
                 vals = list(seg[p:p + cnt])
                 p += cnt
                 tbl = _build_huff_decode((bits, vals))
@@ -635,26 +624,43 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     "only baseline/extended-sequential huffman frames "
                     f"are pixel-decodable (SOF{marker - 0xC0} found); "
                     "progressive/arithmetic streams need Pillow")
+            if len(seg) < 6:
+                raise ValueError("SOF segment too short")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                # reject up front (CMYK etc.) — before any scan work
+                raise ValueError(
+                    "only 1- or 3-component frames supported")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("SOF segment too short")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
+            if ncomp == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved
+                # — one block per MCU regardless of the SOF sampling
+                # factors (real encoders emit h=v=2 grayscale); using
+                # the factors here scrambled pixels (r9 review)
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = (width, height, comps)
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
             sel = {}
             for c in range(ns):
                 cs, tt = seg[1 + c * 2], seg[2 + c * 2]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            scan = (sel, i + seg_len)
+            scan = (sel, end_pos)
             break
-        i += seg_len
     if frame is None or scan is None:
         raise ValueError("no frame/scan found")
     width, height, comps = frame
@@ -671,7 +677,15 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
         if c["id"] not in sel:
             raise ValueError("component missing from scan")
-        c["dc"], c["ac"] = sel[c["id"]]
+        dc_id, ac_id = sel[c["id"]]
+        # resolve tables ONCE (r9 review: presence checks and dict
+        # lookups were re-running per MCU x component)
+        if dc_id not in huff_dc or ac_id not in huff_ac:
+            raise ValueError("missing huffman table")
+        c["dc_tbl"], c["ac_tbl"] = huff_dc[dc_id], huff_ac[ac_id]
+        c["q"] = quant.get(c["tq"])
+        if c["q"] is None:
+            raise ValueError("missing quant table")
     r = _BitReader(blob, data_pos)
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
@@ -685,21 +699,17 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     pred[c["id"]] = 0
             mcu_count += 1
             for c in comps:
-                if c["dc"] not in huff_dc or c["ac"] not in huff_ac:
-                    raise ValueError("missing huffman table")
-                q = quant.get(c["tq"])
-                if q is None:
-                    raise ValueError("missing quant table")
+                q = c["q"]
                 for vy in range(c["v"]):
                     for vx in range(c["h"]):
-                        t = _huff_decode_symbol(r, huff_dc[c["dc"]])
+                        t = _huff_decode_symbol(r, c["dc_tbl"])
                         diff = _extend(r.bits(t), t) if t else 0
                         pred[c["id"]] += diff
                         zz = [0] * 64
                         zz[0] = pred[c["id"]]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode_symbol(r, huff_ac[c["ac"]])
+                            rs = _huff_decode_symbol(r, c["ac_tbl"])
                             rr, ss = rs >> 4, rs & 0xF
                             if ss == 0:
                                 if rr == 15:

@@ -534,3 +534,34 @@ def test_resize_images_decodes_real_jpeg_pixels(spark):
     # nearest-neighbor of a horizontal gradient keeps monotone rows
     row = list(small[:10])
     assert row == sorted(row) and row[-1] > row[0]
+
+
+def test_jpeg_decoder_review_hardening():
+    """r9 review fixes: (a) single-component scans are non-interleaved
+    per T.81 A.2 — a grayscale stream whose SOF declares h=v=2 decodes
+    identically to the 1,1 form instead of scrambling; (b) truncated
+    DQT/DHT raise ValueError (the documented malformed-stream
+    contract), never IndexError; (c) restart_interval is validated up
+    front."""
+    from csvplus_spark.operators.jpegcodec import (decode_baseline_jpeg,
+                                                   encode_baseline_jpeg)
+
+    gray = bytes(((x * 7 + y * 5) % 256) for y in range(24)
+                 for x in range(24))
+    blob = encode_baseline_jpeg(24, 24, 1, gray, quality=95)
+    # patch the SOF component sampling byte 0x11 -> 0x22: locate SOF0
+    i = blob.index(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) [cid hv tq]
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert blob[hv_off] == 0x11
+    patched = blob[:hv_off] + b"\x22" + blob[hv_off + 1:]
+    assert decode_baseline_jpeg(patched) == decode_baseline_jpeg(blob)
+
+    with pytest.raises(ValueError):  # truncated DQT payload
+        decode_baseline_jpeg(b"\xff\xd8\xff\xdb\x00\x03\x00\xff\xd9")
+    with pytest.raises(ValueError):  # truncated DHT payload
+        decode_baseline_jpeg(b"\xff\xd8\xff\xc4\x00\x04\x00\x01\xff\xd9")
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_baseline_jpeg(8, 8, 1, bytes(64), restart_interval=70000)
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_baseline_jpeg(8, 8, 1, bytes(64), restart_interval=-1)
