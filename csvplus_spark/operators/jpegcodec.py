@@ -756,3 +756,42 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             else:
                 raise ValueError("only 1- or 3-component scans supported")
     return width, height, ncomp, bytes(out)
+
+
+def apply_orientation(width: int, height: int, channels: int,
+                      pixels: bytes, orientation: int
+                      ) -> tuple[int, int, bytes]:
+    """Normalize pixels to upright per the EXIF orientation tag →
+    (width, height, pixels). The eight CIPA DC-008 values: 1 identity,
+    2 flip-H, 3 rotate-180, 4 flip-V, 5 transpose, 6 rotate-90-CW,
+    7 transverse, 8 rotate-270-CW; 5-8 swap the output dimensions.
+    Pure index remapping — exact, no resampling."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1-8")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if orientation == 1:
+        return width, height, pixels
+    swap = orientation >= 5
+    ow, oh = (height, width) if swap else (width, height)
+    out = bytearray(len(pixels))
+    for oy in range(oh):
+        for ox in range(ow):
+            if orientation == 2:      # flip H
+                sx, sy = width - 1 - ox, oy
+            elif orientation == 3:    # rotate 180
+                sx, sy = width - 1 - ox, height - 1 - oy
+            elif orientation == 4:    # flip V
+                sx, sy = ox, height - 1 - oy
+            elif orientation == 5:    # transpose
+                sx, sy = oy, ox
+            elif orientation == 6:    # rotate 90 CW: top row = left col
+                sx, sy = oy, height - 1 - ox
+            elif orientation == 7:    # transverse
+                sx, sy = width - 1 - oy, height - 1 - ox
+            else:                     # 8: rotate 270 CW
+                sx, sy = width - 1 - oy, ox
+            so = (sy * width + sx) * channels
+            do = (oy * ow + ox) * channels
+            out[do:do + channels] = pixels[so:so + channels]
+    return ow, oh, bytes(out)

@@ -294,11 +294,17 @@ def resize_stub(width: int = 64, height: int = 64,
                     if done is None:
                         from . import jpegcodec
                         if jpegcodec.is_jpeg(blob):
-                            # r9: full baseline pixel decode — resample
-                            # and re-encode without Pillow (progressive
+                            # r9: full baseline pixel decode — auto-
+                            # orient per the EXIF tag (cameras store
+                            # sensor-native pixels + the tag; resizing
+                            # without applying it mis-crops), resample,
+                            # re-encode without Pillow (progressive
                             # frames still raise ValueError below)
                             w0, h0, ch, px = \
                                 jpegcodec.decode_baseline_jpeg(blob)
+                            w0, h0, px = jpegcodec.apply_orientation(
+                                w0, h0, ch, px,
+                                jpegcodec.jpeg_orientation(blob))
                             done = jpegcodec.encode_baseline_jpeg(
                                 width, height, ch,
                                 pngcodec.resize_nearest(

@@ -565,3 +565,66 @@ def test_jpeg_decoder_review_hardening():
         encode_baseline_jpeg(8, 8, 1, bytes(64), restart_interval=70000)
     with pytest.raises(ValueError, match="restart_interval"):
         encode_baseline_jpeg(8, 8, 1, bytes(64), restart_interval=-1)
+
+
+def test_apply_orientation_group_properties():
+    """EXIF orientation normalization: exact index remapping with the
+    right group structure — flips and rotate-180 are involutions,
+    rotate-90 four times is the identity, transpose twice is the
+    identity, and every orientation is a bijection on pixels."""
+    from csvplus_spark.operators.jpegcodec import apply_orientation
+
+    w, h, ch = 5, 3, 3
+    px = bytes((y * w + x) * 3 + c + 1 & 0xFF
+               for y in range(h) for x in range(w) for c in range(ch))
+
+    def ap(o, www, hhh, p):
+        return apply_orientation(www, hhh, ch, p, o)
+
+    for o in (2, 3, 4, 5, 7):  # involutions
+        w2, h2, p2 = ap(o, w, h, px)
+        w3, h3, p3 = ap(o, w2, h2, p2)
+        assert (w3, h3, p3) == (w, h, px), o
+    # rotate 90 CW x4 = identity; x2 = rotate 180
+    cur = (w, h, px)
+    for _ in range(4):
+        cur = ap(6, *cur)
+    assert cur == (w, h, px)
+    r90 = ap(6, w, h, px)
+    r180_via_90 = ap(6, *r90)
+    assert r180_via_90 == ap(3, w, h, px)
+    # 8 is the inverse of 6
+    assert ap(8, *ap(6, w, h, px)) == (w, h, px)
+    # bijection: multiset of pixel triples is preserved
+    for o in range(1, 9):
+        _, _, p2 = ap(o, w, h, px)
+        assert sorted(p2) == sorted(px), o
+    with pytest.raises(ValueError):
+        apply_orientation(w, h, ch, px, 9)
+
+
+def test_resize_auto_orients_exif_jpegs(spark):
+    """A camera-style JPEG (landscape sensor pixels + orientation=6)
+    must resize from the UPRIGHT geometry: a horizontal gradient in
+    sensor space becomes a vertical gradient after auto-orient."""
+    from csvplus_spark.operators.jpegcodec import (_exif_app1,
+                                                   decode_baseline_jpeg,
+                                                   encode_baseline_jpeg)
+    from csvplus_spark.operators.multimodal import resize_images
+
+    w, h = 24, 8  # sensor-native landscape
+    px = bytes(min(255, 10 * x) for y in range(h) for x in range(w))
+    blob = encode_baseline_jpeg(w, h, 1, px, quality=95)
+    # splice the EXIF APP1 (orientation 6 = rotate 90 CW to display)
+    blob = blob[:2] + _exif_app1(6) + blob[2:]
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, data binary")
+    out = resize_images(df, 4, 12, real_codec=True).collect()[0]
+    w2, h2, c2, small = decode_baseline_jpeg(bytes(out["data"]))
+    assert (w2, h2, c2) == (4, 12, 1)
+    # upright image = rotated gradient: now varies down the COLUMN and
+    # is ~constant across each row
+    col = [small[y * 4] for y in range(12)]
+    row = list(small[:4])
+    assert max(col) - min(col) > 100       # strong vertical variation
+    assert max(row) - min(row) < 30, row   # near-flat horizontally
