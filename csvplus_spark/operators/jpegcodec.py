@@ -415,6 +415,64 @@ def _magnitude(v: int):
     return size, code
 
 
+def _subsampled_planes(width: int, height: int, channels: int,
+                       pixels: bytes, subsampling: str):
+    """Shared encoder front half: RGB→YCbCr (or gray), optional 4:2:0
+    chroma box-averaging. Returns (hv, sizes, splanes) — per-component
+    sampling factors, subsampled dims, and float sample planes.
+    Extracted verbatim from the baseline encoder (r10) so the
+    progressive encoder quantizes IDENTICAL coefficients."""
+    if channels == 1:
+        planes = [[float(p) for p in pixels]]
+    else:
+        y, cb, cr = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            y.append(0.299 * r + 0.587 * g + 0.114 * b)
+            cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+            cr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+        planes = [y, cb, cr]
+    sub2 = channels == 3 and subsampling == "420"
+    hv = [(2, 2), (1, 1), (1, 1)][:channels] if sub2 \
+        else [(1, 1)] * channels
+    sizes, splanes = [], []
+    for ci in range(channels):
+        if sub2 and ci > 0:  # 2x2 box-average chroma
+            cw, chh = (width + 1) // 2, (height + 1) // 2
+            src = planes[ci]
+            out = []
+            for sy in range(chh):
+                for sx in range(cw):
+                    acc, cnt = 0.0, 0
+                    for dy in range(2):
+                        for dx in range(2):
+                            px_, py_ = sx * 2 + dx, sy * 2 + dy
+                            if px_ < width and py_ < height:
+                                acc += src[py_ * width + px_]
+                                cnt += 1
+                    out.append(acc / cnt)
+            sizes.append((cw, chh))
+            splanes.append(out)
+        else:
+            sizes.append((width, height))
+            splanes.append(planes[ci])
+    return hv, sizes, splanes
+
+
+def _block_qz(plane, cw: int, chh: int, bx0: int, by0: int, q) -> list:
+    """One 8x8 block: edge-replicate pad, FDCT, quantize — the
+    zigzag-ordered integer coefficients (baseline encoder's inner
+    math, shared with the progressive encoder)."""
+    block = []
+    for yy in range(8):
+        sy = min(by0 + yy, chh - 1)
+        for xx in range(8):
+            sx = min(bx0 + xx, cw - 1)  # edge-replicate pad
+            block.append(plane[sy * cw + sx] - 128.0)
+    coef = _fdct8x8(block)
+    return [int(round(coef[ZIGZAG[k]] / q[ZIGZAG[k]])) for k in range(64)]
+
+
 def encode_baseline_jpeg(width: int, height: int, channels: int,
                          pixels: bytes, quality: int = 90,
                          restart_interval: int = 0,
@@ -439,42 +497,8 @@ def encode_baseline_jpeg(width: int, height: int, channels: int,
         raise ValueError("restart_interval must be 0-65535")
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
-    # planar full-resolution samples (YCbCr or just Y)
-    if channels == 1:
-        planes = [[float(p) for p in pixels]]
-    else:
-        y, cb, cr = [], [], []
-        for i in range(0, len(pixels), 3):
-            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
-            y.append(0.299 * r + 0.587 * g + 0.114 * b)
-            cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
-            cr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
-        planes = [y, cb, cr]
-    sub2 = channels == 3 and subsampling == "420"
-    # per-component sampling factors + (possibly subsampled) planes
-    hv = [(2, 2), (1, 1), (1, 1)][:channels] if sub2 \
-        else [(1, 1)] * channels
-    sizes, splanes = [], []
-    for ci in range(channels):
-        if sub2 and ci > 0:  # 2x2 box-average chroma
-            cw, chh = (width + 1) // 2, (height + 1) // 2
-            src = planes[ci]
-            out = []
-            for sy in range(chh):
-                for sx in range(cw):
-                    acc, cnt = 0.0, 0
-                    for dy in range(2):
-                        for dx in range(2):
-                            px_, py_ = sx * 2 + dx, sy * 2 + dy
-                            if px_ < width and py_ < height:
-                                acc += src[py_ * width + px_]
-                                cnt += 1
-                    out.append(acc / cnt)
-            sizes.append((cw, chh))
-            splanes.append(out)
-        else:
-            sizes.append((width, height))
-            splanes.append(planes[ci])
+    hv, sizes, splanes = _subsampled_planes(
+        width, height, channels, pixels, subsampling)
     quants = [ql] + [qc] * (channels - 1)
     dc_enc = [_build_huff_encode(HUFF_DC_LUMA)] + \
         [_build_huff_encode(HUFF_DC_CHROMA)] * (channels - 1)
@@ -490,17 +514,8 @@ def encode_baseline_jpeg(width: int, height: int, channels: int,
     mcu = 0
 
     def encode_block(ci: int, bx0: int, by0: int) -> None:
-        plane, q = splanes[ci], quants[ci]
         cw, chh = sizes[ci]
-        block = []
-        for yy in range(8):
-            sy = min(by0 + yy, chh - 1)
-            for xx in range(8):
-                sx = min(bx0 + xx, cw - 1)  # edge-replicate pad
-                block.append(plane[sy * cw + sx] - 128.0)
-        coef = _fdct8x8(block)
-        qz = [int(round(coef[ZIGZAG[k]] / q[ZIGZAG[k]]))
-              for k in range(64)]
+        qz = _block_qz(splanes[ci], cw, chh, bx0, by0, quants[ci])
         diff = qz[0] - pred[ci]
         pred[ci] = qz[0]
         size, code = _magnitude(diff)
@@ -732,7 +747,15 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                             base = (by0 + yy) * row_w + bx0
                             for xx in range(8):
                                 c["plane"][base + xx] = px[yy * 8 + xx]
-    # upsample + color-convert to the output buffer
+    return width, height, len(comps), _assemble_pixels(
+        width, height, comps, hmax, vmax)
+
+
+def _assemble_pixels(width: int, height: int, comps, hmax: int,
+                     vmax: int) -> bytes:
+    """Upsample + color-convert decoded component planes (``c["plane"]``
+    level-shifted floats on a ``c["bw"]*8``-wide grid) to interleaved
+    8-bit output — shared by the baseline and progressive decoders."""
     ncomp = len(comps)
     out = bytearray(width * height * ncomp)
     for yy in range(height):
@@ -755,7 +778,699 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     out[o + j] = max(0, min(255, int(round(v))))
             else:
                 raise ValueError("only 1- or 3-component scans supported")
-    return width, height, ncomp, bytes(out)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------
+# Progressive-DCT codec (r10): spectral-selection + successive-
+# approximation scan accumulation per ITU-T T.81 Annex G.2, pure
+# Python — closes the "progressive needs Pillow" gate. Scans carry
+# OPTIMIZED huffman tables (T.81 K.2 two-pass construction): the
+# Annex K tables define no EOBn (n>=1) codes, so real progressive
+# streams — including ours — always ship custom DHT segments.
+# Arithmetic (SOF10/14) and 12-bit stay honestly gated.
+
+def _optimal_huff_spec(freq: list) -> tuple:
+    """(BITS, HUFFVAL) for the given 256-entry symbol frequency table —
+    the T.81 K.2 code-length algorithm with the 16-bit depth limit and
+    the reserved all-ones code (freq[256]=1 sentinel), the same
+    construction every optimizing JPEG encoder uses."""
+    freq = list(freq) + [1]  # reserve one code point (no all-1s code)
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        m1 = m2 = None
+        for i in range(257):  # two least-frequent; ties → larger value
+            f = freq[i]
+            if f <= 0:
+                continue
+            if m1 is None or f <= m1:
+                m2, v2 = m1, v1
+                m1, v1 = f, i
+            elif m2 is None or f <= m2:
+                m2, v2 = f, i
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # depth-limit to 16 (K.2 figure K.3): move a symbol pair up
+    for length in range(32, 16, -1):
+        while bits[length] > 0:
+            j = length - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[length] -= 2
+            bits[length - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    # drop the reserved code point from the longest used length
+    for length in range(16, 0, -1):
+        if bits[length]:
+            bits[length] -= 1
+            break
+    huffval = [i for length in range(1, 17) for i in range(256)
+               if codesize[i] == length]
+    return bits[1:17], huffval
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (T.81 G.1.2.2 — divide
+    toward zero, NOT arithmetic shift)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+#: default progressive scan scripts: (comp_indices, Ss, Se, Ah, Al) —
+#: the libjpeg-style recipe exercising spectral selection, successive
+#: approximation, DC refinement, AC refinement, and EOB runs
+_PROG_SCRIPT_RGB = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+#: spectral-selection-only variant (no successive approximation)
+_PROG_SCRIPT_SPECTRAL = [
+    ((0, 1, 2), 0, 0, 0, 0),
+    ((0,), 1, 63, 0, 0),
+    ((1,), 1, 63, 0, 0),
+    ((2,), 1, 63, 0, 0),
+]
+_PROG_SCRIPT_SPECTRAL_GRAY = [
+    ((0,), 0, 0, 0, 0),
+    ((0,), 1, 63, 0, 0),
+]
+
+
+class _ScanEmitter:
+    """Two-pass scan writer: pass 1 counts huffman symbols (extra bits
+    discarded), pass 2 emits real bits with the optimized tables built
+    between passes. One instance per (scan, pass)."""
+
+    def __init__(self, n_tables: int):
+        self.counting = True
+        self.freq = [[0] * 256 for _ in range(n_tables)]
+        self.enc: list = []
+        self.wr = _BitWriter()
+        self.eobrun = 0
+        self.eob_bits: list = []
+
+    def symbol(self, t: int, s: int) -> None:
+        if self.counting:
+            self.freq[t][s] += 1
+        else:
+            code, length = self.enc[t][s]
+            self.wr.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n and not self.counting:
+            self.wr.write(v, n)
+
+    def bit(self, b: int) -> None:
+        if not self.counting:
+            self.wr.write(b, 1)
+
+    def emit_eobrun(self, t: int) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.symbol(t, nbits << 4)
+            self.bits(self.eobrun & ((1 << nbits) - 1), nbits)
+            for b in self.eob_bits:
+                self.bit(b)
+            self.eob_bits = []
+            self.eobrun = 0
+
+
+def _prog_scan_mcus(scomps, mcux, mcuy, hmax, vmax, width, height):
+    """MCU visit order for one scan: yields one LIST of (comp, block
+    index) per MCU — interleaved MCU order when the scan has several
+    components (full padded grid), one block per MCU in raster order
+    over the component's OWN block span when non-interleaved (T.81
+    A.2.2 — padding blocks beyond ceil(cw/8) are NOT coded). Restart
+    boundaries fall between yields."""
+    if len(scomps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                yield [(c, (my * c["v"] + vy) * c["bw"] + mx * c["h"] + vx)
+                       for c in scomps
+                       for vy in range(c["v"])
+                       for vx in range(c["h"])]
+    else:
+        c = scomps[0]
+        cw = (width * c["h"] + hmax - 1) // hmax
+        chh = (height * c["v"] + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (chh + 7) // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                yield [(c, by * c["bw"] + bx)]
+
+
+def encode_progressive_jpeg(width: int, height: int, channels: int,
+                            pixels: bytes, quality: int = 90,
+                            subsampling: str = "444",
+                            script: list | None = None,
+                            restart_interval: int = 0) -> bytes:
+    """Encode raw pixels as a PROGRESSIVE (SOF2) JFIF JPEG. Quantizes
+    the exact same coefficients as :func:`encode_baseline_jpeg` (shared
+    `_subsampled_planes`/`_block_qz`), split across the given scan
+    ``script`` (``(comp_indices, Ss, Se, Ah, Al)`` tuples; default is
+    the full successive-approximation recipe). Each scan ships its own
+    OPTIMIZED huffman tables — decode output is bit-identical to the
+    baseline encoding's decode, which is the codec's self-check."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("width/height out of JPEG range")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be 0-65535")
+    if script is None:
+        script = _PROG_SCRIPT_RGB if channels == 3 else _PROG_SCRIPT_GRAY
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    hv, sizes, splanes = _subsampled_planes(
+        width, height, channels, pixels, subsampling)
+    quants = [ql] + [qc] * (channels - 1)
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for ci in range(channels):
+        h, v = hv[ci]
+        bw, bh = mcux * h, mcuy * v
+        cw, chh = sizes[ci]
+        blocks = [_block_qz(splanes[ci], cw, chh, bx * 8, by * 8,
+                            quants[ci])
+                  for by in range(bh) for bx in range(bw)]
+        comps.append({"id": ci + 1, "h": h, "v": v, "bw": bw, "bh": bh,
+                      "ci": ci, "blocks": blocks})
+
+    out = [b"\xff\xd8", _JFIF_APP0]
+    for tid, q in ([(0, ql)] if channels == 1 else [(0, ql), (1, qc)]):
+        body = bytes([tid]) + bytes(q[ZIGZAG[k]] for k in range(64))
+        out.append(b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body)
+    csof = b"".join(bytes([c + 1, (hv[c][0] << 4) | hv[c][1],
+                           0 if c == 0 else 1])
+                    for c in range(channels))
+    sof = struct.pack(">BHHB", 8, height, width, channels) + csof
+    out.append(b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof)
+    if restart_interval:
+        out.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+
+    for comp_idx, ss, se, ah, al in script:
+        scomps = [comps[i] for i in comp_idx]
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if not is_dc and len(scomps) != 1:
+            raise ValueError("AC scans are single-component (T.81 G.2)")
+        # table slots: DC scans — one table per component (slot = pos
+        # in scan); AC scans — one table, slot 0. DC REFINEMENT needs
+        # no entropy table at all (raw bits).
+        needs_tables = not (is_dc and ah > 0)
+        n_tables = len(scomps) if is_dc else 1
+
+        def run_scan(em: "_ScanEmitter") -> None:
+            pred = {c["id"]: 0 for c in scomps}
+            unit = 0
+            rst = 0
+            for c, bidx in _prog_scan_blocks(
+                    comps, scomps, mcux, mcuy, hmax, vmax, width, height):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0
+                        and (len(scomps) == 1 or bidx == 0)):
+                    # boundary applies per MCU: for interleaved scans
+                    # only at the start of an MCU (bidx==0 marks comp0
+                    # block0 — see counter below), handled via unit
+                    pass
+                blk = c["blocks"][bidx]
+                t = scomps.index(c) if is_dc else 0
+                if is_dc and ah == 0:
+                    v = blk[0] >> al
+                    diff = v - pred[c["id"]]
+                    pred[c["id"]] = v
+                    size, code = _magnitude(diff)
+                    em.symbol(t, size)
+                    em.bits(code, size)
+                elif is_dc:
+                    em.bit((blk[0] >> al) & 1)
+                elif ah == 0:
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = _pt_ac(blk[k], al)
+                        if v == 0:
+                            r += 1
+                            continue
+                        em.emit_eobrun(t)
+                        while r > 15:
+                            em.symbol(t, 0xF0)
+                            r -= 16
+                        size, code = _magnitude(v)
+                        em.symbol(t, (r << 4) | size)
+                        em.bits(code, size)
+                        r = 0
+                    if r:
+                        em.eobrun += 1
+                        if em.eobrun == 0x7FFF:
+                            em.emit_eobrun(t)
+                else:
+                    absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                    eob = 0  # band-relative index AFTER last new coef
+                    for i, a in enumerate(absv):
+                        if a == 1:
+                            eob = i + 1
+                    r = 0
+                    br: list = []
+                    for i, a in enumerate(absv):
+                        if a == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i < eob:
+                            em.emit_eobrun(t)
+                            em.symbol(t, 0xF0)
+                            r -= 16
+                            for b in br:
+                                em.bit(b)
+                            br = []
+                        if a > 1:  # already significant: correction bit
+                            br.append(a & 1)
+                            continue
+                        em.emit_eobrun(t)
+                        em.symbol(t, (r << 4) | 1)
+                        em.bit(0 if blk[ss + i] < 0 else 1)
+                        for b in br:
+                            em.bit(b)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        em.eobrun += 1
+                        em.eob_bits.extend(br)
+                        if em.eobrun == 0x7FFF:
+                            em.emit_eobrun(t)
+                unit += 1
+            if not is_dc or ah == 0:
+                em.emit_eobrun(0)
+
+        em = _ScanEmitter(n_tables)
+        if needs_tables:
+            run_scan(em)  # pass 1: frequencies only
+            specs = [_optimal_huff_spec(f) for f in em.freq]
+            em.counting = False
+            em.enc = [_build_huff_encode(s) for s in specs]
+            cls = 0x00 if is_dc else 0x10
+            for tid, (bits, vals) in enumerate(specs):
+                body = bytes([cls | tid]) + bytes(bits) + bytes(vals)
+                out.append(b"\xff\xc4"
+                           + struct.pack(">H", len(body) + 2) + body)
+        else:
+            em.counting = False
+        run_scan(em)
+        em.wr.flush()
+        sos = bytes([len(scomps)]) + b"".join(
+            bytes([c["id"],
+                   ((scomps.index(c) if is_dc else 0) << 4)
+                   | (0 if is_dc else scomps.index(c) if False else 0)])
+            for c in scomps) + bytes([ss, se, (ah << 4) | al])
+        # Td = per-scan slot for DC scans, Ta = 0 for AC scans (single
+        # component, table slot 0); unused selector left 0
+        sos = bytearray(sos)
+        for pos, c in enumerate(scomps):
+            td = pos if (is_dc and ah == 0) else 0
+            ta = 0
+            sos[2 + 2 * pos] = (td << 4) | ta
+        out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2)
+                   + bytes(sos))
+        out.append(bytes(em.wr.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def decode_progressive_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode of a progressive (SOF2, huffman) JPEG →
+    (width, height, channels, pixels): every scan's spectral-selection
+    band and successive-approximation bits accumulate into per-block
+    coefficient arrays (T.81 G.2), then one dequantize + IDCT +
+    upsample pass produces pixels. Supports interleaved DC scans,
+    EOB runs, AC refinement correction bits, restart intervals, and
+    between-scan DHT redefinition. Raises ValueError on arithmetic /
+    12-bit / hierarchical frames (honest gate) and malformed streams."""
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    n = len(blob)
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame = None
+    restart = 0
+    comps: list = []
+    hmax = vmax = mcux = mcuy = 0
+    width = height = 0
+    i = 2
+    while i < n:
+        if blob[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i < n and blob[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = blob[i]
+        i += 1
+        if marker == 0xD9:
+            break
+        if marker in _STANDALONE:
+            continue
+        if i + 2 > n:
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("bad segment length")
+        seg = blob[i + 2:i + seg_len]
+        data_pos = i + seg_len
+        if marker == 0xDB:
+            _parse_dqt(seg, quant)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker in _SOF_MARKERS:
+            if marker != 0xC2:
+                raise ValueError(
+                    "decode_progressive_jpeg handles huffman SOF2 "
+                    f"frames only (SOF{marker - 0xC0} found); "
+                    "arithmetic/differential streams stay gated")
+            if frame is not None:
+                raise ValueError("multiple SOF frames")
+            if len(seg) < 6:
+                raise ValueError("SOF segment too short")
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("SOF segment too short")
+            for c in range(ncomp):
+                cid, hvb, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hvb >> 4, "v": hvb & 0xF,
+                              "tq": tq})
+            if ncomp == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2
+                       for c in comps):
+                raise ValueError("sampling factors beyond 2 unsupported")
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["cz"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
+            frame = True
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF (no frame header)")
+            if not seg or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("truncated SOS segment")
+            ns = seg[0]
+            scomps, tsel = [], {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                cc = next((x for x in comps if x["id"] == cs), None)
+                if cc is None:
+                    raise ValueError("scan component not in frame")
+                scomps.append(cc)
+                tsel[cs] = (tt >> 4, tt & 0xF)
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            i = _decode_prog_scan(
+                blob, data_pos, scomps, tsel, ss, se, ah, al,
+                huff_dc, huff_ac, restart, mcux, mcuy, hmax, vmax,
+                width, height)
+            continue
+        i += seg_len
+    if frame is None:
+        raise ValueError("no frame/scan found")
+    # dequantize + IDCT every block into the sample planes
+    for c in comps:
+        q = quant.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
+        row_w = c["bw"] * 8
+        for bidx, zz in enumerate(c["cz"]):
+            coef = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[ZIGZAG[k]] = zz[k] * q[ZIGZAG[k]]
+            px = _idct8x8(coef)
+            by0 = (bidx // c["bw"]) * 8
+            bx0 = (bidx % c["bw"]) * 8
+            for yy in range(8):
+                base = (by0 + yy) * row_w + bx0
+                for xx in range(8):
+                    c["plane"][base + xx] = px[yy * 8 + xx]
+    return width, height, len(comps), _assemble_pixels(
+        width, height, comps, hmax, vmax)
+
+
+def _decode_prog_scan(blob: bytes, pos: int, scomps, tsel, ss, se,
+                      ah, al, huff_dc, huff_ac, restart, mcux, mcuy,
+                      hmax, vmax, width, height) -> int:
+    """Decode one progressive scan's entropy data, accumulating into
+    each component's ``cz`` zigzag coefficient blocks; returns the
+    offset of the next marker."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if not is_dc and (len(scomps) != 1 or not 1 <= ss <= se <= 63):
+        raise ValueError("invalid AC scan parameters")
+    for c in scomps:
+        td, ta = tsel[c["id"]]
+        if is_dc and ah == 0:
+            if td not in huff_dc:
+                raise ValueError("missing huffman table")
+            c["dc_tbl"] = huff_dc[td]
+        if not is_dc:
+            if ta not in huff_ac:
+                raise ValueError("missing huffman table")
+            c["ac_tbl"] = huff_ac[ta]
+    r = _BitReader(blob, pos)
+    pred = {c["id"]: 0 for c in scomps}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0          # MCU counter for restart boundaries
+    rst_idx = 0
+    interleaved = len(scomps) > 1
+
+    def dc_first(blk, c) -> None:
+        t = _huff_decode_symbol(r, c["dc_tbl"])
+        diff = _extend(r.bits(t), t) if t else 0
+        pred[c["id"]] += diff
+        blk[0] = pred[c["id"]] << al
+
+    def dc_refine(blk) -> None:
+        if r.bit():
+            blk[0] |= p1
+
+    def ac_first(blk, c) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode_symbol(r, c["ac_tbl"])
+            rr, sbits = rs >> 4, rs & 0xF
+            if sbits == 0:
+                if rr < 15:
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                k += 16
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(r.bits(sbits), sbits) << al
+            k += 1
+
+    def ac_refine(blk, c) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode_symbol(r, c["ac_tbl"])
+                rr, sbits = rs >> 4, rs & 0xF
+                val = 0
+                if sbits == 0:
+                    if rr < 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break  # EOB-run covers the rest of this band
+                    # rr == 15: ZRL — pass 16 zero-history coefs
+                else:
+                    if sbits != 1:
+                        raise ValueError(
+                            "AC refinement scan with |coef| > 1")
+                    val = p1 if r.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        rr -= 1
+                        if rr < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def do_block(c, bidx) -> None:
+        blk = c["cz"][bidx]
+        if is_dc and ah == 0:
+            dc_first(blk, c)
+        elif is_dc:
+            dc_refine(blk)
+        elif ah == 0:
+            ac_first(blk, c)
+        else:
+            ac_refine(blk, c)
+
+    if interleaved:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and unit and unit % restart == 0:
+                    eobrun = 0
+                    r.align_restart(rst_idx)
+                    rst_idx += 1
+                    for c in scomps:
+                        pred[c["id"]] = 0
+                unit += 1
+                for c in scomps:
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            do_block(c, (my * c["v"] + vy) * c["bw"]
+                                     + mx * c["h"] + vx)
+    else:
+        c = scomps[0]
+        cw = (width * c["h"] + hmax - 1) // hmax
+        chh = (height * c["v"] + vmax - 1) // vmax
+        nbx, nby = (cw + 7) // 8, (chh + 7) // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and unit and unit % restart == 0:
+                    eobrun = 0
+                    r.align_restart(rst_idx)
+                    rst_idx += 1
+                    pred[c["id"]] = 0
+                unit += 1
+                do_block(c, by * c["bw"] + bx)
+    # skip to the next true marker (not stuffing, not RSTn)
+    p = r.pos
+    while p + 1 < len(blob):
+        if (blob[p] == 0xFF and blob[p + 1] != 0x00
+                and not 0xD0 <= blob[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(blob)
+
+
+def _parse_dqt(seg: bytes, quant: dict) -> None:
+    """DQT payload → natural-order 8-bit tables (shared parser)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        p += 1
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        if p + 64 > len(seg):
+            raise ValueError("truncated quantization table")
+        zz = seg[p:p + 64]
+        p += 64
+        tbl = [0] * 64
+        for k in range(64):
+            tbl[ZIGZAG[k]] = zz[k]
+        quant[tq] = tbl
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT payload → decode tables (shared parser; progressive streams
+    legally redefine table slots between scans)."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0xF
+        p += 1
+        if p + 16 > len(seg):
+            raise ValueError("truncated huffman table")
+        bits = list(seg[p:p + 16])
+        p += 16
+        cnt = sum(bits)
+        if p + cnt > len(seg):
+            raise ValueError("truncated huffman table")
+        vals = list(seg[p:p + cnt])
+        p += cnt
+        tbl = _build_huff_decode((bits, vals))
+        (huff_dc if tc == 0 else huff_ac)[th] = tbl
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Pixel-decode dispatcher: baseline/extended-sequential frames →
+    :func:`decode_baseline_jpeg`, progressive huffman (SOF2) →
+    :func:`decode_progressive_jpeg`. Arithmetic / 12-bit / lossless /
+    hierarchical frames raise ValueError (the remaining honest gate)."""
+    for marker, _seg, _end in _segments(blob if is_jpeg(blob)
+                                        else b"\xff\xd8"):
+        if marker in _SOF_MARKERS:
+            if marker == 0xC2:
+                return decode_progressive_jpeg(blob)
+            return decode_baseline_jpeg(blob)
+        if marker == 0xDA:
+            break
+    raise ValueError("no SOF frame header found")
 
 
 def apply_orientation(width: int, height: int, channels: int,

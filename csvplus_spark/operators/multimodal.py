@@ -276,10 +276,28 @@ def resize_stub(width: int = 64, height: int = 64,
                         # PIL's decompression-bomb guard) must not fail
                         # just because Pillow is installed
                         try:
+                            from PIL import ImageOps
+
                             with Image.open(io.BytesIO(blob)) as im:
+                                # r10 ADVICE: auto-orient here too —
+                                # otherwise the same blob comes out
+                                # rotated differently depending on
+                                # whether Pillow is importable on the
+                                # executor (the pure-Python JPEG branch
+                                # below applies the EXIF tag)
+                                fmt = im.format
+                                im = ImageOps.exif_transpose(im)
                                 buf = io.BytesIO()
-                                im.resize((width, height)).save(
-                                    buf, format="PNG")
+                                if fmt == "JPEG":
+                                    # match the built-in branch's
+                                    # output format, environment-
+                                    # independent results
+                                    im.convert("RGB").resize(
+                                        (width, height)).save(
+                                        buf, format="JPEG")
+                                else:
+                                    im.resize((width, height)).save(
+                                        buf, format="PNG")
                                 done = buf.getvalue()
                         except Exception:
                             done = None

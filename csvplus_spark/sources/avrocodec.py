@@ -238,10 +238,19 @@ def decode_container(blob: bytes,
     on malformed input — never a silent wrong answer. ``header``
     accepts a pre-parsed :func:`parse_header` tuple so callers that
     already inspected the header don't parse it twice."""
-    schema, codec, sync, pos = header or parse_header(blob)
+    if header is None:
+        header = parse_header(blob)
+    return header[0], list(_iter_blocks(blob, header))
+
+
+def _iter_blocks(blob: bytes, header: tuple) -> Iterator[dict]:
+    """Record stream over an OCF blob — decompresses and decodes ONE
+    data block at a time, yielding records as they materialize, so a
+    lazy consumer never holds more than a block's worth of decoded
+    rows (plus the raw blob) in memory."""
+    schema, codec, sync, pos = header
     names: dict[str, Any] = {}
     _collect_names(schema, names)
-    out: list[dict] = []
     r = _Reader(blob, pos)
     while r.pos < len(blob):
         n_obj = r.long()
@@ -250,10 +259,9 @@ def decode_container(blob: bytes,
             raise AvroError("sync marker mismatch (corrupt block)")
         br = _Reader(block)
         for _ in range(n_obj):
-            out.append(_decode_value(schema, br, names))
+            yield _decode_value(schema, br, names)
         if br.pos != len(block):
             raise AvroError("trailing bytes in data block")
-    return schema, out
 
 
 # ------------------------------------------------- schema -> Spark type
@@ -540,6 +548,10 @@ def encode_container(schema: dict | str, records: list[dict],
 def iter_container_records(blob: bytes,
                            header: tuple | None = None) -> Iterator[dict]:
     """Generator form of decode_container's record stream (executor-
-    side use: one file's blocks decode lazily per partition)."""
-    _schema, records = decode_container(blob, header=header)
-    yield from records
+    side use: one file's blocks decode lazily per partition). True
+    per-block laziness (r10 ADVICE): each data block is decompressed
+    and decoded only as the consumer reaches it — a huge container
+    file never materializes all records at once on the executor."""
+    if header is None:
+        header = parse_header(blob)
+    yield from _iter_blocks(blob, header)

@@ -261,6 +261,28 @@ def foreach_batch_drift(stream: DataFrame, reference: DataFrame,
     return writer.start()
 
 
+def _same_checkpoint(spark, stored: str | None, raw_ck: str,
+                     qualified_ck: str) -> bool:
+    """Does a stored ``applied_ck`` marker denote the caller's
+    checkpoint? Compares every available spelling pair — the raw
+    stored string and (when loadable) its qualified form against both
+    the caller's raw spelling and the pre-qualified ``qualified_ck``.
+
+    The raw-vs-raw leg matters (r10 ADVICE): a marker written by a
+    host that could qualify an ``s3a://`` checkpoint, read back on a
+    host without those jars, fails qualification — comparing the raw
+    stored string against only the qualified current form then
+    spuriously mismatches, and a replayed batch re-merges: the exact
+    double-count the marker exists to prevent."""
+    if stored is None:
+        return False
+    try:
+        stored_q = _Fs(spark, stored).qualify(stored)
+    except Exception:
+        stored_q = None
+    return bool(({stored, stored_q} - {None}) & {raw_ck, qualified_ck})
+
+
 def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
                       term_col: str = "term", d: int = 4, w: int = 1024,
                       trigger_available_now: bool = True):
@@ -325,15 +347,8 @@ def foreach_batch_cms(stream: DataFrame, sketch_path: str, checkpoint: str,
             # Best-effort: the stored string's scheme may not be
             # loadable here (s3a marker, local restart, no aws jars) —
             # fall back to the raw string rather than crash the stream
-            stored = head["c"]
-            stored_q = None
-            if stored is not None:
-                try:
-                    stored_q = _Fs(spark, stored).qualify(stored)
-                except Exception:
-                    stored_q = stored
-            if (head["b"] is not None and stored_q == ck
-                    and batch_id <= head["b"]):
+            same_ck = _same_checkpoint(spark, head["c"], checkpoint, ck)
+            if head["b"] is not None and same_ck and batch_id <= head["b"]:
                 return  # replayed batch — already folded in
             cur = cur.drop(MARK, CK)
         merged = mark(cms_merge(cur, inc))

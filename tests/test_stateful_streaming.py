@@ -708,6 +708,47 @@ def test_foreach_batch_cms_replay_is_idempotent(spark, tmp_path):
     assert got == want  # replay folded ZERO new counts in
 
 
+def test_cms_marker_matches_across_checkpoint_spellings(spark, tmp_path):
+    """r9 verdict item 7: the applied_ck marker must recognize the
+    same checkpoint under every spelling a restart can present —
+    relative vs absolute vs trailing slash vs doubled separator — and
+    (r10 ADVICE) when the STORED spelling's scheme cannot be qualified
+    in the current environment, the raw-string comparison must still
+    match, or a replayed batch re-merges and double-counts."""
+    import os
+
+    from csvplus_spark.streaming.sinks import _Fs, _same_checkpoint
+
+    ck_abs = str(tmp_path / "ck")
+    os.makedirs(ck_abs, exist_ok=True)
+    qualified = _Fs(spark, ck_abs).qualify(ck_abs)
+
+    rel = os.path.relpath(ck_abs, os.getcwd())
+    spellings = [ck_abs, ck_abs + "/", str(tmp_path) + "//ck", qualified,
+                 rel]
+    for stored in spellings:
+        for raw in spellings:
+            q = _Fs(spark, raw).qualify(raw)
+            assert _same_checkpoint(spark, stored, raw, q), \
+                f"stored={stored!r} should match raw={raw!r} (q={q!r})"
+
+    # a DIFFERENT checkpoint must never match under any spelling
+    other = str(tmp_path / "other_ck")
+    os.makedirs(other, exist_ok=True)
+    for stored in spellings:
+        assert not _same_checkpoint(
+            spark, stored, other, _Fs(spark, other).qualify(other))
+    assert not _same_checkpoint(spark, None, ck_abs, qualified)
+
+    # qualify-failure leg: an s3a marker written elsewhere, read on a
+    # host without the jars — qualification of the stored string
+    # raises, but the raw caller spelling is identical, so the replay
+    # guard must still hold (raw-vs-raw comparison)
+    s3 = "s3a://bucket/ck"
+    assert _same_checkpoint(spark, s3, s3, s3)
+    assert not _same_checkpoint(spark, s3, ck_abs, qualified)
+
+
 def test_foreach_batch_uniform_sample_matches_batch_topk(spark, tmp_path):
     """Streaming fixed-k uniform sample: after all files arrive, the
     state table equals the batch ORDER BY hash60(salt|key) LIMIT k over
