@@ -3351,57 +3351,71 @@ GROUP BY source
 
 
 def _jpeg_px_fixture(k: int) -> bytes:
-    """Deterministic baseline-JPEG fixture #k (16 variants spanning
-    gray/RGB, 4:4:4/4:2:0, restart intervals, non-multiple-of-8
-    geometry) — REAL scan data, encoded by the pure-Python encoder."""
-    from csvplus_spark.operators.jpegcodec import encode_baseline_jpeg
+    """Deterministic JPEG fixture #k: k<16 baseline (gray/RGB,
+    4:4:4/4:2:0, restart intervals, non-multiple-of-8 geometry);
+    k=16..23 PROGRESSIVE (r10: SOF2 spectral selection + successive
+    approximation, optimized per-scan huffman tables, one restart
+    variant) — REAL scan data, encoded by the pure-Python encoders."""
+    from csvplus_spark.operators.jpegcodec import (
+        _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
+        encode_baseline_jpeg, encode_progressive_jpeg)
 
     w = 8 * (k % 3 + 1) + (k % 5)      # 8..26, often not /8
     h = 8 * ((k // 3) % 3 + 1) + (k % 3)
     ch = 1 if k % 2 else 3
     px = bytes(((k * 13 + x * 7 + y * 5 + c * 11) % 256)
                for y in range(h) for x in range(w) for c in range(ch))
-    return encode_baseline_jpeg(
-        w, h, ch, px, quality=90,
-        restart_interval=2 if k % 5 == 0 else 0,
+    if k < 16:
+        return encode_baseline_jpeg(
+            w, h, ch, px, quality=90,
+            restart_interval=2 if k % 5 == 0 else 0,
+            subsampling="420" if k % 4 == 0 else "444")
+    script = None  # successive-approximation recipe
+    if k % 3 == 2:  # spectral-selection-only variants
+        script = _PROG_SCRIPT_SPECTRAL if ch == 3 \
+            else _PROG_SCRIPT_SPECTRAL_GRAY
+    return encode_progressive_jpeg(
+        w, h, ch, px, quality=90, script=script,
+        restart_interval=3 if k == 20 else 0,
         subsampling="420" if k % 4 == 0 else "444")
 
 
 def _jpeg_px_stats(k: int) -> tuple[int, int, int, int, int]:
     """(width, height, channels, sum_px, max_px) of the DECODED
     fixture #k — the pinned expectation both sides share."""
-    from csvplus_spark.operators.jpegcodec import decode_baseline_jpeg
+    from csvplus_spark.operators.jpegcodec import decode_jpeg
 
-    w, h, c, px = decode_baseline_jpeg(_jpeg_px_fixture(k))
+    w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
     return w, h, c, sum(px), max(px)
 
 
 def q_multimodal_jpeg_px(spark, sf_dir):
-    """FULL JPEG pixel decode through the oracle gate (r9: the last
-    multimodal env-gate closed for baseline streams): each doc maps to
-    one of 16 deterministic baseline JPEGs (gray + RGB, 4:4:4 + 4:2:0,
-    restart intervals, real huffman scan data), decoded EXECUTOR-SIDE
-    by the pure-Python huffman+IDCT decoder
-    (operators/jpegcodec.py::decode_baseline_jpeg); the oracle pins
-    the identical decode computed at SQL-build time as literals — the
+    """FULL JPEG pixel decode through the oracle gate (r9 baseline,
+    r10 progressive): each doc maps to one of 24 deterministic JPEGs
+    — 16 baseline (gray + RGB, 4:4:4 + 4:2:0, restart intervals) + 8
+    PROGRESSIVE (SOF2, spectral selection + successive approximation,
+    EOB runs, AC refinement, optimized per-scan huffman tables) —
+    decoded EXECUTOR-SIDE by the pure-Python huffman+IDCT decoders
+    (operators/jpegcodec.py::decode_jpeg); the oracle pins the
+    identical decode computed at SQL-build time as literals — the
     bpe_counts pinned-sample pattern, proving the distributed decode
     is bit-identical to the driver-side one. Codec fidelity itself
-    (bounded roundtrip error vs the source pixels) is pinned by the
-    jpegcodec unit tests."""
+    (progressive decode == baseline decode of the same coefficients)
+    is pinned by the jpegcodec unit tests."""
     docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
 
     def decode(batches):
         import pandas as pd
 
-        from csvplus_spark.operators.jpegcodec import decode_baseline_jpeg
+        from csvplus_spark.operators.jpegcodec import decode_jpeg
 
         cache: dict[int, tuple] = {}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 16
+                k = int(did) % 24
                 if k not in cache:
-                    w, h, c, px = decode_baseline_jpeg(_jpeg_px_fixture(k))
+                    w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
                     cache[k] = (w, h, c, sum(px), max(px))
                 rows.append((int(did),) + cache[k])
             yield pd.DataFrame(rows, columns=[
@@ -3417,14 +3431,14 @@ def _multimodal_jpeg_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_px_stats(k))
-                                   for k in range(16)))
+                                   for k in range(24)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 16 = p.k
+  ON d.doc_id % 24 = p.k
 """
 
 

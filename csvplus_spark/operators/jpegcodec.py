@@ -1021,86 +1021,91 @@ def encode_progressive_jpeg(width: int, height: int, channels: int,
         needs_tables = not (is_dc and ah > 0)
         n_tables = len(scomps) if is_dc else 1
 
-        def run_scan(em: "_ScanEmitter") -> None:
-            pred = {c["id"]: 0 for c in scomps}
-            unit = 0
-            rst = 0
-            for c, bidx in _prog_scan_blocks(
-                    comps, scomps, mcux, mcuy, hmax, vmax, width, height):
-                if (restart_interval and unit
-                        and unit % restart_interval == 0
-                        and (len(scomps) == 1 or bidx == 0)):
-                    # boundary applies per MCU: for interleaved scans
-                    # only at the start of an MCU (bidx==0 marks comp0
-                    # block0 — see counter below), handled via unit
-                    pass
-                blk = c["blocks"][bidx]
-                t = scomps.index(c) if is_dc else 0
-                if is_dc and ah == 0:
-                    v = blk[0] >> al
-                    diff = v - pred[c["id"]]
-                    pred[c["id"]] = v
-                    size, code = _magnitude(diff)
-                    em.symbol(t, size)
+        def encode_block(em: "_ScanEmitter", pred: dict, c, bidx) -> None:
+            blk = c["blocks"][bidx]
+            t = scomps.index(c) if is_dc else 0
+            if is_dc and ah == 0:
+                v = blk[0] >> al
+                diff = v - pred[c["id"]]
+                pred[c["id"]] = v
+                size, code = _magnitude(diff)
+                em.symbol(t, size)
+                em.bits(code, size)
+            elif is_dc:
+                em.bit((blk[0] >> al) & 1)
+            elif ah == 0:
+                r = 0
+                for k in range(ss, se + 1):
+                    v = _pt_ac(blk[k], al)
+                    if v == 0:
+                        r += 1
+                        continue
+                    em.emit_eobrun(t)
+                    while r > 15:
+                        em.symbol(t, 0xF0)
+                        r -= 16
+                    size, code = _magnitude(v)
+                    em.symbol(t, (r << 4) | size)
                     em.bits(code, size)
-                elif is_dc:
-                    em.bit((blk[0] >> al) & 1)
-                elif ah == 0:
                     r = 0
-                    for k in range(ss, se + 1):
-                        v = _pt_ac(blk[k], al)
-                        if v == 0:
-                            r += 1
-                            continue
+                if r:
+                    em.eobrun += 1
+                    if em.eobrun == 0x7FFF:
                         em.emit_eobrun(t)
-                        while r > 15:
-                            em.symbol(t, 0xF0)
-                            r -= 16
-                        size, code = _magnitude(v)
-                        em.symbol(t, (r << 4) | size)
-                        em.bits(code, size)
-                        r = 0
-                    if r:
-                        em.eobrun += 1
-                        if em.eobrun == 0x7FFF:
-                            em.emit_eobrun(t)
-                else:
-                    absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
-                    eob = 0  # band-relative index AFTER last new coef
-                    for i, a in enumerate(absv):
-                        if a == 1:
-                            eob = i + 1
-                    r = 0
-                    br: list = []
-                    for i, a in enumerate(absv):
-                        if a == 0:
-                            r += 1
-                            continue
-                        while r > 15 and i < eob:
-                            em.emit_eobrun(t)
-                            em.symbol(t, 0xF0)
-                            r -= 16
-                            for b in br:
-                                em.bit(b)
-                            br = []
-                        if a > 1:  # already significant: correction bit
-                            br.append(a & 1)
-                            continue
+            else:
+                absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                eob = 0  # band-relative index AFTER last new coef
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob = i + 1
+                r = 0
+                br: list = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
                         em.emit_eobrun(t)
-                        em.symbol(t, (r << 4) | 1)
-                        em.bit(0 if blk[ss + i] < 0 else 1)
+                        em.symbol(t, 0xF0)
+                        r -= 16
                         for b in br:
                             em.bit(b)
                         br = []
-                        r = 0
-                    if r > 0 or br:
-                        em.eobrun += 1
-                        em.eob_bits.extend(br)
-                        if em.eobrun == 0x7FFF:
-                            em.emit_eobrun(t)
+                    if a > 1:  # already significant: correction bit
+                        br.append(a & 1)
+                        continue
+                    em.emit_eobrun(t)
+                    em.symbol(t, (r << 4) | 1)
+                    em.bit(0 if blk[ss + i] < 0 else 1)
+                    for b in br:
+                        em.bit(b)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    em.eobrun += 1
+                    em.eob_bits.extend(br)
+                    if em.eobrun == 0x7FFF:
+                        em.emit_eobrun(t)
+
+        def run_scan(em: "_ScanEmitter") -> None:
+            pred = {c["id"]: 0 for c in scomps}
+            unit = 0
+            for mcu in _prog_scan_mcus(scomps, mcux, mcuy, hmax, vmax,
+                                       width, height):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    em.emit_eobrun(0)  # pending EOB run ends at RSTn
+                    if not em.counting:
+                        em.wr.flush()
+                        em.wr.buf += bytes([
+                            0xFF,
+                            0xD0 + ((unit // restart_interval - 1) & 7)])
+                    for c in scomps:
+                        pred[c["id"]] = 0
                 unit += 1
-            if not is_dc or ah == 0:
-                em.emit_eobrun(0)
+                for c, bidx in mcu:
+                    encode_block(em, pred, c, bidx)
+            em.emit_eobrun(0)
 
         em = _ScanEmitter(n_tables)
         if needs_tables:
@@ -1117,20 +1122,15 @@ def encode_progressive_jpeg(width: int, height: int, channels: int,
             em.counting = False
         run_scan(em)
         em.wr.flush()
+        # Td = per-scan table slot for DC-first scans (one optimized
+        # table per component), Ta = 0 for AC scans (single component,
+        # slot 0); DC-refinement scans use no entropy table (Td left 0)
         sos = bytes([len(scomps)]) + b"".join(
             bytes([c["id"],
-                   ((scomps.index(c) if is_dc else 0) << 4)
-                   | (0 if is_dc else scomps.index(c) if False else 0)])
-            for c in scomps) + bytes([ss, se, (ah << 4) | al])
-        # Td = per-scan slot for DC scans, Ta = 0 for AC scans (single
-        # component, table slot 0); unused selector left 0
-        sos = bytearray(sos)
-        for pos, c in enumerate(scomps):
-            td = pos if (is_dc and ah == 0) else 0
-            ta = 0
-            sos[2 + 2 * pos] = (td << 4) | ta
-        out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2)
-                   + bytes(sos))
+                   (pos if (is_dc and ah == 0) else 0) << 4])
+            for pos, c in enumerate(scomps)
+        ) + bytes([ss, se, (ah << 4) | al])
+        out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
         out.append(bytes(em.wr.buf))
     out.append(b"\xff\xd9")
     return b"".join(out)
@@ -1462,8 +1462,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     :func:`decode_baseline_jpeg`, progressive huffman (SOF2) →
     :func:`decode_progressive_jpeg`. Arithmetic / 12-bit / lossless /
     hierarchical frames raise ValueError (the remaining honest gate)."""
-    for marker, _seg, _end in _segments(blob if is_jpeg(blob)
-                                        else b"\xff\xd8"):
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    for marker, _seg, _end in _segments(blob):
         if marker in _SOF_MARKERS:
             if marker == 0xC2:
                 return decode_progressive_jpeg(blob)

@@ -3,10 +3,10 @@ columns with typed metadata (BASELINE.json north-star).
 
 Decode paths, most-real-first: Pillow when importable on the
 executors (``real_codec=True``), else the built-in pure-Python codecs
-(pngcodec.py — struct+zlib; jpegcodec.py — r9's full baseline
-huffman+IDCT pixel decode; both work in THIS container), else an
-honest NotImplementedError for blobs neither handles (progressive
-JPEG, other formats); ``real_codec=False`` keeps the deterministic
+(pngcodec.py — struct+zlib; jpegcodec.py — full huffman+IDCT pixel
+decode, baseline r9 + progressive r10; both work in THIS container), else an
+honest NotImplementedError for blobs neither handles (arithmetic /
+12-bit JPEG, other formats); ``real_codec=False`` keeps the deterministic
 fake for oracle-checkable plumbing tests.
 The Spark-side plumbing is identical across all of them:
   * schema: ``data binary`` + ``media_meta struct<...>``;
@@ -312,14 +312,15 @@ def resize_stub(width: int = 64, height: int = 64,
                     if done is None:
                         from . import jpegcodec
                         if jpegcodec.is_jpeg(blob):
-                            # r9: full baseline pixel decode — auto-
-                            # orient per the EXIF tag (cameras store
-                            # sensor-native pixels + the tag; resizing
-                            # without applying it mis-crops), resample,
-                            # re-encode without Pillow (progressive
-                            # frames still raise ValueError below)
-                            w0, h0, ch, px = \
-                                jpegcodec.decode_baseline_jpeg(blob)
+                            # r9/r10: full pixel decode — baseline AND
+                            # progressive (SOF2) via the dispatcher;
+                            # auto-orient per the EXIF tag (cameras
+                            # store sensor-native pixels + the tag;
+                            # resizing without applying it mis-crops),
+                            # resample, re-encode without Pillow
+                            # (arithmetic/12-bit frames still raise
+                            # ValueError below)
+                            w0, h0, ch, px = jpegcodec.decode_jpeg(blob)
                             w0, h0, px = jpegcodec.apply_orientation(
                                 w0, h0, ch, px,
                                 jpegcodec.jpeg_orientation(blob))
@@ -330,7 +331,7 @@ def resize_stub(width: int = 64, height: int = 64,
                     if done is None:
                         raise NotImplementedError(
                             "real_codec=True resize: the blob is not a "
-                            "PNG or baseline JPEG the built-in "
+                            "PNG or baseline/progressive JPEG the built-in "
                             "pure-Python codecs can decode" + (
                                 " and Pillow could not open it either"
                                 if have_pil else

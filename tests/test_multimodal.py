@@ -628,3 +628,102 @@ def test_resize_auto_orients_exif_jpegs(spark):
     row = list(small[:4])
     assert max(col) - min(col) > 100       # strong vertical variation
     assert max(row) - min(row) < 30, row   # near-flat horizontally
+
+
+def test_jpeg_progressive_codec_matches_baseline():
+    """r10 progressive codec: a progressive (SOF2) encoding of the same
+    quantized coefficients decodes PIXEL-IDENTICAL to the baseline
+    encoding's decode — any error in spectral-selection banding,
+    successive-approximation shifts, EOB runs, AC refinement
+    correction bits, or the optimized huffman tables breaks equality.
+    Covers gray/RGB x 4:4:4/4:2:0 x both scan scripts x restarts."""
+    from csvplus_spark.operators.jpegcodec import (
+        _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
+        decode_baseline_jpeg, decode_jpeg, decode_progressive_jpeg,
+        encode_baseline_jpeg, encode_progressive_jpeg, jpeg_info)
+
+    import random
+
+    random.seed(11)
+    for w, h, ch, sub, rst in [
+        (24, 17, 3, "444", 0),
+        (24, 17, 3, "420", 0),
+        (16, 16, 1, "444", 0),
+        (33, 9, 3, "420", 2),   # restart interval in every scan
+        (10, 26, 1, "444", 3),
+    ]:
+        px = bytes(random.randrange(256) for _ in range(w * h * ch))
+        ref = decode_baseline_jpeg(
+            encode_baseline_jpeg(w, h, ch, px, quality=90,
+                                 subsampling=sub))
+        for script in (None,
+                       _PROG_SCRIPT_SPECTRAL if ch == 3
+                       else _PROG_SCRIPT_SPECTRAL_GRAY):
+            blob = encode_progressive_jpeg(
+                w, h, ch, px, quality=90, subsampling=sub,
+                script=script, restart_interval=rst)
+            assert jpeg_info(blob) == (w, h, ch, True)
+            got = decode_progressive_jpeg(blob)
+            assert got == (w, h, ch, ref[3]), (w, h, ch, sub, rst,
+                                               script is None)
+            # the dispatcher routes by SOF marker
+            assert decode_jpeg(blob) == got
+
+    # determinism: identical inputs -> identical bytes
+    px = bytes(random.randrange(256) for _ in range(20 * 20 * 3))
+    b1 = encode_progressive_jpeg(20, 20, 3, px)
+    assert b1 == encode_progressive_jpeg(20, 20, 3, px)
+
+
+def test_jpeg_progressive_honest_gates():
+    """Progressive decoder rejects what it cannot decode — arithmetic
+    frames, truncated streams, malformed scan scripts — and the
+    baseline decoder still refuses SOF2 (routing belongs to
+    decode_jpeg)."""
+    from csvplus_spark.operators.jpegcodec import (
+        decode_baseline_jpeg, decode_jpeg, decode_progressive_jpeg,
+        encode_baseline_jpeg, encode_progressive_jpeg)
+
+    px = bytes(((x * 5 + y * 3) % 256) for y in range(16)
+               for x in range(16))
+    prog = encode_progressive_jpeg(16, 16, 1, px)
+
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        decode_baseline_jpeg(prog)
+    # arithmetic-coded progressive (SOF10 = 0xCA): honest gate
+    arith = prog.replace(b"\xff\xc2", b"\xff\xca", 1)
+    with pytest.raises(ValueError, match="arithmetic|SOF"):
+        decode_progressive_jpeg(arith)
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[:len(prog) // 3])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        decode_progressive_jpeg(b"\x00\x01")  # not a JPEG
+    # a baseline stream routed to the progressive decoder is refused
+    base = encode_baseline_jpeg(16, 16, 1, px)
+    with pytest.raises(ValueError):
+        decode_progressive_jpeg(base)
+    # malformed script: AC scan with two components
+    with pytest.raises(ValueError, match="single-component"):
+        encode_progressive_jpeg(16, 16, 3, px * 3,
+                                script=[((0, 1), 1, 63, 0, 0)])
+
+
+def test_resize_handles_progressive_jpeg(spark):
+    """real_codec resize decodes PROGRESSIVE input without Pillow (the
+    r9 gate this round closes) and re-encodes at target geometry."""
+    from csvplus_spark.operators.jpegcodec import (decode_baseline_jpeg,
+                                                   encode_progressive_jpeg)
+    from csvplus_spark.operators.multimodal import resize_images
+
+    w, h = 20, 12
+    px = bytes(min(255, max(0, 40 + x * 9)) for y in range(h)
+               for x in range(w))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_progressive_jpeg(w, h, 1, px,
+                                               quality=95)))],
+        "media_id long, data binary")
+    out = resize_images(df, 10, 6, real_codec=True).collect()[0]
+    w2, h2, c2, small = decode_baseline_jpeg(bytes(out["data"]))
+    assert (w2, h2, c2) == (10, 6, 1)
+    row = list(small[:10])
+    assert row == sorted(row) and row[-1] > row[0]
