@@ -17,8 +17,9 @@ Scope (the realistic corpus subset): records of primitives, nullable
 ``["null", T]`` unions, arrays, string-keyed maps, nested records,
 enums (as strings), fixed (as bytes), and the date /
 timestamp-millis / timestamp-micros logical types. ``null`` and
-``deflate`` block codecs are built in; ``snappy`` works when
-python-snappy is importable and raises an honest ImportError when not
+``deflate`` and ``snappy`` block codecs are built in (snappy via the
+pure-Python raw-format codec below, r10; python-snappy used when
+importable); unknown codecs raise an honest AvroError
 (the only remaining env-gate).
 
 Reference parity note: csvplus (csvplus.go) has no Avro surface; this
@@ -215,20 +216,160 @@ def parse_header(blob: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, r.pos
 
 
+def _snappy_uncompress(data: bytes) -> bytes:
+    """Raw (non-framed) snappy block decode, pure Python — the format
+    Avro OCF uses (google/snappy format_description.txt, public):
+    varint32 uncompressed length, then tagged elements — literals
+    (tag&3==0) and back-references with 1/2/4-byte little-endian
+    offsets. ~O(n) bytearray appends; OCF blocks are bounded
+    (objects_per_block), so no pathological growth."""
+    i, n = 0, len(data)
+    ulen, shift = 0, 0
+    while True:
+        if i >= n:
+            raise AvroError("snappy: truncated length varint")
+        b = data[i]
+        i += 1
+        ulen |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 32:
+            raise AvroError("snappy: length varint overflow")
+    out = bytearray()
+    while i < n:
+        tag = data[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:  # 60..63: length-1 in next 1..4 LE bytes
+                nb = length - 59
+                if i + nb > n:
+                    raise AvroError("snappy: truncated literal length")
+                length = int.from_bytes(data[i:i + nb], "little")
+                i += nb
+            length += 1
+            if i + length > n:
+                raise AvroError("snappy: truncated literal")
+            out += data[i:i + length]
+            i += length
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            length = ((tag >> 2) & 0x7) + 4
+            if i >= n:
+                raise AvroError("snappy: truncated copy")
+            offset = ((tag >> 5) << 8) | data[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte offset
+            length = (tag >> 2) + 1
+            if i + 2 > n:
+                raise AvroError("snappy: truncated copy")
+            offset = int.from_bytes(data[i:i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            length = (tag >> 2) + 1
+            if i + 4 > n:
+                raise AvroError("snappy: truncated copy")
+            offset = int.from_bytes(data[i:i + 4], "little")
+            i += 4
+        if offset == 0 or offset > len(out):
+            raise AvroError("snappy: copy offset out of range")
+        # overlapping copies are legal (RLE idiom): byte-at-a-time
+        # when the run overlaps, slice when it doesn't
+        start = len(out) - offset
+        if offset >= length:
+            out += out[start:start + length]
+        else:
+            for k in range(length):
+                out.append(out[start + k])
+    if len(out) != ulen:
+        raise AvroError(
+            f"snappy: decoded {len(out)} bytes, header says {ulen}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Raw snappy block encode — greedy 4-byte-hash match finder, the
+    classic snappy strategy (deterministic; decoder-exercising copies
+    with 1- and 2-byte offsets). Correctness contract is only
+    'round-trips through any spec decoder'."""
+    out = bytearray()
+    ulen = len(data)
+    while True:  # varint32 length
+        b = ulen & 0x7F
+        ulen >>= 7
+        out.append(b | (0x80 if ulen else 0))
+        if not ulen:
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        length = hi - lo
+        while length > 0:
+            chunk = min(length, 0x10000)
+            if chunk <= 60:
+                out.append(((chunk - 1) << 2) | 0)
+            elif chunk <= 0x100:
+                out.append((60 << 2) | 0)
+                out.append(chunk - 1)
+            else:
+                out.append((61 << 2) | 0)
+                out.extend((chunk - 1).to_bytes(2, "little"))
+            out.extend(data[lo:lo + chunk])
+            lo += chunk
+            length -= chunk
+
+    n = len(data)
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFF:
+            i += 1
+            continue
+        # extend the match
+        length = 4
+        while (i + length < n and length < 64
+               and data[cand + length] == data[i + length]):
+            length += 1
+        emit_literal(lit_start, i)
+        offset = i - cand
+        if 4 <= length <= 11 and offset < 2048:
+            out.append((((offset >> 8) & 0x7) << 5)
+                       | ((length - 4) << 2) | 1)
+            out.append(offset & 0xFF)
+        else:
+            out.append(((length - 1) << 2) | 2)
+            out += offset.to_bytes(2, "little")
+        i += length
+        lit_start = i
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
 def _decompress(block: bytes, codec: str) -> bytes:
     if codec == "null":
         return block
     if codec == "deflate":  # raw deflate, no zlib header (spec)
         return zlib.decompress(block, -15)
     if codec == "snappy":
+        # spec: raw snappy body + 4-byte big-endian CRC32 of the
+        # UNCOMPRESSED data. Pure-Python decode built in (r10);
+        # python-snappy used opportunistically when importable (C-fast)
+        if len(block) < 4:
+            raise AvroError("snappy block too short for CRC suffix")
         try:
             import snappy  # type: ignore
-        except ImportError as exc:
-            raise ImportError(
-                "this Avro file uses the snappy codec; pip install "
-                "python-snappy to read it (null and deflate are "
-                "built in)") from exc
-        return snappy.decompress(block[:-4])  # spec: 4-byte CRC suffix
+
+            raw = snappy.decompress(block[:-4])
+        except ImportError:
+            raw = _snappy_uncompress(block[:-4])
+        crc = struct.unpack(">I", block[-4:])[0]
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise AvroError("snappy block CRC mismatch (corrupt data)")
+        return raw
     raise AvroError(f"unsupported Avro codec: {codec!r}")
 
 
@@ -499,8 +640,9 @@ def write_container(fh, schema: dict | str, records,
     if isinstance(schema, str):
         schema = json.loads(schema)
     schema_text = json.dumps(schema, separators=(",", ":"))
-    if codec not in ("null", "deflate"):
-        raise AvroError(f"encode supports null/deflate, not {codec!r}")
+    if codec not in ("null", "deflate", "snappy"):
+        raise AvroError(
+            f"encode supports null/deflate/snappy, not {codec!r}")
     names: dict[str, Any] = {}
     _collect_names(schema, names)
     sync = hashlib.md5(schema_text.encode()).digest()
@@ -522,6 +664,9 @@ def write_container(fh, schema: dict | str, records,
         if codec == "deflate":
             comp = zlib.compressobj(wbits=-15)
             raw = comp.compress(raw) + comp.flush()
+        elif codec == "snappy":  # raw snappy + CRC32-of-uncompressed
+            raw = _snappy_compress(raw) + struct.pack(
+                ">I", zlib.crc32(raw) & 0xFFFFFFFF)
         _write_long(fh, len(chunk))
         _write_bytes(fh, raw)
         fh.write(sync)
