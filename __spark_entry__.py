@@ -3350,6 +3350,56 @@ GROUP BY source
 """
 
 
+def q_avro_snappy_ingest(spark, sf_dir):
+    """Snappy-coded Avro OCF ingestion through the oracle gate (r10:
+    the snappy block codec is now built in, sources/avrocodec.py::
+    _snappy_compress/_snappy_uncompress + CRC32 verification): docs
+    200-399 (by doc_id) are encoded into TWO snappy OCF shards by the
+    pure-Python encoder, read back through from_avro's binaryFile
+    fallback, and aggregated per source. Same placement contract as
+    q_avro_ingest (warehouse dir, deterministic, reused)."""
+    import os
+    import tempfile
+
+    from csvplus_spark.sources.avrocodec import encode_container
+    from csvplus_spark.sources.jsonl import from_avro
+
+    docs = load_table(spark, sf_dir, "documents").df
+    rows = [r.asDict() for r in docs.select("doc_id", "text", "source")
+            .orderBy("doc_id").limit(400).collect()][200:]
+    schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "source", "type": ["null", "string"]}]}
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        base = wh[len("file:"):]
+        while base.startswith("//"):
+            base = base[1:]
+        d = os.path.join(base, "_cp_avro_snappy_gate")
+        os.makedirs(d, exist_ok=True)
+    else:
+        d = tempfile.mkdtemp(prefix="cp_avro_snappy_gate_")
+    with open(os.path.join(d, "part-0.avro"), "wb") as fh:
+        fh.write(encode_container(schema, rows[:100], codec="snappy"))
+    with open(os.path.join(d, "part-1.avro"), "wb") as fh:
+        fh.write(encode_container(schema, rows[100:], codec="snappy"))
+    f = from_avro(spark, d)
+    return (f.df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_id"),
+                 F.sum(F.length("text")).alias("sum_chars")))
+
+
+_AVRO_SNAPPY_INGEST_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200 OFFSET 200)
+GROUP BY source
+"""
+
+
 def _jpeg_px_fixture(k: int) -> bytes:
     """Deterministic JPEG fixture #k: k<16 baseline (gray/RGB,
     4:4:4/4:2:0, restart intervals, non-multiple-of-8 geometry);
@@ -3374,10 +3424,10 @@ def _jpeg_px_fixture(k: int) -> bytes:
     if k % 3 == 2:  # spectral-selection-only variants
         script = _PROG_SCRIPT_SPECTRAL if ch == 3 \
             else _PROG_SCRIPT_SPECTRAL_GRAY
+    sub = {0: "420", 2: "422"}.get(k % 4, "444")  # r10: 4:2:2 too
     return encode_progressive_jpeg(
         w, h, ch, px, quality=90, script=script,
-        restart_interval=3 if k == 20 else 0,
-        subsampling="420" if k % 4 == 0 else "444")
+        restart_interval=3 if k == 20 else 0, subsampling=sub)
 
 
 def _jpeg_px_stats(k: int) -> tuple[int, int, int, int, int]:
@@ -3387,6 +3437,69 @@ def _jpeg_px_stats(k: int) -> tuple[int, int, int, int, int]:
 
     w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
     return w, h, c, sum(px), max(px)
+
+
+def _jpeg_resize_stats(k: int) -> tuple[int, int, int, int, int]:
+    """(width, height, channels, sum_px, max_px) of fixture #k pushed
+    through the EXACT resize_stub JPEG path (decode → orient →
+    nearest-resample to 10x7 → re-encode baseline → decode) — the
+    pinned expectation both sides share. Deterministic end to end."""
+    from csvplus_spark.operators.jpegcodec import (
+        apply_orientation, decode_jpeg, encode_baseline_jpeg,
+        jpeg_orientation)
+    from csvplus_spark.operators.pngcodec import resize_nearest
+
+    blob = _jpeg_px_fixture(k)
+    w0, h0, ch, px = decode_jpeg(blob)
+    w0, h0, px = apply_orientation(w0, h0, ch, px, jpeg_orientation(blob))
+    out = encode_baseline_jpeg(
+        10, 7, ch, resize_nearest(w0, h0, ch, px, 10, 7))
+    w, h, c, rpx = decode_jpeg(out)
+    return w, h, c, sum(rpx), max(rpx)
+
+
+def q_multimodal_resize_px(spark, sf_dir):
+    """The full real_codec RESIZE path through the oracle gate (r10):
+    decode (baseline OR progressive) → EXIF orient → nearest-neighbor
+    resample → baseline re-encode → decode, executed EXECUTOR-SIDE per
+    fixture; the oracle pins the identical driver-side computation as
+    literals (the jpeg_px pattern). Any divergence in resampling,
+    orientation, or either codec direction breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def rz(batches):
+        import pandas as pd
+
+        cache: dict[int, tuple] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                k = int(did) % 24
+                if k not in cache:
+                    cache[k] = _jpeg_resize_stats(k)
+                rows.append((int(did),) + cache[k])
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels",
+                "sum_px", "max_px"])
+
+    return docs.mapInPandas(
+        rz, "media_id long, width int, height int, channels int, "
+            "sum_px long, max_px int")
+
+
+def _multimodal_resize_px_sql() -> str:
+    pins = ",\n  ".join(
+        f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
+        for k, (w, h, c, s, m) in ((k, _jpeg_resize_stats(k))
+                                   for k in range(24)))
+    return f"""
+SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
+       p.sum_px, p.max_px
+FROM documents d
+JOIN (VALUES
+  {pins}) p(k, width, height, channels, sum_px, max_px)
+  ON d.doc_id % 24 = p.k
+"""
 
 
 def q_multimodal_jpeg_px(spark, sf_dir):
@@ -6060,6 +6173,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_ingest": q_avro_ingest,
         "dup_factor": q_dup_factor,
         "multimodal_jpeg_px": q_multimodal_jpeg_px,
+        "avro_snappy_ingest": q_avro_snappy_ingest,
+        "multimodal_resize_px": q_multimodal_resize_px,
     }
 
 
@@ -6261,6 +6376,8 @@ LIMIT 20
         "avro_ingest": _AVRO_INGEST_SQL,
         "dup_factor": _DUP_FACTOR_SQL,
         "multimodal_jpeg_px": _multimodal_jpeg_px_sql(),
+        "avro_snappy_ingest": _AVRO_SNAPPY_INGEST_SQL,
+        "multimodal_resize_px": _multimodal_resize_px_sql(),
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

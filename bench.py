@@ -4,6 +4,16 @@ ONE JSON line {"metric","value","unit","queries","sf"}.
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect). Timings include plan + execution, not session startup.
+
+PROCEDURE (r9 verdict item 8): run this TWICE per round, at the start
+and end of the round's work. Same-tree runs on this box differ by a
+~1.16x per-query median (r9's interleaved A/B against the r7 commit
+proved the spread is box noise, NOTES.md:1140); a single run therefore
+can neither prove nor clear a drift claim. Both runs append to
+artifacts/BENCH_HISTORY.jsonl, and tests/test_bench_gate.py compares
+the NEWEST run against the per-query median of the last 3 history rows
+— with two same-round rows in the window, one noisy run cannot flag
+(or mask) a regression by itself.
 """
 
 from __future__ import annotations
@@ -112,6 +122,8 @@ HEADLINE = [
     "avro_ingest",
     "dup_factor",
     "multimodal_jpeg_px",
+    "avro_snappy_ingest",
+    "multimodal_resize_px",
     "approx_quantiles",
     "bigram_lm",
     "dsir",

@@ -432,21 +432,25 @@ def _subsampled_planes(width: int, height: int, channels: int,
             cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
             cr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
         planes = [y, cb, cr]
-    sub2 = channels == 3 and subsampling == "420"
-    hv = [(2, 2), (1, 1), (1, 1)][:channels] if sub2 \
+    # luma sampling factors per mode; chroma is always (1,1). fx/fy is
+    # the chroma box-average window (420: 2x2, 422: 2x1 — r10)
+    fx, fy = {"420": (2, 2), "422": (2, 1)}.get(
+        subsampling if channels == 3 else "444", (1, 1))
+    hv = [(fx, fy)] + [(1, 1)] * (channels - 1) if (fx, fy) != (1, 1) \
         else [(1, 1)] * channels
     sizes, splanes = [], []
     for ci in range(channels):
-        if sub2 and ci > 0:  # 2x2 box-average chroma
-            cw, chh = (width + 1) // 2, (height + 1) // 2
+        if (fx, fy) != (1, 1) and ci > 0:  # box-average chroma
+            cw = (width + fx - 1) // fx
+            chh = (height + fy - 1) // fy
             src = planes[ci]
             out = []
             for sy in range(chh):
                 for sx in range(cw):
                     acc, cnt = 0.0, 0
-                    for dy in range(2):
-                        for dx in range(2):
-                            px_, py_ = sx * 2 + dx, sy * 2 + dy
+                    for dy in range(fy):
+                        for dx in range(fx):
+                            px_, py_ = sx * fx + dx, sy * fy + dy
                             if px_ < width and py_ < height:
                                 acc += src[py_ * width + px_]
                                 cnt += 1
@@ -480,19 +484,21 @@ def encode_baseline_jpeg(width: int, height: int, channels: int,
     """Encode raw 8-bit pixels (grayscale ``channels=1`` or interleaved
     RGB ``channels=3``, row-major) as a baseline-sequential JFIF JPEG
     (SOF0, Annex K tables scaled by ``quality``; ``subsampling`` is
-    ``"444"`` or ``"420"`` — 4:2:0 box-averages chroma 2x2, the
-    real-world default; ``restart_interval`` MCUs per restart segment
-    when >0). Deterministic: identical inputs give identical bytes —
-    fixture twin of :func:`decode_baseline_jpeg` (JPEG is lossy, so
-    the roundtrip contract is bounded error, not identity)."""
+    ``"444"``, ``"420"`` — 4:2:0 box-averages chroma 2x2, the
+    real-world default — or ``"422"`` (r10) — 2x1 horizontal-only,
+    the video-derived shape; ``restart_interval`` MCUs per restart
+    segment when >0). Deterministic: identical inputs give identical
+    bytes — fixture twin of :func:`decode_baseline_jpeg` (JPEG is
+    lossy, so the roundtrip contract is bounded error, not
+    identity)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("width/height out of JPEG range")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420', or '422'")
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must be 0-65535")
     ql = _scaled_quant(QUANT_LUMA, quality)
@@ -970,8 +976,8 @@ def encode_progressive_jpeg(width: int, height: int, channels: int,
         raise ValueError("pixel buffer size mismatch")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("width/height out of JPEG range")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420', or '422'")
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must be 0-65535")
     if script is None:

@@ -93,9 +93,10 @@ def from_avro(spark: SparkSession, path: str, string_mode: bool = False) -> Fram
     decoder (sources/avrocodec.py): a ``binaryFile`` scan + per-file
     block decode — FILE-level parallelism, so a sharded corpus (the
     normal Kafka-ingest layout: many container files) still
-    distributes; only the ``snappy`` block codec stays env-gated
-    (needs python-snappy). Either path then gets the same timestamp
-    normalization and string-compat treatment as parquet/ORC.
+    distributes; null/deflate/snappy block codecs are all built in
+    (r10: snappy via the pure-Python raw-format codec). Either path
+    then gets the same timestamp normalization and string-compat
+    treatment as parquet/ORC.
     """
     from .parquet import configure_parquet_session
 

@@ -727,3 +727,35 @@ def test_resize_handles_progressive_jpeg(spark):
     assert (w2, h2, c2) == (10, 6, 1)
     row = list(small[:10])
     assert row == sorted(row) and row[-1] > row[0]
+
+
+def test_jpeg_422_subsampling_both_codecs():
+    """r10: 4:2:2 (2x1 horizontal chroma) — the decoder supported
+    h=2,v=1 frames since r9 but nothing in-tree produced them; the
+    encoders now emit '422', and progressive 4:2:2 decodes
+    pixel-identical to baseline 4:2:2."""
+    import random
+
+    from csvplus_spark.operators.jpegcodec import (
+        decode_baseline_jpeg, decode_jpeg, encode_baseline_jpeg,
+        encode_progressive_jpeg)
+
+    w, h = 21, 14
+    smooth = bytes(min(255, max(0, int(100 + 50 * (x / w) + 40 * (y / h))))
+                   for y in range(h) for x in range(w) for _ in range(3))
+    blob = encode_baseline_jpeg(w, h, 3, smooth, quality=92,
+                                subsampling="422")
+    w2, h2, c2, out = decode_baseline_jpeg(blob)
+    assert (w2, h2, c2) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(smooth, out)) <= 4
+
+    random.seed(13)
+    px = bytes(random.randrange(256) for _ in range(w * h * 3))
+    ref = decode_baseline_jpeg(
+        encode_baseline_jpeg(w, h, 3, px, quality=90, subsampling="422"))
+    prog = encode_progressive_jpeg(w, h, 3, px, quality=90,
+                                   subsampling="422", restart_interval=2)
+    assert decode_jpeg(prog) == ref
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_baseline_jpeg(w, h, 3, px, subsampling="411")
