@@ -3405,7 +3405,10 @@ def _jpeg_px_fixture(k: int) -> bytes:
     4:4:4/4:2:0, restart intervals, non-multiple-of-8 geometry);
     k=16..23 PROGRESSIVE (r10: SOF2 spectral selection + successive
     approximation, optimized per-scan huffman tables, one restart
-    variant) — REAL scan data, encoded by the pure-Python encoders."""
+    variant); k=24..31 ARITHMETIC (r10: SOF9 QM-coded, DAC
+    conditioning incl. non-default L/U/Kx, restart variant) — REAL
+    scan data, encoded by the pure-Python encoders."""
+    from csvplus_spark.operators.jpegarith import encode_arith_jpeg
     from csvplus_spark.operators.jpegcodec import (
         _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
         encode_baseline_jpeg, encode_progressive_jpeg)
@@ -3420,6 +3423,13 @@ def _jpeg_px_fixture(k: int) -> bytes:
             w, h, ch, px, quality=90,
             restart_interval=2 if k % 5 == 0 else 0,
             subsampling="420" if k % 4 == 0 else "444")
+    if k >= 24:
+        sub = {0: "420", 2: "422"}.get(k % 4, "444")
+        L, U, kx = {28: (1, 3, 10), 30: (0, 2, 63)}.get(k, (0, 1, 5))
+        return encode_arith_jpeg(
+            w, h, ch, px, quality=90, subsampling=sub,
+            restart_interval=3 if k == 26 else 0,
+            dc_L=L, dc_U=U, ac_Kx=kx)
     script = None  # successive-approximation recipe
     if k % 3 == 2:  # spectral-selection-only variants
         script = _PROG_SCRIPT_SPECTRAL if ch == 3 \
@@ -3460,11 +3470,12 @@ def _jpeg_resize_stats(k: int) -> tuple[int, int, int, int, int]:
 
 def q_multimodal_resize_px(spark, sf_dir):
     """The full real_codec RESIZE path through the oracle gate (r10):
-    decode (baseline OR progressive) → EXIF orient → nearest-neighbor
-    resample → baseline re-encode → decode, executed EXECUTOR-SIDE per
-    fixture; the oracle pins the identical driver-side computation as
-    literals (the jpeg_px pattern). Any divergence in resampling,
-    orientation, or either codec direction breaks the hash."""
+    decode (baseline, progressive OR arithmetic) → EXIF orient →
+    nearest-neighbor resample → baseline re-encode → decode, executed
+    EXECUTOR-SIDE per fixture; the oracle pins the identical
+    driver-side computation as literals (the jpeg_px pattern). Any
+    divergence in resampling, orientation, or any codec direction
+    breaks the hash."""
     docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
 
     def rz(batches):
@@ -3474,7 +3485,7 @@ def q_multimodal_resize_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 24
+                k = int(did) % 32
                 if k not in cache:
                     cache[k] = _jpeg_resize_stats(k)
                 rows.append((int(did),) + cache[k])
@@ -3491,30 +3502,155 @@ def _multimodal_resize_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_resize_stats(k))
-                                   for k in range(24)))
+                                   for k in range(32)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 24 = p.k
+  ON d.doc_id % 32 = p.k
+"""
+
+
+def _png_px_fixture(k: int) -> bytes:
+    """Deterministic exotic-format PNG fixture #k (r10 gate closure):
+    palette at every legal depth (1/2/4/8, PLTE + tRNS alpha), 16-bit
+    grey/RGB, sub-byte grey, tRNS color keys on grey/RGB, and Adam7
+    interlace (alone and combined with palette+tRNS) — REAL streams
+    from the fixture-grade general encoder (pngcodec.encode_png_ex),
+    which the spec-complete decoder must invert exactly."""
+    import struct as _s
+
+    from csvplus_spark.operators.pngcodec import encode_png, encode_png_ex
+
+    w = 5 + (k * 3) % 13
+    h = 4 + (k * 5) % 11
+
+    def grey(mx=255):
+        return [(k * 17 + x * 7 + y * 5) % (mx + 1)
+                for y in range(h) for x in range(w)]
+
+    def multi(ch, mx=255):
+        return [(k * 17 + i * 7 + c * 29) % (mx + 1)
+                for i in range(w * h) for c in range(ch)]
+
+    pal = bytes(((k * 31 + i * 11) % 256) for i in range(3 * 16))
+    idx4 = [(k + x * 3 + y) % 16 for y in range(h) for x in range(w)]
+    if k == 0:
+        return encode_png(w, h, 1, bytes(grey()))
+    if k == 1:
+        return encode_png(w, h, 3, bytes(multi(3)))
+    if k == 2:
+        return encode_png(w, h, 4, bytes(multi(4)))
+    if k == 3:
+        return encode_png(w, h, 2, bytes(multi(2)))
+    if k == 4:
+        return encode_png_ex(w, h, idx4, 8, 3, palette=pal)
+    if k == 5:
+        return encode_png_ex(w, h, idx4, 4, 3, palette=pal)
+    if k == 6:
+        return encode_png_ex(w, h, [i % 4 for i in idx4], 2, 3,
+                             palette=pal[:12])
+    if k == 7:
+        return encode_png_ex(w, h, [i & 1 for i in idx4], 1, 3,
+                             palette=pal[:6])
+    if k == 8:  # palette + tRNS alpha (shorter than the palette)
+        return encode_png_ex(w, h, idx4, 8, 3, palette=pal,
+                             trns=bytes((0, 80, 160)))
+    if k == 9:
+        return encode_png_ex(w, h, [v * 257 for v in grey()], 16, 0)
+    if k == 10:
+        return encode_png_ex(w, h, [v * 251 % 65536 for v in multi(3)],
+                             16, 2)
+    if k == 11:
+        return encode_png_ex(w, h, grey(15), 4, 0)
+    if k == 12:
+        return encode_png_ex(w, h, grey(1), 1, 0)
+    if k == 13:  # grey + tRNS color key (the key value occurs)
+        g = grey()
+        return encode_png_ex(w, h, g, 8, 0, trns=_s.pack(">H", g[0]))
+    if k == 14:
+        return encode_png_ex(w, h, multi(3), 8, 2, interlace=1)
+    # k == 15: palette + tRNS + Adam7 in one stream
+    return encode_png_ex(w, h, idx4, 4, 3, palette=pal,
+                         trns=bytes((255, 0)), interlace=1)
+
+
+def _png_px_stats(k: int) -> tuple[int, int, int, int, int]:
+    """(width, height, channels, sum_px, max_px) of the DECODED
+    fixture #k — the pinned expectation both sides share."""
+    from csvplus_spark.operators.pngcodec import decode_png
+
+    w, h, c, px = decode_png(_png_px_fixture(k))
+    return w, h, c, sum(px), max(px)
+
+
+def q_multimodal_png_px(spark, sf_dir):
+    """FULL exotic-PNG pixel decode through the oracle gate (r10):
+    each doc maps to one of 16 deterministic PNGs — palette (PLTE all
+    depths + tRNS alpha), 16-bit, sub-byte grey, tRNS color keys,
+    Adam7 interlace — decoded EXECUTOR-SIDE by the pure-Python codec
+    (operators/pngcodec.py::decode_png); the oracle pins the identical
+    decode computed at SQL-build time as literals (the jpeg_px
+    pattern). Codec fidelity (interlace == sequential, palette
+    expansion, 16-bit high-byte) is pinned by the pngcodec unit
+    tests."""
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def decode(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.pngcodec import decode_png
+
+        cache: dict[int, tuple] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                k = int(did) % 16
+                if k not in cache:
+                    w, h, c, px = decode_png(_png_px_fixture(k))
+                    cache[k] = (w, h, c, sum(px), max(px))
+                rows.append((int(did),) + cache[k])
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels",
+                "sum_px", "max_px"])
+
+    return docs.mapInPandas(
+        decode, "media_id long, width int, height int, channels int, "
+                "sum_px long, max_px int")
+
+
+def _multimodal_png_px_sql() -> str:
+    pins = ",\n  ".join(
+        f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
+        for k, (w, h, c, s, m) in ((k, _png_px_stats(k))
+                                   for k in range(16)))
+    return f"""
+SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
+       p.sum_px, p.max_px
+FROM documents d
+JOIN (VALUES
+  {pins}) p(k, width, height, channels, sum_px, max_px)
+  ON d.doc_id % 16 = p.k
 """
 
 
 def q_multimodal_jpeg_px(spark, sf_dir):
     """FULL JPEG pixel decode through the oracle gate (r9 baseline,
-    r10 progressive): each doc maps to one of 24 deterministic JPEGs
-    — 16 baseline (gray + RGB, 4:4:4 + 4:2:0, restart intervals) + 8
-    PROGRESSIVE (SOF2, spectral selection + successive approximation,
-    EOB runs, AC refinement, optimized per-scan huffman tables) —
-    decoded EXECUTOR-SIDE by the pure-Python huffman+IDCT decoders
+    r10 progressive + arithmetic): each doc maps to one of 32
+    deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
+    restart intervals) + 8 PROGRESSIVE (SOF2, spectral selection +
+    successive approximation, EOB runs, AC refinement, optimized
+    per-scan huffman tables) + 8 ARITHMETIC (SOF9 QM-coded, DAC
+    conditioning, restart variant, operators/jpegarith.py) — decoded
+    EXECUTOR-SIDE by the pure-Python decoders
     (operators/jpegcodec.py::decode_jpeg); the oracle pins the
     identical decode computed at SQL-build time as literals — the
     bpe_counts pinned-sample pattern, proving the distributed decode
     is bit-identical to the driver-side one. Codec fidelity itself
-    (progressive decode == baseline decode of the same coefficients)
-    is pinned by the jpegcodec unit tests."""
+    (progressive/arithmetic decode == baseline decode of the same
+    coefficients) is pinned by the codec unit tests."""
     docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
 
     def decode(batches):
@@ -3526,7 +3662,7 @@ def q_multimodal_jpeg_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 24
+                k = int(did) % 32
                 if k not in cache:
                     w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
                     cache[k] = (w, h, c, sum(px), max(px))
@@ -3544,14 +3680,14 @@ def _multimodal_jpeg_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_px_stats(k))
-                                   for k in range(24)))
+                                   for k in range(32)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 24 = p.k
+  ON d.doc_id % 32 = p.k
 """
 
 
@@ -6175,6 +6311,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_px": q_multimodal_jpeg_px,
         "avro_snappy_ingest": q_avro_snappy_ingest,
         "multimodal_resize_px": q_multimodal_resize_px,
+        "multimodal_png_px": q_multimodal_png_px,
     }
 
 
@@ -6378,6 +6515,7 @@ LIMIT 20
         "multimodal_jpeg_px": _multimodal_jpeg_px_sql(),
         "avro_snappy_ingest": _AVRO_SNAPPY_INGEST_SQL,
         "multimodal_resize_px": _multimodal_resize_px_sql(),
+        "multimodal_png_px": _multimodal_png_px_sql(),
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

@@ -13,8 +13,10 @@ Round 9 adds the FULL pixel codec for baseline-sequential streams:
 :func:`decode_baseline_jpeg` (huffman + dequant + IDCT + chroma
 upsampling + YCbCr→RGB, restart intervals, byte stuffing) and the
 fixture-grade :func:`encode_baseline_jpeg` — so real JPEG pixels
-decode in codec-less containers too. Progressive / arithmetic /
-12-bit frames remain the honest Pillow gate.
+decode in codec-less containers too. Round 10 adds the progressive
+(SOF2) codec here and the sequential-arithmetic (SOF9) codec in
+jpegarith.py; progressive-arithmetic / 12-bit / lossless /
+hierarchical frames remain the honest Pillow gate.
 
 Reference parity note: csvplus (csvplus.go) has no multimodal surface;
 this is north-star extension code for binary-column pipelines.
@@ -203,7 +205,9 @@ def encode_minimal_jpeg(width: int, height: int, n_components: int = 3,
 # Baseline-sequential pixel codec (r9): full huffman + DCT decode and
 # a fixture-grade encoder, pure Python — closes the "JPEG pixel decode
 # needs Pillow" env-gate for SOF0 streams (the overwhelmingly common
-# baseline case). Progressive/arithmetic/12-bit stay honestly gated.
+# baseline case). Progressive decode lives below (r10), sequential
+# arithmetic in jpegarith.py (r10); progressive-arithmetic/12-bit/
+# lossless/hierarchical stay honestly gated.
 # All tables are the ITU-T T.81 Annex K standards.
 
 #: zig-zag scan order (T.81 figure A.6)
@@ -644,7 +648,7 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     "only baseline/extended-sequential huffman frames "
                     f"are pixel-decodable (SOF{marker - 0xC0} found); "
-                    "progressive/arithmetic streams need Pillow")
+                    "use decode_jpeg for progressive/arithmetic streams")
             if len(seg) < 6:
                 raise ValueError("SOF segment too short")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -1466,14 +1470,19 @@ def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     """Pixel-decode dispatcher: baseline/extended-sequential frames →
     :func:`decode_baseline_jpeg`, progressive huffman (SOF2) →
-    :func:`decode_progressive_jpeg`. Arithmetic / 12-bit / lossless /
-    hierarchical frames raise ValueError (the remaining honest gate)."""
+    :func:`decode_progressive_jpeg`, sequential arithmetic (SOF9, r10)
+    → :func:`jpegarith.decode_arith_jpeg`. Progressive-arithmetic /
+    12-bit / lossless / hierarchical frames raise ValueError (the
+    remaining honest gate)."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
     for marker, _seg, _end in _segments(blob):
         if marker in _SOF_MARKERS:
             if marker == 0xC2:
                 return decode_progressive_jpeg(blob)
+            if marker == 0xC9:
+                from .jpegarith import decode_arith_jpeg
+                return decode_arith_jpeg(blob)
             return decode_baseline_jpeg(blob)
         if marker == 0xDA:
             break

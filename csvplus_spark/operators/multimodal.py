@@ -5,8 +5,9 @@ Decode paths, most-real-first: Pillow when importable on the
 executors (``real_codec=True``), else the built-in pure-Python codecs
 (pngcodec.py — struct+zlib; jpegcodec.py — full huffman+IDCT pixel
 decode, baseline r9 + progressive r10; both work in THIS container), else an
-honest NotImplementedError for blobs neither handles (arithmetic /
-12-bit JPEG, other formats); ``real_codec=False`` keeps the deterministic
+honest NotImplementedError for blobs neither handles (progressive-
+arithmetic / 12-bit JPEG, other formats); ``real_codec=False`` keeps
+the deterministic
 fake for oracle-checkable plumbing tests.
 The Spark-side plumbing is identical across all of them:
   * schema: ``data binary`` + ``media_meta struct<...>``;
@@ -318,8 +319,8 @@ def resize_stub(width: int = 64, height: int = 64,
                             # store sensor-native pixels + the tag;
                             # resizing without applying it mis-crops),
                             # resample, re-encode without Pillow
-                            # (arithmetic/12-bit frames still raise
-                            # ValueError below)
+                            # (progressive-arithmetic/12-bit frames
+                            # still raise ValueError below)
                             w0, h0, ch, px = jpegcodec.decode_jpeg(blob)
                             w0, h0, px = jpegcodec.apply_orientation(
                                 w0, h0, ch, px,
@@ -331,7 +332,8 @@ def resize_stub(width: int = 64, height: int = 64,
                     if done is None:
                         raise NotImplementedError(
                             "real_codec=True resize: the blob is not a "
-                            "PNG or baseline/progressive JPEG the built-in "
+                            "PNG or baseline/progressive/arithmetic "
+                            "JPEG the built-in "
                             "pure-Python codecs can decode" + (
                                 " and Pillow could not open it either"
                                 if have_pil else

@@ -1,11 +1,16 @@
 """Pure-Python PNG codec — struct + zlib only, no native imaging lib.
 
-Implements enough of the PNG spec (ISO/IEC 15948) to give the
-multimodal operators a REAL decode path in codec-less containers
-(VERDICT r6 item 4): 8-bit greyscale / grey+alpha / RGB / RGBA,
-non-interlaced, all five scanline filters. Everything else raises
-NotImplementedError honestly (16-bit, palette, interlace — plug Pillow
-for those via ``real_codec=True`` when it is installed).
+Implements the PNG spec (ISO/IEC 15948) decode surface the multimodal
+operators need in codec-less containers (VERDICT r6 item 4, gates
+closed r10): every legal (bit depth, color type) combination — 1/2/4/
+8/16-bit greyscale, 8/16-bit grey+alpha / RGB / RGBA, 1/2/4/8-bit
+palette (PLTE) — tRNS transparency (palette alpha AND the grey/RGB
+color-key forms), and Adam7 interlace, with all five scanline filters.
+Output is always 8-bit interleaved samples: 16-bit samples take the
+high byte (Pillow's I;16→L convention), sub-byte grey scales by
+255/(2^d−1) (exact: ×255/×85/×17), palette indices expand through
+PLTE(+tRNS). Nothing raises NotImplementedError anymore — malformed
+streams raise ValueError.
 
 Used per Arrow batch inside mapInPandas (multimodal.py); pure-Python
 unfiltering is O(pixels) with small constants — fine for the metadata/
@@ -21,8 +26,19 @@ import zlib
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-#: color type -> samples per pixel (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> samples per pixel (palette counts as 1 pre-expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: legal bit depths per color type (PNG spec table 11.1)
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+           4: (8, 16), 6: (8, 16)}
+
+#: Adam7 pass origins/strides: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+#: sub-byte grey sample -> 8-bit scale factor (255 / (2^d - 1), exact)
+_SCALE = {1: 255, 2: 85, 4: 17}
 
 
 def is_png(blob: bytes) -> bool:
@@ -67,62 +83,165 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Full decode: (width, height, channels, pixels) with ``pixels``
-    row-major interleaved 8-bit samples (len = w*h*channels)."""
-    blob = bytes(blob)
-    w, h, depth, ctype = png_info(blob)
-    if depth != 8 or ctype not in _CHANNELS:
-        raise NotImplementedError(
-            f"png: only 8-bit grey/grey+alpha/RGB/RGBA supported "
-            f"(got bit_depth={depth}, color_type={ctype})")
-    idat = bytearray()
-    interlace = blob[28]
-    if interlace != 0:
-        raise NotImplementedError("png: interlaced images not supported")
-    for t, data in _chunks(blob):
-        if t == b"IDAT":
-            idat += data
-    raw = zlib.decompress(bytes(idat))
-    ch = _CHANNELS[ctype]
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("png: decompressed size mismatch")
-    out = bytearray(h * stride)
-    prev_off = -stride
-    pos = 0
-    for y in range(h):
+def _unfilter(raw: bytes, pos: int, row_bytes: int, height: int,
+              bpp: int) -> tuple[bytearray, int]:
+    """Reverse the per-scanline filters of one (sub-)image: ``height``
+    scanlines of 1 filter byte + ``row_bytes`` data bytes starting at
+    ``pos``. ``bpp`` is the filter unit (bytes per complete pixel,
+    min 1). Returns (unfiltered bytes, new pos)."""
+    out = bytearray(height * row_bytes)
+    prev_off = -row_bytes
+    for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("png: truncated image data")
         ftype = raw[pos]
-        line = raw[pos + 1:pos + 1 + stride]
-        pos += 1 + stride
-        off = y * stride
+        line = raw[pos + 1:pos + 1 + row_bytes]
+        if len(line) < row_bytes:
+            raise ValueError("png: truncated scanline")
+        pos += 1 + row_bytes
+        off = y * row_bytes
         if ftype == 0:  # None
-            out[off:off + stride] = line
+            out[off:off + row_bytes] = line
         elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = out[off + x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                left = out[off + x - bpp] if x >= bpp else 0
                 out[off + x] = (line[x] + left) & 0xFF
         elif ftype == 2:  # Up
             if y == 0:
-                out[off:off + stride] = line
+                out[off:off + row_bytes] = line
             else:
-                for x in range(stride):
+                for x in range(row_bytes):
                     out[off + x] = (line[x] + out[prev_off + x]) & 0xFF
         elif ftype == 3:  # Average
-            for x in range(stride):
-                left = out[off + x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                left = out[off + x - bpp] if x >= bpp else 0
                 up = out[prev_off + x] if y > 0 else 0
                 out[off + x] = (line[x] + ((left + up) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = out[off + x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                left = out[off + x - bpp] if x >= bpp else 0
                 up = out[prev_off + x] if y > 0 else 0
-                ul = out[prev_off + x - ch] if (y > 0 and x >= ch) else 0
+                ul = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
                 out[off + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
         else:
             raise ValueError(f"png: unknown filter type {ftype}")
         prev_off = off
-    return w, h, ch, bytes(out)
+    return out, pos
+
+
+def _row_samples(rows: bytes, off: int, width: int, depth: int,
+                 ch: int) -> list[int]:
+    """Unpack one unfiltered scanline (starting at ``off``) into
+    width*ch RAW sample values (not yet scaled to 8-bit)."""
+    if depth == 8:
+        return list(rows[off:off + width * ch])
+    if depth == 16:
+        n = width * ch
+        return [(rows[off + 2 * i] << 8) | rows[off + 2 * i + 1]
+                for i in range(n)]
+    # sub-byte: ch is always 1 (grey or palette index), MSB-first
+    out = []
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for i in range(width):
+        b = rows[off + i // per_byte]
+        shift = 8 - depth * (1 + i % per_byte)
+        out.append((b >> shift) & mask)
+    return out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode: (width, height, channels, pixels) with ``pixels``
+    row-major interleaved 8-bit samples (len = w*h*channels). Palette
+    images expand to RGB (RGBA with tRNS); a tRNS color key on grey/
+    RGB images appends an alpha channel; 16-bit samples keep the high
+    byte; 1/2/4-bit grey scales to full range."""
+    blob = bytes(blob)
+    w, h, depth, ctype = png_info(blob)
+    if ctype not in _CHANNELS or depth not in _DEPTHS.get(ctype, ()):
+        raise ValueError(
+            f"png: illegal bit_depth={depth} / color_type={ctype}")
+    interlace = blob[28]
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    idat = bytearray()
+    plte = None
+    trns = None
+    for t, data in _chunks(blob):
+        if t == b"IDAT":
+            idat += data
+        elif t == b"PLTE":
+            plte = data
+        elif t == b"tRNS":
+            trns = data
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("png: palette image without a valid PLTE")
+    raw = zlib.decompress(bytes(idat))
+    ch = _CHANNELS[ctype]
+    bpp = max(1, (ch * depth) // 8)
+
+    # --- gather raw samples into a w*h*ch grid (pre-expansion) ---
+    grid = [0] * (w * h * ch)
+    pos = 0
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        row_bytes = (pw * ch * depth + 7) // 8
+        rows, pos = _unfilter(raw, pos, row_bytes, ph, bpp)
+        for j in range(ph):
+            samples = _row_samples(rows, j * row_bytes, pw, depth, ch)
+            y = y0 + j * dy
+            for i in range(pw):
+                o = (y * w + (x0 + i * dx)) * ch
+                grid[o:o + ch] = samples[i * ch:(i + 1) * ch]
+    if pos != len(raw):
+        raise ValueError("png: decompressed size mismatch")
+
+    # --- expand to 8-bit output channels ---
+    if ctype == 3:
+        pal = [(plte[3 * i], plte[3 * i + 1], plte[3 * i + 2])
+               for i in range(len(plte) // 3)]
+        if trns is not None:
+            alpha = list(trns) + [255] * (len(pal) - len(trns))
+            out = bytearray(w * h * 4)
+            for i, idx in enumerate(grid):
+                if idx >= len(pal):
+                    raise ValueError("png: palette index out of range")
+                r, g, b = pal[idx]
+                out[4 * i:4 * i + 4] = bytes((r, g, b, alpha[idx]))
+            return w, h, 4, bytes(out)
+        out = bytearray(w * h * 3)
+        for i, idx in enumerate(grid):
+            if idx >= len(pal):
+                raise ValueError("png: palette index out of range")
+            out[3 * i:3 * i + 3] = bytes(pal[idx])
+        return w, h, 3, bytes(out)
+
+    # tRNS color key (grey: 1 sample; RGB: 3 samples; 16-bit each,
+    # compared against the RAW sample values before downscale)
+    key = None
+    if trns is not None and ctype in (0, 2):
+        key = struct.unpack(">" + "H" * (len(trns) // 2), trns)
+
+    if depth == 16:
+        to8 = [v >> 8 for v in grid]
+    elif depth < 8:
+        s = _SCALE[depth]
+        to8 = [v * s for v in grid]
+    else:
+        to8 = grid
+
+    if key is not None:
+        out = bytearray()
+        for i in range(w * h):
+            px = grid[i * ch:(i + 1) * ch]
+            out += bytes(to8[i * ch:(i + 1) * ch])
+            out.append(0 if tuple(px) == key else 255)
+        return w, h, ch + 1, bytes(out)
+    return w, h, ch, bytes(to8)
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -148,6 +267,63 @@ def encode_png(width: int, height: int, channels: int,
         raw += pixels[y * stride:(y + 1) * stride]
     return (PNG_MAGIC + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def _pack_row(samples: list[int], depth: int) -> bytes:
+    """Pack raw sample values into a scanline at ``depth`` bits,
+    MSB-first (sub-byte), or big-endian (16-bit)."""
+    if depth == 8:
+        return bytes(samples)
+    if depth == 16:
+        return b"".join(struct.pack(">H", v) for v in samples)
+    per_byte = 8 // depth
+    out = bytearray((len(samples) + per_byte - 1) // per_byte)
+    for i, v in enumerate(samples):
+        shift = 8 - depth * (1 + i % per_byte)
+        out[i // per_byte] |= (v & ((1 << depth) - 1)) << shift
+    return bytes(out)
+
+
+def encode_png_ex(width: int, height: int, samples: list[int],
+                  bit_depth: int, color_type: int,
+                  palette: bytes | None = None,
+                  trns: bytes | None = None,
+                  interlace: int = 0) -> bytes:
+    """Fixture-grade general encoder: RAW sample values (palette
+    indices / 16-bit words / sub-byte grey, one int per sample,
+    row-major) at any legal (bit_depth, color_type), optional PLTE/
+    tRNS chunks, optional Adam7 interlace. Filter 0 everywhere —
+    this exists so tests can produce the exotic-format streams
+    ``decode_png`` claims to handle without a native encoder."""
+    if color_type not in _CHANNELS or bit_depth not in _DEPTHS[color_type]:
+        raise ValueError("png: illegal depth/color combination")
+    ch = _CHANNELS[color_type]
+    if len(samples) != width * height * ch:
+        raise ValueError("png: sample buffer size mismatch")
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, interlace & 1)
+    raw = bytearray()
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * dy
+            row = []
+            for i in range(pw):
+                o = (y * width + (x0 + i * dx)) * ch
+                row.extend(samples[o:o + ch])
+            raw.append(0)
+            raw += _pack_row(row, bit_depth)
+    body = PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _chunk(b"PLTE", palette)
+    if trns is not None:
+        body += _chunk(b"tRNS", trns)
+    return (body + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
 
 

@@ -1075,6 +1075,17 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     ``(doc_id, n_tokens, lp_mean, bucket)``.
     """
     scores = unigram_logprob(df, text_col, id_col, ndigits)
+    return ccnet_bucket_scores(scores, id_col)
+
+
+def ccnet_bucket_scores(scores: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """The bucketing tail of :func:`ccnet_buckets`, over an already-
+    computed ``(id, n_tokens, lp_mean)`` score table. Exposed so scale
+    checks can re-derive the corpus-size-dependent thresholds over an
+    expanded score multiset (the thresholds are NOT invariant under
+    corpus duplication: an interpolated percentile index landing
+    inside a tie-run of copies collapses onto the lower order stat)."""
     lq = F.floor(F.col("lp_mean") * F.lit(1048576.0)).cast("long")
     th = (
         scores.select(lq.alias("__lq__"))

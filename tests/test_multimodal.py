@@ -759,3 +759,250 @@ def test_jpeg_422_subsampling_both_codecs():
 
     with pytest.raises(ValueError, match="subsampling"):
         encode_baseline_jpeg(w, h, 3, px, subsampling="411")
+
+
+def test_pngcodec_palette_and_trns():
+    """r10 gate closure: palette (PLTE) images expand to RGB at every
+    legal depth, tRNS palette alpha expands to RGBA (with 255 padding
+    past the tRNS length), and a missing/short PLTE raises ValueError
+    (not NotImplementedError — the gate is gone)."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.pngcodec import decode_png, encode_png_ex
+
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51))  # 4 colors
+    w, h = 5, 3
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    for depth in (2, 4, 8):
+        blob = encode_png_ex(w, h, idx, depth, 3, palette=pal)
+        got = decode_png(blob)
+        exp = b"".join(bytes(pal[3 * i:3 * i + 3]) for i in idx)
+        assert got == (w, h, 3, exp), f"depth {depth}"
+    # 1-bit palette: indices 0/1 only
+    idx1 = [(x ^ y) & 1 for y in range(h) for x in range(w)]
+    got = decode_png(encode_png_ex(w, h, idx1, 1, 3, palette=pal))
+    assert got[2] == 3 and got[3][:3] == pal[:3]
+
+    # tRNS alpha: entry 0 transparent, entry 1 half, entries 2/3 pad 255
+    blob = encode_png_ex(w, h, idx, 8, 3, palette=pal,
+                         trns=bytes((0, 128)))
+    gw, gh, gch, px = decode_png(blob)
+    assert gch == 4
+    alpha = {0: 0, 1: 128, 2: 255, 3: 255}
+    exp = b"".join(bytes(pal[3 * i:3 * i + 3]) + bytes([alpha[i]])
+                   for i in idx)
+    assert px == exp
+
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(encode_png_ex(w, h, idx, 8, 3, palette=None))
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png_ex(w, h, [7] * (w * h), 8, 3,
+                                 palette=pal[:6]))
+
+
+def test_pngcodec_bit_depths():
+    """r10 gate closure: 16-bit samples downscale by the high byte
+    (Pillow's I;16→L convention), sub-byte grey scales exactly by
+    255/(2^d−1), and the tRNS color key on grey/RGB appends an alpha
+    channel keyed on the RAW (pre-downscale) sample values."""
+    from csvplus_spark.operators.pngcodec import decode_png, encode_png_ex
+
+    # 16-bit grey / RGB / RGBA: high byte survives
+    w, h = 4, 2
+    g16 = [i * 0x1111 for i in range(w * h)]
+    assert decode_png(encode_png_ex(w, h, g16, 16, 0)) == (
+        w, h, 1, bytes((v >> 8) for v in g16))
+    rgb16 = [(i * 257 + c * 1000) & 0xFFFF
+             for i in range(w * h) for c in range(3)]
+    assert decode_png(encode_png_ex(w, h, rgb16, 16, 2)) == (
+        w, h, 3, bytes((v >> 8) for v in rgb16))
+    rgba16 = [(i * 4097 + c) & 0xFFFF
+              for i in range(w * h) for c in range(4)]
+    assert decode_png(encode_png_ex(w, h, rgba16, 16, 6)) == (
+        w, h, 4, bytes((v >> 8) for v in rgba16))
+
+    # sub-byte grey: exact full-range scaling
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        mx = (1 << depth) - 1
+        vals = [(x + y) % (mx + 1) for y in range(3) for x in range(7)]
+        assert decode_png(encode_png_ex(7, 3, vals, depth, 0)) == (
+            7, 3, 1, bytes(v * scale for v in vals))
+
+    # tRNS color key: grey 8-bit (key=42) and RGB 16-bit (raw compare)
+    g8 = [10, 42, 99, 42, 0, 7]
+    gw, gh, gch, px = decode_png(
+        encode_png_ex(3, 2, g8, 8, 0, trns=bytes((0, 42))))
+    assert gch == 2
+    assert px == b"".join(bytes((v, 0 if v == 42 else 255)) for v in g8)
+    key = (0x1234, 0x0000, 0xFFFF)
+    pix = [0x1234, 0x0000, 0xFFFF,  0x1234, 0x0000, 0xFFFE]
+    import struct as _s
+    gw, gh, gch, px = decode_png(
+        encode_png_ex(2, 1, pix, 16, 2, trns=_s.pack(">HHH", *key)))
+    assert gch == 4
+    # pixel 0 matches the raw 16-bit key -> alpha 0; pixel 1 differs
+    # only below the high byte -> SAME 8-bit color, alpha 255
+    assert px[3] == 0 and px[7] == 255 and px[:3] == px[4:7]
+
+
+def test_pngcodec_adam7_interlace():
+    """r10 gate closure: Adam7 streams decode pixel-identically to the
+    sequential encoding of the same samples — including sizes below
+    one 8×8 tile (empty passes) and non-multiples of 8, palette and
+    16-bit variants, and a Pillow cross-check when available."""
+    from csvplus_spark.operators.pngcodec import decode_png, encode_png_ex
+
+    for (w, h) in ((1, 1), (3, 3), (8, 8), (13, 9), (5, 17)):
+        rgb = [(x * 37 + c * 91) & 0xFF
+               for x in range(w * h) for c in range(3)]
+        seq = decode_png(encode_png_ex(w, h, rgb, 8, 2, interlace=0))
+        lace = decode_png(encode_png_ex(w, h, rgb, 8, 2, interlace=1))
+        assert seq == lace, f"{w}x{h}"
+    # palette + interlace + sub-byte packing in one stream
+    pal = bytes(range(48))  # 16 colors
+    idx = [(x * 7 + 3) % 16 for x in range(13 * 9)]
+    seq = decode_png(encode_png_ex(13, 9, idx, 4, 3, palette=pal))
+    lace = decode_png(encode_png_ex(13, 9, idx, 4, 3, palette=pal,
+                                    interlace=1))
+    assert seq == lace
+    # 16-bit grey + interlace
+    g16 = [(x * 521) & 0xFFFF for x in range(13 * 9)]
+    assert decode_png(encode_png_ex(13, 9, g16, 16, 0, interlace=1)) == \
+        decode_png(encode_png_ex(13, 9, g16, 16, 0))
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return
+    rgb = [(x * 37 + c * 91) & 0xFF for x in range(13 * 9) for c in range(3)]
+    blob = encode_png_ex(13, 9, rgb, 8, 2, interlace=1)
+    with Image.open(io.BytesIO(blob)) as im:
+        assert im.tobytes() == bytes(rgb)
+
+
+def test_resize_handles_palette_and_interlaced_png(spark):
+    """The real_codec resize path now flows palette/interlaced PNGs
+    end-to-end through mapInPandas without Pillow."""
+    from csvplus_spark.operators.multimodal import resize_images
+    from csvplus_spark.operators.pngcodec import decode_png, encode_png_ex
+
+    pal = bytes((200, 10, 10, 10, 200, 10, 10, 10, 200))
+    idx = [(x + y) % 3 for y in range(11) for x in range(17)]
+    blob = encode_png_ex(17, 11, idx, 8, 3, palette=pal, interlace=1)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, data binary")
+    out = resize_images(df, 6, 4, real_codec=True).collect()[0]
+    w, h, ch, px = decode_png(bytes(out["data"]))
+    assert (w, h, ch) == (6, 4, 3)
+    # nearest-neighbor: the (0,0) pixel is palette entry idx[0]=0
+    assert px[:3] == pal[:3]
+
+
+def test_jpeg_arith_codec_matches_baseline():
+    """r10 gate closure: the QM arithmetic codec (SOF9, T.81 Annex
+    D/F) is a LOSSLESS entropy coder over the same quantized
+    coefficients as the baseline encoder — decoded pixels must be
+    bit-identical to the huffman decode across geometries,
+    subsampling, restarts, and non-default DAC conditioning."""
+    from csvplus_spark.operators.jpegarith import (decode_arith_jpeg,
+                                                   encode_arith_jpeg)
+    from csvplus_spark.operators.jpegcodec import (decode_baseline_jpeg,
+                                                   encode_baseline_jpeg)
+
+    for (w, h, ch, q, ri, sub, L, U, kx) in [
+        (19, 13, 3, 90, 0, "444", 0, 1, 5),
+        (24, 16, 3, 75, 0, "420", 0, 1, 5),
+        (22, 10, 3, 85, 0, "422", 0, 1, 5),
+        (17, 9, 1, 50, 2, "444", 0, 1, 5),
+        (16, 16, 3, 95, 0, "444", 1, 3, 20),
+        (40, 28, 3, 30, 4, "422", 2, 4, 63),
+        (1, 1, 1, 90, 0, "444", 0, 1, 5),
+    ]:
+        px = bytes(((x * 7 + y * 5 + c * 37 + w) % 256)
+                   for y in range(h) for x in range(w) for c in range(ch))
+        got = decode_arith_jpeg(encode_arith_jpeg(
+            w, h, ch, px, quality=q, restart_interval=ri,
+            subsampling=sub, dc_L=L, dc_U=U, ac_Kx=kx))
+        base = decode_baseline_jpeg(encode_baseline_jpeg(
+            w, h, ch, px, quality=q, restart_interval=ri,
+            subsampling=sub))
+        assert got == base, (w, h, ch, q, ri, sub, L, U, kx)
+
+
+def test_jpeg_arith_noise_stress_and_size():
+    """High-entropy input at high quality drives deep magnitude bins,
+    renormalization chains, and output carries; pixels still match the
+    huffman decode exactly, and on the smooth fixture the arithmetic
+    stream is SMALLER than huffman (the reason SOF9 exists)."""
+    from csvplus_spark.operators.jpegarith import (decode_arith_jpeg,
+                                                   encode_arith_jpeg)
+    from csvplus_spark.operators.jpegcodec import (decode_baseline_jpeg,
+                                                   encode_baseline_jpeg)
+
+    w, h = 33, 25
+    seed = 123456789
+    noise = bytearray()
+    for _ in range(w * h * 3):
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        noise.append(seed & 0xFF)
+    noise = bytes(noise)
+    for q in (95, 70):
+        got = decode_arith_jpeg(encode_arith_jpeg(w, h, 3, noise, quality=q))
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(w, h, 3, noise, quality=q))
+        assert got == base
+    smooth = bytes(min(255, 60 + x * 3 + y) for y in range(h)
+                   for x in range(w) for _ in range(3))
+    assert len(encode_arith_jpeg(w, h, 3, smooth)) < \
+        len(encode_baseline_jpeg(w, h, 3, smooth))
+
+
+def test_jpeg_arith_state_table_and_stream():
+    """Structural pins for the T.81 Table D.3 state machine and the
+    entropy-coded segment: the documented switch states, terminal
+    state 13, the fixed sign bin 113 self-loop; every 0xFF in the
+    coded segment is stuffed or a restart; the dispatcher routes SOF9
+    and the single-codec decoders reject each other's frames."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.jpegarith import (_QE_TAB,
+                                                   decode_arith_jpeg,
+                                                   encode_arith_jpeg)
+    from csvplus_spark.operators.jpegcodec import (decode_baseline_jpeg,
+                                                   decode_jpeg,
+                                                   encode_baseline_jpeg)
+
+    assert len(_QE_TAB) == 114
+    assert _QE_TAB[0][0] == 0x5A1D
+    assert all(qe < 0x8000 for qe, *_ in _QE_TAB)
+    assert all(0 <= nm <= 113 and 0 <= nl <= 113
+               for _, nm, nl, _sw in _QE_TAB)
+    # T.81 Table D.3: SWITCH=1 exactly at the MPS-flip states
+    assert [i for i, t in enumerate(_QE_TAB) if t[3]] == \
+        [0, 14, 36, 64, 80, 88, 95, 105, 110, 112]
+    assert _QE_TAB[13][1] == 13          # terminal estimation state
+    assert _QE_TAB[113][1:3] == (113, 113)  # fixed sign bin
+
+    w, h = 26, 18
+    px = bytes(((x * 11 + y * 3) % 256) for y in range(h)
+               for x in range(w) for _ in range(3))
+    blob = encode_arith_jpeg(w, h, 3, px, restart_interval=2)
+    # entropy segment: after SOS payload, before EOI
+    sos = blob.index(b"\xff\xda")
+    seg_len = int.from_bytes(blob[sos + 2:sos + 4], "big")
+    data = blob[sos + 2 + seg_len:-2]
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            assert nxt == 0x00 or 0xD0 <= nxt <= 0xD7, f"byte {i}: {nxt:#x}"
+            i += 2
+        else:
+            i += 1
+    assert decode_jpeg(blob) == decode_arith_jpeg(blob)
+    with _pytest.raises(ValueError, match="SOF9"):
+        decode_baseline_jpeg(blob)
+    with _pytest.raises(ValueError, match="SOF9"):
+        decode_arith_jpeg(encode_baseline_jpeg(w, h, 3, px))

@@ -246,6 +246,45 @@ def main() -> int:
                 (F.col("right_id") + F.col("k") * F.lit(OFF))
                 .alias("right_id"),
                 F.col("jaccard"))
+        if name == "ccnet_buckets":
+            # (n_tokens, lp_mean) are payload-pure AND duplication-
+            # invariant: MLE unigram probs are ct/total; (k·ct)/(k·total)
+            # is bit-identical in IEEE double (both operands exact
+            # integers < 2^53, same real quotient, division correctly
+            # rounded), so log + the position-ordered fold + rounding
+            # all reproduce per copy. The BUCKET is NOT invariant: the
+            # percentile index over the k-replicated multiset can land
+            # inside a tie-run of copies and collapse the interpolated
+            # threshold onto the lower order stat, flipping boundary-
+            # valued docs. So the law expands the base-oracle-validated
+            # SCORES and re-derives thresholds + labels over the
+            # expanded multiset with the same (base-validated)
+            # bucketing tail — this checks that the 50M-token explode +
+            # vocab aggregate + fold compose at scale.
+            from csvplus_spark.operators.text import ccnet_bucket_scores
+            base_scores = run(name).drop("bucket")
+            return ccnet_bucket_scores(expand_rows(base_scores, ["doc_id"]))
+        if name == "leakage_split":
+            # sf-f clusters are exactly copy-closures (an edge needs
+            # jaccard >= 0.6 between payloads, so any cross-component
+            # sf-f edge would imply a base edge), and the closure's min
+            # id is the base cluster_id (copy 0: offsets dominate) —
+            # so SHINGLED docs keep their base (cluster_id, split)
+            # verbatim; shingled singletons pair with their own copies
+            # (J=1) into a cluster whose min id equals the base
+            # coalesce value, same label. NON-shingled docs never enter
+            # the candidate space (dup_clusters_collapsed membership
+            # contract: copies' J=1 pairs need >= 1 shingle), so each
+            # copy stays its own singleton cluster at a SHIFTED id and
+            # its split label re-hashes.
+            from csvplus_spark.operators.sampling import train_val_test_split
+            out = run(name)
+            s = out.join(shingled, "doc_id")
+            lonely = out.join(shingled, "doc_id", "left_anti").drop("split")
+            return expand_rows(s, ["doc_id"]).unionByName(
+                train_val_test_split(
+                    expand_rows(lonely, ["doc_id", "cluster_id"]),
+                    "cluster_id"))
         if name in ("dedup_embedding", "dedup_embedding_lsh"):
             return expand_pairs(run(name), "id_1", "id_2").unionByName(
                 self_pairs(emb_self.select("vec_id", "sim"), "id_1", "id_2",
@@ -290,7 +329,7 @@ def main() -> int:
              "dedup_embedding", "dedup_embedding_lsh", "semantic_dedup",
              "dedup_exact", "dedup_ngram_fast", "dedup_minhash_fast",
              "dedup_containment_fast", "dedup_keep_best_fast",
-             "fuzzy_join_fast"]
+             "fuzzy_join_fast", "ccnet_buckets", "leakage_split"]
     # NB at --copies 100 (sf10) restrict the run to the collapse
     # family + labelings + training_set via the [query ...] args: the
     # PLAIN pair/cluster paths are documented sf3+ disk failures
