@@ -3406,12 +3406,15 @@ def _jpeg_px_fixture(k: int) -> bytes:
     k=16..23 PROGRESSIVE (r10: SOF2 spectral selection + successive
     approximation, optimized per-scan huffman tables, one restart
     variant); k=24..31 ARITHMETIC (r10: SOF9 QM-coded, DAC
-    conditioning incl. non-default L/U/Kx, restart variant) — REAL
-    scan data, encoded by the pure-Python encoders."""
+    conditioning incl. non-default L/U/Kx, restart variant);
+    k=32..35 12-BIT extended sequential (r10: SOF1 precision 12,
+    16-bit DQT, optimized huffman) — REAL scan data, encoded by the
+    pure-Python encoders."""
     from csvplus_spark.operators.jpegarith import encode_arith_jpeg
     from csvplus_spark.operators.jpegcodec import (
         _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
-        encode_baseline_jpeg, encode_progressive_jpeg)
+        encode_baseline_jpeg, encode_extended12_jpeg,
+        encode_progressive_jpeg)
 
     w = 8 * (k % 3 + 1) + (k % 5)      # 8..26, often not /8
     h = 8 * ((k // 3) % 3 + 1) + (k % 3)
@@ -3423,6 +3426,12 @@ def _jpeg_px_fixture(k: int) -> bytes:
             w, h, ch, px, quality=90,
             restart_interval=2 if k % 5 == 0 else 0,
             subsampling="420" if k % 4 == 0 else "444")
+    if k >= 32:
+        s12 = [(k * 13 + i * 7) % 4096 for i in range(w * h * ch)]
+        return encode_extended12_jpeg(
+            w, h, ch, s12, quality=90,
+            subsampling="420" if k == 34 else "444",
+            restart_interval=2 if k == 33 else 0)
     if k >= 24:
         sub = {0: "420", 2: "422"}.get(k % 4, "444")
         L, U, kx = {28: (1, 3, 10), 30: (0, 2, 63)}.get(k, (0, 1, 5))
@@ -3485,7 +3494,7 @@ def q_multimodal_resize_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 32
+                k = int(did) % 36
                 if k not in cache:
                     cache[k] = _jpeg_resize_stats(k)
                 rows.append((int(did),) + cache[k])
@@ -3502,14 +3511,14 @@ def _multimodal_resize_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_resize_stats(k))
-                                   for k in range(32)))
+                                   for k in range(36)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 32 = p.k
+  ON d.doc_id % 36 = p.k
 """
 
 
@@ -3638,12 +3647,13 @@ JOIN (VALUES
 
 def q_multimodal_jpeg_px(spark, sf_dir):
     """FULL JPEG pixel decode through the oracle gate (r9 baseline,
-    r10 progressive + arithmetic): each doc maps to one of 32
-    deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
+    r10 progressive + arithmetic + 12-bit): each doc maps to one of
+    36 deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
     restart intervals) + 8 PROGRESSIVE (SOF2, spectral selection +
     successive approximation, EOB runs, AC refinement, optimized
     per-scan huffman tables) + 8 ARITHMETIC (SOF9 QM-coded, DAC
-    conditioning, restart variant, operators/jpegarith.py) — decoded
+    conditioning, restart variant, operators/jpegarith.py) + 4
+    12-BIT extended sequential (SOF1, 16-bit DQT) — decoded
     EXECUTOR-SIDE by the pure-Python decoders
     (operators/jpegcodec.py::decode_jpeg); the oracle pins the
     identical decode computed at SQL-build time as literals — the
@@ -3662,7 +3672,7 @@ def q_multimodal_jpeg_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 32
+                k = int(did) % 36
                 if k not in cache:
                     w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
                     cache[k] = (w, h, c, sum(px), max(px))
@@ -3680,14 +3690,14 @@ def _multimodal_jpeg_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_px_stats(k))
-                                   for k in range(32)))
+                                   for k in range(36)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 32 = p.k
+  ON d.doc_id % 36 = p.k
 """
 
 

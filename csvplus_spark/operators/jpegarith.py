@@ -25,7 +25,8 @@ streams is not possible in this container; the state table and models
 follow the published spec tables verbatim.
 
 Remaining honest gates after this: progressive-arithmetic (SOF10),
-12-bit, lossless, hierarchical.
+lossless, hierarchical (12-bit sequential huffman landed in
+jpegcodec.encode_extended12_jpeg the same round).
 """
 
 from __future__ import annotations

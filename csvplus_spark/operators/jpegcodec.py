@@ -15,8 +15,9 @@ upsampling + YCbCr→RGB, restart intervals, byte stuffing) and the
 fixture-grade :func:`encode_baseline_jpeg` — so real JPEG pixels
 decode in codec-less containers too. Round 10 adds the progressive
 (SOF2) codec here and the sequential-arithmetic (SOF9) codec in
-jpegarith.py; progressive-arithmetic / 12-bit / lossless /
-hierarchical frames remain the honest Pillow gate.
+jpegarith.py and the 12-bit extended-sequential (SOF1/P=12) codec
+here; progressive-arithmetic / lossless / hierarchical frames remain
+the honest Pillow gate.
 
 Reference parity note: csvplus (csvplus.go) has no multimodal surface;
 this is north-star extension code for binary-column pipelines.
@@ -206,8 +207,9 @@ def encode_minimal_jpeg(width: int, height: int, n_components: int = 3,
 # a fixture-grade encoder, pure Python — closes the "JPEG pixel decode
 # needs Pillow" env-gate for SOF0 streams (the overwhelmingly common
 # baseline case). Progressive decode lives below (r10), sequential
-# arithmetic in jpegarith.py (r10); progressive-arithmetic/12-bit/
-# lossless/hierarchical stay honestly gated.
+# arithmetic in jpegarith.py (r10), 12-bit SOF1 in
+# encode_extended12_jpeg/decode_baseline_jpeg (r10);
+# progressive-arithmetic/lossless/hierarchical stay honestly gated.
 # All tables are the ITU-T T.81 Annex K standards.
 
 #: zig-zag scan order (T.81 figure A.6)
@@ -420,12 +422,15 @@ def _magnitude(v: int):
 
 
 def _subsampled_planes(width: int, height: int, channels: int,
-                       pixels: bytes, subsampling: str):
+                       pixels, subsampling: str,
+                       chroma_center: float = 128.0):
     """Shared encoder front half: RGB→YCbCr (or gray), optional 4:2:0
     chroma box-averaging. Returns (hv, sizes, splanes) — per-component
     sampling factors, subsampled dims, and float sample planes.
     Extracted verbatim from the baseline encoder (r10) so the
-    progressive encoder quantizes IDENTICAL coefficients."""
+    progressive encoder quantizes IDENTICAL coefficients.
+    ``chroma_center`` is 2^(P−1) — 128 for 8-bit, 2048 for the 12-bit
+    extended encoder; ``pixels`` is any int sequence."""
     if channels == 1:
         planes = [[float(p) for p in pixels]]
     else:
@@ -433,8 +438,10 @@ def _subsampled_planes(width: int, height: int, channels: int,
         for i in range(0, len(pixels), 3):
             r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
             y.append(0.299 * r + 0.587 * g + 0.114 * b)
-            cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
-            cr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+            cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b
+                      + chroma_center)
+            cr.append(0.5 * r - 0.418688 * g - 0.081312 * b
+                      + chroma_center)
         planes = [y, cb, cr]
     # luma sampling factors per mode; chroma is always (1,1). fx/fy is
     # the chroma box-average window (420: 2x2, 422: 2x1 — r10)
@@ -467,16 +474,18 @@ def _subsampled_planes(width: int, height: int, channels: int,
     return hv, sizes, splanes
 
 
-def _block_qz(plane, cw: int, chh: int, bx0: int, by0: int, q) -> list:
+def _block_qz(plane, cw: int, chh: int, bx0: int, by0: int, q,
+              level: float = 128.0) -> list:
     """One 8x8 block: edge-replicate pad, FDCT, quantize — the
     zigzag-ordered integer coefficients (baseline encoder's inner
-    math, shared with the progressive encoder)."""
+    math, shared with the progressive/arithmetic/12-bit encoders).
+    ``level`` is the 2^(P−1) level shift."""
     block = []
     for yy in range(8):
         sy = min(by0 + yy, chh - 1)
         for xx in range(8):
             sx = min(bx0 + xx, cw - 1)  # edge-replicate pad
-            block.append(plane[sy * cw + sx] - 128.0)
+            block.append(plane[sy * cw + sx] - level)
     coef = _fdct8x8(block)
     return [int(round(coef[ZIGZAG[k]] / q[ZIGZAG[k]])) for k in range(64)]
 
@@ -595,6 +604,130 @@ def encode_baseline_jpeg(width: int, height: int, channels: int,
     return b"".join(out)
 
 
+def encode_extended12_jpeg(width: int, height: int, channels: int,
+                           samples, quality: int = 90,
+                           subsampling: str = "444",
+                           restart_interval: int = 0) -> bytes:
+    """Encode 12-bit samples (ints 0..4095, gray or interleaved RGB,
+    row-major) as an EXTENDED SEQUENTIAL (SOF1, precision 12) JFIF
+    JPEG — the DICOM/medical-imaging shape (r10 gate closure). Annex K
+    quant tables scale ×16 into 16-bit DQT (pq=1) entries; huffman
+    tables are OPTIMIZED two-pass per T.81 K.2 (the Annex K tables
+    don't cover the 12-bit magnitude categories up to 15/14).
+    ``decode_baseline_jpeg`` decodes these frames and downscales /16
+    to the 8-bit pixel contract."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(samples) != width * height * channels:
+        raise ValueError("sample buffer size mismatch")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("width/height out of JPEG range")
+    if any(not 0 <= s <= 4095 for s in samples):
+        raise ValueError("12-bit samples must be 0-4095")
+    ql = [min(65535, v * 16) for v in _scaled_quant(QUANT_LUMA, quality)]
+    qc = [min(65535, v * 16) for v in _scaled_quant(QUANT_CHROMA, quality)]
+    hv, sizes, splanes = _subsampled_planes(
+        width, height, channels, samples, subsampling,
+        chroma_center=2048.0)
+    quants = [ql] + [qc] * (channels - 1)
+    # table slots: 0/1 = DC luma/chroma, 2/3 = AC luma/chroma
+    t_dc = [0] + [1] * (channels - 1)
+    t_ac = [2] + [3] * (channels - 1)
+
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    freq = [[0] * 256 for _ in range(4)]
+    enc: list = [None] * 4
+    wr = _BitWriter()
+    counting = True
+
+    def symbol(t: int, s: int) -> None:
+        if counting:
+            freq[t][s] += 1
+        else:
+            code, length = enc[t][s]
+            wr.write(code, length)
+
+    def run_pass() -> None:
+        pred = [0] * channels
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0:
+                    if not counting:
+                        wr.flush()
+                        wr.buf += bytes(
+                            [0xFF, 0xD0 + ((mcu // restart_interval - 1)
+                                           & 7)])
+                    pred = [0] * channels
+                mcu += 1
+                for ci in range(channels):
+                    h, v = hv[ci]
+                    for vy in range(v):
+                        for vx in range(h):
+                            qz = _block_qz(
+                                splanes[ci], *sizes[ci],
+                                (mx * h + vx) * 8, (my * v + vy) * 8,
+                                quants[ci], level=2048.0)
+                            size, code = _magnitude(qz[0] - pred[ci])
+                            pred[ci] = qz[0]
+                            symbol(t_dc[ci], size)
+                            if size and not counting:
+                                wr.write(code, size)
+                            run = 0
+                            for k in range(1, 64):
+                                if qz[k] == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    symbol(t_ac[ci], 0xF0)  # ZRL
+                                    run -= 16
+                                size, code = _magnitude(qz[k])
+                                symbol(t_ac[ci], (run << 4) | size)
+                                if not counting:
+                                    wr.write(code, size)
+                                run = 0
+                            if run:
+                                symbol(t_ac[ci], 0x00)  # EOB
+
+    run_pass()
+    specs = [_optimal_huff_spec(freq[t]) for t in range(4)]
+    enc = [_build_huff_encode(s) for s in specs]
+    counting = False
+    run_pass()
+    wr.flush()
+
+    out = [b"\xff\xd8", _JFIF_APP0]
+    for tid, q in ([(0, ql)] if channels == 1 else [(0, ql), (1, qc)]):
+        body = bytes([0x10 | tid]) + b"".join(
+            struct.pack(">H", q[ZIGZAG[k]]) for k in range(64))
+        out.append(b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body)
+    comps = b"".join(bytes([c + 1, (hv[c][0] << 4) | hv[c][1],
+                            0 if c == 0 else 1])
+                     for c in range(channels))
+    sof = struct.pack(">BHHB", 12, height, width, channels) + comps
+    out.append(b"\xff\xc1" + struct.pack(">H", len(sof) + 2) + sof)
+    tids = [0x00, 0x01, 0x10, 0x11] if channels == 3 else [0x00, 0x10]
+    slots = [0, 1, 2, 3] if channels == 3 else [0, 2]
+    for tid, slot in zip(tids, slots):
+        bits, vals = specs[slot]
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out.append(b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body)
+    if restart_interval:
+        out.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+    sos = bytes([channels]) + b"".join(
+        bytes([c + 1, 0x00 if c == 0 else 0x11]) for c in range(channels)
+    ) + bytes([0, 63, 0])
+    out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+    out.append(bytes(wr.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     """Full pixel decode of a baseline-sequential (SOF0) JPEG →
     (width, height, channels, pixels) with pixels 8-bit row-major
@@ -602,7 +735,8 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     common sampling factors (4:4:4, 4:2:2, 4:2:0 — box upsampling),
     restart intervals, and byte stuffing. Raises ValueError on
     malformed streams and on non-baseline frames (progressive /
-    arithmetic / 12-bit) — the remaining honest gate."""
+    arithmetic — use decode_jpeg; 12-bit SOF1 decodes here with the
+    /16 downscale to the 8-bit contract)."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
     quant: dict[int, list[int]] = {}
@@ -612,20 +746,20 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     restart = 0
     scan = None
     for marker, seg, end_pos in _segments(blob):
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (pq=1 → 16-bit entries, 12-bit frames)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 p += 1
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if p + 64 > len(seg):
+                step = 2 if pq else 1
+                if p + 64 * step > len(seg):
                     raise ValueError("truncated quantization table")
-                zz = seg[p:p + 64]
-                p += 64
                 tbl = [0] * 64
                 for k in range(64):
-                    tbl[ZIGZAG[k]] = zz[k]
+                    v = seg[p + k * step] if not pq else \
+                        (seg[p + 2 * k] << 8) | seg[p + 2 * k + 1]
+                    tbl[ZIGZAG[k]] = v
+                p += 64 * step
                 quant[tq] = tbl
         elif marker == 0xC4:  # DHT
             p = 0
@@ -652,8 +786,14 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 6:
                 raise ValueError("SOF segment too short")
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+            if prec == 12:
+                if marker != 0xC1:
+                    # T.81 table B.2: baseline (SOF0) is 8-bit only
+                    raise ValueError(
+                        "12-bit precision is extended-sequential "
+                        "(SOF1) only")
+            elif prec != 8:
+                raise ValueError("only 8/12-bit precision supported")
             if ncomp not in (1, 3):
                 # reject up front (CMYK etc.) — before any scan work
                 raise ValueError(
@@ -671,7 +811,7 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 # factors (real encoders emit h=v=2 grayscale); using
                 # the factors here scrambled pixels (r9 review)
                 comps[0]["h"] = comps[0]["v"] = 1
-            frame = (width, height, comps)
+            frame = (width, height, comps, prec)
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
@@ -688,7 +828,12 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             break
     if frame is None or scan is None:
         raise ValueError("no frame/scan found")
-    width, height, comps = frame
+    width, height, comps, prec = frame
+    # 12-bit planes downscale to the 8-bit output contract by /16:
+    # (v + 2048)/16 == v/16 + 128, so the shared 128-centered assembly
+    # and YCbCr math apply unchanged (the PNG 16-bit high-byte
+    # convention's JPEG twin)
+    px_scale = 16.0 if prec == 12 else 1.0
     sel, data_pos = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -756,7 +901,8 @@ def decode_baseline_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                         for yy in range(8):
                             base = (by0 + yy) * row_w + bx0
                             for xx in range(8):
-                                c["plane"][base + xx] = px[yy * 8 + xx]
+                                c["plane"][base + xx] = \
+                                    px[yy * 8 + xx] / px_scale
     return width, height, len(comps), _assemble_pixels(
         width, height, comps, hmax, vmax)
 
@@ -798,7 +944,8 @@ def _assemble_pixels(width: int, height: int, comps, hmax: int,
 # OPTIMIZED huffman tables (T.81 K.2 two-pass construction): the
 # Annex K tables define no EOBn (n>=1) codes, so real progressive
 # streams — including ours — always ship custom DHT segments.
-# Arithmetic (SOF10/14) and 12-bit stay honestly gated.
+# Arithmetic-progressive (SOF10/14) and 12-bit-progressive stay
+# honestly gated.
 
 def _optimal_huff_spec(freq: list) -> tuple:
     """(BITS, HUFFVAL) for the given 256-entry symbol frequency table —
@@ -1472,7 +1619,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     :func:`decode_baseline_jpeg`, progressive huffman (SOF2) →
     :func:`decode_progressive_jpeg`, sequential arithmetic (SOF9, r10)
     → :func:`jpegarith.decode_arith_jpeg`. Progressive-arithmetic /
-    12-bit / lossless / hierarchical frames raise ValueError (the
+    lossless / hierarchical frames raise ValueError (the
     remaining honest gate)."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")

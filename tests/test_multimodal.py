@@ -1006,3 +1006,55 @@ def test_jpeg_arith_state_table_and_stream():
         decode_baseline_jpeg(blob)
     with _pytest.raises(ValueError, match="SOF9"):
         decode_arith_jpeg(encode_baseline_jpeg(w, h, 3, px))
+
+
+def test_jpeg_12bit_extended_codec():
+    """r10 gate closure: 12-bit extended sequential (SOF1, P=12,
+    16-bit DQT pq=1, optimized huffman with the >10 magnitude
+    categories Annex K never covers). Decode downscales /16 to the
+    8-bit contract: flat images are EXACT, smooth gradients within
+    1 LSB at high quality; 4:2:0 + restarts work; SOF0 with P=12 and
+    out-of-range samples are rejected."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.jpegcodec import (decode_baseline_jpeg,
+                                                   decode_jpeg,
+                                                   encode_extended12_jpeg,
+                                                   jpeg_info)
+
+    w, h = 20, 12
+    flat = [3000] * (w * h)
+    blob = encode_extended12_jpeg(w, h, 1, flat, quality=95)
+    assert blob[blob.index(b"\xff\xc1") + 4] == 12  # SOF1 precision
+    assert jpeg_info(blob)[:2] == (w, h)
+    gw, gh, gc, px = decode_jpeg(blob)
+    assert (gw, gh, gc) == (w, h, 1) and set(px) == {188}  # 3000/16
+
+    w, h = 25, 17
+    grad = [min(4095, 300 + x * 60 + y * 40 + c * 200)
+            for y in range(h) for x in range(w) for c in range(3)]
+    exp = [v // 16 for v in grad]
+    _, _, _, px = decode_jpeg(
+        encode_extended12_jpeg(w, h, 3, grad, quality=97))
+    assert max(abs(a - b) for a, b in zip(px, exp)) <= 1
+    gw, gh, gc, px = decode_jpeg(encode_extended12_jpeg(
+        w, h, 3, grad, quality=90, subsampling="420", restart_interval=2))
+    assert (gw, gh, gc) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(px, exp)) <= 3
+
+    # high-entropy stress: deterministic decode, 12-bit magnitudes
+    seed = 42
+    noise = []
+    for _ in range(16 * 16):
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        noise.append(seed % 4096)
+    b1 = encode_extended12_jpeg(16, 16, 1, noise, quality=95)
+    assert decode_jpeg(b1) == decode_jpeg(b1)
+
+    with _pytest.raises(ValueError, match="0-4095"):
+        encode_extended12_jpeg(2, 1, 1, [0, 4096])
+    # a forged SOF0 with P=12 must be rejected (T.81 B.2: baseline is
+    # 8-bit only)
+    forged = b1.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with _pytest.raises(ValueError, match="SOF1"):
+        decode_baseline_jpeg(forged)
