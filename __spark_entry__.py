@@ -3408,8 +3408,9 @@ def _jpeg_px_fixture(k: int) -> bytes:
     variant); k=24..31 ARITHMETIC (r10: SOF9 QM-coded, DAC
     conditioning incl. non-default L/U/Kx, restart variant);
     k=32..35 12-BIT extended sequential (r10: SOF1 precision 12,
-    16-bit DQT, optimized huffman) — REAL scan data, encoded by the
-    pure-Python encoders."""
+    16-bit DQT, optimized huffman); k=36..39 PROGRESSIVE ARITHMETIC
+    (r10: SOF10, Annex G.2 scans over the QM coder, restart variant)
+    — REAL scan data, encoded by the pure-Python encoders."""
     from csvplus_spark.operators.jpegarith import encode_arith_jpeg
     from csvplus_spark.operators.jpegcodec import (
         _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
@@ -3426,6 +3427,15 @@ def _jpeg_px_fixture(k: int) -> bytes:
             w, h, ch, px, quality=90,
             restart_interval=2 if k % 5 == 0 else 0,
             subsampling="420" if k % 4 == 0 else "444")
+    if k >= 36:
+        from csvplus_spark.operators.jpegarith import \
+            encode_arith_progressive_jpeg
+        return encode_arith_progressive_jpeg(
+            w, h, ch, px, quality=90,
+            subsampling="420" if k == 36 else "444",
+            restart_interval=3 if k == 38 else 0,
+            dc_L=1 if k == 39 else 0, dc_U=3 if k == 39 else 1,
+            ac_Kx=10 if k == 39 else 5)
     if k >= 32:
         s12 = [(k * 13 + i * 7) % 4096 for i in range(w * h * ch)]
         return encode_extended12_jpeg(
@@ -3494,7 +3504,7 @@ def q_multimodal_resize_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 36
+                k = int(did) % 40
                 if k not in cache:
                     cache[k] = _jpeg_resize_stats(k)
                 rows.append((int(did),) + cache[k])
@@ -3511,14 +3521,14 @@ def _multimodal_resize_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_resize_stats(k))
-                                   for k in range(36)))
+                                   for k in range(40)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 36 = p.k
+  ON d.doc_id % 40 = p.k
 """
 
 
@@ -3647,13 +3657,14 @@ JOIN (VALUES
 
 def q_multimodal_jpeg_px(spark, sf_dir):
     """FULL JPEG pixel decode through the oracle gate (r9 baseline,
-    r10 progressive + arithmetic + 12-bit): each doc maps to one of
-    36 deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
+    r10 progressive + arithmetic + 12-bit + progressive-arithmetic):
+    each doc maps to one of 40 deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
     restart intervals) + 8 PROGRESSIVE (SOF2, spectral selection +
     successive approximation, EOB runs, AC refinement, optimized
     per-scan huffman tables) + 8 ARITHMETIC (SOF9 QM-coded, DAC
     conditioning, restart variant, operators/jpegarith.py) + 4
-    12-BIT extended sequential (SOF1, 16-bit DQT) — decoded
+    12-BIT extended sequential (SOF1, 16-bit DQT) + 4 PROGRESSIVE
+    ARITHMETIC (SOF10, Annex G.2 over the QM coder) — decoded
     EXECUTOR-SIDE by the pure-Python decoders
     (operators/jpegcodec.py::decode_jpeg); the oracle pins the
     identical decode computed at SQL-build time as literals — the
@@ -3672,7 +3683,7 @@ def q_multimodal_jpeg_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 36
+                k = int(did) % 40
                 if k not in cache:
                     w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
                     cache[k] = (w, h, c, sum(px), max(px))
@@ -3690,14 +3701,14 @@ def _multimodal_jpeg_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_px_stats(k))
-                                   for k in range(36)))
+                                   for k in range(40)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 36 = p.k
+  ON d.doc_id % 40 = p.k
 """
 
 

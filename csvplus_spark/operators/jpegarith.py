@@ -1,7 +1,10 @@
-"""Arithmetic-coded JPEG (SOF9, extended sequential DCT) — pure
-Python, no native lib (r10: closes the `arithmetic` branch of the
-multimodal decode gate; baseline r9 / progressive r10 live in
-jpegcodec.py).
+"""Arithmetic-coded JPEG — pure Python, no native lib (r10: closes
+the `arithmetic` branch of the multimodal decode gate; huffman
+baseline r9 / progressive r10 live in jpegcodec.py). Both arithmetic
+frame types ship, both directions: sequential SOF9
+(encode_arith_jpeg/decode_arith_jpeg) and progressive SOF10
+(encode_arith_progressive_jpeg/decode_arith_progressive_jpeg, Annex
+G.2 scan structure over the QM coder).
 
 Implements ITU-T T.81 Annex D (the QM arithmetic entropy coder: the
 113-state probability-estimation machine of Table D.3 plus the fixed
@@ -24,8 +27,8 @@ coder bug breaks that equality). Cross-validation against libjpeg
 streams is not possible in this container; the state table and models
 follow the published spec tables verbatim.
 
-Remaining honest gates after this: progressive-arithmetic (SOF10),
-lossless, hierarchical (12-bit sequential huffman landed in
+Remaining honest gates after this: lossless, hierarchical, and the
+differential frame types (12-bit sequential huffman landed in
 jpegcodec.encode_extended12_jpeg the same round).
 """
 
@@ -688,3 +691,535 @@ def decode_arith_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                                 c["plane"][base + xx] = px[yy * 8 + xx]
     return width, height, len(comps), _assemble_pixels(
         width, height, comps, hmax, vmax)
+
+
+# --------------------------------------------------------------------
+# Progressive-arithmetic (SOF10) codec — T.81 Annex G.2 scan structure
+# (spectral selection + successive approximation) with the Annex G
+# arithmetic statistical models: the DC/AC-first models are the
+# sequential ones over point-transformed values, DC refinement is one
+# fixed-bin bit per block, AC refinement codes correction bits at the
+# per-k (st+2) bin with newly-nonzero signs in the fixed bin. Unlike
+# huffman progressive there are NO EOB runs — the EOB decision is a
+# per-block context. Statistics reset at every scan start and restart.
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift toward zero."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_value(enc, st, fixed, idx, v, k, kx):
+    """Shared F.1.4 nonzero-AC value encoder at EOB-bin offset
+    ``idx`` (sign via the fixed bin, Kx-split magnitude)."""
+    if v > 0:
+        enc.encode(fixed, 0, 0)
+    else:
+        enc.encode(fixed, 0, 1)
+        v = -v
+    idx += 2
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, idx, 1)
+        m = 1
+        v2 = v
+        if v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, idx, 1)
+            m <<= 1
+            idx = 189 if k <= kx else 217
+            while v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, idx, 1)
+                m <<= 1
+                idx += 1
+    enc.encode(st, idx, 0)
+    idx += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(st, idx, 1 if (mm & v) else 0)
+
+
+def encode_arith_progressive_jpeg(width: int, height: int, channels: int,
+                                  pixels: bytes, quality: int = 90,
+                                  subsampling: str = "444",
+                                  script: list | None = None,
+                                  restart_interval: int = 0,
+                                  dc_L: int = _DEF_DC_L,
+                                  dc_U: int = _DEF_DC_U,
+                                  ac_Kx: int = _DEF_AC_KX) -> bytes:
+    """Encode raw 8-bit pixels as a PROGRESSIVE ARITHMETIC (SOF10)
+    JFIF JPEG: the huffman-progressive scan ``script`` format
+    (``(comp_indices, Ss, Se, Ah, Al)``), QM-coded. Quantizes the
+    exact same coefficients as every other encoder here (shared
+    helpers), so the full-script decode must be pixel-identical to
+    the baseline decode — the codec self-check."""
+    from .jpegcodec import (_PROG_SCRIPT_GRAY, _PROG_SCRIPT_RGB,
+                            _prog_scan_mcus)
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("width/height out of JPEG range")
+    if not (0 <= dc_L <= dc_U <= 15):
+        raise ValueError("DC conditioning needs 0 <= L <= U <= 15")
+    if not 1 <= ac_Kx <= 63:
+        raise ValueError("AC conditioning Kx must be 1-63")
+    if script is None:
+        script = _PROG_SCRIPT_RGB if channels == 3 else _PROG_SCRIPT_GRAY
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    hv, sizes, splanes = _subsampled_planes(
+        width, height, channels, pixels, subsampling)
+    quants = [ql] + [qc] * (channels - 1)
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for ci in range(channels):
+        h, v = hv[ci]
+        bw, bh = mcux * h, mcuy * v
+        cw, chh = sizes[ci]
+        blocks = [_block_qz(splanes[ci], cw, chh, bx * 8, by * 8,
+                            quants[ci])
+                  for by in range(bh) for bx in range(bw)]
+        comps.append({"id": ci + 1, "h": h, "v": v, "bw": bw, "bh": bh,
+                      "ci": ci, "blocks": blocks,
+                      "t": 0 if ci == 0 else 1})
+
+    out = [b"\xff\xd8", _JFIF_APP0]
+    for tid, q in ([(0, ql)] if channels == 1 else [(0, ql), (1, qc)]):
+        body = bytes([tid]) + bytes(q[ZIGZAG[k]] for k in range(64))
+        out.append(b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body)
+    csof = b"".join(bytes([c + 1, (hv[c][0] << 4) | hv[c][1],
+                           0 if c == 0 else 1])
+                    for c in range(channels))
+    sof = struct.pack(">BHHB", 8, height, width, channels) + csof
+    out.append(b"\xff\xca" + struct.pack(">H", len(sof) + 2) + sof)
+    dac = bytearray()
+    for t in range(1 if channels == 1 else 2):
+        dac += bytes([0x00 | t, (dc_U << 4) | dc_L])
+        dac += bytes([0x10 | t, ac_Kx])
+    out.append(b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + bytes(dac))
+    if restart_interval:
+        out.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+
+    for comp_idx, ss, se, ah, al in script:
+        scomps = [comps[i] for i in comp_idx]
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if not is_dc and len(scomps) != 1:
+            raise ValueError("AC scans are single-component (T.81 G.2)")
+
+        enc = _ArithEncoder()
+        dc_stats = [bytearray(64) for _ in range(2)]
+        ac_stats = [bytearray(256) for _ in range(2)]
+        fixed = bytearray([113])
+        pred = {c["ci"]: 0 for c in scomps}
+        dc_ctx = {c["ci"]: 0 for c in scomps}
+        scan_bytes = bytearray()
+
+        def encode_block(c, bidx):
+            blk = c["blocks"][bidx]
+            st = (dc_stats if is_dc else ac_stats)[c["t"]]
+            if is_dc and ah == 0:
+                v = blk[0] >> al  # DC point transform: arithmetic shift
+                _encode_dc(enc, st, fixed, v - pred[c["ci"]], c["ci"],
+                           dc_ctx, dc_L, dc_U)
+                pred[c["ci"]] = v
+            elif is_dc:
+                enc.encode(fixed, 0, (blk[0] >> al) & 1)
+            elif ah == 0:
+                # G.1.3.2: AC first scan — sequential model over the
+                # point-transformed band
+                ke = se
+                while ke >= ss and _pt_ac(blk[ke], al) == 0:
+                    ke -= 1
+                k = ss
+                while k <= ke:
+                    idx = 3 * (k - 1)
+                    enc.encode(st, idx, 0)  # not-EOB
+                    while _pt_ac(blk[k], al) == 0:
+                        enc.encode(st, idx + 1, 0)
+                        idx += 3
+                        k += 1
+                    enc.encode(st, idx + 1, 1)
+                    _enc_ac_value(enc, st, fixed, idx,
+                                  _pt_ac(blk[k], al), k, ac_Kx)
+                    k += 1
+                if ke < se:
+                    enc.encode(st, 3 * k - 3, 1)  # EOB at position k
+            else:
+                # G.1.3.3: AC refinement
+                ke = se
+                while ke >= ss and _pt_ac(blk[ke], al) == 0:
+                    ke -= 1
+                kex = ke
+                while kex >= ss and _pt_ac(blk[kex], ah) == 0:
+                    kex -= 1
+                k = ss
+                while k <= ke:
+                    idx = 3 * (k - 1)
+                    if k > kex:
+                        enc.encode(st, idx, 0)  # EOB decision
+                    while True:
+                        v = _pt_ac(blk[k], al)
+                        if v:
+                            if v > 1 or v < -1:  # previously nonzero
+                                enc.encode(st, idx + 2, abs(v) & 1)
+                            else:  # newly nonzero: signal + sign
+                                enc.encode(st, idx + 1, 1)
+                                enc.encode(fixed, 0, 0 if v > 0 else 1)
+                            break
+                        enc.encode(st, idx + 1, 0)
+                        idx += 3
+                        k += 1
+                    k += 1
+                if k <= se:
+                    enc.encode(st, 3 * (k - 1), 1)  # EOB flag
+
+        unit = 0
+        for mcu in _prog_scan_mcus(scomps, mcux, mcuy, hmax, vmax,
+                                   width, height):
+            if restart_interval and unit and \
+                    unit % restart_interval == 0:
+                scan_bytes += enc.finish()
+                scan_bytes += bytes(
+                    [0xFF, 0xD0 + ((unit // restart_interval - 1) & 7)])
+                enc = _ArithEncoder()
+                dc_stats = [bytearray(64) for _ in range(2)]
+                ac_stats = [bytearray(256) for _ in range(2)]
+                fixed = bytearray([113])
+                pred = {c["ci"]: 0 for c in scomps}
+                dc_ctx = {c["ci"]: 0 for c in scomps}
+            unit += 1
+            for c, bidx in mcu:
+                encode_block(c, bidx)
+        scan_bytes += enc.finish()
+
+        sos = bytes([len(scomps)]) + b"".join(
+            bytes([c["id"], (c["t"] << 4) | c["t"]]) for c in scomps
+        ) + bytes([ss, se, (ah << 4) | al])
+        out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+        out.append(bytes(scan_bytes))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def _next_marker(blob: bytes, pos: int) -> int:
+    """Offset of the next non-restart marker's 0xFF prefix at/after
+    ``pos`` (skips entropy bytes, stuffed zeros, fill 0xFFs, RSTn)."""
+    n = len(blob)
+    i = pos
+    while i + 1 < n:
+        if blob[i] == 0xFF:
+            b = blob[i + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                i += 2
+                continue
+            if b == 0xFF:
+                i += 1
+                continue
+            return i
+        i += 1
+    raise ValueError("arith: no trailing marker found")
+
+
+def decode_arith_progressive_jpeg(blob: bytes) -> tuple[int, int, int,
+                                                        bytes]:
+    """Full pixel decode of a PROGRESSIVE ARITHMETIC (SOF10) JPEG →
+    (width, height, channels, pixels): per-scan QM decoding
+    accumulates spectral bands and successive-approximation bits into
+    per-block coefficient arrays, then one dequantize + IDCT +
+    upsample pass. Supports interleaved DC scans, AC refinement,
+    restart intervals, and DAC conditioning."""
+    from .jpegcodec import _STANDALONE, _idct8x8, _prog_scan_mcus
+
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    n = len(blob)
+    quant: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    frame = None
+    restart = 0
+    comps: list = []
+    hmax = vmax = mcux = mcuy = 0
+    width = height = 0
+    i = 2
+    while i < n:
+        if blob[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i < n and blob[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = blob[i]
+        i += 1
+        if marker == 0xD9:
+            break
+        if marker in _STANDALONE:
+            continue
+        if i + 2 > n:
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("bad segment length")
+        seg = blob[i + 2:i + seg_len]
+        data_pos = i + seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = seg[p + k]
+                p += 64
+                quant[tq] = tbl
+        elif marker == 0xCC:
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("arith: bad AC Kx conditioning")
+                    ac_cond[tb] = cs
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xCA:
+            if frame is not None:
+                raise ValueError("multiple SOF frames")
+            if len(seg) < 6:
+                raise ValueError("SOF segment too short")
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            for c in range(ncomp):
+                cid, hvb, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hvb >> 4, "v": hvb & 0xF,
+                              "tq": tq})
+            if ncomp == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2
+                       for c in comps):
+                raise ValueError("sampling factors beyond 2 unsupported")
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["cz"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
+            frame = True
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "decode_arith_progressive_jpeg handles SOF10 frames "
+                f"only (SOF{marker - 0xC0} found)")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF (no frame header)")
+            if not seg or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("truncated SOS segment")
+            ns = seg[0]
+            scomps, tsel = [], {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                cc = next((x for x in comps if x["id"] == cs), None)
+                if cc is None:
+                    raise ValueError("scan component not in frame")
+                scomps.append(cc)
+                tsel[cs] = (tt >> 4, tt & 0xF)
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            i = _decode_arith_prog_scan(
+                blob, data_pos, scomps, tsel, ss, se, ah, al,
+                dc_cond, ac_cond, restart, mcux, mcuy, hmax, vmax,
+                width, height)
+            continue
+        i += seg_len
+    if frame is None:
+        raise ValueError("no frame/scan found")
+    for c in comps:
+        q = quant.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
+        row_w = c["bw"] * 8
+        for bidx, zz in enumerate(c["cz"]):
+            coef = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[ZIGZAG[k]] = zz[k] * q[ZIGZAG[k]]
+            px = _idct8x8(coef)
+            by0 = (bidx // c["bw"]) * 8
+            bx0 = (bidx % c["bw"]) * 8
+            for yy in range(8):
+                base = (by0 + yy) * row_w + bx0
+                for xx in range(8):
+                    c["plane"][base + xx] = px[yy * 8 + xx]
+    return width, height, len(comps), _assemble_pixels(
+        width, height, comps, hmax, vmax)
+
+
+def _decode_arith_prog_scan(blob, pos, scomps, tsel, ss, se, ah, al,
+                            dc_cond, ac_cond, restart, mcux, mcuy,
+                            hmax, vmax, width, height) -> int:
+    """Decode one progressive-arithmetic scan, accumulating into each
+    component's ``cz`` blocks; returns the next marker offset."""
+    from .jpegcodec import _prog_scan_mcus
+
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if not is_dc and (len(scomps) != 1 or not 1 <= ss <= se <= 63):
+        raise ValueError("invalid AC scan parameters")
+    dec = _ArithDecoder(blob, pos)
+
+    def fresh():
+        return ([bytearray(64) for _ in range(2)],
+                [bytearray(256) for _ in range(2)],
+                bytearray([113]))
+
+    dc_stats, ac_stats, fixed = fresh()
+    last_dc = {id(c): 0 for c in scomps}
+    dc_ctx = {id(c): 0 for c in scomps}
+    p1 = 1 << al
+
+    def decode_block(c, bidx):
+        zz = c["cz"][bidx]
+        td, ta = tsel[c["id"]]
+        if is_dc and ah == 0:
+            st = dc_stats[td]
+            L, U = dc_cond.get(td, (_DEF_DC_L, _DEF_DC_U))
+            s0 = dc_ctx[id(c)]
+            if dec.decode(st, s0) == 0:
+                dc_ctx[id(c)] = 0
+            else:
+                sign = dec.decode(st, s0 + 1)
+                idx = s0 + 2 + sign
+                m = dec.decode(st, idx)
+                if m:
+                    idx = 20
+                    while dec.decode(st, idx):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "arith: DC magnitude overflow")
+                        idx += 1
+                if m < (1 << L) >> 1:
+                    dc_ctx[id(c)] = 0
+                elif m > (1 << U) >> 1:
+                    dc_ctx[id(c)] = 12 + sign * 4
+                else:
+                    dc_ctx[id(c)] = 4 + sign * 4
+                v = m
+                idx += 14
+                while m >> 1:
+                    m >>= 1
+                    if dec.decode(st, idx):
+                        v |= m
+                v += 1
+                if sign:
+                    v = -v
+                last_dc[id(c)] += v
+            zz[0] = last_dc[id(c)] << al
+        elif is_dc:
+            if dec.decode(fixed, 0):
+                zz[0] |= p1
+        elif ah == 0:
+            st = ac_stats[ta]
+            kx = ac_cond.get(ta, _DEF_AC_KX)
+            k = ss
+            while k <= se:
+                idx = 3 * (k - 1)
+                if dec.decode(st, idx):
+                    return  # EOB
+                while dec.decode(st, idx + 1) == 0:
+                    idx += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("arith: AC index overflow")
+                sign = dec.decode(fixed, 0)
+                idx += 2
+                m = dec.decode(st, idx)
+                if m:
+                    if dec.decode(st, idx):
+                        m <<= 1
+                        idx = 189 if k <= kx else 217
+                        while dec.decode(st, idx):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "arith: AC magnitude overflow")
+                            idx += 1
+                v = m
+                idx += 14
+                while m >> 1:
+                    m >>= 1
+                    if dec.decode(st, idx):
+                        v |= m
+                v += 1
+                zz[k] = (-v if sign else v) << al
+                k += 1
+        else:
+            st = ac_stats[ta]
+            m1 = -1 << al
+            # previous-stage EOB index: every nonzero accumulated coef
+            # was set by an earlier scan (|zz| >= 2^Ah), so the plain
+            # nonzero test IS the Ah-stage significance test
+            kex = se
+            while kex >= ss and zz[kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                idx = 3 * (k - 1)
+                if k > kex:
+                    if dec.decode(st, idx):
+                        break  # EOB
+                while True:
+                    if zz[k]:
+                        if dec.decode(st, idx + 2):
+                            zz[k] += m1 if zz[k] < 0 else p1
+                        break
+                    if dec.decode(st, idx + 1):
+                        zz[k] = m1 if dec.decode(fixed, 0) else p1
+                        break
+                    idx += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("arith: AC index overflow")
+                k += 1
+
+    unit = 0
+    rst_idx = 0
+    for mcu in _prog_scan_mcus(scomps, mcux, mcuy, hmax, vmax,
+                               width, height):
+        if restart and unit and unit % restart == 0:
+            dec.restart(rst_idx)
+            rst_idx += 1
+            dc_stats, ac_stats, fixed = fresh()
+            last_dc = {id(c): 0 for c in scomps}
+            dc_ctx = {id(c): 0 for c in scomps}
+        unit += 1
+        for c, bidx in mcu:
+            decode_block(c, bidx)
+    return _next_marker(blob, dec.pos if dec.marker is None
+                        else dec._marker_at - 1)

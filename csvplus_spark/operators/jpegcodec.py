@@ -15,9 +15,9 @@ upsampling + YCbCr→RGB, restart intervals, byte stuffing) and the
 fixture-grade :func:`encode_baseline_jpeg` — so real JPEG pixels
 decode in codec-less containers too. Round 10 adds the progressive
 (SOF2) codec here and the sequential-arithmetic (SOF9) codec in
-jpegarith.py and the 12-bit extended-sequential (SOF1/P=12) codec
-here; progressive-arithmetic / lossless / hierarchical frames remain
-the honest Pillow gate.
+jpegarith.py (sequential SOF9 AND progressive SOF10) and the 12-bit
+extended-sequential (SOF1/P=12) codec here; lossless / hierarchical /
+differential frames remain the honest Pillow gate.
 
 Reference parity note: csvplus (csvplus.go) has no multimodal surface;
 this is north-star extension code for binary-column pipelines.
@@ -209,7 +209,7 @@ def encode_minimal_jpeg(width: int, height: int, n_components: int = 3,
 # baseline case). Progressive decode lives below (r10), sequential
 # arithmetic in jpegarith.py (r10), 12-bit SOF1 in
 # encode_extended12_jpeg/decode_baseline_jpeg (r10);
-# progressive-arithmetic/lossless/hierarchical stay honestly gated.
+# lossless/hierarchical/differential stay honestly gated.
 # All tables are the ITU-T T.81 Annex K standards.
 
 #: zig-zag scan order (T.81 figure A.6)
@@ -944,8 +944,8 @@ def _assemble_pixels(width: int, height: int, comps, hmax: int,
 # OPTIMIZED huffman tables (T.81 K.2 two-pass construction): the
 # Annex K tables define no EOBn (n>=1) codes, so real progressive
 # streams — including ours — always ship custom DHT segments.
-# Arithmetic-progressive (SOF10/14) and 12-bit-progressive stay
-# honestly gated.
+# Arithmetic-progressive decode lives in jpegarith.py (SOF10, r10);
+# differential (SOF14) and 12-bit-progressive stay honestly gated.
 
 def _optimal_huff_spec(freq: list) -> tuple:
     """(BITS, HUFFVAL) for the given 256-entry symbol frequency table —
@@ -1615,11 +1615,13 @@ def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Pixel-decode dispatcher: baseline/extended-sequential frames →
-    :func:`decode_baseline_jpeg`, progressive huffman (SOF2) →
-    :func:`decode_progressive_jpeg`, sequential arithmetic (SOF9, r10)
-    → :func:`jpegarith.decode_arith_jpeg`. Progressive-arithmetic /
-    lossless / hierarchical frames raise ValueError (the
+    """Pixel-decode dispatcher: baseline/extended-sequential (incl.
+    12-bit SOF1) frames → :func:`decode_baseline_jpeg`, progressive
+    huffman (SOF2) → :func:`decode_progressive_jpeg`, sequential
+    arithmetic (SOF9, r10) → :func:`jpegarith.decode_arith_jpeg`,
+    progressive arithmetic (SOF10, r10) →
+    :func:`jpegarith.decode_arith_progressive_jpeg`. Lossless /
+    hierarchical / differential frames raise ValueError (the
     remaining honest gate)."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -1630,6 +1632,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             if marker == 0xC9:
                 from .jpegarith import decode_arith_jpeg
                 return decode_arith_jpeg(blob)
+            if marker == 0xCA:
+                from .jpegarith import decode_arith_progressive_jpeg
+                return decode_arith_progressive_jpeg(blob)
             return decode_baseline_jpeg(blob)
         if marker == 0xDA:
             break

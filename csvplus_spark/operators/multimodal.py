@@ -5,8 +5,8 @@ Decode paths, most-real-first: Pillow when importable on the
 executors (``real_codec=True``), else the built-in pure-Python codecs
 (pngcodec.py — struct+zlib; jpegcodec.py — full huffman+IDCT pixel
 decode, baseline r9 + progressive r10; both work in THIS container), else an
-honest NotImplementedError for blobs neither handles (progressive-
-arithmetic / lossless JPEG, other formats); ``real_codec=False`` keeps
+honest NotImplementedError for blobs neither handles (lossless /
+hierarchical JPEG, other formats); ``real_codec=False`` keeps
 the deterministic
 fake for oracle-checkable plumbing tests.
 The Spark-side plumbing is identical across all of them:
@@ -319,7 +319,7 @@ def resize_stub(width: int = 64, height: int = 64,
                             # store sensor-native pixels + the tag;
                             # resizing without applying it mis-crops),
                             # resample, re-encode without Pillow
-                            # (progressive-arithmetic/lossless frames
+                            # (lossless/hierarchical frames
                             # still raise ValueError below)
                             w0, h0, ch, px = jpegcodec.decode_jpeg(blob)
                             w0, h0, px = jpegcodec.apply_orientation(

@@ -1058,3 +1058,49 @@ def test_jpeg_12bit_extended_codec():
     forged = b1.replace(b"\xff\xc1", b"\xff\xc0", 1)
     with _pytest.raises(ValueError, match="SOF1"):
         decode_baseline_jpeg(forged)
+
+
+def test_jpeg_progressive_arith_codec():
+    """r10 gate closure: PROGRESSIVE ARITHMETIC (SOF10) — the Annex
+    G.2 scan structure (spectral selection, successive approximation,
+    DC/AC refinement) over the QM coder. The full-script decode must
+    be pixel-identical to the baseline huffman decode of the same
+    coefficients, across subsampling / restart / spectral-only-script
+    / conditioning variants; the dispatcher routes SOF10."""
+    from csvplus_spark.operators.jpegarith import (
+        decode_arith_progressive_jpeg, encode_arith_progressive_jpeg)
+    from csvplus_spark.operators.jpegcodec import (
+        _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
+        decode_baseline_jpeg, decode_jpeg, encode_baseline_jpeg)
+
+    for (w, h, ch, q, ri, sub, script, L, U, kx) in [
+        (24, 16, 3, 75, 0, "420", None, 0, 1, 5),
+        (17, 9, 1, 50, 2, "444", None, 0, 1, 5),
+        (16, 16, 3, 95, 0, "444", _PROG_SCRIPT_SPECTRAL, 1, 3, 20),
+        (26, 18, 1, 90, 4, "444", _PROG_SCRIPT_SPECTRAL_GRAY, 0, 2, 1),
+        (40, 28, 3, 30, 2, "422", None, 2, 4, 63),
+        (1, 1, 1, 90, 0, "444", None, 0, 1, 5),
+    ]:
+        px = bytes(((x * 7 + y * 5 + c * 37 + w) % 256)
+                   for y in range(h) for x in range(w) for c in range(ch))
+        blob = encode_arith_progressive_jpeg(
+            w, h, ch, px, quality=q, restart_interval=ri,
+            subsampling=sub, script=script, dc_L=L, dc_U=U, ac_Kx=kx)
+        got = decode_arith_progressive_jpeg(blob)
+        base = decode_baseline_jpeg(encode_baseline_jpeg(
+            w, h, ch, px, quality=q, subsampling=sub))
+        assert got == base, (w, h, ch, q, ri, sub, L, U, kx)
+        assert decode_jpeg(blob) == got  # dispatcher routes SOF10
+
+    # high-entropy stress (deep refinement scans + carries)
+    seed = 777
+    noise = bytearray()
+    for _ in range(33 * 25 * 3):
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        noise.append(seed & 0xFF)
+    for q in (95, 60):
+        got = decode_arith_progressive_jpeg(
+            encode_arith_progressive_jpeg(33, 25, 3, bytes(noise),
+                                          quality=q))
+        assert got == decode_baseline_jpeg(
+            encode_baseline_jpeg(33, 25, 3, bytes(noise), quality=q))
