@@ -3409,13 +3409,15 @@ def _jpeg_px_fixture(k: int) -> bytes:
     conditioning incl. non-default L/U/Kx, restart variant);
     k=32..35 12-BIT extended sequential (r10: SOF1 precision 12,
     16-bit DQT, optimized huffman); k=36..39 PROGRESSIVE ARITHMETIC
-    (r10: SOF10, Annex G.2 scans over the QM coder, restart variant)
-    — REAL scan data, encoded by the pure-Python encoders."""
+    (r10: SOF10, Annex G.2 scans over the QM coder, restart variant);
+    k=40..43 LOSSLESS (r10: SOF3 Annex H predictors, exact-roundtrip
+    at P=8, one 16-bit + one restart variant) — REAL scan data,
+    encoded by the pure-Python encoders."""
     from csvplus_spark.operators.jpegarith import encode_arith_jpeg
     from csvplus_spark.operators.jpegcodec import (
         _PROG_SCRIPT_SPECTRAL, _PROG_SCRIPT_SPECTRAL_GRAY,
         encode_baseline_jpeg, encode_extended12_jpeg,
-        encode_progressive_jpeg)
+        encode_lossless_jpeg, encode_progressive_jpeg)
 
     w = 8 * (k % 3 + 1) + (k % 5)      # 8..26, often not /8
     h = 8 * ((k // 3) % 3 + 1) + (k % 3)
@@ -3427,6 +3429,15 @@ def _jpeg_px_fixture(k: int) -> bytes:
             w, h, ch, px, quality=90,
             restart_interval=2 if k % 5 == 0 else 0,
             subsampling="420" if k % 4 == 0 else "444")
+    if k >= 40:
+        pred = (k - 39) * 2 - 1  # predictors 1,3,5,7
+        if k == 42:  # 16-bit precision variant
+            s16 = [(k * 131 + i * 37) % 65536 for i in range(w * h * ch)]
+            return encode_lossless_jpeg(w, h, ch, s16, precision=16,
+                                        predictor=pred)
+        return encode_lossless_jpeg(
+            w, h, ch, list(px), predictor=pred,
+            restart_interval=4 if k == 41 else 0)
     if k >= 36:
         from csvplus_spark.operators.jpegarith import \
             encode_arith_progressive_jpeg
@@ -3504,7 +3515,7 @@ def q_multimodal_resize_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 40
+                k = int(did) % 44
                 if k not in cache:
                     cache[k] = _jpeg_resize_stats(k)
                 rows.append((int(did),) + cache[k])
@@ -3521,14 +3532,14 @@ def _multimodal_resize_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_resize_stats(k))
-                                   for k in range(40)))
+                                   for k in range(44)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 40 = p.k
+  ON d.doc_id % 44 = p.k
 """
 
 
@@ -3657,14 +3668,15 @@ JOIN (VALUES
 
 def q_multimodal_jpeg_px(spark, sf_dir):
     """FULL JPEG pixel decode through the oracle gate (r9 baseline,
-    r10 progressive + arithmetic + 12-bit + progressive-arithmetic):
-    each doc maps to one of 40 deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
+    r10 progressive + arithmetic + 12-bit + progressive-arithmetic +
+    lossless): each doc maps to one of 44 deterministic JPEGs — 16 baseline (gray + RGB, 4:4:4 + 4:2:0,
     restart intervals) + 8 PROGRESSIVE (SOF2, spectral selection +
     successive approximation, EOB runs, AC refinement, optimized
     per-scan huffman tables) + 8 ARITHMETIC (SOF9 QM-coded, DAC
     conditioning, restart variant, operators/jpegarith.py) + 4
     12-BIT extended sequential (SOF1, 16-bit DQT) + 4 PROGRESSIVE
-    ARITHMETIC (SOF10, Annex G.2 over the QM coder) — decoded
+    ARITHMETIC (SOF10, Annex G.2 over the QM coder) + 4 LOSSLESS
+    (SOF3, Annex H predictors) — decoded
     EXECUTOR-SIDE by the pure-Python decoders
     (operators/jpegcodec.py::decode_jpeg); the oracle pins the
     identical decode computed at SQL-build time as literals — the
@@ -3683,7 +3695,7 @@ def q_multimodal_jpeg_px(spark, sf_dir):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                k = int(did) % 40
+                k = int(did) % 44
                 if k not in cache:
                     w, h, c, px = decode_jpeg(_jpeg_px_fixture(k))
                     cache[k] = (w, h, c, sum(px), max(px))
@@ -3701,14 +3713,14 @@ def _multimodal_jpeg_px_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {w}, {h}, {c}, CAST({s} AS BIGINT), {m})"
         for k, (w, h, c, s, m) in ((k, _jpeg_px_stats(k))
-                                   for k in range(40)))
+                                   for k in range(44)))
     return f"""
 SELECT d.doc_id AS media_id, p.width, p.height, p.channels,
        p.sum_px, p.max_px
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, width, height, channels, sum_px, max_px)
-  ON d.doc_id % 40 = p.k
+  ON d.doc_id % 44 = p.k
 """
 
 

@@ -1620,8 +1620,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     huffman (SOF2) → :func:`decode_progressive_jpeg`, sequential
     arithmetic (SOF9, r10) → :func:`jpegarith.decode_arith_jpeg`,
     progressive arithmetic (SOF10, r10) →
-    :func:`jpegarith.decode_arith_progressive_jpeg`. Lossless /
-    hierarchical / differential frames raise ValueError (the
+    :func:`jpegarith.decode_arith_progressive_jpeg`, lossless huffman
+    (SOF3, r10) → :func:`decode_lossless_jpeg`. Hierarchical /
+    differential / lossless-arithmetic frames raise ValueError (the
     remaining honest gate)."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -1629,6 +1630,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         if marker in _SOF_MARKERS:
             if marker == 0xC2:
                 return decode_progressive_jpeg(blob)
+            if marker == 0xC3:
+                return decode_lossless_jpeg(blob)
             if marker == 0xC9:
                 from .jpegarith import decode_arith_jpeg
                 return decode_arith_jpeg(blob)
@@ -1678,3 +1681,246 @@ def apply_orientation(width: int, height: int, channels: int,
             do = (oy * ow + ox) * channels
             out[do:do + channels] = pixels[so:so + channels]
     return ow, oh, bytes(out)
+
+
+# --------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — predictor-based, no DCT (r10).
+# The ONLY JPEG mode with an exact roundtrip: decode(encode(x)) == x
+# bit-for-bit at P=8, which is the codec self-check no lossy mode can
+# offer. DICOM's classic lossless transfer syntax. Precisions 8..16
+# (P>8 output downscales >>(P-8) to the 8-bit pixel contract, the
+# 12-bit DCT path's convention); predictors 1-7; point transform;
+# restart intervals; optimized huffman (categories up to 16).
+
+def _ll_predict(prev_row, cur_row, x: int, y: int, psv: int,
+                default: int) -> int:
+    """T.81 H.1.2.1 sample prediction: Ra=left, Rb=above, Rc=above-
+    left; first sample uses ``default``, first column Rb, first row
+    Ra (spec-mandated overrides regardless of the selector)."""
+    if y == 0:
+        return default if x == 0 else cur_row[x - 1]
+    if x == 0:
+        return prev_row[0]
+    ra, rb, rc = cur_row[x - 1], prev_row[x], prev_row[x - 1]
+    if psv == 1:
+        return ra
+    if psv == 2:
+        return rb
+    if psv == 3:
+        return rc
+    if psv == 4:
+        return ra + rb - rc
+    if psv == 5:
+        return ra + ((rb - rc) >> 1)
+    if psv == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # psv == 7
+
+
+def encode_lossless_jpeg(width: int, height: int, channels: int,
+                         samples, precision: int = 8,
+                         predictor: int = 4, pt: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Encode raw samples (ints 0..2^P−1, gray or interleaved RGB —
+    lossless JPEG applies NO color transform) as a lossless (SOF3)
+    JPEG. ``predictor`` selects T.81 H.1 selector 1-7 via the scan's
+    Ss field; ``pt`` is the point transform (samples pre-shifted
+    >>pt). At precision 8 / pt 0 the roundtrip is EXACT."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if not 8 <= precision <= 16:
+        raise ValueError("precision must be 8-16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor selector must be 1-7")
+    if not 0 <= pt < precision:
+        raise ValueError("point transform out of range")
+    if len(samples) != width * height * channels:
+        raise ValueError("sample buffer size mismatch")
+    mx = (1 << precision) - 1
+    if any(not 0 <= s <= mx for s in samples):
+        raise ValueError("sample out of range for precision")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("width/height out of JPEG range")
+    planes = [[s >> pt for s in samples[ci::channels]]
+              for ci in range(channels)]
+    default = 1 << (precision - pt - 1)
+
+    # category-16 (diff == 32768 mod 2^16) carries no extra bits
+    freq = [[0] * 256 for _ in range(channels)]
+    enc: list = [None] * channels
+    wr = _BitWriter()
+    counting = True
+
+    def run_pass() -> None:
+        rows: list = [[None, None] for _ in range(channels)]
+        mcu = 0
+        reset = True
+        for y in range(height):
+            for ci in range(channels):
+                rows[ci][0] = rows[ci][1]
+                rows[ci][1] = [0] * width
+            for x in range(width):
+                nonlocal_mcu = mcu  # noqa: F841 (clarity)
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0 and not reset:
+                    if not counting:
+                        wr.flush()
+                        wr.buf += bytes(
+                            [0xFF, 0xD0 + ((mcu // restart_interval - 1)
+                                           & 7)])
+                    reset = True
+                for ci in range(channels):
+                    prev, cur = rows[ci]
+                    s = planes[ci][y * width + x]
+                    if reset:
+                        # restart re-enters start-of-scan conditions:
+                        # the next sample codes against the default
+                        pred = default
+                    else:
+                        pred = _ll_predict(prev, cur, x, y, predictor,
+                                           default)
+                    cur[x] = s
+                    d = ((s - pred + 32768) & 0xFFFF) - 32768
+                    if d == -32768:
+                        size, code = 16, 0
+                    else:
+                        size, code = _magnitude(d)
+                    if counting:
+                        freq[ci][size] += 1
+                    else:
+                        hc, hl = enc[ci][size]
+                        wr.write(hc, hl)
+                        if size and size != 16:
+                            wr.write(code, size)
+                reset = False
+                mcu += 1
+        # NB ``reset`` semantics: a restart boundary makes EVERY
+        # component's next sample use the start-of-scan default and
+        # the row context rebuilds naturally from decoded samples.
+
+    run_pass()
+    specs = [_optimal_huff_spec(freq[ci]) for ci in range(channels)]
+    enc = [_build_huff_encode(s) for s in specs]
+    counting = False
+    wr = _BitWriter()
+    run_pass()
+    wr.flush()
+
+    out = [b"\xff\xd8", _JFIF_APP0]
+    csof = b"".join(bytes([c + 1, 0x11, 0]) for c in range(channels))
+    sof = struct.pack(">BHHB", precision, height, width, channels) + csof
+    out.append(b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof)
+    for tid, (bits, vals) in enumerate(specs):
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out.append(b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body)
+    if restart_interval:
+        out.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+    sos = bytes([channels]) + b"".join(
+        bytes([c + 1, c << 4]) for c in range(channels)
+    ) + bytes([predictor, 0, pt])
+    out.append(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+    out.append(bytes(wr.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def decode_lossless_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode of a lossless (SOF3) JPEG → (width, height,
+    channels, pixels): predictor reconstruction mod 2^16, restart
+    intervals, point-transform re-expansion (<<Pt per H.2.1), P>8
+    downscaled >>(P−8) to the 8-bit contract (P=8 is bit-exact)."""
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    huff: dict[int, tuple] = {}
+    frame = None
+    restart = 0
+    scan = None
+    for marker, seg, end_pos in _segments(blob):
+        if marker == 0xC4:
+            _parse_dht(seg, huff, huff)  # lossless tables are class 0
+        elif marker in _SOF_MARKERS:
+            if marker != 0xC3:
+                raise ValueError(
+                    "decode_lossless_jpeg handles SOF3 frames only "
+                    f"(SOF{marker - 0xC0} found)")
+            if len(seg) < 6:
+                raise ValueError("SOF segment too short")
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if not 8 <= prec <= 16:
+                raise ValueError("lossless precision must be 8-16")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hvb, _tq = seg[6 + c * 3:9 + c * 3]
+                if hvb != 0x11:
+                    raise ValueError(
+                        "lossless subsampling unsupported (h=v=1 only)")
+                comps.append(cid)
+            frame = (width, height, comps, prec)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if not seg or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("truncated SOS segment")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                sel[cs] = tt >> 4
+            psv, _se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            pt = ahl & 0xF
+            scan = (sel, psv, pt, end_pos)
+            break
+    if frame is None or scan is None:
+        raise ValueError("no frame/scan found")
+    width, height, comps, prec = frame
+    sel, psv, pt, data_pos = scan
+    if not 1 <= psv <= 7:
+        raise ValueError("bad predictor selector")
+    tbls = []
+    for cid in comps:
+        if cid not in sel or sel[cid] not in huff:
+            raise ValueError("missing huffman table for component")
+        tbls.append(huff[sel[cid]])
+    default = 1 << (prec - pt - 1)
+    planes = [[0] * (width * height) for _ in comps]
+    r = _BitReader(blob, data_pos)
+    mcu = 0
+    rst_idx = 0
+    reset = True
+    prev_rows: list = [[None, None] for _ in comps]
+    for y in range(height):
+        for ci in range(len(comps)):
+            prev_rows[ci][0] = prev_rows[ci][1]
+            prev_rows[ci][1] = [0] * width
+        for x in range(width):
+            if restart and mcu and mcu % restart == 0 and not reset:
+                r.align_restart(rst_idx)
+                rst_idx += 1
+                reset = True
+            for ci in range(len(comps)):
+                prev, cur = prev_rows[ci]
+                t = _huff_decode_symbol(r, tbls[ci])
+                if t == 16:
+                    d = 32768
+                elif t:
+                    d = _extend(r.bits(t), t)
+                else:
+                    d = 0
+                pred = default if reset else \
+                    _ll_predict(prev, cur, x, y, psv, default)
+                s = (pred + d) & 0xFFFF
+                cur[x] = s
+                planes[ci][y * width + x] = s
+            reset = False
+            mcu += 1
+    shift = prec - 8
+    out = bytearray(width * height * len(comps))
+    for i in range(width * height):
+        for ci in range(len(comps)):
+            v = planes[ci][i] << pt  # H.2.1: re-expand point transform
+            out[i * len(comps) + ci] = min(255, max(0, v >> shift))
+    return width, height, len(comps), bytes(out)

@@ -1104,3 +1104,53 @@ def test_jpeg_progressive_arith_codec():
                                           quality=q))
         assert got == decode_baseline_jpeg(
             encode_baseline_jpeg(33, 25, 3, bytes(noise), quality=q))
+
+
+def test_jpeg_lossless_codec_exact_roundtrip():
+    """r10 gate closure: LOSSLESS JPEG (SOF3, T.81 Annex H) — the one
+    JPEG mode with a bit-exact contract: decode(encode(x)) == x at
+    P=8 for every predictor selector, gray and RGB (no color
+    transform), with restarts. Point transform re-expands <<Pt; 16-bit
+    precision downscales >>8; the dispatcher routes SOF3 and rejects
+    non-SOF3 in the single-mode decoder."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.jpegcodec import (decode_jpeg,
+                                                   decode_lossless_jpeg,
+                                                   encode_baseline_jpeg,
+                                                   encode_lossless_jpeg)
+
+    w, h = 23, 11
+    px = bytes(((x * 17 + y * 29) % 256) for y in range(h)
+               for x in range(w))
+    for pred in range(1, 8):
+        blob = encode_lossless_jpeg(w, h, 1, list(px), predictor=pred)
+        assert decode_lossless_jpeg(blob) == (w, h, 1, px), pred
+        assert decode_jpeg(blob) == (w, h, 1, px), pred
+    rgb = bytes(((x * 11 + y * 7 + c * 53) % 256) for y in range(h)
+                for x in range(w) for c in range(3))
+    blob = encode_lossless_jpeg(w, h, 3, list(rgb), predictor=4,
+                                restart_interval=5)
+    assert decode_lossless_jpeg(blob) == (w, h, 3, rgb)
+    # noise is still EXACT (losslessness doesn't depend on smoothness)
+    seed = 99
+    noise = bytearray()
+    for _ in range(w * h):
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        noise.append(seed & 0xFF)
+    noise = bytes(noise)
+    assert decode_lossless_jpeg(
+        encode_lossless_jpeg(w, h, 1, list(noise), predictor=7)
+    ) == (w, h, 1, noise)
+    # point transform: samples pre-shifted >>2, re-expanded <<2
+    blob = encode_lossless_jpeg(w, h, 1, list(px), predictor=1, pt=2)
+    got = decode_lossless_jpeg(blob)
+    assert got == (w, h, 1, bytes((v >> 2) << 2 for v in px))
+    # 16-bit precision → high-byte output
+    s16 = [(x * 2917 + y * 1031) % 65536 for y in range(h)
+           for x in range(w)]
+    assert decode_lossless_jpeg(encode_lossless_jpeg(
+        w, h, 1, s16, precision=16, predictor=7)) == (
+        w, h, 1, bytes(v >> 8 for v in s16))
+    with _pytest.raises(ValueError, match="SOF3"):
+        decode_lossless_jpeg(encode_baseline_jpeg(4, 4, 1, bytes(16)))
