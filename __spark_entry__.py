@@ -3666,6 +3666,115 @@ JOIN (VALUES
 """
 
 
+def _gif_fixture(k: int) -> bytes:
+    """Deterministic GIF fixture #k (r10): palettes of 4/16/256
+    colors, interlace, transparency, and 1-4 frame animations — REAL
+    GIF89a streams from the fixture-grade encoder
+    (operators/gifcodec.py::encode_gif)."""
+    from csvplus_spark.operators.gifcodec import encode_gif
+
+    w = 7 + (k * 5) % 11
+    h = 5 + (k * 3) % 9
+    ncol = 256 if k == 5 else (16 if k % 3 == 1 else 4)
+    pal = bytes(((k * 37 + i * 11) % 256) for i in range(3 * ncol))
+    frames = [[(k + x + y * 2 + f * 3) % ncol
+               for y in range(h) for x in range(w)]
+              for f in range(1 + k % 4)]
+    return encode_gif(
+        w, h, pal, frames[0],
+        interlace=(k % 3 == 0),
+        transparent=(1 if k % 4 == 1 else None),
+        extra_frames=frames[1:])
+
+
+def _gif_frame_rows(k: int) -> list[tuple]:
+    """The exact (frame_no, frame_md5, width, height, n_frames) rows
+    sample_frames(real_codec=True, n_frames=3) emits for fixture #k —
+    the pinned expectation both sides share."""
+    import hashlib
+
+    from csvplus_spark.operators.gifcodec import decode_gif, gif_info
+
+    blob = _gif_fixture(k)
+    w, h, nf = gif_info(blob)
+    take = min(3, nf)
+    picks = [0] if take == 1 else [round(i * (nf - 1) / (take - 1))
+                                   for i in range(take)]
+    rows = []
+    for fno in picks:
+        _, _, _, px = decode_gif(blob, fno)
+        rows.append((fno, hashlib.md5(px).hexdigest(), w, h, nf))
+    return rows
+
+
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode + frame sampling through the oracle gate (r10):
+    each doc maps to one of 12 deterministic GIF89a streams (palette
+    sizes 4/16/256, interlace, transparency, 1-4 frame animations);
+    sample_frames(real_codec=True) decodes up to 3 evenly-spaced REAL
+    frames per blob EXECUTOR-SIDE via the pure-Python LZW codec
+    (operators/gifcodec.py), joined back to gif_info geometry. The
+    oracle pins the identical decode computed at SQL-build time (the
+    jpeg_px pattern). One-to-many row fan-out + pixel md5s: any LZW /
+    interlace / palette / frame-walk divergence breaks the hash."""
+    from csvplus_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                kk = int(did) % 12
+                if kk not in cache:
+                    cache[kk] = _gif_fixture(kk)
+                blobs.append(cache[kk])
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
+
+    blobs = docs.mapInPandas(make, "media_id long, data binary")
+    frames = sample_frames(blobs, n_frames=3, real_codec=True)
+
+    def geo(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.gifcodec import gif_info
+
+        cache: dict[int, tuple] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                kk = int(did) % 12
+                if kk not in cache:
+                    cache[kk] = gif_info(_gif_fixture(kk))
+                rows.append((int(did),) + cache[kk])
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_frames"])
+
+    geom = docs.mapInPandas(
+        geo, "media_id long, width int, height int, n_frames int")
+    return frames.join(geom, "media_id").select(
+        "media_id", "frame_no", "frame_md5", "width", "height",
+        "n_frames")
+
+
+def _multimodal_gif_sql() -> str:
+    pins = ",\n  ".join(
+        f"({k}, {fno}, '{md5}', {w}, {h}, {nf})"
+        for k in range(12)
+        for fno, md5, w, h, nf in _gif_frame_rows(k))
+    return f"""
+SELECT d.doc_id AS media_id, p.frame_no, p.frame_md5,
+       p.width, p.height, p.n_frames
+FROM documents d
+JOIN (VALUES
+  {pins}) p(k, frame_no, frame_md5, width, height, n_frames)
+  ON d.doc_id % 12 = p.k
+"""
+
+
 def q_multimodal_jpeg_px(spark, sf_dir):
     """FULL JPEG pixel decode through the oracle gate (r9 baseline,
     r10 progressive + arithmetic + 12-bit + progressive-arithmetic +
@@ -4004,7 +4113,7 @@ _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CAST(strlen(text) AS BIGINT) AS byte_len,
        md5(text) AS content_md5,
-       'unknown' AS kind
+       CASE WHEN text LIKE 'GIF8%' THEN 'gif' ELSE 'unknown' END AS kind
 FROM documents
 """
 
@@ -6345,6 +6454,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_snappy_ingest": q_avro_snappy_ingest,
         "multimodal_resize_px": q_multimodal_resize_px,
         "multimodal_png_px": q_multimodal_png_px,
+        "multimodal_gif": q_multimodal_gif,
     }
 
 
@@ -6549,6 +6659,7 @@ LIMIT 20
         "avro_snappy_ingest": _AVRO_SNAPPY_INGEST_SQL,
         "multimodal_resize_px": _multimodal_resize_px_sql(),
         "multimodal_png_px": _multimodal_png_px_sql(),
+        "multimodal_gif": _multimodal_gif_sql(),
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

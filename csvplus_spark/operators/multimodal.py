@@ -38,6 +38,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     kind = (
         F.when(magic.startswith("FFD8"), F.lit("jpeg"))
         .when(magic.startswith("89504E47"), F.lit("png"))
+        .when(magic.startswith("47494638"), F.lit("gif"))
         .when(magic.startswith("52494646"), F.lit("riff/wav"))
         .when(magic.startswith("00000018") | magic.startswith("00000020"), F.lit("mp4"))
         .otherwise(F.lit("unknown"))
@@ -79,7 +80,7 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                     have_pil = True
                 except ImportError:
                     have_pil = False
-                from . import jpegcodec, pngcodec
+                from . import gifcodec, jpegcodec, pngcodec
 
                 widths, heights, orients = [], [], []
                 for blob in pdf["data"]:
@@ -106,9 +107,13 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                         # pixel decode (operators/jpegcodec.py)
                         w, h, _nc, _prog = jpegcodec.jpeg_info(blob)
                         wh = (w, h)
+                    if wh is None and gifcodec.is_gif(blob):
+                        w, h, _nf = gifcodec.gif_info(blob)
+                        wh = (w, h)
                     if wh is None:
                         raise NotImplementedError(
-                            "real_codec=True: the blob is not a PNG/JPEG "
+                            "real_codec=True: the blob is not a "
+                            "PNG/JPEG/GIF "
                             "the built-in pure-Python codecs can parse" + (
                                 " and Pillow could not open it either — "
                                 "likely a corrupt or unsupported format"
@@ -164,9 +169,17 @@ def decode_images(df: DataFrame, real_codec: bool = False) -> DataFrame:
     )
 
 
-def frame_sample_stub(n_frames: int = 3) -> Callable:
-    """Video frame-sampling stub: emits ``n_frames`` rows per blob
-    (one-to-many mapInPandas — the UDTF-shaped plumbing)."""
+def frame_sample_stub(n_frames: int = 3,
+                      real_codec: bool = False) -> Callable:
+    """Frame-sampling fn for mapInPandas: one-to-many rows per blob
+    (the UDTF-shaped plumbing). With ``real_codec=True``, GIF
+    animations decode REAL frames (r10, operators/gifcodec.py):
+    ``n_frames`` evenly-spaced frames (all of them when the stream has
+    fewer), ``frame_md5`` = md5 of the decoded RGB(A) pixel buffer —
+    each frame rendered independently, no disposal compositing. Video
+    containers (mp4) raise the honest gate: no video decoder in this
+    container. The default stub keeps the deterministic fake for
+    plumbing tests."""
 
     def sample(batches) -> Iterator:
         import hashlib
@@ -176,7 +189,29 @@ def frame_sample_stub(n_frames: int = 3) -> Callable:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                h = hashlib.md5(bytes(blob)).digest()
+                blob = bytes(blob)
+                if real_codec:
+                    from . import gifcodec
+
+                    if not gifcodec.is_gif(blob):
+                        raise NotImplementedError(
+                            "real_codec=True frame sampling: only GIF "
+                            "animations decode in this container (no "
+                            "video codec for mp4/webm; plug ffmpeg/"
+                            "PyAV on the executors here)")
+                    _w, _h, nf = gifcodec.gif_info(blob)
+                    take = min(n_frames, nf)
+                    # evenly spaced across the animation, endpoints in
+                    picks = [0] if take == 1 else [
+                        round(i * (nf - 1) / (take - 1))
+                        for i in range(take)]
+                    for i, fno in enumerate(picks):
+                        _, _, _, px = gifcodec.decode_gif(blob, fno)
+                        rows.append({
+                            "media_id": mid, "frame_no": fno,
+                            "frame_md5": hashlib.md5(px).hexdigest()})
+                    continue
+                h = hashlib.md5(blob).digest()
                 for i in range(n_frames):
                     rows.append({"media_id": mid, "frame_no": i,
                                  "frame_md5": hashlib.md5(h + bytes([i])).hexdigest()})
@@ -188,9 +223,10 @@ def frame_sample_stub(n_frames: int = 3) -> Callable:
 FRAME_SCHEMA = "media_id long, frame_no int, frame_md5 string"
 
 
-def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
+def sample_frames(df: DataFrame, n_frames: int = 3,
+                  real_codec: bool = False) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(
-        frame_sample_stub(n_frames), FRAME_SCHEMA
+        frame_sample_stub(n_frames, real_codec), FRAME_SCHEMA
     )
 
 
@@ -311,6 +347,17 @@ def resize_stub(width: int = 64, height: int = 64,
                             pngcodec.resize_nearest(w0, h0, ch, px,
                                                     width, height))
                     if done is None:
+                        from . import gifcodec
+                        if gifcodec.is_gif(blob):
+                            # first frame -> resample -> PNG out (the
+                            # resized still is a static image; GIF
+                            # re-palettization would quantize colors)
+                            w0, h0, ch, px = gifcodec.decode_gif(blob)
+                            done = pngcodec.encode_png(
+                                width, height, ch,
+                                pngcodec.resize_nearest(
+                                    w0, h0, ch, px, width, height))
+                    if done is None:
                         from . import jpegcodec
                         if jpegcodec.is_jpeg(blob):
                             # r9/r10: full pixel decode — baseline AND
@@ -332,8 +379,8 @@ def resize_stub(width: int = 64, height: int = 64,
                     if done is None:
                         raise NotImplementedError(
                             "real_codec=True resize: the blob is not a "
-                            "PNG or baseline/progressive/arithmetic "
-                            "JPEG the built-in "
+                            "PNG/GIF or baseline/progressive/"
+                            "arithmetic/lossless JPEG the built-in "
                             "pure-Python codecs can decode" + (
                                 " and Pillow could not open it either"
                                 if have_pil else

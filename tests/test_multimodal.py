@@ -1154,3 +1154,76 @@ def test_jpeg_lossless_codec_exact_roundtrip():
         w, h, 1, bytes(v >> 8 for v in s16))
     with _pytest.raises(ValueError, match="SOF3"):
         decode_lossless_jpeg(encode_baseline_jpeg(4, 4, 1, bytes(16)))
+
+
+def test_gifcodec_roundtrip_and_variants():
+    """r10: pure-Python GIF codec — LZW (variable-width, dict reset),
+    interlace, transparency → RGBA, multi-frame walk, 4/16/256-color
+    palettes; gif_info counts frames without decompressing; malformed
+    streams raise ValueError."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.gifcodec import (decode_gif, encode_gif,
+                                                  gif_info, is_gif)
+
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 40, 40, 40))
+    w, h = 13, 9
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    exp = b"".join(bytes(pal[3 * i:3 * i + 3]) for i in idx)
+    blob = encode_gif(w, h, pal, idx)
+    assert is_gif(blob) and gif_info(blob) == (w, h, 1)
+    assert decode_gif(blob) == (w, h, 3, exp)
+    assert decode_gif(encode_gif(w, h, pal, idx, interlace=True)) == \
+        (w, h, 3, exp)
+
+    gw, gh, gc, px = decode_gif(encode_gif(w, h, pal, idx, transparent=2))
+    assert gc == 4
+    assert all(px[4 * i + 3] == (0 if idx[i] == 2 else 255)
+               for i in range(w * h))
+
+    idx2 = [(x * y) % 4 for y in range(h) for x in range(w)]
+    anim = encode_gif(w, h, pal, idx, extra_frames=[idx2, idx])
+    assert gif_info(anim)[2] == 3
+    assert decode_gif(anim, frame=1)[3] == b"".join(
+        bytes(pal[3 * i:3 * i + 3]) for i in idx2)
+
+    # LZW code-width growth + dictionary churn on a 256-color image
+    pal256 = bytes(b for i in range(256) for b in (i, 255 - i, i ^ 0x55))
+    big = [(x + y * 3) % 256 for y in range(40) for x in range(50)]
+    assert decode_gif(encode_gif(50, 40, pal256, big))[3] == b"".join(
+        bytes(pal256[3 * i:3 * i + 3]) for i in big)
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_gif(b"NOTGIF" + bytes(20))
+    with _pytest.raises(ValueError, match="frame"):
+        decode_gif(blob, frame=5)
+
+
+def test_gif_spark_paths(spark):
+    """GIF flows through all three real_codec mapInPandas paths:
+    decode_images geometry, resize_images (first frame → PNG out),
+    and sample_frames REAL frame fan-out with evenly-spaced picks."""
+    from csvplus_spark.operators.gifcodec import encode_gif
+    from csvplus_spark.operators.multimodal import (decode_images,
+                                                    resize_images,
+                                                    sample_frames)
+    from csvplus_spark.operators.pngcodec import decode_png
+
+    pal = bytes((200, 10, 10, 10, 200, 10, 10, 10, 200))
+    w, h = 17, 11
+    frames = [[(x + y + f) % 3 for y in range(h) for x in range(w)]
+              for f in range(5)]
+    blob = encode_gif(w, h, pal, frames[0], extra_frames=frames[1:])
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, data binary")
+    got = decode_images(df, real_codec=True).collect()[0]
+    assert (got["width"], got["height"]) == (w, h)
+
+    out = resize_images(df, 6, 4, real_codec=True).collect()[0]
+    rw, rh, rc, px = decode_png(bytes(out["data"]))
+    assert (rw, rh, rc) == (6, 4, 3) and px[:3] == pal[:3]
+
+    rows = sample_frames(df, n_frames=3, real_codec=True) \
+        .orderBy("frame_no").collect()
+    assert [r["frame_no"] for r in rows] == [0, 2, 4]  # evenly spaced
+    assert len({r["frame_md5"] for r in rows}) == 3  # distinct frames
