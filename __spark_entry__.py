@@ -1160,6 +1160,97 @@ def q_multimodal_wav(spark, sf_dir):
     return decode_audio(blobs, real_codec=True)
 
 
+def _audio_mixed_fixture(k: int) -> bytes:
+    """Deterministic audio fixture #k (r10): even k → PCM WAV, odd k
+    → FLAC (operators/flaccodec.py — FIXED+Rice, CONSTANT, VERBATIM,
+    mid/side, 8/16/24-bit variants). Same deterministic sample
+    formula either way, so the container format is the only thing
+    that varies between adjacent fixtures."""
+    from csvplus_spark.operators.flaccodec import encode_flac
+    from csvplus_spark.operators.wavcodec import encode_wav
+
+    bits = {5: 8, 7: 24}.get(k, 16)
+    ch = 2 if k in (3, 9) else 1
+    n = 40 + k * 7
+    full = 1 << (bits - 1)
+    if k == 6:  # constant-block path
+        samples = [123 % full] * (n * ch)
+    else:
+        samples = [((k * 31 + i * 17) % (2 * full)) - full
+                   for i in range(n * ch)]
+    rate = 8000 if k % 3 else 16000
+    if k % 2 == 0:
+        return encode_wav(rate, ch, bits, samples)
+    return encode_flac(rate, ch, bits, samples,
+                       block_size=64 if k == 9 else 256,
+                       mid_side=(k == 3), verbatim=(k == 11))
+
+
+def _audio_mixed_stats(k: int) -> tuple:
+    """(rate, ch, n_frames, duration_us, peak, rms) of fixture #k
+    decoded through the real decode_audio math — pinned both sides."""
+    import math
+
+    from csvplus_spark.operators.flaccodec import decode_flac, is_flac
+    from csvplus_spark.operators.wavcodec import decode_wav
+
+    blob = _audio_mixed_fixture(k)
+    (rate, ch, bits, n_frames), samples = \
+        decode_flac(blob) if is_flac(blob) else decode_wav(blob)
+    n = len(samples)
+    peak = max((abs(s) for s in samples), default=0)
+    ss = sum(s * s for s in samples)
+    full = float(1 << (bits - 1))
+    rms = round(math.sqrt(ss / n) / full, 6) if n else 0.0
+    return rate, ch, n_frames, n_frames * 1_000_000 // rate, peak, rms
+
+
+def q_multimodal_flac(spark, sf_dir):
+    """MIXED-CONTAINER real audio decode (r10): alternating PCM-WAV /
+    FLAC fixtures (FIXED+Rice residuals, CONSTANT and VERBATIM
+    subframes, mid/side decorrelation, 8/16/24-bit, multi-frame
+    streams) flow through ONE decode_audio(real_codec=True) plan —
+    the format dispatch an audio corpus actually needs, decoded
+    EXECUTOR-SIDE by the pure-Python codecs (operators/flaccodec.py +
+    wavcodec.py). The oracle pins the identical decode computed at
+    SQL-build time (the jpeg_px pattern); FLAC is lossless, so any
+    Rice/LPC/decorrelation bug breaks the integer stats exactly."""
+    from csvplus_spark.operators.multimodal import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                kk = int(did) % 12
+                if kk not in cache:
+                    cache[kk] = _audio_mixed_fixture(kk)
+                blobs.append(cache[kk])
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": blobs})
+
+    blobs = docs.mapInPandas(make, "media_id long, data binary")
+    return decode_audio(blobs, real_codec=True)
+
+
+def _multimodal_flac_sql() -> str:
+    pins = ",\n  ".join(
+        f"({k}, {r}, {c}, {nf}, {du}, {pk}, {rms})"
+        for k, (r, c, nf, du, pk, rms) in
+        ((k, _audio_mixed_stats(k)) for k in range(12)))
+    return f"""
+SELECT d.doc_id AS media_id, p.sample_rate, p.channels, p.n_frames,
+       p.duration_us, p.peak, p.rms
+FROM documents d
+JOIN (VALUES
+  {pins}) p(k, sample_rate, channels, n_frames, duration_us, peak, rms)
+  ON d.doc_id % 12 = p.k
+"""
+
+
 def q_multimodal_mp4(spark, sf_dir):
     """REAL video-container metadata end-to-end: minimal ISO-BMFF
     streams (ftyp + moov/mvhd, both mvhd versions) are synthesized
@@ -4113,7 +4204,9 @@ _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CAST(strlen(text) AS BIGINT) AS byte_len,
        md5(text) AS content_md5,
-       CASE WHEN text LIKE 'GIF8%' THEN 'gif' ELSE 'unknown' END AS kind
+       CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+            WHEN text LIKE 'fLaC%' THEN 'flac'
+            ELSE 'unknown' END AS kind
 FROM documents
 """
 
@@ -6455,6 +6548,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_px": q_multimodal_resize_px,
         "multimodal_png_px": q_multimodal_png_px,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_flac": q_multimodal_flac,
     }
 
 
@@ -6660,6 +6754,7 @@ LIMIT 20
         "multimodal_resize_px": _multimodal_resize_px_sql(),
         "multimodal_png_px": _multimodal_png_px_sql(),
         "multimodal_gif": _multimodal_gif_sql(),
+        "multimodal_flac": _multimodal_flac_sql(),
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

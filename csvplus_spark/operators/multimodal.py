@@ -3,12 +3,13 @@ columns with typed metadata (BASELINE.json north-star).
 
 Decode paths, most-real-first: Pillow when importable on the
 executors (``real_codec=True``), else the built-in pure-Python codecs
-(pngcodec.py — struct+zlib; jpegcodec.py — full huffman+IDCT pixel
-decode, baseline r9 + progressive r10; both work in THIS container), else an
-honest NotImplementedError for blobs neither handles (lossless /
-hierarchical JPEG, other formats); ``real_codec=False`` keeps
-the deterministic
-fake for oracle-checkable plumbing tests.
+(pngcodec.py — complete PNG; jpegcodec.py + jpegarith.py — JPEG
+SOF0/1/2/3/9/10 incl. 12-bit; gifcodec.py — GIF incl. real animation
+frames; wavcodec.py / flaccodec.py — PCM WAV + FLAC audio; all work
+in THIS container), else an honest NotImplementedError for blobs
+none handles (hierarchical/differential JPEG, mp3/ogg, mp4 pixel
+data); ``real_codec=False`` keeps the deterministic fake for
+oracle-checkable plumbing tests.
 The Spark-side plumbing is identical across all of them:
   * schema: ``data binary`` + ``media_meta struct<...>``;
   * per-batch Arrow transfer via mapInPandas (never per-row Python);
@@ -39,6 +40,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
         F.when(magic.startswith("FFD8"), F.lit("jpeg"))
         .when(magic.startswith("89504E47"), F.lit("png"))
         .when(magic.startswith("47494638"), F.lit("gif"))
+        .when(magic.startswith("664C6143"), F.lit("flac"))
         .when(magic.startswith("52494646"), F.lit("riff/wav"))
         .when(magic.startswith("00000018") | magic.startswith("00000020"), F.lit("mp4"))
         .otherwise(F.lit("unknown"))
@@ -493,17 +495,24 @@ def decode_audio_stub(real_codec: bool = False) -> Callable:
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(blob)
                 if real_codec:
-                    from . import wavcodec
+                    from . import flaccodec, wavcodec
 
-                    if not wavcodec.is_wav(blob):
+                    if wavcodec.is_wav(blob):
+                        (rate, ch, bits, n_frames), samples = \
+                            wavcodec.decode_wav(blob)
+                    elif flaccodec.is_flac(blob):
+                        # r10: pure-Python FLAC (flaccodec.py) — same
+                        # ((rate, ch, bits, n), samples) contract
+                        (rate, ch, bits, n_frames), samples = \
+                            flaccodec.decode_flac(blob)
+                    else:
                         raise NotImplementedError(
-                            "real_codec=True but blob is not RIFF/WAVE "
-                            "(the built-in pure-Python codec handles PCM "
-                            "WAV only; no mp3/ogg decoder exists in this "
+                            "real_codec=True but blob is neither "
+                            "RIFF/WAVE nor FLAC (the built-in "
+                            "pure-Python codecs handle PCM WAV and "
+                            "FLAC; no mp3/ogg decoder exists in this "
                             "container — use real_codec=False for "
                             "plumbing tests)")
-                    (rate, ch, bits, n_frames), samples = \
-                        wavcodec.decode_wav(blob)
                     n = len(samples)
                     peak = max((abs(s) for s in samples), default=0)
                     ss = sum(s * s for s in samples)

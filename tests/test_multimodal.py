@@ -1227,3 +1227,67 @@ def test_gif_spark_paths(spark):
         .orderBy("frame_no").collect()
     assert [r["frame_no"] for r in rows] == [0, 2, 4]  # evenly spaced
     assert len({r["frame_md5"] for r in rows}) == 3  # distinct frames
+
+
+def test_flaccodec_exact_roundtrip():
+    """r10: pure-Python FLAC codec — CONSTANT / VERBATIM / FIXED+Rice
+    subframes, mid/side decorrelation, 8/16/24-bit, multi-frame
+    streams, CRC-8/16 verification. FLAC is lossless: the roundtrip
+    is bit-exact everywhere, including high-entropy residuals."""
+    import math
+
+    import pytest as _pytest
+
+    from csvplus_spark.operators.flaccodec import (decode_flac,
+                                                   encode_flac,
+                                                   flac_info, is_flac)
+
+    n = 1000
+    s = [int(8000 * math.sin(i / 7.0)) for i in range(n)]
+    blob = encode_flac(44100, 1, 16, s)
+    assert is_flac(blob) and flac_info(blob) == (44100, 1, 16, n)
+    assert decode_flac(blob) == ((44100, 1, 16, n), s)
+    assert len(blob) < 2 * n  # rice beats raw 16-bit on the smooth sine
+
+    st = [v for i in range(n) for v in (s[i], -s[i] // 2)]
+    assert decode_flac(encode_flac(22050, 2, 16, st))[1] == st
+    assert decode_flac(encode_flac(48000, 2, 16, st, mid_side=True))[1] \
+        == st
+
+    s8 = [(i * 37 % 256) - 128 for i in range(300)]
+    assert decode_flac(encode_flac(8000, 1, 8, s8, verbatim=True))[1] == s8
+    assert decode_flac(encode_flac(16000, 1, 16, [42] * 600))[1] == \
+        [42] * 600
+
+    seed, noise = 1, []
+    for _ in range(500):
+        seed = (1103515245 * seed + 12345) % (1 << 31)
+        noise.append((seed % (1 << 24)) - (1 << 23))
+    assert decode_flac(encode_flac(96000, 1, 24, noise))[1] == noise
+
+    # corrupt one scan byte: a CRC must catch it
+    bad = bytearray(encode_flac(44100, 1, 16, s))
+    bad[-10] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    with _pytest.raises(ValueError, match="magic"):
+        decode_flac(b"NOTF" + bytes(40))
+
+
+def test_decode_audio_flac_path(spark):
+    """decode_audio(real_codec=True) dispatches WAV and FLAC through
+    ONE plan and produces identical stats for identical samples."""
+    from csvplus_spark.operators.flaccodec import encode_flac
+    from csvplus_spark.operators.multimodal import decode_audio
+    from csvplus_spark.operators.wavcodec import encode_wav
+
+    s = [((i * 17) % 4096) - 2048 for i in range(200)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(8000, 1, 16, s))),
+         (2, bytearray(encode_flac(8000, 1, 16, s)))],
+        "media_id long, data binary")
+    rows = {r["media_id"]: r for r in
+            decode_audio(df, real_codec=True).collect()}
+    for col in ("sample_rate", "channels", "n_frames", "duration_us",
+                "peak", "rms"):
+        assert rows[1][col] == rows[2][col], col
