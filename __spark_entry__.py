@@ -3866,6 +3866,85 @@ JOIN (VALUES
 """
 
 
+def _tiff_fixture(k: int) -> bytes:
+    """Deterministic TIFF fixture #k (r10): gray/RGB/RGBA pages,
+    compressions none/LZW/PackBits, horizontal-differencing
+    predictor, multi-strip and multi-page variants."""
+    from csvplus_spark.operators.tiffcodec import encode_tiff
+
+    w = 9 + (k * 5) % 14
+    h = 6 + (k * 3) % 10
+    ch = (1, 3, 4)[k % 3]
+    px = bytes(((k * 19 + i * 7) % 256) for i in range(w * h * ch))
+    pages = [(w, h, ch, px)]
+    if k % 4 == 3:  # multi-page: second page differs
+        px2 = bytes(((k * 23 + i * 11) % 256) for i in range(w * h * ch))
+        pages.append((w, h, ch, px2))
+    return encode_tiff(
+        pages,
+        compression=(1, 5, 32773)[k % 3],
+        predictor=2 if k % 5 == 0 else 1,
+        rows_per_strip=3 if k % 2 else 0)
+
+
+def q_multimodal_tiff(spark, sf_dir):
+    """REAL multi-page TIFF decode through the oracle gate (r10):
+    each doc maps to one of 10 deterministic TIFFs (none/LZW/PackBits
+    compression — TIFF-LZW is the MSB-first EarlyChange variant, NOT
+    GIF's — predictor 2, multi-strip, multi-page); page 0 decodes
+    EXECUTOR-SIDE via the pure-Python codec
+    (operators/tiffcodec.py::decode_tiff) and the page count comes
+    from the IFD chain walk. The oracle pins the identical decode
+    computed at SQL-build time (the jpeg_px pattern)."""
+    docs = load_table(spark, sf_dir, "documents").df.select("doc_id")
+
+    def decode(batches):
+        import pandas as pd
+
+        from csvplus_spark.operators.tiffcodec import (decode_tiff,
+                                                       tiff_info)
+
+        cache: dict[int, tuple] = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                kk = int(did) % 10
+                if kk not in cache:
+                    blob = _tiff_fixture(kk)
+                    w, h, npg = tiff_info(blob)
+                    _, _, c, px = decode_tiff(blob)
+                    cache[kk] = (w, h, npg, c, sum(px), max(px))
+                rows.append((int(did),) + cache[kk])
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_pages", "channels",
+                "sum_px", "max_px"])
+
+    return docs.mapInPandas(
+        decode, "media_id long, width int, height int, n_pages int, "
+                "channels int, sum_px long, max_px int")
+
+
+def _multimodal_tiff_sql() -> str:
+    from csvplus_spark.operators.tiffcodec import decode_tiff, tiff_info
+
+    pins = []
+    for k in range(10):
+        blob = _tiff_fixture(k)
+        w, h, npg = tiff_info(blob)
+        _, _, c, px = decode_tiff(blob)
+        pins.append(f"({k}, {w}, {h}, {npg}, {c}, "
+                    f"CAST({sum(px)} AS BIGINT), {max(px)})")
+    vals = ",\n  ".join(pins)
+    return f"""
+SELECT d.doc_id AS media_id, p.width, p.height, p.n_pages, p.channels,
+       p.sum_px, p.max_px
+FROM documents d
+JOIN (VALUES
+  {vals}) p(k, width, height, n_pages, channels, sum_px, max_px)
+  ON d.doc_id % 10 = p.k
+"""
+
+
 def q_multimodal_jpeg_px(spark, sf_dir):
     """FULL JPEG pixel decode through the oracle gate (r9 baseline,
     r10 progressive + arithmetic + 12-bit + progressive-arithmetic +
@@ -4206,6 +4285,9 @@ SELECT doc_id AS media_id,
        md5(text) AS content_md5,
        CASE WHEN text LIKE 'GIF8%' THEN 'gif'
             WHEN text LIKE 'fLaC%' THEN 'flac'
+            WHEN substring(text, 1, 4) = 'II*' || chr(0)
+              OR substring(text, 1, 4) = 'MM' || chr(0) || '*'
+              THEN 'tiff'
             ELSE 'unknown' END AS kind
 FROM documents
 """
@@ -6549,6 +6631,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_px": q_multimodal_png_px,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_flac": q_multimodal_flac,
+        "multimodal_tiff": q_multimodal_tiff,
     }
 
 
@@ -6755,6 +6838,7 @@ LIMIT 20
         "multimodal_png_px": _multimodal_png_px_sql(),
         "multimodal_gif": _multimodal_gif_sql(),
         "multimodal_flac": _multimodal_flac_sql(),
+        "multimodal_tiff": _multimodal_tiff_sql(),
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

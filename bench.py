@@ -124,6 +124,10 @@ HEADLINE = [
     "multimodal_jpeg_px",
     "avro_snappy_ingest",
     "multimodal_resize_px",
+    "multimodal_png_px",
+    "multimodal_gif",
+    "multimodal_flac",
+    "multimodal_tiff",
     "approx_quantiles",
     "bigram_lm",
     "dsir",

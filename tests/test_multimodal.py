@@ -1291,3 +1291,91 @@ def test_decode_audio_flac_path(spark):
     for col in ("sample_rate", "channels", "n_frames", "duration_us",
                 "peak", "rms"):
         assert rows[1][col] == rows[2][col], col
+
+
+def test_tiffcodec_roundtrip_and_variants():
+    """r10: pure-Python baseline TIFF codec — none/TIFF-LZW (MSB-first
+    EarlyChange, not GIF's)/PackBits compression, predictor 2,
+    multi-strip, multi-page IFD chain, gray/RGB/RGBA, 1-bit bilevel
+    expansion, both byte orders rejected... II written, MM parsed."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from csvplus_spark.operators.tiffcodec import (decode_tiff,
+                                                   encode_tiff,
+                                                   is_tiff, tiff_info)
+
+    w, h = 19, 13
+    gray = bytes(((x * 17 + y * 29) % 256) for y in range(h)
+                 for x in range(w))
+    rgb = bytes(((x * 11 + y * 7 + c * 53) % 256) for y in range(h)
+                for x in range(w) for c in range(3))
+    for comp in (1, 5, 32773):
+        for predictor in (1, 2):
+            blob = encode_tiff([(w, h, 1, gray)], compression=comp,
+                               predictor=predictor)
+            assert is_tiff(blob)
+            assert decode_tiff(blob) == (w, h, 1, gray), (comp, predictor)
+            blob = encode_tiff([(w, h, 3, rgb)], compression=comp,
+                               predictor=predictor, rows_per_strip=4)
+            assert decode_tiff(blob) == (w, h, 3, rgb), (comp, predictor)
+
+    blob = encode_tiff([(w, h, 1, gray), (w, h, 3, rgb)], compression=5)
+    assert tiff_info(blob) == (w, h, 2)
+    assert decode_tiff(blob, page=1) == (w, h, 3, rgb)
+
+    rgba = bytes(((x + y + c * 19) % 256) for y in range(h)
+                 for x in range(w) for c in range(4))
+    assert decode_tiff(encode_tiff([(w, h, 4, rgba)],
+                                   compression=32773)) == (w, h, 4, rgba)
+
+    # hand-built MM (big-endian) 1-bit bilevel 10x2, WhiteIsZero
+    rowb = (10 + 7) // 8
+    bits = bytes([0b10110010, 0b01000000, 0b01001101, 0b10000000])
+    entries = [
+        (256, 3, 1, 10), (257, 3, 1, 2), (258, 3, 1, 1), (259, 3, 1, 1),
+        (262, 3, 1, 0), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 2),
+        (279, 4, 1, 2 * rowb),
+    ]
+    ifd_off = 8 + len(bits)
+    mm = bytearray(b"MM\x00*" + _s.pack(">I", ifd_off) + bits)
+    mm += _s.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        payload = _s.pack(">H", val) + b"\x00\x00" if typ == 3 \
+            else _s.pack(">I", val)
+        mm += _s.pack(">HHI", tag, typ, cnt) + payload
+    mm += b"\x00\x00\x00\x00"
+    gw, gh, gc, px = decode_tiff(bytes(mm))
+    assert (gw, gh, gc) == (10, 2, 1)
+    # WhiteIsZero: bit 1 -> black=0? photometric 0 means 0=white, so
+    # bit 1 inverts to 0
+    assert px[0] == 0 and px[2] == 0 and px[1] == 255
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_tiff(b"XXXX" + bytes(20))
+    with _pytest.raises(ValueError, match="compression"):
+        decode_tiff(encode_tiff([(4, 4, 1, bytes(16))]).replace(
+            _s.pack("<HHI", 259, 3, 1) + _s.pack("<H", 1) + b"\x00\x00",
+            _s.pack("<HHI", 259, 3, 1) + _s.pack("<H", 7) + b"\x00\x00"))
+
+
+def test_tiff_spark_paths(spark):
+    """TIFF flows through decode_images geometry and the resize path
+    (first page → PNG out) via mapInPandas."""
+    from csvplus_spark.operators.multimodal import (decode_images,
+                                                    resize_images)
+    from csvplus_spark.operators.pngcodec import decode_png
+    from csvplus_spark.operators.tiffcodec import encode_tiff
+
+    w, h = 17, 11
+    rgb = bytes(((x * 3 + y * 5 + c) % 256) for y in range(h)
+                for x in range(w) for c in range(3))
+    blob = encode_tiff([(w, h, 3, rgb)], compression=5, predictor=2)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, data binary")
+    got = decode_images(df, real_codec=True).collect()[0]
+    assert (got["width"], got["height"]) == (w, h)
+    out = resize_images(df, 6, 4, real_codec=True).collect()[0]
+    rw, rh, rc, px = decode_png(bytes(out["data"]))
+    assert (rw, rh, rc) == (6, 4, 3) and px[:3] == rgb[:3]
