@@ -4288,6 +4288,7 @@ SELECT doc_id AS media_id,
             WHEN substring(text, 1, 4) = 'II*' || chr(0)
               OR substring(text, 1, 4) = 'MM' || chr(0) || '*'
               THEN 'tiff'
+            WHEN text LIKE 'BM%' THEN 'bmp'
             ELSE 'unknown' END AS kind
 FROM documents
 """

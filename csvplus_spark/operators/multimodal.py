@@ -43,6 +43,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
         .when(magic.startswith("664C6143"), F.lit("flac"))
         .when(magic.startswith("49492A00") | magic.startswith("4D4D002A"),
               F.lit("tiff"))
+        .when(magic.startswith("424D"), F.lit("bmp"))
         .when(magic.startswith("52494646"), F.lit("riff/wav"))
         .when(magic.startswith("00000018") | magic.startswith("00000020"), F.lit("mp4"))
         .otherwise(F.lit("unknown"))
@@ -54,6 +55,14 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
         magic.alias("magic"),
     )
     return df.withColumn("media_meta", meta)
+
+
+def _drop_alpha(px: bytes) -> bytes:
+    """RGBA → RGB (BMP re-encode is 24-bit)."""
+    out = bytearray(len(px) // 4 * 3)
+    for i in range(len(px) // 4):
+        out[3 * i:3 * i + 3] = px[4 * i:4 * i + 3]
+    return bytes(out)
 
 
 def decode_image_stub(real_codec: bool = False) -> Callable:
@@ -115,14 +124,17 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
                         w, h, _nf = gifcodec.gif_info(blob)
                         wh = (w, h)
                     if wh is None:
-                        from . import tiffcodec
+                        from . import bmpcodec, tiffcodec
                         if tiffcodec.is_tiff(blob):
                             w, h, _np = tiffcodec.tiff_info(blob)
+                            wh = (w, h)
+                        elif bmpcodec.is_bmp(blob):
+                            w, h, _bpp = bmpcodec.bmp_info(blob)
                             wh = (w, h)
                     if wh is None:
                         raise NotImplementedError(
                             "real_codec=True: the blob is not a "
-                            "PNG/JPEG/GIF/TIFF "
+                            "PNG/JPEG/GIF/TIFF/BMP "
                             "the built-in pure-Python codecs can parse" + (
                                 " and Pillow could not open it either — "
                                 "likely a corrupt or unsupported format"
@@ -356,7 +368,7 @@ def resize_stub(width: int = 64, height: int = 64,
                             pngcodec.resize_nearest(w0, h0, ch, px,
                                                     width, height))
                     if done is None:
-                        from . import tiffcodec
+                        from . import bmpcodec, tiffcodec
                         if tiffcodec.is_tiff(blob):
                             # first page -> resample -> PNG out
                             w0, h0, ch, px = tiffcodec.decode_tiff(blob)
@@ -364,6 +376,15 @@ def resize_stub(width: int = 64, height: int = 64,
                                 width, height, ch,
                                 pngcodec.resize_nearest(
                                     w0, h0, ch, px, width, height))
+                        elif bmpcodec.is_bmp(blob):
+                            w0, h0, ch, px = bmpcodec.decode_bmp(blob)
+                            done = bmpcodec.encode_bmp(
+                                width, height,
+                                pngcodec.resize_nearest(
+                                    w0, h0, ch, px, width, height)
+                                if ch == 3 else _drop_alpha(
+                                    pngcodec.resize_nearest(
+                                        w0, h0, ch, px, width, height)))
                     if done is None:
                         from . import gifcodec
                         if gifcodec.is_gif(blob):

@@ -1379,3 +1379,51 @@ def test_tiff_spark_paths(spark):
     out = resize_images(df, 6, 4, real_codec=True).collect()[0]
     rw, rh, rc, px = decode_png(bytes(out["data"]))
     assert (rw, rh, rc) == (6, 4, 3) and px[:3] == rgb[:3]
+
+
+def test_bmpcodec_and_spark_paths(spark):
+    """r10: BMP codec — 24-bit both row orders, 32-bit BGRA, 8-bit
+    palettized, 4-byte row padding; flows through decode_images
+    geometry and the resize path (stays BMP out)."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from csvplus_spark.operators.bmpcodec import (bmp_info, decode_bmp,
+                                                  encode_bmp, is_bmp)
+    from csvplus_spark.operators.multimodal import (decode_images,
+                                                    resize_images)
+
+    w, h = 13, 7
+    rgb = bytes(((x * 11 + y * 29 + c * 3) % 256) for y in range(h)
+                for x in range(w) for c in range(3))
+    for td in (False, True):
+        blob = encode_bmp(w, h, rgb, top_down=td)
+        assert is_bmp(blob) and bmp_info(blob) == (w, h, 24)
+        assert decode_bmp(blob) == (w, h, 3, rgb), td
+
+    # hand-built 8-bit palettized (bottom-up) — palette is BGRX
+    pal = b"".join(bytes((i, 255 - i, i ^ 0x33, 0)) for i in range(16))
+    idx = bytes(((x + y) % 16) for y in range(4) for x in range(5))
+    rb = (5 + 3) & ~3
+    body = b"".join(bytes(idx[(3 - y) * 5:(3 - y) * 5 + 5])
+                    + bytes(rb - 5) for y in range(4))
+    hdr = b"BM" + _s.pack("<IHHI", 54 + 64 + len(body), 0, 0, 54 + 64)
+    info = _s.pack("<IiiHHIIiiII", 40, 5, 4, 1, 8, 0, len(body),
+                   0, 0, 16, 0)
+    gw, gh, gc, px = decode_bmp(hdr + info + pal + body)
+    exp = b"".join(bytes((pal[4 * i + 2], pal[4 * i + 1], pal[4 * i]))
+                   for i in idx)
+    assert (gw, gh, gc, px) == (5, 4, 3, exp)
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + bytes(60))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(w, h, rgb)))],
+        "media_id long, data binary")
+    got = decode_images(df, real_codec=True).collect()[0]
+    assert (got["width"], got["height"]) == (w, h)
+    out = resize_images(df, 6, 4, real_codec=True).collect()[0]
+    rw, rh, rc, px = decode_bmp(bytes(out["data"]))
+    assert (rw, rh, rc) == (6, 4, 3) and px[:3] == rgb[:3]
