@@ -1243,7 +1243,7 @@ def _multimodal_flac_sql() -> str:
         ((k, _audio_mixed_stats(k)) for k in range(12)))
     return f"""
 SELECT d.doc_id AS media_id, p.sample_rate, p.channels, p.n_frames,
-       p.duration_us, p.peak, p.rms
+       p.duration_us, p.peak, CAST(p.rms AS DOUBLE) AS rms
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, sample_rate, channels, n_frames, duration_us, peak, rms)
