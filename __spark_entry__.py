@@ -3380,6 +3380,25 @@ FROM documents
 """
 
 
+def _gate_fixture_dir(spark, name: str) -> str:
+    """Deterministic fixture directory for file-writing gate queries:
+    under the warehouse dir when it is file-scheme (shared on a real
+    cluster whenever the warehouse is), else a local-mode-only temp
+    dir (r10 review: this block was copy-pasted in both Avro gates)."""
+    import os
+    import tempfile
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        base = wh[len("file:"):]
+        while base.startswith("//"):
+            base = base[1:]
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.mkdtemp(prefix=name + "_")
+
+
 def q_avro_ingest(spark, sf_dir):
     """Jar-less Avro ingestion through the oracle gate (r9 task 6):
     the 200 lowest-doc_id documents are encoded into TWO sharded Avro
@@ -3412,15 +3431,7 @@ def q_avro_ingest(spark, sf_dir):
         {"name": "doc_id", "type": "long"},
         {"name": "text", "type": ["null", "string"]},
         {"name": "source", "type": ["null", "string"]}]}
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        base = wh[len("file:"):]
-        while base.startswith("//"):
-            base = base[1:]
-        d = os.path.join(base, "_cp_avro_gate")
-        os.makedirs(d, exist_ok=True)
-    else:  # non-local warehouse: fall back, local-mode-only fixture
-        d = tempfile.mkdtemp(prefix="cp_avro_gate_")
+    d = _gate_fixture_dir(spark, "_cp_avro_gate")
     with open(os.path.join(d, "part-0.avro"), "wb") as fh:
         fh.write(encode_container(schema, rows[:100], codec="deflate"))
     with open(os.path.join(d, "part-1.avro"), "wb") as fh:
@@ -3462,15 +3473,7 @@ def q_avro_snappy_ingest(spark, sf_dir):
         {"name": "doc_id", "type": "long"},
         {"name": "text", "type": ["null", "string"]},
         {"name": "source", "type": ["null", "string"]}]}
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        base = wh[len("file:"):]
-        while base.startswith("//"):
-            base = base[1:]
-        d = os.path.join(base, "_cp_avro_snappy_gate")
-        os.makedirs(d, exist_ok=True)
-    else:
-        d = tempfile.mkdtemp(prefix="cp_avro_snappy_gate_")
+    d = _gate_fixture_dir(spark, "_cp_avro_snappy_gate")
     with open(os.path.join(d, "part-0.avro"), "wb") as fh:
         fh.write(encode_container(schema, rows[:100], codec="snappy"))
     with open(os.path.join(d, "part-1.avro"), "wb") as fh:
@@ -3528,7 +3531,7 @@ def _jpeg_px_fixture(k: int) -> bytes:
                                         predictor=pred)
         return encode_lossless_jpeg(
             w, h, ch, list(px), predictor=pred,
-            restart_interval=4 if k == 41 else 0)
+            restart_interval=2 * w if k == 41 else 0)
     if k >= 36:
         from csvplus_spark.operators.jpegarith import \
             encode_arith_progressive_jpeg

@@ -17,7 +17,7 @@ def is_bmp(blob: bytes) -> bool:
 def bmp_info(blob: bytes) -> tuple[int, int, int]:
     """(width, height, bits_per_pixel) — header only."""
     blob = bytes(blob)
-    if not is_bmp(blob) or len(blob) < 26:
+    if not is_bmp(blob) or len(blob) < 30:
         raise ValueError("bmp: bad magic or truncated header")
     hsz = struct.unpack("<I", blob[14:18])[0]
     if hsz < 40:
@@ -31,8 +31,8 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) — 8-bit interleaved RGB (or
     RGBA for 32-bit sources), rows normalized top-down."""
     blob = bytes(blob)
-    if not is_bmp(blob):
-        raise ValueError("bmp: bad magic")
+    if not is_bmp(blob) or len(blob) < 34:
+        raise ValueError("bmp: bad magic or truncated header")
     data_off = struct.unpack("<I", blob[10:14])[0]
     hsz = struct.unpack("<I", blob[14:18])[0]
     if hsz < 40:

@@ -385,7 +385,12 @@ def encode_flac(rate: int, channels: int, bits: int, samples: list[int],
             w.write(0, 1)
             w.write(ch[0], bps)
             return
-        if verbatim or len(ch) <= 2:
+        over = (len(ch) > 2 and max(
+            (abs(ch[i] - 2 * ch[i - 1] + ch[i - 2])
+             for i in range(2, len(ch))), default=0).bit_length() >= 31)
+        if verbatim or len(ch) <= 2 or over:
+            # 32-bit noise can push order-2 residuals past the 31-bit
+            # raw-escape ceiling — VERBATIM is always representable
             w.write(0, 1)
             w.write(1, 6)  # VERBATIM
             w.write(0, 1)
@@ -401,11 +406,23 @@ def encode_flac(rate: int, channels: int, bits: int, samples: list[int],
         res = [ch[i] - 2 * ch[i - 1] + ch[i - 2]
                for i in range(order, len(ch))]
         mx = max((abs(e) for e in res), default=0)
-        param = min(14, max(0, (2 * mx + 1).bit_length() - 1))
+        param = max(0, (2 * mx + 1).bit_length() - 1)
         w.write(0, 2)  # 4-bit rice method
         w.write(0, 4)  # partition order 0
-        w.write(param, 4)
-        _rice_write(w, res, param)
+        if param > 14:
+            # escape-to-raw: order-2 residuals of high-bit-depth noise
+            # can reach ~2^33; a capped Rice parameter would emit
+            # v>>14 unary ZEROS per sample — multi-MB blocks (review
+            # finding). Raw width covers the signed residual range
+            # (the >=31-bit case already fell through to VERBATIM).
+            raw = max(1, (2 * mx).bit_length())
+            w.write(0xF, 4)  # escape code
+            w.write(raw, 5)
+            for e in res:
+                w.write(e, raw)
+        else:
+            w.write(param, 4)
+            _rice_write(w, res, param)
 
     frame_no = 0
     done = 0

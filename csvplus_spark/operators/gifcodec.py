@@ -92,8 +92,8 @@ def _walk(blob: bytes):
 def gif_info(blob: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) — header walk only, no LZW decode."""
     blob = bytes(blob)
-    if not is_gif(blob):
-        raise ValueError("gif: bad magic")
+    if not is_gif(blob) or len(blob) < 13:
+        raise ValueError("gif: bad magic or truncated header")
     w, h = struct.unpack("<HH", blob[6:10])
     frames = 0
     for kind, _ in _walk(blob):
@@ -177,6 +177,8 @@ def decode_gif(blob: bytes, frame: int = 0) -> tuple[int, int, int, bytes]:
     3. No inter-frame disposal compositing: each frame renders alone
     (the frame-sampling contract — samples are independent)."""
     blob = bytes(blob)
+    if not is_gif(blob) or len(blob) < 13:
+        raise ValueError("gif: bad magic or truncated header")
     w, h = struct.unpack("<HH", blob[6:10])
     packed = blob[10]
     gct = blob[13:13 + 3 * (2 << (packed & 0x07))] if packed & 0x80 else None
@@ -265,6 +267,13 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
         run = (ci,)
     if run:
         emit(table[run], width)
+        # the decoder appends one more table entry for this final code
+        # BEFORE reading END, and widens at len(table) == 2^width —
+        # mirror it, or END is written at the stale width (review fuzz
+        # finding: 'missing LZW end code' on boundary-landing streams)
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)

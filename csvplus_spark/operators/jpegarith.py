@@ -979,6 +979,8 @@ def decode_arith_progressive_jpeg(blob: bytes) -> tuple[int, int, int,
                 p += 1
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if p + 64 > len(seg):
+                    raise ValueError("truncated quantization table")
                 tbl = [0] * 64
                 for k in range(64):
                     tbl[ZIGZAG[k]] = seg[p + k]

@@ -1692,12 +1692,17 @@ def apply_orientation(width: int, height: int, channels: int,
 # 12-bit DCT path's convention); predictors 1-7; point transform;
 # restart intervals; optimized huffman (categories up to 16).
 
-def _ll_predict(prev_row, cur_row, x: int, y: int, psv: int,
+def _ll_predict(prev_row, cur_row, x: int, first_row: bool, psv: int,
                 default: int) -> int:
     """T.81 H.1.2.1 sample prediction: Ra=left, Rb=above, Rc=above-
     left; first sample uses ``default``, first column Rb, first row
-    Ra (spec-mandated overrides regardless of the selector)."""
-    if y == 0:
+    Ra (spec-mandated overrides regardless of the selector).
+    ``first_row`` is true for the image's first line AND for the
+    first line of every restart interval — a restart re-enters
+    start-of-scan prediction (T.81 H.2.3; r10 review fix: previously
+    only the single next sample reset, which decoded real DRI
+    streams to silently wrong pixels)."""
+    if first_row:
         return default if x == 0 else cur_row[x - 1]
     if x == 0:
         return prev_row[0]
@@ -1741,6 +1746,12 @@ def encode_lossless_jpeg(width: int, height: int, channels: int,
         raise ValueError("sample out of range for precision")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("width/height out of JPEG range")
+    if restart_interval and restart_interval % width:
+        # restart re-enters start-of-scan prediction (T.81 H.2.3), so
+        # the interval's first line must BE a line — row-aligned
+        # intervals only, like every practical lossless writer
+        raise ValueError("lossless restart_interval must be a "
+                         "multiple of the width (whole sample rows)")
     planes = [[s >> pt for s in samples[ci::channels]]
               for ci in range(channels)]
     default = 1 << (precision - pt - 1)
@@ -1754,31 +1765,24 @@ def encode_lossless_jpeg(width: int, height: int, channels: int,
     def run_pass() -> None:
         rows: list = [[None, None] for _ in range(channels)]
         mcu = 0
-        reset = True
+        first_row = True
         for y in range(height):
             for ci in range(channels):
                 rows[ci][0] = rows[ci][1]
                 rows[ci][1] = [0] * width
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not counting:
+                    wr.flush()
+                    wr.buf += bytes(
+                        [0xFF, 0xD0 + ((mcu // restart_interval - 1)
+                                       & 7)])
+                first_row = True  # interval line 1 = start-of-scan
             for x in range(width):
-                nonlocal_mcu = mcu  # noqa: F841 (clarity)
-                if restart_interval and mcu and \
-                        mcu % restart_interval == 0 and not reset:
-                    if not counting:
-                        wr.flush()
-                        wr.buf += bytes(
-                            [0xFF, 0xD0 + ((mcu // restart_interval - 1)
-                                           & 7)])
-                    reset = True
                 for ci in range(channels):
                     prev, cur = rows[ci]
                     s = planes[ci][y * width + x]
-                    if reset:
-                        # restart re-enters start-of-scan conditions:
-                        # the next sample codes against the default
-                        pred = default
-                    else:
-                        pred = _ll_predict(prev, cur, x, y, predictor,
-                                           default)
+                    pred = _ll_predict(prev, cur, x, first_row,
+                                       predictor, default)
                     cur[x] = s
                     d = ((s - pred + 32768) & 0xFFFF) - 32768
                     if d == -32768:
@@ -1792,11 +1796,8 @@ def encode_lossless_jpeg(width: int, height: int, channels: int,
                         wr.write(hc, hl)
                         if size and size != 16:
                             wr.write(code, size)
-                reset = False
                 mcu += 1
-        # NB ``reset`` semantics: a restart boundary makes EVERY
-        # component's next sample use the start-of-scan default and
-        # the row context rebuilds naturally from decoded samples.
+            first_row = False
 
     run_pass()
     specs = [_optimal_huff_spec(freq[ci]) for ci in range(channels)]
@@ -1886,21 +1887,26 @@ def decode_lossless_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("missing huffman table for component")
         tbls.append(huff[sel[cid]])
     default = 1 << (prec - pt - 1)
+    if restart and restart % width:
+        raise ValueError(
+            "lossless restart interval is not row-aligned (T.81 H.2.3 "
+            "restarts re-enter start-of-scan prediction; this decoder "
+            "supports whole-row intervals only)")
     planes = [[0] * (width * height) for _ in comps]
     r = _BitReader(blob, data_pos)
     mcu = 0
     rst_idx = 0
-    reset = True
+    first_row = True
     prev_rows: list = [[None, None] for _ in comps]
     for y in range(height):
         for ci in range(len(comps)):
             prev_rows[ci][0] = prev_rows[ci][1]
             prev_rows[ci][1] = [0] * width
+        if restart and mcu and mcu % restart == 0:
+            r.align_restart(rst_idx)
+            rst_idx += 1
+            first_row = True  # interval line 1 = start-of-scan
         for x in range(width):
-            if restart and mcu and mcu % restart == 0 and not reset:
-                r.align_restart(rst_idx)
-                rst_idx += 1
-                reset = True
             for ci in range(len(comps)):
                 prev, cur = prev_rows[ci]
                 t = _huff_decode_symbol(r, tbls[ci])
@@ -1910,13 +1916,13 @@ def decode_lossless_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     d = _extend(r.bits(t), t)
                 else:
                     d = 0
-                pred = default if reset else \
-                    _ll_predict(prev, cur, x, y, psv, default)
+                pred = _ll_predict(prev, cur, x, first_row, psv,
+                                   default)
                 s = (pred + d) & 0xFFFF
                 cur[x] = s
                 planes[ci][y * width + x] = s
-            reset = False
             mcu += 1
+        first_row = False
     shift = prec - 8
     out = bytearray(width * height * len(comps))
     for i in range(width * height):

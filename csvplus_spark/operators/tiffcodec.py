@@ -52,11 +52,17 @@ def _ifds(blob: bytes):
             else:
                 (doff,) = struct.unpack(e + "I", blob[p + 8:p + 12])
                 data = blob[doff:doff + size]
-            if typ in fmt and len(data) >= size:
+            if typ in fmt:
+                if len(data) < size:
+                    # never substitute zeros: a truncated offsets/
+                    # counts block would silently decode garbage
+                    # (review finding)
+                    raise ValueError(
+                        f"tiff: tag {tag} value block truncated")
                 vals = list(struct.unpack(
                     e + fmt[typ] * cnt, data[:size]))
             else:
-                vals = [0] * cnt
+                vals = [0] * cnt  # unknown value type: tag is unusable
             tags[tag] = (typ, vals)
             p += 12
         (off,) = struct.unpack(e + "I", blob[p:p + 4])
@@ -297,6 +303,13 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         run = bytes([b])
     if run:
         emit(table[run], width)
+        # the decoder appends one more table entry for this final code
+        # BEFORE reading EOI, and may widen (EarlyChange) — mirror it,
+        # or EOI is written at the stale width and misreads (review
+        # fuzz finding: ~0.25% of random streams failed to decode)
+        next_code += 1
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
     emit(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -1130,8 +1130,13 @@ def test_jpeg_lossless_codec_exact_roundtrip():
     rgb = bytes(((x * 11 + y * 7 + c * 53) % 256) for y in range(h)
                 for x in range(w) for c in range(3))
     blob = encode_lossless_jpeg(w, h, 3, list(rgb), predictor=4,
-                                restart_interval=5)
+                                restart_interval=3 * w)
     assert decode_lossless_jpeg(blob) == (w, h, 3, rgb)
+    # restarts re-enter start-of-scan prediction (T.81 H.2.3): the
+    # interval's first row must encode Ra-chain, not cross-restart Rb
+    # references — and non-row-aligned intervals are an honest gate
+    with _pytest.raises(ValueError, match="multiple of the width"):
+        encode_lossless_jpeg(w, h, 3, list(rgb), restart_interval=5)
     # noise is still EXACT (losslessness doesn't depend on smoothness)
     seed = 99
     noise = bytearray()
