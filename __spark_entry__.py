@@ -1247,7 +1247,7 @@ SELECT d.doc_id AS media_id, p.sample_rate, p.channels, p.n_frames,
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, sample_rate, channels, n_frames, duration_us, peak, rms)
-  ON d.doc_id % 12 = p.k
+  ON d.doc_id % 16 = p.k
 """
 
 
@@ -3761,14 +3761,29 @@ JOIN (VALUES
 
 
 def _gif_fixture(k: int) -> bytes:
-    """Deterministic GIF fixture #k (r10): palettes of 4/16/256
-    colors, interlace, transparency, and 1-4 frame animations — REAL
-    GIF89a streams from the fixture-grade encoder
-    (operators/gifcodec.py::encode_gif)."""
+    """Deterministic animation fixture #k (r10): k<12 GIF89a (palettes
+    of 4/16/256 colors, interlace, transparency, 1-4 frame
+    animations); k=12..15 APNG (acTL/fcTL/fdAT, full-canvas and
+    sub-rectangle frames) — REAL streams from the fixture-grade
+    encoders (gifcodec.encode_gif / pngcodec.encode_apng)."""
     from csvplus_spark.operators.gifcodec import encode_gif
+    from csvplus_spark.operators.pngcodec import encode_apng
 
     w = 7 + (k * 5) % 11
     h = 5 + (k * 3) % 9
+    if k >= 12:
+        ch = 4 if k == 14 else 3
+        nf = 1 + k % 3
+        frames = [bytes(((k * 7 + x + y * 3 + f * 11 + c * 29) % 256)
+                        for y in range(h) for x in range(w)
+                        for c in range(ch))
+                  for f in range(nf)]
+        rects = None
+        if k == 15 and nf >= 2:  # sub-rectangle second frame
+            fw, fh = max(1, w // 2), max(1, h // 2)
+            frames[1] = frames[1][:fw * fh * ch]
+            rects = [(0, 0, w, h), (2, 1, fw, fh)] +                 [(0, 0, w, h)] * (nf - 2)
+        return encode_apng(w, h, ch, frames, rects=rects)
     ncol = 256 if k == 5 else (16 if k % 3 == 1 else 4)
     pal = bytes(((k * 37 + i * 11) % 256) for i in range(3 * ncol))
     frames = [[(k + x + y * 2 + f * 3) % ncol
@@ -3787,24 +3802,32 @@ def _gif_frame_rows(k: int) -> list[tuple]:
     the pinned expectation both sides share."""
     import hashlib
 
-    from csvplus_spark.operators.gifcodec import decode_gif, gif_info
+    from csvplus_spark.operators.gifcodec import decode_gif, gif_info, is_gif
+    from csvplus_spark.operators.pngcodec import (apng_info,
+                                                  decode_apng_frame)
 
     blob = _gif_fixture(k)
-    w, h, nf = gif_info(blob)
+    if is_gif(blob):
+        w, h, nf = gif_info(blob)
+        dec = decode_gif
+    else:
+        w, h, nf = apng_info(blob)
+        dec = decode_apng_frame
     take = min(3, nf)
     picks = [0] if take == 1 else [round(i * (nf - 1) / (take - 1))
                                    for i in range(take)]
     rows = []
     for fno in picks:
-        _, _, _, px = decode_gif(blob, fno)
+        _, _, _, px = dec(blob, fno)
         rows.append((fno, hashlib.md5(px).hexdigest(), w, h, nf))
     return rows
 
 
 def q_multimodal_gif(spark, sf_dir):
-    """REAL GIF decode + frame sampling through the oracle gate (r10):
-    each doc maps to one of 12 deterministic GIF89a streams (palette
-    sizes 4/16/256, interlace, transparency, 1-4 frame animations);
+    """REAL GIF + APNG decode + frame sampling through the oracle gate
+    (r10): each doc maps to one of 16 deterministic streams (12 GIF:
+    palette sizes 4/16/256, interlace, transparency, 1-4 frame
+    animations; 4 APNG: acTL/fcTL/fdAT, RGBA + sub-rect variants);
     sample_frames(real_codec=True) decodes up to 3 evenly-spaced REAL
     frames per blob EXECUTOR-SIDE via the pure-Python LZW codec
     (operators/gifcodec.py), joined back to gif_info geometry. The
@@ -3822,7 +3845,7 @@ def q_multimodal_gif(spark, sf_dir):
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                kk = int(did) % 12
+                kk = int(did) % 16
                 if kk not in cache:
                     cache[kk] = _gif_fixture(kk)
                 blobs.append(cache[kk])
@@ -3834,15 +3857,18 @@ def q_multimodal_gif(spark, sf_dir):
     def geo(batches):
         import pandas as pd
 
-        from csvplus_spark.operators.gifcodec import gif_info
+        from csvplus_spark.operators.gifcodec import gif_info, is_gif
+        from csvplus_spark.operators.pngcodec import apng_info
 
         cache: dict[int, tuple] = {}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                kk = int(did) % 12
+                kk = int(did) % 16
                 if kk not in cache:
-                    cache[kk] = gif_info(_gif_fixture(kk))
+                    b = _gif_fixture(kk)
+                    cache[kk] = gif_info(b) if is_gif(b) else \
+                        apng_info(b)
                 rows.append((int(did),) + cache[kk])
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "n_frames"])
@@ -3857,7 +3883,7 @@ def q_multimodal_gif(spark, sf_dir):
 def _multimodal_gif_sql() -> str:
     pins = ",\n  ".join(
         f"({k}, {fno}, '{md5}', {w}, {h}, {nf})"
-        for k in range(12)
+        for k in range(16)
         for fno, md5, w, h, nf in _gif_frame_rows(k))
     return f"""
 SELECT d.doc_id AS media_id, p.frame_no, p.frame_md5,
@@ -3865,7 +3891,7 @@ SELECT d.doc_id AS media_id, p.frame_no, p.frame_md5,
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, frame_no, frame_md5, width, height, n_frames)
-  ON d.doc_id % 12 = p.k
+  ON d.doc_id % 16 = p.k
 """
 
 

@@ -193,14 +193,14 @@ def decode_images(df: DataFrame, real_codec: bool = False) -> DataFrame:
 def frame_sample_stub(n_frames: int = 3,
                       real_codec: bool = False) -> Callable:
     """Frame-sampling fn for mapInPandas: one-to-many rows per blob
-    (the UDTF-shaped plumbing). With ``real_codec=True``, GIF
-    animations decode REAL frames (r10, operators/gifcodec.py):
-    ``n_frames`` evenly-spaced frames (all of them when the stream has
-    fewer), ``frame_md5`` = md5 of the decoded RGB(A) pixel buffer —
-    each frame rendered independently, no disposal compositing. Video
-    containers (mp4) raise the honest gate: no video decoder in this
-    container. The default stub keeps the deterministic fake for
-    plumbing tests."""
+    (the UDTF-shaped plumbing). With ``real_codec=True``, GIF AND
+    (A)PNG animations decode REAL frames (r10, operators/gifcodec.py
+    + pngcodec.apng_*): ``n_frames`` evenly-spaced frames (all of
+    them when the stream has fewer), ``frame_md5`` = md5 of the
+    decoded RGB(A) pixel buffer — each frame rendered independently,
+    no disposal/blend compositing. Video containers (mp4) raise the
+    honest gate: no video decoder in this container. The default stub
+    keeps the deterministic fake for plumbing tests."""
 
     def sample(batches) -> Iterator:
         import hashlib
@@ -212,22 +212,30 @@ def frame_sample_stub(n_frames: int = 3,
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(blob)
                 if real_codec:
-                    from . import gifcodec
+                    from . import gifcodec, pngcodec
 
-                    if not gifcodec.is_gif(blob):
+                    if gifcodec.is_gif(blob):
+                        _w, _h, nf = gifcodec.gif_info(blob)
+                        dec = gifcodec.decode_gif
+                    elif pngcodec.is_png(blob):
+                        # r10: APNG — acTL/fcTL/fdAT animation frames
+                        # decode through the same PNG machinery; a
+                        # plain PNG is a 1-frame animation
+                        _w, _h, nf = pngcodec.apng_info(blob)
+                        dec = pngcodec.decode_apng_frame
+                    else:
                         raise NotImplementedError(
-                            "real_codec=True frame sampling: only GIF "
-                            "animations decode in this container (no "
-                            "video codec for mp4/webm; plug ffmpeg/"
-                            "PyAV on the executors here)")
-                    _w, _h, nf = gifcodec.gif_info(blob)
+                            "real_codec=True frame sampling: GIF and "
+                            "(A)PNG animations decode in this "
+                            "container (no video codec for mp4/webm; "
+                            "plug ffmpeg/PyAV on the executors here)")
                     take = min(n_frames, nf)
                     # evenly spaced across the animation, endpoints in
                     picks = [0] if take == 1 else [
                         round(i * (nf - 1) / (take - 1))
                         for i in range(take)]
                     for i, fno in enumerate(picks):
-                        _, _, _, px = gifcodec.decode_gif(blob, fno)
+                        _, _, _, px = dec(blob, fno)
                         rows.append({
                             "media_id": mid, "frame_no": fno,
                             "frame_md5": hashlib.md5(px).hexdigest()})

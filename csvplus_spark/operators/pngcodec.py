@@ -345,3 +345,145 @@ def resize_nearest(width: int, height: int, channels: int, pixels: bytes,
             out[oy + x * channels:oy + (x + 1) * channels] = \
                 pixels[row + sx:row + sx + channels]
     return bytes(out)
+
+
+# --------------------------------------------------------------------
+# APNG (animated PNG) — the acTL/fcTL/fdAT extension (r10): frame walk
+# without decompressing, per-frame decode rendered onto the logical
+# canvas (each frame independent, the GIF frame-sampling contract — no
+# disposal/blend compositing), and a fixture-grade animation writer.
+
+def apng_info(blob: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames); a plain PNG reports 1 frame."""
+    w, h, _d, _ct = png_info(blob)
+    frames = 0
+    has_actl = False
+    for t, data in _chunks(blob):
+        if t == b"acTL":
+            has_actl = True
+        elif t == b"fcTL":
+            frames += 1
+    return w, h, (frames if has_actl and frames else 1)
+
+
+def decode_apng_frame(blob: bytes, frame: int = 0
+                      ) -> tuple[int, int, int, bytes]:
+    """Decode animation frame ``frame`` composited onto the logical
+    canvas → (width, height, channels, pixels). Channels gains alpha
+    when the frame doesn't cover the canvas (off-frame = transparent).
+    Frame 0 of a plain PNG (or of an APNG whose first fcTL wraps the
+    IDAT) is the full decode_png output."""
+    blob = bytes(blob)
+    w, h, depth, ctype = png_info(blob)
+    # collect frame controls in sequence order + their data streams
+    fctls: list[tuple] = []
+    datas: list[bytearray] = []
+    idat = bytearray()
+    idat_is_frame0 = False
+    seen_idat = False
+    for t, data in _chunks(blob):
+        if t == b"fcTL":
+            if len(data) < 26:
+                raise ValueError("apng: truncated fcTL")
+            fw, fh, x0, y0 = struct.unpack(">IIII", data[4:20])
+            fctls.append((fw, fh, x0, y0))
+            datas.append(bytearray())
+            if not seen_idat:
+                idat_is_frame0 = True
+        elif t == b"IDAT":
+            seen_idat = True
+            idat += data
+        elif t == b"fdAT":
+            if not datas:
+                raise ValueError("apng: fdAT before any fcTL")
+            datas[-1] += data[4:]  # strip sequence number
+    if not fctls:  # plain PNG
+        if frame != 0:
+            raise ValueError(f"apng: frame {frame} not in stream")
+        return decode_png(blob)
+    if idat_is_frame0 and datas and not datas[0]:
+        datas[0] = idat
+    if frame >= len(fctls):
+        raise ValueError(f"apng: frame {frame} not in stream")
+    fw, fh, x0, y0 = fctls[frame]
+    if fw == w and fh == h and x0 == 0 and y0 == 0 and \
+            idat_is_frame0 and frame == 0:
+        return decode_png(blob)
+    # rebuild a standalone PNG for the frame's sub-image and decode it
+    ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, 0, 0, 0)
+    sub = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", bytes(datas[frame])) + _chunk(b"IEND", b""))
+    # carry the palette/transparency chunks over when present
+    extra = b""
+    for t, data in _chunks(blob):
+        if t in (b"PLTE", b"tRNS"):
+            extra += _chunk(t, data)
+    if extra:
+        sub = (PNG_MAGIC + _chunk(b"IHDR", ihdr) + extra
+               + _chunk(b"IDAT", bytes(datas[frame]))
+               + _chunk(b"IEND", b""))
+    sw, sh, ch, px = decode_png(sub)
+    full_cover = x0 == 0 and y0 == 0 and fw == w and fh == h
+    if full_cover:
+        return w, h, ch, px
+    och = ch if ch in (2, 4) else ch + 1  # need alpha for off-frame
+    out = bytearray(w * h * och)
+    for y in range(sh):
+        ty = y0 + y
+        if ty >= h:
+            continue
+        for x in range(sw):
+            tx = x0 + x
+            if tx >= w:
+                continue
+            o = (ty * w + tx) * och
+            s = (y * sw + x) * ch
+            if och == ch:
+                out[o:o + ch] = px[s:s + ch]
+            else:
+                out[o:o + ch] = px[s:s + ch]
+                out[o + ch] = 255
+    return w, h, och, bytes(out)
+
+
+def encode_apng(width: int, height: int, channels: int,
+                frames: list[bytes],
+                rects: list[tuple[int, int, int, int]] | None = None
+                ) -> bytes:
+    """Fixture-grade APNG writer: full-canvas first frame (as IDAT),
+    subsequent frames as fdAT — full canvas by default, or the given
+    (x0, y0, fw, fh) sub-rectangles."""
+    if not frames:
+        raise ValueError("apng: need at least one frame")
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if ctype is None:
+        raise ValueError("apng: unsupported channel count")
+    rects = rects or [(0, 0, width, height)] * len(frames)
+    if len(rects) != len(frames):
+        raise ValueError("apng: one rect per frame")
+    if rects[0] != (0, 0, width, height):
+        raise ValueError("apng: first frame must cover the canvas")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    out = bytearray(PNG_MAGIC + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (px, (x0, y0, fw, fh)) in enumerate(zip(frames, rects)):
+        if len(px) != fw * fh * channels:
+            raise ValueError(f"apng: frame {i} buffer size mismatch")
+        fctl = struct.pack(">IIIIIHHBB", seq, fw, fh, x0, y0,
+                           1, 10, 0, 0)
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        raw = bytearray()
+        stride = fw * channels
+        for y in range(fh):
+            raw.append(0)
+            raw += px[y * stride:(y + 1) * stride]
+        z = zlib.compress(bytes(raw), 6)
+        if i == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

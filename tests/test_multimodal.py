@@ -1432,3 +1432,57 @@ def test_bmpcodec_and_spark_paths(spark):
     out = resize_images(df, 6, 4, real_codec=True).collect()[0]
     rw, rh, rc, px = decode_bmp(bytes(out["data"]))
     assert (rw, rh, rc) == (6, 4, 3) and px[:3] == rgb[:3]
+
+
+def test_apng_frames(spark):
+    """r10: APNG (acTL/fcTL/fdAT) — frame walk without decompressing,
+    per-frame decode (full-canvas and sub-rectangle with transparent
+    off-frame), plain-PNG = 1-frame contract, and the real
+    sample_frames path dispatching GIF AND APNG in one plan."""
+    import hashlib
+
+    from csvplus_spark.operators.gifcodec import encode_gif
+    from csvplus_spark.operators.multimodal import sample_frames
+    from csvplus_spark.operators.pngcodec import (apng_info,
+                                                  decode_apng_frame,
+                                                  encode_apng,
+                                                  encode_png)
+
+    w, h = 14, 9
+    f0 = bytes(((x + y) % 256) for y in range(h) for x in range(w)
+               for _ in range(3))
+    f1 = bytes(((x * y + 7) % 256) for y in range(h) for x in range(w)
+               for _ in range(3))
+    blob = encode_apng(w, h, 3, [f0, f1])
+    assert apng_info(blob) == (w, h, 2)
+    assert decode_apng_frame(blob, 0) == (w, h, 3, f0)
+    assert decode_apng_frame(blob, 1) == (w, h, 3, f1)
+
+    sub = bytes(((x * 3) % 256) for _ in range(4) for x in range(6)
+                for _ in range(3))
+    blob2 = encode_apng(w, h, 3, [f0, sub],
+                        rects=[(0, 0, w, h), (2, 3, 6, 4)])
+    gw, gh, gc, px = decode_apng_frame(blob2, 1)
+    assert gc == 4 and px[3] == 0  # off-frame transparent
+    o = ((3 * w) + 2) * 4
+    assert px[o:o + 3] == sub[:3] and px[o + 3] == 255
+
+    plain = encode_png(w, h, 3, f0)
+    assert apng_info(plain) == (w, h, 1)
+    assert decode_apng_frame(plain, 0) == (w, h, 3, f0)
+
+    # one sample_frames plan over a GIF and an APNG
+    pal = bytes((10, 20, 30, 200, 100, 50, 0, 0, 0))
+    gif = encode_gif(5, 4, pal, [0, 1, 2] * 6 + [0, 1],
+                     extra_frames=[[1, 2, 0] * 6 + [1, 2]])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(gif))],
+        "media_id long, data binary")
+    rows = sample_frames(df, n_frames=3, real_codec=True).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 2 and len(by_id[2]) == 2
+    assert {r["frame_no"] for r in by_id[1]} == {0, 1}
+    exp0 = hashlib.md5(f0).hexdigest()
+    assert any(r["frame_md5"] == exp0 for r in by_id[1])
