@@ -1247,7 +1247,7 @@ SELECT d.doc_id AS media_id, p.sample_rate, p.channels, p.n_frames,
 FROM documents d
 JOIN (VALUES
   {pins}) p(k, sample_rate, channels, n_frames, duration_us, peak, rms)
-  ON d.doc_id % 16 = p.k
+  ON d.doc_id % 12 = p.k
 """
 
 
