@@ -1173,7 +1173,10 @@ def _audio_mixed_fixture(k: int) -> bytes:
     ch = 2 if k in (3, 9) else 1
     n = 40 + k * 7
     full = 1 << (bits - 1)
-    if k == 6:  # constant-block path
+    # constant-signal fixtures: k=1 hits the FLAC CONSTANT subframe
+    # path (odd k → FLAC; r10 ADVICE — even k=6 alone only exercised
+    # the WAV constant signal), k=6 keeps the constant WAV leg
+    if k in (1, 6):
         samples = [123 % full] * (n * ch)
     else:
         samples = [((k * 31 + i * 17) % (2 * full)) - full
@@ -1474,11 +1477,22 @@ def q_mean_pool(spark, sf_dir):
     """Group mean-pooling of embeddings per label (operators/
     similarity.py::mean_pool_embeddings) — quantized-integer means
     (order-independent, engine-exact), one (group, dim) map-combined
-    aggregate."""
+    aggregate. The GATE query explodes the operator's array<double>
+    output to (label, dim, val, n_members) scalar rows — the house
+    convention for vector outputs (see q_normalize_embeddings): the
+    driver canonicalizer sorts by every output column and cannot
+    factorize list cells, so array-typed outputs would err even when
+    the values hash-match (round-10 verdict item 1). The operator API
+    itself keeps returning arrays."""
     from csvplus_spark.operators.similarity import mean_pool_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings").df
-    return mean_pool_embeddings(emb, "label")
+    pooled = mean_pool_embeddings(emb, "label")
+    return pooled.select(
+        "label",
+        F.posexplode("pooled").alias("dim", "val"),
+        "n_members",
+    ).withColumn("dim", F.col("dim").cast("long"))
 
 
 def q_ivf2_seeded(spark, sf_dir):
@@ -1896,10 +1910,12 @@ WITH ex AS (
        UNNEST(range(1, len(e) + 1)) AS u(i)
 ),
 s AS (SELECT label, dim, SUM(q) AS sm, COUNT(*) AS ct
-      FROM ex GROUP BY label, dim)
-SELECT label, list(CAST(sm AS DOUBLE) / ct / 1048576.0 ORDER BY dim)
-       AS pooled, MAX(ct) AS n_members
-FROM s GROUP BY label
+      FROM ex GROUP BY label, dim),
+nm AS (SELECT label, MAX(ct) AS n_members FROM s GROUP BY label)
+SELECT s.label, CAST(s.dim AS BIGINT) AS dim,
+       CAST(sm AS DOUBLE) / ct / 1048576.0 AS val,
+       nm.n_members
+FROM s JOIN nm ON s.label = nm.label
 """
 
 _IVF2_SEEDED_SQL = """
@@ -2140,6 +2156,66 @@ SELECT doc_id AS media_id, CAST(j AS INT) AS feat_idx,
              AS BIGINT) % 10000) / 10000.0 - 0.5 AS feature
 FROM documents
 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
+"""
+
+
+def q_multimodal_grid(spark, sf_dir):
+    """The binary-column RETRIEVAL pipeline end-to-end (r11 verdict
+    item 6): extract_features (Arrow mapInPandas over blobs, md5-stub
+    model — operators/multimodal.py:308) → assemble the exploded
+    (media_id, feat_idx, feature) rows into 8-dim vectors → grid_topk
+    exact cosine top-3 (operators/similarity.py:644 — blocked
+    per-cell BLAS prefilter + fold rescore, values bit-identical to
+    brute force). This is the composition a multimodal corpus needs at
+    100 TB: feature extraction never leaves the executors, the vector
+    assembly is one (media_id) aggregate, and the ANN stage is the
+    grid plan whose cells stay bounded at any corpus size. Queries are
+    the 20 lowest media_ids (bounded probe set, scale-invariant)."""
+    from csvplus_spark.operators.multimodal import extract_features
+    from csvplus_spark.operators.similarity import grid_topk
+
+    docs = load_table(spark, sf_dir, "documents").df
+    blobs = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("data"))
+    feats = extract_features(blobs, dim=8)
+    vecs = (feats.groupBy("media_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("feat_idx", "feature")))
+                .alias("__a__"))
+            .select(F.col("media_id").alias("vec_id"),
+                    F.transform("__a__", lambda t: t["feature"])
+                    .alias("embedding")))
+    out = grid_topk(vecs.filter(F.col("vec_id") < 20), vecs, k=3)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+_MULTIMODAL_GRID_SQL = """
+WITH f AS (
+  SELECT doc_id AS vec_id, j AS feat_idx,
+         (CAST(('0x' || substring(md5(md5(text) || '|' || CAST(j AS VARCHAR)),1,15))
+               AS BIGINT) % 10000) / 10000.0 - 0.5 AS feature
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
+),
+v AS (SELECT vec_id, list(feature ORDER BY feat_idx) AS e
+      FROM f GROUP BY vec_id),
+norms AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS n
+          FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (nq.n * nc.n) AS sim_raw
+  FROM (SELECT * FROM v WHERE vec_id < 20) q
+  JOIN v c ON q.vec_id <> c.vec_id
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+)
+SELECT query_id, corpus_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim_raw DESC, corpus_id) AS rank,
+       ROUND(sim_raw, 6) AS sim
+FROM pairs
+QUALIFY rank <= 3
 """
 
 
@@ -6454,32 +6530,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running", "rollup_agg",
     ]
     # every-other-round anchors — in the window on ODD rounds
-    # (r11, r13, ...), out on even rounds; all 9-for-9 driver-green
-    # and plan-trivial (projection, point lookup, set ops):
-    # select_project drop_columns index_find sub_index take_while
-    # drop_while union_distinct intersect except_all intersect_all
-    #
-    # all 30 rotation slots draw from the NEVER-driver-verified backlog
-    # (tools/rotation_status.py). Round 10 prioritizes: pack_sequences
-    # (the r9 red — oracle HUGEINT output typing fixed, must re-earn
-    # green), the two r9 codecs (multimodal_jpeg_px, avro_ingest), the
-    # new dup_factor guard, the 8 queries whose oracles carried the
-    # same latent HUGEINT/DECIMAL hazard the new typing gate caught
-    # (events_rolling, rfm, bloom_contam, quality_topfrac, tpch_q8/
-    # q11/q12, linear_scorer), then the remaining verdict-named pool.
-    rotation_r10 = [
-        "pack_sequences", "multimodal_jpeg_px", "avro_ingest",
-        "dup_factor", "dedup_containment", "dedup_containment_fast",
-        "token_budget_mix", "global_shuffle", "ivf2_seeded",
-        "mean_pool", "linear_scorer", "window_lead_ntile",
-        "bm25_search", "embedding_drift", "events_ema",
-        "tpch_q9_profit", "events_rolling", "rfm", "bloom_contam",
-        "quality_topfrac", "tpch_q11_share", "tpch_q12_priority",
-        "tpch_q8_share", "multimodal_wav", "multimodal_mp4",
-        "cluster_balance", "bm25", "repeated_spans", "remove_spans",
-        "cms_topk",
+    # (r11, r13, ...), out on even rounds; all 10-for-10 driver-green
+    # and plan-trivial (projection, point lookup, set ops). Round 11
+    # is odd, so they are IN and the rotation gets 20 slots.
+    odd_round_anchors = [
+        "select_project", "drop_columns", "index_find", "sub_index",
+        "take_while", "drop_while", "union_distinct", "intersect",
+        "except_all", "intersect_all",
     ]
-    out = {k: q[k] for k in anchors + rotation_r10}
+    # all 20 rotation slots draw from the NEVER-driver-verified backlog
+    # (tools/rotation_status.py; 32 after r10). Round 11 prioritizes
+    # per the r10 verdict: mean_pool (the r10 red — output reshaped to
+    # scalar (label, dim, val, n_members) rows, must re-earn green),
+    # the six r10 codec/ingest queries (~4,400 LoC of codec code whose
+    # only signal so far is self-administered), the ten verdict-named
+    # singles, then three cheap TPC-H shapes. The 12 remaining TPC-H
+    # variants rotate in r12, draining the backlog to zero.
+    rotation_r11 = [
+        "mean_pool",
+        "multimodal_png_px", "multimodal_gif", "multimodal_flac",
+        "multimodal_tiff", "multimodal_resize_px", "avro_snappy_ingest",
+        "snapshot_diff", "expectations", "events_outliers",
+        "winsorize", "minhash_calibration", "ccnet_buckets",
+        "copurchase", "novel_bigrams", "source_mix",
+        "dedup_keep_best_fast",
+        "tpch_q6_forecast", "tpch_q14_promo", "tpch_q4_priority",
+    ]
+    out = {k: q[k] for k in anchors + odd_round_anchors + rotation_r11}
     out.update((k, v) for k, v in q.items() if k not in out)
     return out
 
@@ -6662,6 +6739,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": q_multimodal_gif,
         "multimodal_flac": q_multimodal_flac,
         "multimodal_tiff": q_multimodal_tiff,
+        "multimodal_grid": q_multimodal_grid,
     }
 
 
@@ -6869,6 +6947,7 @@ LIMIT 20
         "multimodal_gif": _multimodal_gif_sql(),
         "multimodal_flac": _multimodal_flac_sql(),
         "multimodal_tiff": _multimodal_tiff_sql(),
+        "multimodal_grid": _MULTIMODAL_GRID_SQL,
         "approx_quantiles": _APPROX_QUANTILES_SQL,
         "canonicalize": _canonicalize_sql(),
         "training_set": _training_set_sql(),

@@ -41,7 +41,26 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
     planes, bpp = struct.unpack("<HH", blob[26:30])
     comp = struct.unpack("<I", blob[30:34])[0]
     if comp == 3 and bpp == 32:
-        comp = 0  # BI_BITFIELDS with the standard masks ≈ BGRA
+        # BI_BITFIELDS is only BGRA-equivalent when the masks SAY so:
+        # read the actual mask dwords (at 14+40 for BITMAPINFOHEADER
+        # extra masks and identically-placed bV4/bV5 header fields) and
+        # downgrade to comp=0 only for the standard
+        # 0x00FF0000/0x0000FF00/0x000000FF layout (alpha 0xFF000000, or
+        # 0/absent for XRGB). Nonstandard masks (RGBA, RGB565-style)
+        # would silently decode with swapped channels otherwise.
+        if len(blob) < 66:
+            raise ValueError("bmp: BI_BITFIELDS header truncated")
+        rm, gm, bm = struct.unpack("<III", blob[54:66])
+        am = struct.unpack("<I", blob[66:70])[0] if len(blob) >= 70 \
+            and hsz >= 56 else 0
+        if (rm, gm, bm) == (0x00FF0000, 0x0000FF00, 0x000000FF) \
+                and am in (0xFF000000, 0):
+            comp = 0
+        else:
+            raise ValueError(
+                "bmp: BI_BITFIELDS with nonstandard masks "
+                f"(r={rm:#010x} g={gm:#010x} b={bm:#010x} a={am:#010x})"
+                " unsupported")
     if comp != 0:
         raise ValueError(f"bmp: compression {comp} unsupported (RLE/"
                          "bitfields need a real imaging lib)")

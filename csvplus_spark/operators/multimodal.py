@@ -229,6 +229,13 @@ def frame_sample_stub(n_frames: int = 3,
                             "(A)PNG animations decode in this "
                             "container (no video codec for mp4/webm; "
                             "plug ffmpeg/PyAV on the executors here)")
+                    if nf == 0:
+                        # structurally valid stream with zero image
+                        # descriptors: surface it — take=0 would yield
+                        # an empty picks list and the blob would
+                        # silently vanish from the one-to-many fan-out
+                        raise ValueError(
+                            "frame sampling: stream has no frames")
                     take = min(n_frames, nf)
                     # evenly spaced across the animation, endpoints in
                     picks = [0] if take == 1 else [
@@ -413,8 +420,9 @@ def resize_stub(width: int = 64, height: int = 64,
                             # store sensor-native pixels + the tag;
                             # resizing without applying it mis-crops),
                             # resample, re-encode without Pillow
-                            # (lossless/hierarchical frames
-                            # still raise ValueError below)
+                            # (SOF3 lossless decodes too; only
+                            # hierarchical/differential frames still
+                            # raise ValueError below)
                             w0, h0, ch, px = jpegcodec.decode_jpeg(blob)
                             w0, h0, px = jpegcodec.apply_orientation(
                                 w0, h0, ch, px,

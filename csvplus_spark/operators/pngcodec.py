@@ -409,8 +409,12 @@ def decode_apng_frame(blob: bytes, frame: int = 0
     if fw == w and fh == h and x0 == 0 and y0 == 0 and \
             idat_is_frame0 and frame == 0:
         return decode_png(blob)
-    # rebuild a standalone PNG for the frame's sub-image and decode it
-    ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, 0, 0, 0)
+    # rebuild a standalone PNG for the frame's sub-image and decode it;
+    # fdAT streams share the parent IHDR's interlace method, so carry
+    # it over (a hardcoded 0 would misdecode Adam7-interlaced frames)
+    interlace = blob[28] if len(blob) > 28 else 0
+    ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, 0, 0,
+                       interlace & 1)
     sub = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
            + _chunk(b"IDAT", bytes(datas[frame])) + _chunk(b"IEND", b""))
     # carry the palette/transparency chunks over when present

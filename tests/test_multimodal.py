@@ -1486,3 +1486,117 @@ def test_apng_frames(spark):
     assert {r["frame_no"] for r in by_id[1]} == {0, 1}
     exp0 = hashlib.md5(f0).hexdigest()
     assert any(r["frame_md5"] == exp0 for r in by_id[1])
+
+
+def test_bmp_bitfields_mask_validation():
+    """r11 ADVICE: BI_BITFIELDS (comp=3, 32-bit) must READ the mask
+    dwords — standard BGRA masks decode, anything else raises instead
+    of silently swapping channels."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from csvplus_spark.operators.bmpcodec import decode_bmp
+
+    w, h = 2, 2
+    # bottom-up BGRA rows: pixel (x, y) = (b, g, r, a) distinct bytes
+    def px(x, y):
+        return bytes((10 + x, 20 + y, 30 + x + y, 255))
+
+    body = b"".join(b"".join(px(x, y) for x in range(w))
+                    for y in (1, 0))
+
+    def bmp40(rm, gm, bm):
+        # BITMAPINFOHEADER + 3 extra mask dwords, data at 66
+        hdr = b"BM" + _s.pack("<IHHI", 66 + len(body), 0, 0, 66)
+        info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3,
+                       len(body), 0, 0, 0, 0)
+        return hdr + info + _s.pack("<III", rm, gm, bm) + body
+
+    def bmp108(rm, gm, bm, am):
+        # BITMAPV4HEADER: masks in-header at the same absolute offsets
+        hdr = b"BM" + _s.pack("<IHHI", 122 + len(body), 0, 0, 122)
+        info = _s.pack("<IiiHHIIiiII", 108, w, h, 1, 32, 3,
+                       len(body), 0, 0, 0, 0)
+        info += _s.pack("<IIII", rm, gm, bm, am)
+        info += bytes(108 - len(info))
+        return hdr + info + body
+
+    # standard masks → decodes as BGRA
+    gw, gh, gc, out = decode_bmp(
+        bmp40(0x00FF0000, 0x0000FF00, 0x000000FF))
+    assert (gw, gh, gc) == (w, h, 4)
+    assert out[:4] == bytes((30, 20, 10, 255))  # (r, g, b, a) of (0,0)
+    gw, gh, gc, out4 = decode_bmp(
+        bmp108(0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000))
+    assert (gw, gh, gc) == (w, h, 4) and out4 == out
+
+    # nonstandard (RGBA-order / 565-style) masks → explicit error
+    for masks in ((0x000000FF, 0x0000FF00, 0x00FF0000),
+                  (0xF800, 0x07E0, 0x001F)):
+        with _pytest.raises(ValueError, match="nonstandard masks"):
+            decode_bmp(bmp40(*masks))
+    with _pytest.raises(ValueError, match="nonstandard masks"):
+        decode_bmp(bmp108(0x000000FF, 0x0000FF00, 0x00FF0000,
+                          0xFF000000))
+
+
+def test_apng_interlaced_fdat_frames():
+    """r11 ADVICE: fdAT sub-frames share the parent IHDR's interlace
+    method — an Adam7 APNG's frame 1 must decode through the Adam7
+    scanline layout, not a hardcoded interlace=0 header."""
+    import struct as _s
+    import zlib as _z
+
+    from csvplus_spark.operators.pngcodec import (PNG_MAGIC, _chunk,
+                                                  _chunks,
+                                                  decode_apng_frame,
+                                                  encode_png_ex)
+
+    w, h = 10, 6
+    f0 = bytes(((x * 7 + y * 13) % 256) for y in range(h)
+               for x in range(w) for _ in range(3))
+    f1 = bytes(((x * 3 + y * 5 + 9) % 256) for y in range(h)
+               for x in range(w) for _ in range(3))
+
+    def adam7_idat(px):
+        # reuse the encoder's interlaced pass layout, grab its IDAT
+        z = bytearray()
+        blob = encode_png_ex(w, h, list(px), 8, 2, interlace=1)
+        for t, data in _chunks(blob):
+            if t == b"IDAT":
+                z += data
+        return bytes(z)
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    out = bytearray(PNG_MAGIC + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", _s.pack(">II", 2, 0))
+    out += _chunk(b"fcTL", _s.pack(">IIIIIHHBB", 0, w, h, 0, 0,
+                                   1, 10, 0, 0))
+    out += _chunk(b"IDAT", adam7_idat(f0))
+    out += _chunk(b"fcTL", _s.pack(">IIIIIHHBB", 1, w, h, 0, 0,
+                                   1, 10, 0, 0))
+    out += _chunk(b"fdAT", _s.pack(">I", 2) + adam7_idat(f1))
+    out += _chunk(b"IEND", b"")
+    blob = bytes(out)
+
+    assert decode_apng_frame(blob, 0) == (w, h, 3, f0)
+    assert decode_apng_frame(blob, 1) == (w, h, 3, f1)
+
+
+def test_frame_sample_zero_frame_stream(spark):
+    """r11 ADVICE: a structurally valid GIF with NO image descriptors
+    must surface an error from the real_codec sampling path, not
+    silently vanish from the one-to-many fan-out."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.gifcodec import gif_info
+    from csvplus_spark.operators.multimodal import sample_frames
+
+    # GIF89a header + logical screen descriptor + trailer: 0 frames
+    frameless = b"GIF89a" + bytes((5, 0, 4, 0, 0x00, 0, 0)) + b"\x3b"
+    assert gif_info(frameless) == (5, 4, 0)
+    df = spark.createDataFrame([(1, bytearray(frameless))],
+                               "media_id long, data binary")
+    with _pytest.raises(Exception, match="no frames"):
+        sample_frames(df, n_frames=2, real_codec=True).collect()

@@ -10,10 +10,17 @@ never saw it.
 
 This gate closes the class: ``DESCRIBE`` every ``oracle_sql()`` entry
 against DuckDB (cheap — no execution) and assert no output column is
-HUGEINT or DECIMAL. Every Spark-side query emits
-long/int/double/string/bool/date/timestamp/array columns only, so any
-HUGEINT/DECIMAL oracle output is a latent driver hash-mismatch even
-when values agree.
+HUGEINT or DECIMAL.
+
+Round 10 widened the class: the driver canonicalizer sorts the result
+frame by EVERY output column (``pandas.sort_values``), which cannot
+factorize list/struct/map cells — so a nested-typed OUTPUT column is a
+guaranteed driver ``err`` even when values hash-match locally
+(round 10's one red, ``mean_pool``, carried ``pooled
+array<double>``). Nested types are fine INSIDE a query; gate queries
+must explode them to scalar rows (house shape:
+``normalize_embeddings`` → ``(vec_id, pos, val)``). This gate
+therefore also bans LIST/STRUCT/MAP/ARRAY-typed oracle outputs.
 """
 
 from __future__ import annotations
@@ -31,6 +38,10 @@ TABLES = ("region nation customer supplier part orders lineitem "
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 BANNED = ("HUGEINT", "DECIMAL", "UHUGEINT")
+# Nested types break the driver's sort_values canonicalization
+# (round-10 verdict item 1): DuckDB DESCRIBE renders lists as
+# "T[]", structs as "STRUCT(...)", maps as "MAP(...)".
+BANNED_NESTED = ("[]", "STRUCT", "MAP(", "LIST", "ARRAY")
 
 
 def _oracles():
@@ -61,11 +72,16 @@ def test_no_hugeint_or_decimal_oracle_outputs(con):
             offenders.append((name, "<describe failed>", str(exc)[:200]))
             continue
         for col, typ, *_ in desc:
-            if any(b in typ.upper() for b in BANNED):
+            up = typ.upper()
+            if any(b in up for b in BANNED):
+                offenders.append((name, col, typ))
+            elif any(b in up for b in BANNED_NESTED):
                 offenders.append((name, col, typ))
     assert not offenders, (
         "oracle output columns with driver-hash-unsafe types "
-        "(wrap in CAST(... AS BIGINT/DOUBLE)): "
+        "(numeric: wrap in CAST(... AS BIGINT/DOUBLE); nested "
+        "list/struct/map: explode to scalar rows like "
+        "normalize_embeddings): "
         + "; ".join(f"{n}.{c}: {t}" for n, c, t in offenders))
 
 
