@@ -2185,6 +2185,12 @@ def q_multimodal_grid(spark, sf_dir):
             .select(F.col("media_id").alias("vec_id"),
                     F.transform("__a__", lambda t: t["feature"])
                     .alias("embedding")))
+    # materialize the vector table ONCE (it is ~100 bytes/doc — tiny
+    # next to the blobs): grid_topk's auto-sizing counts plus its grid
+    # row/column shipping would otherwise re-run the mapInPandas
+    # extraction 3-4x (Catalyst cannot prune through a Python stage).
+    # Same documented fan-out pattern as training_set.
+    vecs = vecs.localCheckpoint()
     out = grid_topk(vecs.filter(F.col("vec_id") < 20), vecs, k=3)
     return out.withColumn("sim", F.round("sim", 6))
 

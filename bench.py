@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_gif",
     "multimodal_flac",
     "multimodal_tiff",
+    "multimodal_grid",
     "approx_quantiles",
     "bigram_lm",
     "dsir",
