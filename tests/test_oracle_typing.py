@@ -106,7 +106,9 @@ def test_arrow_vs_fetchall_parity_on_sample(con):
         return str(v)
 
     sample = ["pack_sequences", "window_running", "token_budget_mix",
-              "chunk_docs", "agg_pricing_summary"]
+              "chunk_docs", "agg_pricing_summary",
+              # the r10 red, reshaped to scalar rows in r11
+              "mean_pool", "multimodal_grid"]
     oracles = _oracles()
     for name in sample:
         sql = oracles.get(name)
