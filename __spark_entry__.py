@@ -543,6 +543,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_interval(spark, sf_dir):
+    """GENUINE stream-stream interval join behind the oracle gate
+    (r11; streaming/joins.py::stream_interval_join): purchases and
+    views by the same user within ±30 minutes, BOTH sides real
+    readStream over the events parquet (availableNow → memory sink).
+    Inner interval-join output is a SET of matched pairs — arrival-
+    order-independent — so the order-insensitive hash gate applies
+    directly; the single source file yields one micro-batch, so no
+    cross-batch watermark eviction can drop a legal pair. Exact
+    integer µs timestamps end-to-end."""
+    import os
+    import tempfile
+
+    from csvplus_spark.streaming.events import stream_events
+    from csvplus_spark.streaming.joins import stream_interval_join
+
+    src = tempfile.mkdtemp(prefix="cp_stream_ij_gate_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    left = stream_events(spark, src) \
+        .filter(F.col("event_type") == "purchase")
+    right = stream_events(spark, src) \
+        .filter(F.col("event_type") == "view")
+    j = stream_interval_join(left, right, "user_id",
+                             within="30 minutes", watermark="2 hours")
+    name = "cp_stream_interval_gate"
+    q = (j.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("r_event_id").alias("r_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("l_us"),
+        F.unix_micros("r_ts").alias("r_us"))
+
+
+_STREAM_INTERVAL_SQL = """
+SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+       l.user_id AS user_id,
+       epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 30 MINUTE
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding 1h/30min event-time windows."""
     from csvplus_spark.streaming.events import sliding_agg
@@ -6602,6 +6651,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "events_tumbling": q_events_tumbling,
         "stream_tumbling": q_stream_tumbling,
+        "stream_interval": q_stream_interval,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "asof_join": q_asof_join,
@@ -6890,6 +6940,7 @@ LIMIT 20
         "sim_topk": _SIM_TOPK_SQL,
         "events_tumbling": _TUMBLING_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
+        "stream_interval": _STREAM_INTERVAL_SQL,
         "events_sliding": _SLIDING_SQL,
         "events_session": _SESSION_SQL,
         "asof_join": _ASOF_SQL,
