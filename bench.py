@@ -192,6 +192,7 @@ HEADLINE = [
     "drop_while",
     "union_distinct",
     "stream_tumbling",
+    "stream_interval",
     "events_sliding",
     "asof_join",
     "join_outer",

@@ -78,6 +78,9 @@ SHOW = [
     ("semantic_dedup", "SemDeDup: broadcast centroids, per-cell BLAS "
                        "prefilter (ArrowEvalPython group map), fold rescore, "
                        "CC joins"),
+    ("multimodal_grid", "blob features → vectors → exact grid ANN: one "
+                        "Arrow mapInPandas extraction, checkpointed tiny "
+                        "vector table, cogrouped BLAS cells (no crossJoin)"),
     ("skew_report", "key-skew diagnostics: map-combined count agg + "
                     "broadcast single-row totals + TakeOrdered"),
     ("ann_recall", "recall@k eval: k-bounded equi-joins over two top-k "
