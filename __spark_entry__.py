@@ -508,6 +508,52 @@ def q_events_tumbling(spark, sf_dir):
     return out.withColumn("window_start", F.unix_micros("window_start"))
 
 
+def _stream_scratch_events(sf_dir, prefix):
+    """Scratch dir exposing events.parquet to a file-stream source
+    (the source wants a DIRECTORY; symlink, no copy). Callers remove
+    it after the stream terminates — repeated gate runs must not
+    accumulate cp_stream_* dirs (r11 ADVICE)."""
+    import os
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    return src
+
+
+def _await_stream(q, name, timeout=180):
+    """awaitTermination with the boolean return CHECKED (r11 ADVICE):
+    on a slow box a timeout must raise a clear error, not silently
+    hand a partial memory-sink table to the hash gate."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"{name}: stream did not terminate within {timeout}s — "
+            f"refusing to read a partial memory sink")
+
+
+class _stream_state_partitions:
+    """Temporarily drop spark.sql.shuffle.partitions for a GATE
+    stream's state store (r11 verdict item 6): a bounded availableNow
+    one-micro-batch stream at sf0.1 pays per-state-partition setup
+    cost (32 partitions x 2 sides ~= 4s of pure store overhead,
+    measured 6.0s -> 2.5s for stream_interval at 8). The partition
+    count is fixed at stream START per checkpoint, so this scopes the
+    setting to the start() call; production streams size it by
+    throughput, not this gate constant."""
+
+    def __init__(self, spark, n=8):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def q_stream_tumbling(spark, sf_dir):
     """GENUINE Structured Streaming behind the oracle gate: run the
     readStream tumbling-count path (streaming/events.py
@@ -516,21 +562,22 @@ def q_stream_tumbling(spark, sf_dir):
     the same DuckDB SQL the batch form matches. Counts only — no
     float aggregation — so micro-batch execution order cannot affect
     the hash."""
-    import os
-    import tempfile
+    import shutil
 
     from csvplus_spark.streaming.events import stream_tumbling_counts
 
-    # the file stream source wants a DIRECTORY; expose the single
-    # events parquet through a symlink in a scratch dir (no copy)
-    src = tempfile.mkdtemp(prefix="cp_stream_gate_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
-    stream = stream_tumbling_counts(spark, src, "1 hour", "1 hour")
+    src = _stream_scratch_events(sf_dir, "cp_stream_gate_")
     name = "cp_stream_tumbling_gate"
-    q = (stream.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        stream = stream_tumbling_counts(spark, src, "1 hour", "1 hour")
+        with _stream_state_partitions(spark):
+            q = (stream.writeStream.format("memory").queryName(name)
+                 .outputMode("complete").trigger(availableNow=True).start())
+        _await_stream(q, name)
+    finally:
+        # the memory sink holds the full result driver-side once the
+        # stream terminates; the source scratch dir is no longer needed
+        shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select(
         F.unix_micros("window_start").alias("window_start"),
         "event_type", "n_events")
@@ -553,25 +600,26 @@ def q_stream_interval(spark, sf_dir):
     directly; the single source file yields one micro-batch, so no
     cross-batch watermark eviction can drop a legal pair. Exact
     integer µs timestamps end-to-end."""
-    import os
-    import tempfile
+    import shutil
 
     from csvplus_spark.streaming.events import stream_events
     from csvplus_spark.streaming.joins import stream_interval_join
 
-    src = tempfile.mkdtemp(prefix="cp_stream_ij_gate_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
-    left = stream_events(spark, src) \
-        .filter(F.col("event_type") == "purchase")
-    right = stream_events(spark, src) \
-        .filter(F.col("event_type") == "view")
-    j = stream_interval_join(left, right, "user_id",
-                             within="30 minutes", watermark="2 hours")
+    src = _stream_scratch_events(sf_dir, "cp_stream_ij_gate_")
     name = "cp_stream_interval_gate"
-    q = (j.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        left = stream_events(spark, src) \
+            .filter(F.col("event_type") == "purchase")
+        right = stream_events(spark, src) \
+            .filter(F.col("event_type") == "view")
+        j = stream_interval_join(left, right, "user_id",
+                                 within="30 minutes", watermark="2 hours")
+        with _stream_state_partitions(spark):
+            q = (j.writeStream.format("memory").queryName(name)
+                 .outputMode("append").trigger(availableNow=True).start())
+        _await_stream(q, name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).select(
         F.col("event_id").alias("l_event_id"),
         F.col("r_event_id").alias("r_event_id"),
@@ -6585,33 +6633,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running", "rollup_agg",
     ]
     # every-other-round anchors — in the window on ODD rounds
-    # (r11, r13, ...), out on even rounds; all 10-for-10 driver-green
-    # and plan-trivial (projection, point lookup, set ops). Round 11
-    # is odd, so they are IN and the rotation gets 20 slots.
+    # (r11, r13, ...), out on even rounds; all 11-for-11 driver-green
+    # and plan-trivial (projection, point lookup, set ops). Round 12
+    # is even, so they are OUT and the rotation gets 30 slots.
     odd_round_anchors = [
         "select_project", "drop_columns", "index_find", "sub_index",
         "take_while", "drop_while", "union_distinct", "intersect",
         "except_all", "intersect_all",
     ]
-    # all 20 rotation slots draw from the NEVER-driver-verified backlog
-    # (tools/rotation_status.py; 32 after r10). Round 11 prioritizes
-    # per the r10 verdict: mean_pool (the r10 red — output reshaped to
-    # scalar (label, dim, val, n_members) rows, must re-earn green),
-    # the six r10 codec/ingest queries (~4,400 LoC of codec code whose
-    # only signal so far is self-administered), the ten verdict-named
-    # singles, then three cheap TPC-H shapes. The 12 remaining TPC-H
-    # variants rotate in r12, draining the backlog to zero.
-    rotation_r11 = [
-        "mean_pool",
-        "multimodal_png_px", "multimodal_gif", "multimodal_flac",
-        "multimodal_tiff", "multimodal_resize_px", "avro_snappy_ingest",
-        "snapshot_diff", "expectations", "events_outliers",
-        "winsorize", "minhash_calibration", "ccnet_buckets",
-        "copurchase", "novel_bigrams", "source_mix",
-        "dedup_keep_best_fast",
-        "tpch_q6_forecast", "tpch_q14_promo", "tpch_q4_priority",
+    del odd_round_anchors  # r12 (even): see cadence note above
+    # Round 12's 30 rotation slots (r11 verdict item 2): first the
+    # ENTIRE never-driver-verified backlog — the 12 remaining TPC-H
+    # variants (all sf10-pre-validated, artifacts/
+    # CORRECTNESS_sf10_tpch.json) plus the two r11-born queries
+    # (multimodal_grid, stream_interval) — draining the backlog to
+    # ZERO: every declared query driver-verified at least once. The
+    # 16 freed slots refresh the STALEST ever-green rows (all last
+    # driver-verified in r02, per tools/rotation_status.py), which
+    # also re-earns fresh driver rows for the four queries the r11
+    # bench gate flagged as same-tree noise (winnow,
+    # multimodal_features among them).
+    rotation_r12 = [
+        "stream_interval", "multimodal_grid",
+        "tpch_q2_mincost", "tpch_q7_volume", "tpch_q10_returns",
+        "tpch_q13_custdist", "tpch_q15_topsupp", "tpch_q16_suppcnt",
+        "tpch_q17_smallqty", "tpch_q18_bigorders", "tpch_q19_disjuncts",
+        "tpch_q20_promosupp", "tpch_q21_waiting", "tpch_q22_idle",
+        # refresh: stalest driver-green (r02) rows
+        "canonicalize", "contamination", "content_flags",
+        "dedup_embedding_lsh", "hash_sample", "ivf_seeded",
+        "lang_cap", "multimodal_features", "null_funcs",
+        "quantize_embeddings", "repetition_stats", "simhash_pairs60",
+        "simhash_reps60", "token_counts", "training_set", "winnow",
     ]
-    out = {k: q[k] for k in anchors + odd_round_anchors + rotation_r11}
+    out = {k: q[k] for k in anchors + rotation_r12}
     out.update((k, v) for k, v in q.items() if k not in out)
     return out
 

@@ -26,6 +26,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def git_sha() -> str:
+    """HEAD sha at run time, '-dirty'-suffixed when the working tree
+    differs — the regression gate treats two runs at the same clean
+    SHA as the SAME source tree (an identical tree cannot regress;
+    r11: the driver's 200.7s row vs the builder's 163.4s rows of the
+    byte-identical tree failed the gate on box noise alone)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=here,
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+        if not sha:
+            return ""
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=here, capture_output=True, text=True,
+            timeout=10).stdout.strip()
+        return sha + ("-dirty" if dirty else "")
+    except Exception:
+        return ""
+
+
 #: headline set — one per operator family (join, anti, order, dedup,
 #: agg, window, scalar, extensions get added as they land)
 HEADLINE = [
@@ -309,6 +334,9 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        # same-SHA history rows are noise calibration for the
+        # regression gate, never regressions (r11 verdict item 1)
+        "git_sha": git_sha(),
     }
     with open(os.path.join(art_dir, "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1)

@@ -191,7 +191,8 @@ def decode_images(df: DataFrame, real_codec: bool = False) -> DataFrame:
 
 
 def frame_sample_stub(n_frames: int = 3,
-                      real_codec: bool = False) -> Callable:
+                      real_codec: bool = False,
+                      on_error: str = "raise") -> Callable:
     """Frame-sampling fn for mapInPandas: one-to-many rows per blob
     (the UDTF-shaped plumbing). With ``real_codec=True``, GIF AND
     (A)PNG animations decode REAL frames (r10, operators/gifcodec.py
@@ -200,69 +201,105 @@ def frame_sample_stub(n_frames: int = 3,
     decoded RGB(A) pixel buffer — each frame rendered independently,
     no disposal/blend compositing. Video containers (mp4) raise the
     honest gate: no video decoder in this container. The default stub
-    keeps the deterministic fake for plumbing tests."""
+    keeps the deterministic fake for plumbing tests.
+
+    ``on_error`` (r11 ADVICE — production error channel): with the
+    default ``"raise"``, any malformed blob aborts the whole
+    mapInPandas stage — the honest posture for gate queries, but at
+    corpus scale one corrupt GIF would kill a 100 TB fan-out. With
+    ``"quarantine"``, per-blob decode failures (ValueError /
+    NotImplementedError) become one quarantine row each —
+    ``frame_no = -1, frame_md5 = NULL, error = <message>`` — and the
+    output gains an ``error`` column (NULL on good rows), so bad
+    media routes to a side table instead of failing the job."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, "
+                         f"got {on_error!r}")
 
     def sample(batches) -> Iterator:
         import hashlib
 
         import pandas as pd
 
+        quarantine = on_error == "quarantine"
+        cols = ["media_id", "frame_no", "frame_md5"] + (
+            ["error"] if quarantine else [])
+
+        def decode_one(mid, blob):
+            rows = []
+            if real_codec:
+                from . import gifcodec, pngcodec
+
+                if gifcodec.is_gif(blob):
+                    _w, _h, nf = gifcodec.gif_info(blob)
+                    dec = gifcodec.decode_gif
+                elif pngcodec.is_png(blob):
+                    # r10: APNG — acTL/fcTL/fdAT animation frames
+                    # decode through the same PNG machinery; a
+                    # plain PNG is a 1-frame animation
+                    _w, _h, nf = pngcodec.apng_info(blob)
+                    dec = pngcodec.decode_apng_frame
+                else:
+                    raise NotImplementedError(
+                        "real_codec=True frame sampling: GIF and "
+                        "(A)PNG animations decode in this "
+                        "container (no video codec for mp4/webm; "
+                        "plug ffmpeg/PyAV on the executors here)")
+                if nf == 0:
+                    # structurally valid stream with zero image
+                    # descriptors: surface it — take=0 would yield
+                    # an empty picks list and the blob would
+                    # silently vanish from the one-to-many fan-out
+                    raise ValueError(
+                        "frame sampling: stream has no frames")
+                take = min(n_frames, nf)
+                # evenly spaced across the animation, endpoints in
+                picks = [0] if take == 1 else [
+                    round(i * (nf - 1) / (take - 1))
+                    for i in range(take)]
+                for fno in picks:
+                    _, _, _, px = dec(blob, fno)
+                    rows.append({
+                        "media_id": mid, "frame_no": fno,
+                        "frame_md5": hashlib.md5(px).hexdigest()})
+                return rows
+            h = hashlib.md5(blob).digest()
+            for i in range(n_frames):
+                rows.append({"media_id": mid, "frame_no": i,
+                             "frame_md5": hashlib.md5(h + bytes([i])).hexdigest()})
+            return rows
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(blob)
-                if real_codec:
-                    from . import gifcodec, pngcodec
-
-                    if gifcodec.is_gif(blob):
-                        _w, _h, nf = gifcodec.gif_info(blob)
-                        dec = gifcodec.decode_gif
-                    elif pngcodec.is_png(blob):
-                        # r10: APNG — acTL/fcTL/fdAT animation frames
-                        # decode through the same PNG machinery; a
-                        # plain PNG is a 1-frame animation
-                        _w, _h, nf = pngcodec.apng_info(blob)
-                        dec = pngcodec.decode_apng_frame
-                    else:
-                        raise NotImplementedError(
-                            "real_codec=True frame sampling: GIF and "
-                            "(A)PNG animations decode in this "
-                            "container (no video codec for mp4/webm; "
-                            "plug ffmpeg/PyAV on the executors here)")
-                    if nf == 0:
-                        # structurally valid stream with zero image
-                        # descriptors: surface it — take=0 would yield
-                        # an empty picks list and the blob would
-                        # silently vanish from the one-to-many fan-out
-                        raise ValueError(
-                            "frame sampling: stream has no frames")
-                    take = min(n_frames, nf)
-                    # evenly spaced across the animation, endpoints in
-                    picks = [0] if take == 1 else [
-                        round(i * (nf - 1) / (take - 1))
-                        for i in range(take)]
-                    for i, fno in enumerate(picks):
-                        _, _, _, px = dec(blob, fno)
-                        rows.append({
-                            "media_id": mid, "frame_no": fno,
-                            "frame_md5": hashlib.md5(px).hexdigest()})
+                if not quarantine:
+                    rows.extend(decode_one(mid, blob))
                     continue
-                h = hashlib.md5(blob).digest()
-                for i in range(n_frames):
-                    rows.append({"media_id": mid, "frame_no": i,
-                                 "frame_md5": hashlib.md5(h + bytes([i])).hexdigest()})
-            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_md5"])
+                try:
+                    good = decode_one(mid, blob)
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append({"media_id": mid, "frame_no": -1,
+                                 "frame_md5": None, "error": str(exc)})
+                    continue
+                for r in good:
+                    r["error"] = None
+                rows.extend(good)
+            yield pd.DataFrame(rows, columns=cols)
 
     return sample
 
 
 FRAME_SCHEMA = "media_id long, frame_no int, frame_md5 string"
+FRAME_SCHEMA_Q = FRAME_SCHEMA + ", error string"
 
 
 def sample_frames(df: DataFrame, n_frames: int = 3,
-                  real_codec: bool = False) -> DataFrame:
+                  real_codec: bool = False,
+                  on_error: str = "raise") -> DataFrame:
+    schema = FRAME_SCHEMA_Q if on_error == "quarantine" else FRAME_SCHEMA
     return df.select("media_id", "data").mapInPandas(
-        frame_sample_stub(n_frames, real_codec), FRAME_SCHEMA
+        frame_sample_stub(n_frames, real_codec, on_error), schema
     )
 
 

@@ -298,11 +298,13 @@ def encode_png_ex(width: int, height: int, samples: list[int],
     ``decode_png`` claims to handle without a native encoder."""
     if color_type not in _CHANNELS or bit_depth not in _DEPTHS[color_type]:
         raise ValueError("png: illegal depth/color combination")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     ch = _CHANNELS[color_type]
     if len(samples) != width * height * ch:
         raise ValueError("png: sample buffer size mismatch")
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
-                       0, 0, interlace & 1)
+                       0, 0, interlace)
     raw = bytearray()
     passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
     for x0, y0, dx, dy in passes:
@@ -413,8 +415,12 @@ def decode_apng_frame(blob: bytes, frame: int = 0
     # fdAT streams share the parent IHDR's interlace method, so carry
     # it over (a hardcoded 0 would misdecode Adam7-interlaced frames)
     interlace = blob[28] if len(blob) > 28 else 0
+    if interlace not in (0, 1):
+        # r11 ADVICE: `& 1` silently coerced an invalid IHDR interlace
+        # byte into the wrong scanline layout — reject it instead
+        raise ValueError(f"png: unknown interlace method {interlace}")
     ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, 0, 0,
-                       interlace & 1)
+                       interlace)
     sub = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
            + _chunk(b"IDAT", bytes(datas[frame])) + _chunk(b"IEND", b""))
     # carry the palette/transparency chunks over when present

@@ -1600,3 +1600,85 @@ def test_frame_sample_zero_frame_stream(spark):
                                "media_id long, data binary")
     with _pytest.raises(Exception, match="no frames"):
         sample_frames(df, n_frames=2, real_codec=True).collect()
+
+
+def test_png_interlace_byte_validated():
+    """r11 ADVICE: an invalid IHDR interlace byte (e.g. 2) must raise
+    on BOTH the decode paths and the fixture encoder, never be
+    silently coerced by `& 1` into the wrong scanline layout."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.pngcodec import (decode_apng_frame,
+                                                  decode_png,
+                                                  encode_apng,
+                                                  encode_png,
+                                                  encode_png_ex)
+
+    w, h = 6, 4
+    f0 = bytes(((x + y) % 256) for y in range(h) for x in range(w)
+               for _ in range(3))
+    plain = bytearray(encode_png(w, h, 3, f0))
+    assert plain[28] == 0
+    plain[28] = 2  # CRCs are not verified, so the byte patch lands
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(plain))
+
+    # the fdAT sub-image rebuild path reads the PARENT interlace byte
+    sub = bytes(((x * 3) % 256) for _ in range(2) for x in range(3)
+                for _ in range(3))
+    apng = bytearray(encode_apng(w, h, 3, [f0, sub],
+                                 rects=[(0, 0, w, h), (1, 1, 3, 2)]))
+    assert apng[28] == 0
+    apng[28] = 2
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_apng_frame(bytes(apng), 1)
+
+    with _pytest.raises(ValueError, match="interlace"):
+        encode_png_ex(2, 2, list(range(4)), 8, 0, interlace=2)
+
+
+def test_frame_sample_quarantine(spark):
+    """r11 ADVICE: on_error='quarantine' routes per-blob decode
+    failures to error rows (frame_no=-1, error text) instead of
+    aborting the whole mapInPandas stage — one corrupt blob in a
+    corpus-scale fan-out must not kill the job. Default 'raise'
+    posture unchanged."""
+    import pytest as _pytest
+
+    from csvplus_spark.operators.gifcodec import encode_gif
+    from csvplus_spark.operators.multimodal import sample_frames
+
+    pal = bytes((10, 20, 30, 200, 100, 50, 0, 0, 0))
+    good = encode_gif(5, 4, pal, [0, 1, 2] * 6 + [0, 1],
+                      extra_frames=[[1, 2, 0] * 6 + [1, 2]])
+    frameless = b"GIF89a" + bytes((5, 0, 4, 0, 0x00, 0, 0)) + b"\x3b"
+    unknown = b"\x00not-a-media-container"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(frameless)),
+         (3, bytearray(unknown))],
+        "media_id long, data binary")
+
+    rows = sample_frames(df, n_frames=3, real_codec=True,
+                         on_error="quarantine").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # good blob: both frames decoded, error NULL
+    assert len(by_id[1]) == 2
+    assert all(r["error"] is None and r["frame_no"] >= 0
+               for r in by_id[1])
+    # quarantined blobs: exactly one row each, frame_no=-1, message set
+    assert [r["frame_no"] for r in by_id[2]] == [-1]
+    assert "no frames" in by_id[2][0]["error"]
+    assert by_id[2][0]["frame_md5"] is None
+    assert [r["frame_no"] for r in by_id[3]] == [-1]
+    assert "no video codec" in by_id[3][0]["error"]
+
+    # the default posture still aborts the stage (whichever bad blob
+    # a partition hits first raises)
+    with _pytest.raises(Exception, match="no frames|no video codec"):
+        sample_frames(df, n_frames=3, real_codec=True).collect()
+    # and a bad mode is rejected eagerly
+    from csvplus_spark.operators.multimodal import frame_sample_stub
+    with _pytest.raises(ValueError, match="on_error"):
+        frame_sample_stub(3, True, on_error="ignore")

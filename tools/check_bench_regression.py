@@ -1,13 +1,23 @@
 """Per-query bench regression gate over artifacts/BENCH_HISTORY.jsonl.
 
 BENCH_HISTORY.jsonl gets one row per bench run (bench.py appends the
-full warm+cold payload). This gate compares the LATEST run's warm
-timings to the run before it (or an explicit --baseline index) and
-fails on any shared query that slowed by more than THRESHOLD× while
-taking at least FLOOR seconds in the baseline — the r2
-agg_pricing_summary 2.17× and r6 collapse-by-default 5.9→9.4s
-regressions were both caught only by manual A/B; this automates that
-check (r7 verdict item 3).
+full warm+cold payload, stamped with the git SHA since r12). This gate
+compares the LATEST run's warm timings to the per-query median of the
+three runs before it (or an explicit --baseline index) and fails on
+any shared query that slowed by more than the threshold while taking
+at least FLOOR seconds in the baseline — the r2 agg_pricing_summary
+2.17× and r6 collapse-by-default 5.9→9.4s regressions were both
+caught only by manual A/B; this automates that check (r7 verdict
+item 3).
+
+SHA awareness (r11 verdict item 1): runs at the same clean git SHA are
+the SAME source tree, and an identical tree cannot regress — their
+spread is the box's measured noise (r11: winnow 1.76× per-query, 1.23×
+total on byte-identical source). The gate (a) skips entirely when the
+whole baseline window shares the current run's SHA, and (b) otherwise
+derives its threshold from the worst measured same-tree spread
+(NOISE_MARGIN × worst, never below the static THRESHOLD). Only
+like-for-like rows are compared (same sf as the current run).
 
 Usage:
     python tools/check_bench_regression.py [--baseline N] [--threshold X]
@@ -24,6 +34,10 @@ import sys
 
 THRESHOLD = 1.5   # fail when cur/base exceeds this ...
 FLOOR = 0.5       # ... and base took at least this many seconds
+#: safety margin over the measured same-tree spread when deriving the
+#: effective threshold — the worst observed noise ratio is a sample
+#: maximum, not a bound
+NOISE_MARGIN = 1.05
 
 HISTORY = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "artifacts", "BENCH_HISTORY.jsonl")
@@ -33,7 +47,67 @@ def load_history(path: str = HISTORY) -> list[dict]:
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        hist = [json.loads(line) for line in f if line.strip()]
+    # compare like-for-like only: a stray run at a different scale
+    # factor must not enter the baseline window of an sf0.1 run
+    if hist:
+        sf = hist[-1].get("sf")
+        hist = [e for e in hist if e.get("sf") == sf]
+    return hist
+
+
+def run_sha(entry: dict) -> str | None:
+    """Clean git SHA of a history row, or None when unknown/dirty —
+    only two runs at the same CLEAN sha are provably the same tree."""
+    sha = entry.get("git_sha") or ""
+    if not sha or sha.endswith("-dirty"):
+        return None
+    return sha
+
+
+def same_tree(a: dict, b: dict) -> bool:
+    sa, sb = run_sha(a), run_sha(b)
+    return sa is not None and sa == sb
+
+
+def noise_band(history: list[dict], floor: float = FLOOR) -> dict:
+    """Measured same-tree spread: over every group of history runs
+    sharing a clean git SHA, the per-query max/min timing ratio
+    (queries with min >= floor only, mirroring the gate's floor).
+    An identical tree cannot regress, so this spread IS the box
+    noise the gate must tolerate (r11: winnow 1.76x, total 1.23x on
+    byte-identical source). Returns {"worst": r, "query": name,
+    "pairs": n_same_sha_runs_compared}."""
+    by_sha: dict[str, list[dict]] = {}
+    for e in history:
+        s = run_sha(e)
+        if s:
+            by_sha.setdefault(s, []).append(e)
+    worst, worst_q, pairs = 1.0, None, 0
+    for runs in by_sha.values():
+        if len(runs) < 2:
+            continue
+        pairs += len(runs)
+        vals: dict[str, list[float]] = {}
+        for e in runs:
+            for k, v in (e.get("queries") or {}).items():
+                if v is not None and v > 0:
+                    vals.setdefault(k, []).append(v)
+        for k, vs in vals.items():
+            if len(vs) >= 2 and min(vs) >= floor:
+                r = max(vs) / min(vs)
+                if r > worst:
+                    worst, worst_q = r, k
+    return {"worst": round(worst, 3), "query": worst_q, "pairs": pairs}
+
+
+def effective_threshold(history: list[dict]) -> float:
+    """Gate threshold: never below the static THRESHOLD, raised to
+    NOISE_MARGIN x the worst measured same-tree per-query spread when
+    that spread exceeds it — a gate tighter than the box's own noise
+    on identical source can only produce false reds."""
+    return max(THRESHOLD,
+               round(noise_band(history)["worst"] * NOISE_MARGIN, 3))
 
 
 def median_baseline(history: list[dict], n: int = 3) -> dict:
@@ -99,6 +173,10 @@ def main() -> int:
     if len(hist) < 2:
         print("bench history has <2 runs — nothing to compare")
         return 0
+    cur = hist[-1]
+    band = noise_band(hist)
+    print(f"same-tree noise band: {band['worst']}x per-query "
+          f"(worst: {band['query']}) over {band['pairs']} same-SHA runs")
     if baseline_ix is not None:
         run_no = baseline_ix if baseline_ix >= 0 else len(hist) + baseline_ix
         if run_no == len(hist) - 1:
@@ -106,9 +184,25 @@ def main() -> int:
                   "run to itself proves nothing")
             return 2
         base, label = hist[baseline_ix], f"run {run_no}"
+        if same_tree(base, cur):
+            print(f"run {run_no} and the current run are the SAME clean "
+                  f"SHA — identical source cannot regress (spread is "
+                  f"noise calibration)")
+            _, table = compare(base, cur, threshold=threshold)
+            print(trend_table(table))
+            return 0
     else:
         base, label = median_baseline(hist), "median of last 3 runs"
-    cur = hist[-1]
+        window = hist[-4:-1]
+        if window and all(same_tree(e, cur) for e in window):
+            print("entire baseline window shares the current run's clean "
+                  "SHA — identical source cannot regress (spread is "
+                  "noise calibration)")
+            _, table = compare(base, cur, threshold=threshold)
+            print(trend_table(table))
+            return 0
+    if threshold == THRESHOLD:  # no explicit --threshold: noise-derived
+        threshold = effective_threshold(hist)
     regressions, table = compare(base, cur, threshold=threshold)
     print(f"comparing {label} "
           f"({len(base.get('queries') or {})} queries)"

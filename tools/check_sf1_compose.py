@@ -321,6 +321,29 @@ def main() -> int:
                 .alias("is_canonical"))
             return exp_nz.unionByName(
                 expand_rows(zn, ["vec_id", "canonical_id"]))
+        if name == "knn_label":
+            # Copy-closure of neighbor sets (r11 verdict item 4),
+            # valid only when COPIES > k=10: each copy's 10 nearest
+            # neighbors are 10 of its own COPIES-1 identical copies —
+            # cosine is EXACTLY 1.0 (identical float payloads give
+            # identical dot/norm arithmetic) and no other payload
+            # reaches 1.0 (verified: zero zero-norm vectors, zero
+            # duplicate payloads in the base table) — so every
+            # duplicated id predicts its BASE label with a unanimous
+            # 10 votes, regardless of WHICH copies win the id
+            # tie-break. This pins grid_topk's cell blocking +
+            # candidate generation + top-k + vote at 2M vectors; the
+            # base DuckDB oracle owns base correctness (its SQL
+            # replay is train x test quadratic and exceeds the box at
+            # sf10 — artifacts/README.md r11 note).
+            if COPIES <= 10:
+                raise ValueError("knn_label law needs COPIES > k=10")
+            emb = load_table(spark, base_dir, "embeddings").df
+            base = emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").cast("int").alias("pred_label"),
+                F.lit(10).cast("long").alias("votes"))
+            return expand_rows(base, ["query_id"])
         raise KeyError(name)
 
     names = ["dedup_ngram", "dedup_minhash", "simhash", "simhash_pairs",
@@ -329,7 +352,8 @@ def main() -> int:
              "dedup_embedding", "dedup_embedding_lsh", "semantic_dedup",
              "dedup_exact", "dedup_ngram_fast", "dedup_minhash_fast",
              "dedup_containment_fast", "dedup_keep_best_fast",
-             "fuzzy_join_fast", "ccnet_buckets", "leakage_split"]
+             "fuzzy_join_fast", "ccnet_buckets", "leakage_split",
+             "knn_label"]  # knn_label: --copies > 10 only (law guard)
     # NB at --copies 100 (sf10) restrict the run to the collapse
     # family + labelings + training_set via the [query ...] args: the
     # PLAIN pair/cluster paths are documented sf3+ disk failures
