@@ -42,8 +42,13 @@ def git_sha() -> str:
                              timeout=10).stdout.strip()
         if not sha:
             return ""
+        # dirty = the paths that define bench BEHAVIOR (the same set
+        # the r11 verdict's same-source audit diffed): a prior bench
+        # run's own artifact writes, or edits to tools/tests/docs,
+        # must not mark the next same-tree run dirty
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", "csvplus_spark", "__spark_entry__.py", "bench.py"],
             cwd=here, capture_output=True, text=True,
             timeout=10).stdout.strip()
         return sha + ("-dirty" if dirty else "")

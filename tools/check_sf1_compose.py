@@ -344,6 +344,62 @@ def main() -> int:
                 F.col("label").cast("int").alias("pred_label"),
                 F.lit(10).cast("long").alias("votes"))
             return expand_rows(base, ["query_id"])
+        if name in ("pagerank_reps", "kcore_reps", "triangles_reps"):
+            # graph-after-dedup identity (r12): exact dedup keeps the
+            # MIN id per text fingerprint and copies share the
+            # fingerprint, so the sf-f canonical set IS the base
+            # canonical set (copy 0, base ids, same texts) — the rep
+            # near-dup graph and the integer trajectory/counts replay
+            # bit-for-bit. Pins that collapse-first really is
+            # duplication-immune END-TO-END at 100x, not just argued.
+            return run(name)
+        if name == "edit1_names":
+            # p_name is copy-VERBATIM (make_scaled_sf shifts only
+            # p_partkey) and the operator pairs DISTINCT VALUES, so
+            # the output at any duplication factor is exactly the
+            # base output — this pins that the engine's value-level
+            # distinct + deletion-neighborhood join hold at 100x
+            # input. (The DuckDB oracle is a brute-force all-pairs
+            # replay — the documented sf10 capacity exclusion.)
+            return run(name)
+        if name == "asof_join":
+            # copies co-shift (event_id, user_id) and share every
+            # timestamp/value, so copy c of a user sees exactly the
+            # base purchase history (its own copy-c purchases) and
+            # each copy's strictly-prior as-of pick equals the base
+            # row's: ids shift, payload columns verbatim
+            return expand_rows(run(name), ["event_id", "user_id"])
+        if name == "range_join":
+            # copies co-shift (event_id, user_id) but share all
+            # timestamps, so copy c of event e has 100 copies of
+            # every base event within +-60s as candidates; the
+            # same-USER exclusion only bites at matching copy index
+            # (u + i*OFF == u' + k*OFF forces u=u', i=k since base
+            # user ids << OFF): n_nearby(e_c) = COPIES*N_all(e) -
+            # N_same(e), with N_all/N_same counted self-INCLUSIVE at
+            # base scale through the operator's own banded join.
+            # Every sf10 row is >= COPIES-1 (own copies are "other
+            # users"), so the base query's 0-coalesce never fires.
+            from csvplus_spark.operators.rangejoin import \
+                within_range_join
+            ev = load_table(spark, base_dir, "events").df.select(
+                "event_id", "user_id", F.unix_micros("ts").alias("us"))
+            l = ev.select(F.col("event_id").alias("eid"),
+                          F.col("user_id").alias("uid"),
+                          F.col("us").alias("lus"))
+            r = ev.select(F.col("event_id").alias("rid"),
+                          F.col("user_id").alias("ruid"),
+                          F.col("us").alias("rus"))
+            j = within_range_join(l, r, "lus", "rus", 60_000_000.0)
+            per = j.groupBy("eid").agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum((F.col("uid") == F.col("ruid")).cast("long"))
+                .alias("n_same"))
+            base = per.select(
+                F.col("eid").alias("event_id"),
+                (F.lit(COPIES) * F.col("n_all") - F.col("n_same"))
+                .alias("n_nearby"))
+            return expand_rows(base, ["event_id"])
         raise KeyError(name)
 
     names = ["dedup_ngram", "dedup_minhash", "simhash", "simhash_pairs",
@@ -353,7 +409,9 @@ def main() -> int:
              "dedup_exact", "dedup_ngram_fast", "dedup_minhash_fast",
              "dedup_containment_fast", "dedup_keep_best_fast",
              "fuzzy_join_fast", "ccnet_buckets", "leakage_split",
-             "knn_label"]  # knn_label: --copies > 10 only (law guard)
+             "knn_label",  # --copies > 10 only (law guard)
+             "edit1_names", "asof_join", "range_join",
+             "pagerank_reps", "kcore_reps", "triangles_reps"]
     # NB at --copies 100 (sf10) restrict the run to the collapse
     # family + labelings + training_set via the [query ...] args: the
     # PLAIN pair/cluster paths are documented sf3+ disk failures
