@@ -27,31 +27,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: the paths that define bench BEHAVIOR — the same set the r11
+#: verdict's same-source audit diffed. Artifact/docs/tools commits
+#: leave these git objects untouched, so runs across such commits
+#: still compare as the SAME tree.
+_SRC_PATHS = ["csvplus_spark", "__spark_entry__.py", "bench.py"]
+
+
 def git_sha() -> str:
-    """HEAD sha at run time, '-dirty'-suffixed when the working tree
-    differs — the regression gate treats two runs at the same clean
-    SHA as the SAME source tree (an identical tree cannot regress;
-    r11: the driver's 200.7s row vs the builder's 163.4s rows of the
-    byte-identical tree failed the gate on box noise alone)."""
+    """SOURCE-TREE hash at run time ('src-' + sha256 of the three
+    behavior-defining paths' git object ids), '-dirty'-suffixed when
+    those paths have uncommitted edits. The regression gate treats two
+    runs at the same clean hash as the SAME source tree — an identical
+    tree cannot regress (r11: the driver's 200.7s row vs the builder's
+    163.4s rows of byte-identical source failed the gate on box noise
+    alone). Keyed on the source OBJECTS, not the commit sha, so an
+    artifact-only commit between a builder run and the driver's run
+    does not break the pairing."""
+    import hashlib
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=here,
-                             capture_output=True, text=True,
-                             timeout=10).stdout.strip()
-        if not sha:
-            return ""
-        # dirty = the paths that define bench BEHAVIOR (the same set
-        # the r11 verdict's same-source audit diffed): a prior bench
-        # run's own artifact writes, or edits to tools/tests/docs,
-        # must not mark the next same-tree run dirty
-        dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no",
-             "--", "csvplus_spark", "__spark_entry__.py", "bench.py"],
+        ids = subprocess.run(
+            ["git", "rev-parse"] + [f"HEAD:{p}" for p in _SRC_PATHS],
             cwd=here, capture_output=True, text=True,
             timeout=10).stdout.strip()
-        return sha + ("-dirty" if dirty else "")
+        if not ids or len(ids.splitlines()) != len(_SRC_PATHS):
+            return ""
+        src = "src-" + hashlib.sha256(ids.encode()).hexdigest()[:20]
+        # a prior bench run's own artifact writes, or edits to
+        # tools/tests/docs, must not mark the next same-tree run dirty
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--"] + _SRC_PATHS,
+            cwd=here, capture_output=True, text=True,
+            timeout=10).stdout.strip()
+        return src + ("-dirty" if dirty else "")
     except Exception:
         return ""
 
