@@ -7,13 +7,15 @@ driver collect). Timings include plan + execution, not session startup.
 
 PROCEDURE (r9 verdict item 8): run this TWICE per round, at the start
 and end of the round's work. Same-tree runs on this box differ by a
-~1.16x per-query median (r9's interleaved A/B against the r7 commit
-proved the spread is box noise, NOTES.md:1140); a single run therefore
-can neither prove nor clear a drift claim. Both runs append to
-artifacts/BENCH_HISTORY.jsonl, and tests/test_bench_gate.py compares
-the NEWEST run against the per-query median of the last 3 history rows
-— with two same-round rows in the window, one noisy run cannot flag
-(or mask) a regression by itself.
+~1.09-1.16x per-query MEDIAN and up to ~2.2x per-query WORST (r12's
+four same-source pairs; r9's interleaved A/B first measured it); a
+single run therefore can neither prove nor clear a drift claim. Both
+runs append to artifacts/BENCH_HISTORY.jsonl stamped with a SOURCE-
+TREE hash (git_sha below), and tests/test_bench_gate.py compares the
+NEWEST run against the per-query median of the last 3 history rows —
+skipping entirely when the whole window shares the current source
+hash (identical source cannot regress), and otherwise gating at a
+threshold derived from the measured same-tree spread.
 """
 
 from __future__ import annotations

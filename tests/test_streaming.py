@@ -559,3 +559,24 @@ def test_stream_interval_join_full_outer_nulls_both_sides(spark, tmp_path):
     assert (3, None) in got          # unmatched left → null right
     assert (None, 4) in got          # unmatched right → null left
     assert (1, None) not in got and (None, 2) not in got
+
+
+def test_stream_state_partitions_scoped_restore(spark):
+    """r12: the gate-stream state-partition override must restore the
+    session conf on BOTH the normal and the exception path — leaking
+    8 partitions into the session would silently shrink every later
+    shuffle."""
+    import pytest as _pytest
+
+    from __spark_entry__ import _stream_state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _stream_state_partitions(spark, 8):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    with _pytest.raises(RuntimeError):
+        with _stream_state_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise RuntimeError("stream start failed")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
