@@ -6633,40 +6633,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running", "rollup_agg",
     ]
     # every-other-round anchors — in the window on ODD rounds
-    # (r11, r13, ...), out on even rounds; all 11-for-11 driver-green
-    # and plan-trivial (projection, point lookup, set ops). Round 12
-    # is even, so they are OUT and the rotation gets 30 slots.
+    # (r11, r13, ...), out on even rounds; all driver-green every time
+    # and plan-trivial (projection, point lookup, set ops). Round 13
+    # is odd, so they are IN and the rotation gets 20 slots.
     odd_round_anchors = [
         "select_project", "drop_columns", "index_find", "sub_index",
         "take_while", "drop_while", "union_distinct", "intersect",
         "except_all", "intersect_all",
     ]
-    del odd_round_anchors  # r12 (even): see cadence note above
-    # Round 12's 30 rotation slots (r11 verdict item 2): first the
-    # ENTIRE never-driver-verified backlog — the 12 remaining TPC-H
-    # variants (all sf10-pre-validated, artifacts/
-    # CORRECTNESS_sf10_tpch.json) plus the two r11-born queries
-    # (multimodal_grid, stream_interval) — draining the backlog to
-    # ZERO: every declared query driver-verified at least once. The
-    # 16 freed slots refresh the STALEST ever-green rows (all last
-    # driver-verified in r02, per tools/rotation_status.py), which
-    # also re-earns fresh driver rows for the four queries the r11
-    # bench gate flagged as same-tree noise (winnow,
-    # multimodal_features among them).
-    rotation_r12 = [
-        "stream_interval", "multimodal_grid",
-        "tpch_q2_mincost", "tpch_q7_volume", "tpch_q10_returns",
-        "tpch_q13_custdist", "tpch_q15_topsupp", "tpch_q16_suppcnt",
-        "tpch_q17_smallqty", "tpch_q18_bigorders", "tpch_q19_disjuncts",
-        "tpch_q20_promosupp", "tpch_q21_waiting", "tpch_q22_idle",
-        # refresh: stalest driver-green (r02) rows
-        "canonicalize", "contamination", "content_flags",
-        "dedup_embedding_lsh", "hash_sample", "ivf_seeded",
-        "lang_cap", "multimodal_features", "null_funcs",
-        "quantize_embeddings", "repetition_stats", "simhash_pairs60",
-        "simhash_reps60", "token_counts", "training_set", "winnow",
+    # Round 13's 20 rotation slots (r12 verdict item 5): the
+    # never-verified backlog has been ZERO since r12, so every slot
+    # refreshes the STALEST ever-green rows — the 20 queries whose
+    # newest driver-green round is oldest, per
+    # tools/rotation_status.py::staleness() (simhash_pairs last
+    # verified r02; date_arith/pivot/range_join/tfidf r04; the
+    # dedup_* family r05-r07).
+    rotation_r13 = [
+        "simhash_pairs", "date_arith", "pivot", "range_join", "tfidf",
+        "dedup_clusters", "quantiles", "scalar_string_math",
+        "tpch_q3_shipping", "tpch_q5_volume",
+        "agg_distinct", "ann_recall", "asof_join", "cube_agg",
+        "dedup_embedding", "dedup_exact", "dedup_minhash",
+        "dedup_minhash_fast", "dedup_ngram", "dedup_ngram_fast",
     ]
-    out = {k: q[k] for k in anchors + rotation_r12}
+    out = {k: q[k] for k in anchors + odd_round_anchors + rotation_r13}
     out.update((k, v) for k, v in q.items() if k not in out)
     return out
 

@@ -60,8 +60,12 @@ def git_sha() -> str:
         src = "src-" + hashlib.sha256(ids.encode()).hexdigest()[:20]
         # a prior bench run's own artifact writes, or edits to
         # tools/tests/docs, must not mark the next same-tree run dirty
+        # — but an UNTRACKED file under the source paths must (r12
+        # ADVICE item 5: a new module picked up via package import
+        # changes behavior without touching any tracked object);
+        # __pycache__/*.pyc are gitignored, so they don't trip this
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no",
+            ["git", "status", "--porcelain", "--untracked-files=all",
              "--"] + _SRC_PATHS,
             cwd=here, capture_output=True, text=True,
             timeout=10).stdout.strip()

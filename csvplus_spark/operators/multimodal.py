@@ -31,6 +31,31 @@ MEDIA_META_DDL = (
 )
 
 
+def _check_on_error(on_error: str) -> bool:
+    """Validate the per-blob error-channel mode shared by every decode
+    fan-out (r12 verdict item 1 — quarantine everywhere, not just
+    sample_frames). Returns True for quarantine mode.
+
+    Quarantine catches ``Exception``, not a curated list (r12 ADVICE:
+    genuinely corrupt blobs raise more than ValueError /
+    NotImplementedError — zlib.error from a corrupt IDAT inflate,
+    struct.error from a truncated header unpack, IndexError from a
+    short buffer). At corpus scale ANY per-blob decode failure must
+    route to the error channel instead of aborting the stage;
+    KeyboardInterrupt/SystemExit are not Exception subclasses and
+    still propagate."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, "
+                         f"got {on_error!r}")
+    return on_error == "quarantine"
+
+
+def _quarantine_msg(exc: BaseException) -> str:
+    """Error-row text: type-qualified so a side-table triage can group
+    by failure class (zlib.error vs struct.error vs honest env gate)."""
+    return f"{type(exc).__name__}: {exc}"
+
+
 def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     """Typed metadata for an opaque binary column — JVM-side only
     (length, md5, magic-byte sniff); no decode required."""
@@ -65,7 +90,8 @@ def _drop_alpha(px: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_image_stub(real_codec: bool = False) -> Callable:
+def decode_image_stub(real_codec: bool = False,
+                      on_error: str = "raise") -> Callable:
     """Batch decode fn for mapInPandas: binary → (width, height, n_pixels).
 
     With ``real_codec=False`` (default) it derives a deterministic fake
@@ -77,116 +103,127 @@ def decode_image_stub(real_codec: bool = False) -> Callable:
     IFD), so all four work in THIS sandbox. Only a blob none of them
     parses raises NotImplementedError (honest env-gate, not a fake
     pass).
+
+    ``on_error="quarantine"`` (r12 verdict item 1): per-blob failures
+    become one error row each — geometry columns NULL, ``error`` set —
+    instead of aborting the stage; see _check_on_error for the
+    exception-breadth contract.
     """
+    quarantine = _check_on_error(on_error)
 
     def decode(batches) -> Iterator:
         import hashlib
+        import io
 
         import pandas as pd
 
-        for pdf in batches:
-            if real_codec:
+        if real_codec:
+            try:
+                from PIL import Image
+                have_pil = True
+            except ImportError:
+                have_pil = False
+            from . import bmpcodec, gifcodec, jpegcodec, pngcodec, tiffcodec
+
+        cols = ["media_id", "width", "height", "n_pixels",
+                "orientation"] + (["error"] if quarantine else [])
+
+        def decode_one(blob: bytes) -> tuple[int, int, int]:
+            """(width, height, exif_orientation) for one blob."""
+            if not real_codec:
+                h = hashlib.md5(blob).digest()
+                # deterministic fake decode; the stub reads no EXIF
+                return 16 + h[0], 16 + h[1], 1
+            wh = None
+            if have_pil:
+                # PIL first — but fall through to the built-in
+                # codecs when it can't open the blob: a valid
+                # header-only JPEG (SOI+SOF+EOI, no scan data —
+                # encode_minimal_jpeg's fixture shape) has real
+                # dimensions PIL refuses to parse, and installing
+                # Pillow must never make a query fail that
+                # succeeds without it (r8 review finding)
                 try:
-                    import io
-
-                    from PIL import Image
-                    have_pil = True
-                except ImportError:
-                    have_pil = False
-                from . import gifcodec, jpegcodec, pngcodec
-
-                widths, heights, orients = [], [], []
-                for blob in pdf["data"]:
-                    blob = bytes(blob)
+                    with Image.open(io.BytesIO(blob)) as im:
+                        wh = (im.width, im.height)
+                except Exception:
                     wh = None
-                    if have_pil:
-                        # PIL first — but fall through to the built-in
-                        # codecs when it can't open the blob: a valid
-                        # header-only JPEG (SOI+SOF+EOI, no scan data —
-                        # encode_minimal_jpeg's fixture shape) has real
-                        # dimensions PIL refuses to parse, and installing
-                        # Pillow must never make a query fail that
-                        # succeeds without it (r8 review finding)
-                        try:
-                            with Image.open(io.BytesIO(blob)) as im:
-                                wh = (im.width, im.height)
-                        except Exception:
-                            wh = None
-                    if wh is None and pngcodec.is_png(blob):
-                        w, h, _depth, _ct = pngcodec.png_info(blob)
-                        wh = (w, h)
-                    if wh is None and jpegcodec.is_jpeg(blob):
-                        # SOF-marker walk: real dimensions without a
-                        # pixel decode (operators/jpegcodec.py)
-                        w, h, _nc, _prog = jpegcodec.jpeg_info(blob)
-                        wh = (w, h)
-                    if wh is None and gifcodec.is_gif(blob):
-                        w, h, _nf = gifcodec.gif_info(blob)
-                        wh = (w, h)
-                    if wh is None:
-                        from . import bmpcodec, tiffcodec
-                        if tiffcodec.is_tiff(blob):
-                            w, h, _np = tiffcodec.tiff_info(blob)
-                            wh = (w, h)
-                        elif bmpcodec.is_bmp(blob):
-                            w, h, _bpp = bmpcodec.bmp_info(blob)
-                            wh = (w, h)
-                    if wh is None:
-                        raise NotImplementedError(
-                            "real_codec=True: the blob is not a "
-                            "PNG/JPEG/GIF/TIFF/BMP "
-                            "the built-in pure-Python codecs can parse" + (
-                                " and Pillow could not open it either — "
-                                "likely a corrupt or unsupported format"
-                                if have_pil else
-                                " and Pillow is not importable on this "
-                                "executor (pip install Pillow for other "
-                                "formats)")
-                            + "; use the deterministic stub with "
-                              "real_codec=False for plumbing tests")
-                    widths.append(wh[0])
-                    heights.append(wh[1])
-                    # EXIF orientation (1-8; 1 when absent) — advisory
-                    # crop/rotate metadata real pipelines need; PNG has
-                    # no EXIF block in this walker, so non-JPEG is 1
-                    orients.append(
-                        jpegcodec.jpeg_orientation(blob)
-                        if jpegcodec.is_jpeg(blob) else 1)
-                out = pd.DataFrame({
-                    "media_id": pdf["media_id"],
-                    "width": widths,
-                    "height": heights,
-                })
-                out["n_pixels"] = out.width * out.height
-                out["orientation"] = orients
-                yield out
-                continue
-            widths, heights = [], []
-            for blob in pdf["data"]:
-                h = hashlib.md5(bytes(blob)).digest()
-                widths.append(16 + h[0])   # deterministic fake decode
-                heights.append(16 + h[1])
-            out = pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "width": widths,
-                "height": heights,
-            })
-            out["n_pixels"] = out.width * out.height
-            out["orientation"] = 1  # the stub decodes no EXIF
-            yield out
+            if wh is None and pngcodec.is_png(blob):
+                w, h, _depth, _ct = pngcodec.png_info(blob)
+                wh = (w, h)
+            if wh is None and jpegcodec.is_jpeg(blob):
+                # SOF-marker walk: real dimensions without a
+                # pixel decode (operators/jpegcodec.py)
+                w, h, _nc, _prog = jpegcodec.jpeg_info(blob)
+                wh = (w, h)
+            if wh is None and gifcodec.is_gif(blob):
+                w, h, _nf = gifcodec.gif_info(blob)
+                wh = (w, h)
+            if wh is None and tiffcodec.is_tiff(blob):
+                w, h, _np = tiffcodec.tiff_info(blob)
+                wh = (w, h)
+            if wh is None and bmpcodec.is_bmp(blob):
+                w, h, _bpp = bmpcodec.bmp_info(blob)
+                wh = (w, h)
+            if wh is None:
+                raise NotImplementedError(
+                    "real_codec=True: the blob is not a "
+                    "PNG/JPEG/GIF/TIFF/BMP "
+                    "the built-in pure-Python codecs can parse" + (
+                        " and Pillow could not open it either — "
+                        "likely a corrupt or unsupported format"
+                        if have_pil else
+                        " and Pillow is not importable on this "
+                        "executor (pip install Pillow for other "
+                        "formats)")
+                    + "; use the deterministic stub with "
+                      "real_codec=False for plumbing tests")
+            # EXIF orientation (1-8; 1 when absent) — advisory
+            # crop/rotate metadata real pipelines need; PNG has
+            # no EXIF block in this walker, so non-JPEG is 1
+            orient = (jpegcodec.jpeg_orientation(blob)
+                      if jpegcodec.is_jpeg(blob) else 1)
+            return wh[0], wh[1], orient
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                blob = bytes(blob)
+                if quarantine:
+                    try:
+                        w, h, o = decode_one(blob)
+                    except Exception as exc:
+                        rows.append({"media_id": mid, "width": None,
+                                     "height": None, "n_pixels": None,
+                                     "orientation": None,
+                                     "error": _quarantine_msg(exc)})
+                        continue
+                    rows.append({"media_id": mid, "width": w, "height": h,
+                                 "n_pixels": w * h, "orientation": o,
+                                 "error": None})
+                else:
+                    w, h, o = decode_one(blob)
+                    rows.append({"media_id": mid, "width": w, "height": h,
+                                 "n_pixels": w * h, "orientation": o})
+            yield pd.DataFrame(rows, columns=cols)
 
     return decode
 
 
 DECODE_SCHEMA = ("media_id long, width int, height int, n_pixels int, "
                  "orientation int")
+DECODE_SCHEMA_Q = DECODE_SCHEMA + ", error string"
 
 
-def decode_images(df: DataFrame, real_codec: bool = False) -> DataFrame:
+def decode_images(df: DataFrame, real_codec: bool = False,
+                  on_error: str = "raise") -> DataFrame:
     """Arrow-batched decode over (media_id, data) — the mapInPandas
-    plumbing a real codec would use unchanged."""
+    plumbing a real codec would use unchanged. ``on_error=
+    "quarantine"`` adds an ``error`` column (NULL on good rows) and
+    routes per-blob decode failures there instead of failing the job."""
+    schema = DECODE_SCHEMA_Q if on_error == "quarantine" else DECODE_SCHEMA
     return df.select("media_id", "data").mapInPandas(
-        decode_image_stub(real_codec), DECODE_SCHEMA
+        decode_image_stub(real_codec, on_error), schema
     )
 
 
@@ -207,21 +244,19 @@ def frame_sample_stub(n_frames: int = 3,
     default ``"raise"``, any malformed blob aborts the whole
     mapInPandas stage — the honest posture for gate queries, but at
     corpus scale one corrupt GIF would kill a 100 TB fan-out. With
-    ``"quarantine"``, per-blob decode failures (ValueError /
-    NotImplementedError) become one quarantine row each —
-    ``frame_no = -1, frame_md5 = NULL, error = <message>`` — and the
-    output gains an ``error`` column (NULL on good rows), so bad
-    media routes to a side table instead of failing the job."""
-    if on_error not in ("raise", "quarantine"):
-        raise ValueError(f"on_error must be raise|quarantine, "
-                         f"got {on_error!r}")
+    ``"quarantine"``, per-blob decode failures become one quarantine
+    row each — ``frame_no = -1, frame_md5 = NULL, error = <message>``
+    — and the output gains an ``error`` column (NULL on good rows), so
+    bad media routes to a side table instead of failing the job. The
+    catch is ``Exception``-broad (r12 ADVICE — corrupt blobs raise
+    zlib.error/struct.error/IndexError too, see _check_on_error)."""
+    quarantine = _check_on_error(on_error)
 
     def sample(batches) -> Iterator:
         import hashlib
 
         import pandas as pd
 
-        quarantine = on_error == "quarantine"
         cols = ["media_id", "frame_no", "frame_md5"] + (
             ["error"] if quarantine else [])
 
@@ -278,9 +313,10 @@ def frame_sample_stub(n_frames: int = 3,
                     continue
                 try:
                     good = decode_one(mid, blob)
-                except (ValueError, NotImplementedError) as exc:
+                except Exception as exc:
                     rows.append({"media_id": mid, "frame_no": -1,
-                                 "frame_md5": None, "error": str(exc)})
+                                 "frame_md5": None,
+                                 "error": _quarantine_msg(exc)})
                     continue
                 for r in good:
                     r["error"] = None
@@ -303,215 +339,255 @@ def sample_frames(df: DataFrame, n_frames: int = 3,
     )
 
 
-def feature_extract_stub(dim: int = 8, real_model: bool = False) -> Callable:
+def feature_extract_stub(dim: int = 8, real_model: bool = False,
+                         on_error: str = "raise") -> Callable:
     """Batch feature extraction for mapInPandas: blob → ``dim`` floats.
 
     STUB for the model call (no vision/audio model in this container),
     but the fake is DETERMINISTIC and md5-derived so the full Arrow
     pipeline is oracle-checkable bit-for-bit: feature j =
     (hash60(md5(md5(blob_hex) || '|' || j)) % 10000)/10000 − 0.5.
-    With ``real_model=True`` it raises where the encoder call would go.
+    With ``real_model=True`` it raises PER BLOB where the encoder call
+    would go — so ``on_error="quarantine"`` (r12 verdict item 1) routes
+    each blob the encoder rejects (or, env-gated here, every blob) to
+    one error row (``feat_idx = -1, feature = NULL, error = <msg>``)
+    instead of aborting the stage.
     """
+    quarantine = _check_on_error(on_error)
 
     def extract(batches) -> Iterator:
         import hashlib
 
         import pandas as pd
 
+        cols = ["media_id", "feat_idx", "feature"] + (
+            ["error"] if quarantine else [])
+
         def h60(s: str) -> int:
             return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
-        for pdf in batches:
+        def extract_one(mid, blob: bytes) -> list[dict]:
             if real_model:
                 raise NotImplementedError(
                     "no embedding model in this environment; plug the "
                     "encoder (CLIP/wav2vec/...) here")
+            base = hashlib.md5(blob).hexdigest()
+            return [{"media_id": mid, "feat_idx": j,
+                     "feature": (h60(f"{base}|{j}") % 10000) / 10000.0 - 0.5}
+                    for j in range(dim)]
+
+        for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                base = hashlib.md5(bytes(blob)).hexdigest()
-                for j in range(dim):
-                    rows.append({
-                        "media_id": mid, "feat_idx": j,
-                        "feature": (h60(f"{base}|{j}") % 10000) / 10000.0 - 0.5,
-                    })
-            yield pd.DataFrame(rows, columns=["media_id", "feat_idx", "feature"])
+                blob = bytes(blob)
+                if quarantine:
+                    try:
+                        good = extract_one(mid, blob)
+                    except Exception as exc:
+                        rows.append({"media_id": mid, "feat_idx": -1,
+                                     "feature": None,
+                                     "error": _quarantine_msg(exc)})
+                        continue
+                    for r in good:
+                        r["error"] = None
+                    rows.extend(good)
+                else:
+                    rows.extend(extract_one(mid, blob))
+            yield pd.DataFrame(rows, columns=cols)
 
     return extract
 
 
 FEATURE_SCHEMA = "media_id long, feat_idx int, feature double"
+FEATURE_SCHEMA_Q = FEATURE_SCHEMA + ", error string"
 
 
 def extract_features(df: DataFrame, dim: int = 8,
-                     real_model: bool = False) -> DataFrame:
+                     real_model: bool = False,
+                     on_error: str = "raise") -> DataFrame:
     """Arrow-batched feature extraction over (media_id, data) — the
     mapInPandas plumbing a real encoder would use unchanged. Exploded
     (media_id, feat_idx, feature) output; pivot/collect_list to an
-    ``array<double>`` column feeds the similarity operators directly."""
+    ``array<double>`` column feeds the similarity operators directly.
+    ``on_error="quarantine"`` adds an ``error`` column (NULL on good
+    rows) and one ``feat_idx=-1`` error row per rejected blob."""
+    schema = FEATURE_SCHEMA_Q if on_error == "quarantine" else FEATURE_SCHEMA
     return df.select("media_id", "data").mapInPandas(
-        feature_extract_stub(dim, real_model), FEATURE_SCHEMA)
+        feature_extract_stub(dim, real_model, on_error), schema)
 
 
 def resize_stub(width: int = 64, height: int = 64,
-                real_codec: bool = False) -> Callable:
+                real_codec: bool = False,
+                on_error: str = "raise") -> Callable:
     """Binary-in/binary-out resize plumbing: the output column is a
     BINARY blob (deterministic fake: md5-keyed bytes of the target
     geometry) — exercises Arrow binary transfer in BOTH directions,
-    which is the part a real resize needs from Spark."""
+    which is the part a real resize needs from Spark.
+
+    ``on_error="quarantine"`` (r12 verdict item 1): a blob no codec can
+    decode (or whose decode raises — zlib.error, struct.error, ...)
+    becomes one error row (``data/width/height`` NULL, ``error`` set)
+    instead of aborting the stage; see _check_on_error."""
+    quarantine = _check_on_error(on_error)
 
     def resize(batches) -> Iterator:
         import hashlib
+        import io
 
         import pandas as pd
 
-        for pdf in batches:
-            if real_codec:
-                try:
-                    import io
+        if real_codec:
+            try:
+                from PIL import Image
+                have_pil = True
+            except ImportError:
+                have_pil = False
+            from . import pngcodec
 
-                    from PIL import Image
-                    have_pil = True
-                except ImportError:
-                    have_pil = False
-                from . import pngcodec
+        cols = ["media_id", "data", "width", "height"] + (
+            ["error"] if quarantine else [])
 
-                out_blobs = []
-                for blob in pdf["data"]:
-                    blob = bytes(blob)
-                    done = None
-                    if have_pil:
-                        # same fallback invariant as decode_image_stub
-                        # (r8 review): a blob PIL rejects but the
-                        # built-in codec handles (e.g. a PNG tripping
-                        # PIL's decompression-bomb guard) must not fail
-                        # just because Pillow is installed
-                        try:
-                            from PIL import ImageOps
-
-                            with Image.open(io.BytesIO(blob)) as im:
-                                # r10 ADVICE: auto-orient here too —
-                                # otherwise the same blob comes out
-                                # rotated differently depending on
-                                # whether Pillow is importable on the
-                                # executor (the pure-Python JPEG branch
-                                # below applies the EXIF tag)
-                                fmt = im.format
-                                im = ImageOps.exif_transpose(im)
-                                buf = io.BytesIO()
-                                if fmt == "JPEG":
-                                    # match the built-in branch's
-                                    # output format, environment-
-                                    # independent results
-                                    im.convert("RGB").resize(
-                                        (width, height)).save(
-                                        buf, format="JPEG")
-                                else:
-                                    im.resize((width, height)).save(
-                                        buf, format="PNG")
-                                done = buf.getvalue()
-                        except Exception:
-                            done = None
-                    if done is None and pngcodec.is_png(blob):
-                        # pure-Python path: full IDAT decode, nearest-
-                        # neighbor resample, re-encode (pngcodec.py)
-                        w0, h0, ch, px = pngcodec.decode_png(blob)
-                        done = pngcodec.encode_png(
-                            width, height, ch,
-                            pngcodec.resize_nearest(w0, h0, ch, px,
-                                                    width, height))
-                    if done is None:
-                        from . import bmpcodec, tiffcodec
-                        if tiffcodec.is_tiff(blob):
-                            # first page -> resample -> PNG out
-                            w0, h0, ch, px = tiffcodec.decode_tiff(blob)
-                            done = pngcodec.encode_png(
-                                width, height, ch,
-                                pngcodec.resize_nearest(
-                                    w0, h0, ch, px, width, height))
-                        elif bmpcodec.is_bmp(blob):
-                            w0, h0, ch, px = bmpcodec.decode_bmp(blob)
-                            done = bmpcodec.encode_bmp(
-                                width, height,
-                                pngcodec.resize_nearest(
-                                    w0, h0, ch, px, width, height)
-                                if ch == 3 else _drop_alpha(
-                                    pngcodec.resize_nearest(
-                                        w0, h0, ch, px, width, height)))
-                    if done is None:
-                        from . import gifcodec
-                        if gifcodec.is_gif(blob):
-                            # first frame -> resample -> PNG out (the
-                            # resized still is a static image; GIF
-                            # re-palettization would quantize colors)
-                            w0, h0, ch, px = gifcodec.decode_gif(blob)
-                            done = pngcodec.encode_png(
-                                width, height, ch,
-                                pngcodec.resize_nearest(
-                                    w0, h0, ch, px, width, height))
-                    if done is None:
-                        from . import jpegcodec
-                        if jpegcodec.is_jpeg(blob):
-                            # r9/r10: full pixel decode — baseline AND
-                            # progressive (SOF2) via the dispatcher;
-                            # auto-orient per the EXIF tag (cameras
-                            # store sensor-native pixels + the tag;
-                            # resizing without applying it mis-crops),
-                            # resample, re-encode without Pillow
-                            # (SOF3 lossless decodes too; only
-                            # hierarchical/differential frames still
-                            # raise ValueError below)
-                            w0, h0, ch, px = jpegcodec.decode_jpeg(blob)
-                            w0, h0, px = jpegcodec.apply_orientation(
-                                w0, h0, ch, px,
-                                jpegcodec.jpeg_orientation(blob))
-                            done = jpegcodec.encode_baseline_jpeg(
-                                width, height, ch,
-                                pngcodec.resize_nearest(
-                                    w0, h0, ch, px, width, height))
-                    if done is None:
-                        raise NotImplementedError(
-                            "real_codec=True resize: the blob is not a "
-                            "PNG/GIF or baseline/progressive/"
-                            "arithmetic/lossless JPEG the built-in "
-                            "pure-Python codecs can decode" + (
-                                " and Pillow could not open it either"
-                                if have_pil else
-                                " and Pillow is not importable on this "
-                                "executor (pip install Pillow)")
-                            + "; use the deterministic stub with "
-                              "real_codec=False for plumbing tests")
-                    out_blobs.append(done)
-                yield pd.DataFrame({
-                    "media_id": pdf["media_id"],
-                    "data": out_blobs,
-                    "width": width,
-                    "height": height,
-                })
-                continue
-            out_blobs = []
-            for blob in pdf["data"]:
+        def resize_one(blob: bytes) -> bytes:
+            if not real_codec:
                 seed = hashlib.md5(
-                    bytes(blob) + f"|{width}x{height}".encode()).digest()
+                    blob + f"|{width}x{height}".encode()).digest()
                 # fake payload: seed tiled to a size-proportional stub
                 reps = max(1, (width * height) // len(seed))
-                out_blobs.append((seed * reps)[: width * height])
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "data": out_blobs,
-                "width": width,
-                "height": height,
-            })
+                return (seed * reps)[: width * height]
+            done = None
+            if have_pil:
+                # same fallback invariant as decode_image_stub
+                # (r8 review): a blob PIL rejects but the
+                # built-in codec handles (e.g. a PNG tripping
+                # PIL's decompression-bomb guard) must not fail
+                # just because Pillow is installed
+                try:
+                    from PIL import ImageOps
+
+                    with Image.open(io.BytesIO(blob)) as im:
+                        # r10 ADVICE: auto-orient here too — otherwise
+                        # the same blob comes out rotated differently
+                        # depending on whether Pillow is importable on
+                        # the executor (the pure-Python JPEG branch
+                        # below applies the EXIF tag)
+                        fmt = im.format
+                        im = ImageOps.exif_transpose(im)
+                        buf = io.BytesIO()
+                        if fmt == "JPEG":
+                            # match the built-in branch's output
+                            # format, environment-independent results
+                            im.convert("RGB").resize(
+                                (width, height)).save(buf, format="JPEG")
+                        else:
+                            im.resize((width, height)).save(
+                                buf, format="PNG")
+                        done = buf.getvalue()
+                except Exception:
+                    done = None
+            if done is None and pngcodec.is_png(blob):
+                # pure-Python path: full IDAT decode, nearest-neighbor
+                # resample, re-encode (pngcodec.py)
+                w0, h0, ch, px = pngcodec.decode_png(blob)
+                done = pngcodec.encode_png(
+                    width, height, ch,
+                    pngcodec.resize_nearest(w0, h0, ch, px,
+                                            width, height))
+            if done is None:
+                from . import bmpcodec, tiffcodec
+                if tiffcodec.is_tiff(blob):
+                    # first page -> resample -> PNG out
+                    w0, h0, ch, px = tiffcodec.decode_tiff(blob)
+                    done = pngcodec.encode_png(
+                        width, height, ch,
+                        pngcodec.resize_nearest(
+                            w0, h0, ch, px, width, height))
+                elif bmpcodec.is_bmp(blob):
+                    w0, h0, ch, px = bmpcodec.decode_bmp(blob)
+                    done = bmpcodec.encode_bmp(
+                        width, height,
+                        pngcodec.resize_nearest(
+                            w0, h0, ch, px, width, height)
+                        if ch == 3 else _drop_alpha(
+                            pngcodec.resize_nearest(
+                                w0, h0, ch, px, width, height)))
+            if done is None:
+                from . import gifcodec
+                if gifcodec.is_gif(blob):
+                    # first frame -> resample -> PNG out (the resized
+                    # still is a static image; GIF re-palettization
+                    # would quantize colors)
+                    w0, h0, ch, px = gifcodec.decode_gif(blob)
+                    done = pngcodec.encode_png(
+                        width, height, ch,
+                        pngcodec.resize_nearest(
+                            w0, h0, ch, px, width, height))
+            if done is None:
+                from . import jpegcodec
+                if jpegcodec.is_jpeg(blob):
+                    # r9/r10: full pixel decode — baseline AND
+                    # progressive (SOF2) via the dispatcher;
+                    # auto-orient per the EXIF tag (cameras store
+                    # sensor-native pixels + the tag; resizing without
+                    # applying it mis-crops), resample, re-encode
+                    # without Pillow (SOF3 lossless decodes too; only
+                    # hierarchical/differential frames still raise
+                    # ValueError below)
+                    w0, h0, ch, px = jpegcodec.decode_jpeg(blob)
+                    w0, h0, px = jpegcodec.apply_orientation(
+                        w0, h0, ch, px,
+                        jpegcodec.jpeg_orientation(blob))
+                    done = jpegcodec.encode_baseline_jpeg(
+                        width, height, ch,
+                        pngcodec.resize_nearest(
+                            w0, h0, ch, px, width, height))
+            if done is None:
+                raise NotImplementedError(
+                    "real_codec=True resize: the blob is not a "
+                    "PNG/GIF or baseline/progressive/"
+                    "arithmetic/lossless JPEG the built-in "
+                    "pure-Python codecs can decode" + (
+                        " and Pillow could not open it either"
+                        if have_pil else
+                        " and Pillow is not importable on this "
+                        "executor (pip install Pillow)")
+                    + "; use the deterministic stub with "
+                      "real_codec=False for plumbing tests")
+            return done
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                blob = bytes(blob)
+                if quarantine:
+                    try:
+                        done = resize_one(blob)
+                    except Exception as exc:
+                        rows.append({"media_id": mid, "data": None,
+                                     "width": None, "height": None,
+                                     "error": _quarantine_msg(exc)})
+                        continue
+                    rows.append({"media_id": mid, "data": done,
+                                 "width": width, "height": height,
+                                 "error": None})
+                else:
+                    rows.append({"media_id": mid,
+                                 "data": resize_one(blob),
+                                 "width": width, "height": height})
+            yield pd.DataFrame(rows, columns=cols)
 
     return resize
 
 
 RESIZE_SCHEMA = "media_id long, data binary, width int, height int"
+RESIZE_SCHEMA_Q = RESIZE_SCHEMA + ", error string"
 
 
 def resize_images(df: DataFrame, width: int = 64, height: int = 64,
-                  real_codec: bool = False) -> DataFrame:
+                  real_codec: bool = False,
+                  on_error: str = "raise") -> DataFrame:
+    schema = RESIZE_SCHEMA_Q if on_error == "quarantine" else RESIZE_SCHEMA
     return df.select("media_id", "data").mapInPandas(
-        resize_stub(width, height, real_codec), RESIZE_SCHEMA)
+        resize_stub(width, height, real_codec, on_error), schema)
 
 
 def repartition_for_blobs(df: DataFrame, avg_blob_bytes: int,
@@ -557,7 +633,8 @@ def repartition_for_blobs(df: DataFrame, avg_blob_bytes: int,
     return df.repartition(max(1, int(n / rows_per_part)))
 
 
-def decode_audio_stub(real_codec: bool = False) -> Callable:
+def decode_audio_stub(real_codec: bool = False,
+                      on_error: str = "raise") -> Callable:
     """Batch audio decode for mapInPandas: binary →
     (sample_rate, channels, n_frames, duration_us, peak, rms).
 
@@ -572,7 +649,13 @@ def decode_audio_stub(real_codec: bool = False) -> Callable:
     the max |sample| integer, rms = sqrt(Σs²/n)/2^(bits-1) rounded 6
     — Σs² is an exact integer sum, so the whole row is
     oracle-replayable.
+
+    ``on_error="quarantine"`` (r12 verdict item 1): a blob no codec
+    decodes (or whose decode raises — struct.error on a truncated
+    RIFF header, ...) becomes one error row (stat columns NULL,
+    ``error`` set) instead of aborting the stage; see _check_on_error.
     """
+    quarantine = _check_on_error(on_error)
 
     def decode(batches) -> Iterator:
         import hashlib
@@ -580,44 +663,59 @@ def decode_audio_stub(real_codec: bool = False) -> Callable:
 
         import pandas as pd
 
+        cols = ["media_id", "sample_rate", "channels", "n_frames",
+                "duration_us", "peak", "rms"] + (
+            ["error"] if quarantine else [])
+
+        def decode_one(blob: bytes) -> tuple:
+            """(rate, channels, n_frames, duration_us, peak, rms)."""
+            if real_codec:
+                from . import flaccodec, wavcodec
+
+                if wavcodec.is_wav(blob):
+                    (rate, ch, bits, n_frames), samples = \
+                        wavcodec.decode_wav(blob)
+                elif flaccodec.is_flac(blob):
+                    # r10: pure-Python FLAC (flaccodec.py) — same
+                    # ((rate, ch, bits, n), samples) contract
+                    (rate, ch, bits, n_frames), samples = \
+                        flaccodec.decode_flac(blob)
+                else:
+                    raise NotImplementedError(
+                        "real_codec=True but blob is neither "
+                        "RIFF/WAVE nor FLAC (the built-in "
+                        "pure-Python codecs handle PCM WAV and "
+                        "FLAC; no mp3/ogg decoder exists in this "
+                        "container — use real_codec=False for "
+                        "plumbing tests)")
+                n = len(samples)
+                peak = max((abs(s) for s in samples), default=0)
+                ss = sum(s * s for s in samples)
+                full = float(1 << (bits - 1))
+                rms = round(math.sqrt(ss / n) / full, 6) if n else 0.0
+            else:
+                h = hashlib.md5(blob).digest()
+                rate, ch = 8000, 1 + h[0] % 2
+                n_frames = 10 + h[1]
+                peak, rms = h[2] * 128, round(h[3] / 255.0, 6)
+            return (rate, ch, n_frames,
+                    n_frames * 1_000_000 // rate, peak, rms)
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(blob)
-                if real_codec:
-                    from . import flaccodec, wavcodec
-
-                    if wavcodec.is_wav(blob):
-                        (rate, ch, bits, n_frames), samples = \
-                            wavcodec.decode_wav(blob)
-                    elif flaccodec.is_flac(blob):
-                        # r10: pure-Python FLAC (flaccodec.py) — same
-                        # ((rate, ch, bits, n), samples) contract
-                        (rate, ch, bits, n_frames), samples = \
-                            flaccodec.decode_flac(blob)
-                    else:
-                        raise NotImplementedError(
-                            "real_codec=True but blob is neither "
-                            "RIFF/WAVE nor FLAC (the built-in "
-                            "pure-Python codecs handle PCM WAV and "
-                            "FLAC; no mp3/ogg decoder exists in this "
-                            "container — use real_codec=False for "
-                            "plumbing tests)")
-                    n = len(samples)
-                    peak = max((abs(s) for s in samples), default=0)
-                    ss = sum(s * s for s in samples)
-                    full = float(1 << (bits - 1))
-                    rms = round(math.sqrt(ss / n) / full, 6) if n else 0.0
+                if quarantine:
+                    try:
+                        stats = decode_one(blob)
+                    except Exception as exc:
+                        rows.append((mid,) + (None,) * 6
+                                    + (_quarantine_msg(exc),))
+                        continue
+                    rows.append((mid,) + stats + (None,))
                 else:
-                    h = hashlib.md5(blob).digest()
-                    rate, ch = 8000, 1 + h[0] % 2
-                    n_frames = 10 + h[1]
-                    peak, rms = h[2] * 128, round(h[3] / 255.0, 6)
-                rows.append((mid, rate, ch, n_frames,
-                             n_frames * 1_000_000 // rate, peak, rms))
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "sample_rate", "channels", "n_frames",
-                "duration_us", "peak", "rms"])
+                    rows.append((mid,) + decode_one(blob))
+            yield pd.DataFrame(rows, columns=cols)
 
     return decode
 
@@ -625,16 +723,21 @@ def decode_audio_stub(real_codec: bool = False) -> Callable:
 AUDIO_FEATURES_DDL = ("media_id long, sample_rate long, channels long, "
                       "n_frames long, duration_us long, peak long, "
                       "rms double")
+AUDIO_FEATURES_DDL_Q = AUDIO_FEATURES_DDL + ", error string"
 
 
 def decode_audio(df: DataFrame, binary_col: str = "data",
-                 real_codec: bool = False) -> DataFrame:
+                 real_codec: bool = False,
+                 on_error: str = "raise") -> DataFrame:
     """Audio metadata/features over a binary column via Arrow-batched
-    mapInPandas (schema: AUDIO_FEATURES_DDL). See decode_audio_stub
-    for the real-vs-stub contract."""
+    mapInPandas (schema: AUDIO_FEATURES_DDL, + ``error string`` under
+    ``on_error="quarantine"``). See decode_audio_stub for the
+    real-vs-stub and error-channel contracts."""
+    schema = (AUDIO_FEATURES_DDL_Q if on_error == "quarantine"
+              else AUDIO_FEATURES_DDL)
     cols = df.select("media_id", F.col(binary_col).alias("data"))
-    return cols.mapInPandas(decode_audio_stub(real_codec),
-                            AUDIO_FEATURES_DDL)
+    return cols.mapInPandas(decode_audio_stub(real_codec, on_error),
+                            schema)
 
 
 def mp4_info(blob: bytes) -> tuple[int, int, int]:

@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tools"))
 
 from check_bench_regression import (compare, effective_threshold,
+                                    effective_thresholds,
                                     load_history, median_baseline,
                                     noise_band, same_tree, trend_table)
 
@@ -34,23 +35,27 @@ def test_no_per_query_bench_regression():
     window = hist[-4:-1]
     # r11 verdict item 1: runs at the same clean git SHA are the same
     # source tree — an identical tree cannot regress, its spread is
-    # noise calibration (feeds effective_threshold), never a failure
+    # noise calibration (feeds effective_thresholds), never a failure
     if window and all(same_tree(e, cur) for e in window):
         pytest.skip("baseline window shares the current run's SHA: "
                     "identical source, spread is noise not regression")
     # baseline = per-query MEDIAN of the last 3 runs: one anomalously
-    # fast run must not flag the next normal run (winnow r8); the
-    # threshold is derived from the measured same-tree spread
-    thr = effective_threshold(hist)
+    # fast run must not flag the next normal run (winnow r8); each
+    # query gates at its OWN measured same-tree spread (p90 of the
+    # spread distribution when it has no sample), windowed to the
+    # newest CALIBRATION_WINDOW rows (r12 ADVICE item 2)
+    thr, per_q = effective_thresholds(hist)
     regressions, table = compare(median_baseline(hist), cur,
-                                 threshold=thr)
+                                 threshold=thr, per_query=per_q)
     regressions = [r for r in regressions
                    if r["query"] not in EXPECTED_SLOWDOWNS]
     assert not regressions, (
-        f"\n(threshold {thr}x = max(static 1.5, measured same-tree "
-        f"noise {noise_band(hist)['worst']}x * 1.05))\n"
+        f"\n(default gate {thr}x = max(static 1.5, p90 same-tree "
+        f"noise {noise_band(hist)['p90']}x * 1.05); per-query gates "
+        f"from each query's own spread)\n"
         + trend_table(table) + "\nregressions: "
-        + ", ".join(f"{r['query']} {r['base']}s->{r['cur']}s"
+        + ", ".join(f"{r['query']} {r['base']}s->{r['cur']}s "
+                    f"(gate {r['threshold']}x)"
                     for r in regressions))
 
 
@@ -74,9 +79,111 @@ def test_same_sha_exemption_and_noise_band():
     band = noise_band([a, b, c, d, e])
     # worst same-tree ratio: q1 1.7x (tiny is under the 0.5s floor)
     assert band["worst"] == 1.7 and band["query"] == "q1"
-    assert effective_threshold([a, b, c]) == round(1.7 * 1.05, 3)
-    # with no same-SHA pairs the static threshold stands
+    # r12 ADVICE item 2: PER-QUERY calibration — q2's gate comes from
+    # q2's own 1.1x spread, not q1's outlier
+    assert band["per_query"] == {"q1": 1.7, "q2": 1.1}
+    thr, per_q = effective_thresholds([a, b, c])
+    assert per_q["q1"] == round(1.7 * 1.05, 3)
+    assert per_q["q2"] == 1.5           # own spread 1.155 < static floor
+    # default (no own sample) = p90 of the spread distribution
+    assert thr == round(band["p90"] * 1.05, 3)
+    # with no same-SHA pairs the static threshold stands everywhere
+    assert effective_thresholds([c, d, e]) == (1.5, {})
     assert effective_threshold([c, d, e]) == 1.5
+
+
+def test_noise_calibration_window_ages_out_outliers():
+    """r12 ADVICE item 2: one anomalous same-tree run must not weaken
+    the gate forever — rows older than CALIBRATION_WINDOW stop feeding
+    the band."""
+    from check_bench_regression import CALIBRATION_WINDOW
+
+    outlier = [{"git_sha": "old", "sf": 0.1, "queries": {"q1": 1.0}},
+               {"git_sha": "old", "sf": 0.1, "queries": {"q1": 3.0}}]
+    fresh = [{"git_sha": f"s{i}", "sf": 0.1, "queries": {"q1": 1.0}}
+             for i in range(CALIBRATION_WINDOW)]
+    hist = outlier + fresh
+    band = noise_band(hist)
+    assert band["per_query"] == {}      # the 3.0x pair aged out
+    assert effective_thresholds(hist)[0] == 1.5
+    # still inside the window -> it counts
+    band2 = noise_band(outlier + fresh[:CALIBRATION_WINDOW - 2])
+    assert band2["per_query"] == {"q1": 3.0}
+
+
+def test_gate_fires_on_cross_sha_regression():
+    """r12 verdict item 3: prove the assert can still fail — a
+    synthetic cross-SHA history where one query regresses 3x (far
+    beyond its own measured noise) must come back as a regression,
+    while a query inside its own noise band must not."""
+    hist = [
+        # two same-tree runs at SHA A calibrate noise: q1 1.2x, q2 1.05x
+        {"git_sha": "A", "sf": 0.1,
+         "queries": {"q1": 1.0, "q2": 2.0}, "value": 3.0},
+        {"git_sha": "A", "sf": 0.1,
+         "queries": {"q1": 1.2, "q2": 2.1}, "value": 3.3},
+        {"git_sha": "A", "sf": 0.1,
+         "queries": {"q1": 1.1, "q2": 2.0}, "value": 3.1},
+        # new source tree: q1 regresses 3x, q2 wobbles 1.1x (noise)
+        {"git_sha": "B", "sf": 0.1,
+         "queries": {"q1": 3.3, "q2": 2.2}, "value": 5.5},
+    ]
+    cur = hist[-1]
+    window = hist[-4:-1]
+    # the same-SHA exemption must NOT trigger across A -> B
+    assert not all(same_tree(e, cur) for e in window)
+    thr, per_q = effective_thresholds(hist)
+    regressions, _ = compare(median_baseline(hist), cur,
+                             threshold=thr, per_query=per_q)
+    assert [r["query"] for r in regressions] == ["q1"]
+    assert regressions[0]["ratio"] == 3.0
+
+
+def test_explicit_threshold_sentinel():
+    """r12 ADVICE item 3: an explicit --threshold equal to the static
+    default must force the strict gate, not be silently replaced by
+    the noise-derived one — pinned at the CLI layer by running main()
+    against a fixture history."""
+    import json as _json
+    import subprocess
+    import tempfile
+
+    import check_bench_regression as cbr
+
+    hist = [
+        {"git_sha": "A", "sf": 0.1, "queries": {"q1": 1.0}, "value": 1.0},
+        {"git_sha": "A", "sf": 0.1, "queries": {"q1": 2.2}, "value": 2.2},
+        {"git_sha": "A", "sf": 0.1, "queries": {"q1": 1.0}, "value": 1.0},
+        # cross-SHA run: 1.6x — above static 1.5, inside noisy 2.2x band
+        {"git_sha": "B", "sf": 0.1, "queries": {"q1": 1.6}, "value": 1.6},
+    ]
+    with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                     delete=False) as f:
+        for e in hist:
+            f.write(_json.dumps(e) + "\n")
+        tmp = f.name
+    env = dict(os.environ)
+    script = (
+        "import sys; sys.argv = ['x'] + sys.argv[1:]; "
+        "import check_bench_regression as cbr; "
+        f"cbr.HISTORY = {tmp!r}; "
+        "import functools; "
+        "cbr.load_history = functools.partial(cbr.load_history, "
+        f"{tmp!r}); "
+        "sys.exit(cbr.main())")
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "tools")
+    # noise-derived gate (2.2 * 1.05 = 2.31x): 1.6x passes
+    r0 = subprocess.run([sys.executable, "-c", script],
+                        cwd=tools, env=env, capture_output=True, text=True)
+    assert r0.returncode == 0, r0.stdout + r0.stderr
+    # explicit --threshold 1.5 (== static default) must fail it
+    r1 = subprocess.run([sys.executable, "-c", script,
+                         "--threshold", "1.5"],
+                        cwd=tools, env=env, capture_output=True, text=True)
+    assert r1.returncode == 1, r1.stdout + r1.stderr
+    assert "noise derivation off" in r1.stdout
+    os.unlink(tmp)
 
 
 def test_compare_logic():

@@ -1682,3 +1682,285 @@ def test_frame_sample_quarantine(spark):
     from csvplus_spark.operators.multimodal import frame_sample_stub
     with _pytest.raises(ValueError, match="on_error"):
         frame_sample_stub(3, True, on_error="ignore")
+
+
+# ---------------------------------------------------------------------------
+# r13: quarantine channel on every decode fan-out + broad exception catch
+# (r12 verdict item 1 + r12 ADVICE), and the fake-PIL dispatch contract
+# (r12 verdict item 2).
+# ---------------------------------------------------------------------------
+
+def _corrupt_idat(png: bytes) -> bytes:
+    """Flip every IDAT payload byte: still structurally a PNG (header
+    walks succeed) but the deflate stream is garbage -> zlib.error."""
+    import struct
+
+    ba = bytearray(png)
+    pos = 8
+    while pos < len(ba):
+        ln = struct.unpack_from(">I", ba, pos)[0]
+        if bytes(ba[pos + 4:pos + 8]) == b"IDAT":
+            for i in range(pos + 8, pos + 8 + ln):
+                ba[i] ^= 0xFF
+            break
+        pos += 12 + ln
+    return bytes(ba)
+
+
+def _png_fixture():
+    from csvplus_spark.operators.pngcodec import encode_png
+
+    return encode_png(4, 3, 3, bytes(range(36)))
+
+
+def test_frame_sample_quarantine_broad_exceptions(spark):
+    """r12 ADVICE: corrupt blobs raise more than ValueError/
+    NotImplementedError — a truncated PNG header raises struct.error,
+    a corrupt IDAT raises zlib.error on inflate. Quarantine must route
+    BOTH to error rows instead of aborting the mapInPandas stage."""
+    from csvplus_spark.operators.multimodal import sample_frames
+
+    good = _png_fixture()
+    trunc = good[:18]             # PNG magic, header cut -> struct.error
+    corrupt = _corrupt_idat(good)  # header walks fine -> zlib.error
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(trunc)),
+         (3, bytearray(corrupt))],
+        "media_id long, data binary")
+    rows = sample_frames(df, n_frames=1, real_codec=True,
+                         on_error="quarantine").collect()
+    by_id = {r["media_id"]: r for r in rows}
+    assert len(rows) == 3
+    assert by_id[1]["error"] is None and by_id[1]["frame_no"] == 0
+    assert by_id[2]["frame_no"] == -1
+    assert "unpack requires" in by_id[2]["error"]
+    assert by_id[3]["frame_no"] == -1
+    assert "decompressing" in by_id[3]["error"]
+    # default posture: the stage still aborts on the first bad blob
+    with pytest.raises(Exception):
+        sample_frames(df, n_frames=1, real_codec=True).collect()
+
+
+def test_decode_images_quarantine(spark):
+    """r12 verdict item 1: decode_images gains the same per-blob error
+    channel sample_frames got in r12 — geometry columns NULL, error
+    set, good rows untouched (error NULL)."""
+    from csvplus_spark.operators.multimodal import decode_image_stub, decode_images
+
+    good = _png_fixture()
+    trunc = good[:18]
+    unknown = b"\x00not-an-image"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(trunc)),
+         (3, bytearray(unknown))],
+        "media_id long, data binary")
+    rows = {r["media_id"]: r
+            for r in decode_images(df, real_codec=True,
+                                   on_error="quarantine").collect()}
+    assert (rows[1]["width"], rows[1]["height"],
+            rows[1]["n_pixels"], rows[1]["orientation"],
+            rows[1]["error"]) == (4, 3, 12, 1, None)
+    assert rows[2]["width"] is None and "unpack requires" in rows[2]["error"]
+    assert rows[3]["width"] is None and "pure-Python codecs" in rows[3]["error"]
+    # default posture unchanged: raise aborts the stage
+    with pytest.raises(Exception):
+        decode_images(df, real_codec=True).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        decode_image_stub(True, on_error="ignore")
+
+
+def test_resize_images_quarantine(spark):
+    """Corrupt-IDAT (zlib.error) and undecodable blobs quarantine;
+    the good blob still resizes to a real PNG."""
+    from csvplus_spark.operators.pngcodec import is_png, png_info
+    from csvplus_spark.operators.multimodal import resize_images
+
+    good = _png_fixture()
+    corrupt = _corrupt_idat(good)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt)),
+         (3, bytearray(b"\x00junk"))],
+        "media_id long, data binary")
+    rows = {r["media_id"]: r
+            for r in resize_images(df, width=8, height=6, real_codec=True,
+                                   on_error="quarantine").collect()}
+    assert rows[1]["error"] is None and is_png(bytes(rows[1]["data"]))
+    assert png_info(bytes(rows[1]["data"]))[:2] == (8, 6)
+    assert (rows[1]["width"], rows[1]["height"]) == (8, 6)
+    assert rows[2]["data"] is None and "decompressing" in rows[2]["error"]
+    assert rows[3]["data"] is None and rows[3]["width"] is None
+    with pytest.raises(Exception):
+        resize_images(df, width=8, height=6, real_codec=True).collect()
+
+
+def test_decode_audio_quarantine(spark):
+    """Truncated WAV and non-audio blobs quarantine; the good WAV's
+    stats are identical to the raise-mode row."""
+    from csvplus_spark.operators.wavcodec import encode_wav
+    from csvplus_spark.operators.multimodal import decode_audio
+
+    wav = encode_wav(8000, 1, 16, [0, 100, -100, 3000])
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav[:20])),
+         (3, bytearray(b"\x00noise"))],
+        "media_id long, data binary")
+    rows = {r["media_id"]: r
+            for r in decode_audio(df, real_codec=True,
+                                  on_error="quarantine").collect()}
+    ok = decode_audio(
+        spark.createDataFrame([(1, bytearray(wav))],
+                              "media_id long, data binary"),
+        real_codec=True).collect()[0]
+    assert rows[1]["error"] is None
+    assert (rows[1]["sample_rate"], rows[1]["n_frames"], rows[1]["peak"],
+            rows[1]["rms"]) == (ok["sample_rate"], ok["n_frames"],
+                                ok["peak"], ok["rms"])
+    assert rows[2]["sample_rate"] is None and "fmt/data" in rows[2]["error"]
+    assert rows[3]["sample_rate"] is None and "mp3/ogg" in rows[3]["error"]
+    with pytest.raises(Exception):
+        decode_audio(df, real_codec=True).collect()
+
+
+def test_extract_features_quarantine(spark):
+    """real_model=True raises PER BLOB, so quarantine yields one
+    feat_idx=-1 error row per blob; the stub path under quarantine
+    matches the plain path value-for-value with error all NULL."""
+    from csvplus_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"aa")), (2, bytearray(b"bb"))],
+        "media_id long, data binary")
+    qrows = extract_features(df, dim=4, real_model=True,
+                             on_error="quarantine").collect()
+    assert sorted(r["media_id"] for r in qrows) == [1, 2]
+    assert all(r["feat_idx"] == -1 and r["feature"] is None
+               and "embedding model" in r["error"] for r in qrows)
+    plain = {(r["media_id"], r["feat_idx"]): r["feature"]
+             for r in extract_features(df, dim=4).collect()}
+    quar = {(r["media_id"], r["feat_idx"]): (r["feature"], r["error"])
+            for r in extract_features(df, dim=4,
+                                      on_error="quarantine").collect()}
+    assert len(plain) == len(quar) == 8
+    for k, v in plain.items():
+        assert quar[k] == (v, None)
+    with pytest.raises(Exception, match="embedding model"):
+        extract_features(df, dim=4, real_model=True).collect()
+
+
+# --- fake-PIL dispatch contract (r12 verdict item 2) ----------------------
+# The production hot path is Pillow-first (COVERAGE.md); PIL is absent in
+# this container, so these tests monkeypatch a fake PIL into sys.modules
+# and call the stub generators DIRECTLY (in-process — mapInPandas workers
+# would not see a driver-side monkeypatch), which executes the exact
+# dispatch branch a Pillow-equipped executor runs.
+
+def _fake_pil(open_fn):
+    """(PIL, PIL.Image, PIL.ImageOps) module objects with Image.open =
+    open_fn and ImageOps.exif_transpose = identity."""
+    import types
+
+    class FakeIm:
+        format = "PNG"
+
+        def __init__(self, w, h, trace):
+            self.width, self.height, self._trace = w, h, trace
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return FakeIm(wh[0], wh[1], self._trace)
+
+        def save(self, buf, format=None):
+            buf.write(b"FAKEPIL" + bytes([self.width, self.height]))
+
+    pil = types.ModuleType("PIL")
+    image = types.ModuleType("PIL.Image")
+    imageops = types.ModuleType("PIL.ImageOps")
+    image.open = open_fn
+    imageops.exif_transpose = lambda im: im
+    pil.Image, pil.ImageOps = image, imageops
+    pil._FakeIm = FakeIm
+    return pil, image, imageops
+
+
+def _install_fake_pil(monkeypatch, open_fn):
+    import sys as _sys
+
+    pil, image, imageops = _fake_pil(open_fn)
+    monkeypatch.setitem(_sys.modules, "PIL", pil)
+    monkeypatch.setitem(_sys.modules, "PIL.Image", image)
+    monkeypatch.setitem(_sys.modules, "PIL.ImageOps", imageops)
+    return pil
+
+
+def _one_batch(blobs):
+    import pandas as pd
+
+    return [pd.DataFrame({"media_id": list(range(1, len(blobs) + 1)),
+                          "data": blobs})]
+
+
+def test_decode_dispatch_prefers_pil(monkeypatch):
+    """(a) the dispatcher selects Pillow when importable: the fake
+    reports 123x45 for a PNG whose real header says 4x3 — the output
+    carrying 123x45 proves the PIL branch ran, with the schema
+    identical to the codec-only run."""
+    from csvplus_spark.operators.multimodal import decode_image_stub
+
+    calls = []
+    pil = _install_fake_pil(
+        monkeypatch,
+        lambda fp: (calls.append(1) or pil._FakeIm(123, 45, calls)))
+    out = list(decode_image_stub(real_codec=True)(_one_batch([_png_fixture()])))
+    assert len(out) == 1 and calls  # Image.open was invoked
+    row = out[0].iloc[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (123, 45, 123 * 45)
+    assert list(out[0].columns) == ["media_id", "width", "height",
+                                    "n_pixels", "orientation"]
+
+
+def test_decode_dispatch_falls_back_per_blob(monkeypatch):
+    """(b) a blob PIL rejects falls back PER BLOB to the built-in
+    codecs — (c) with output schema and values identical to the
+    no-PIL run (the r8 invariant: installing Pillow must never fail a
+    query that succeeds without it)."""
+    from csvplus_spark.operators.multimodal import decode_image_stub
+
+    def flaky_open(fp):
+        raise OSError("cannot identify image file")
+
+    _install_fake_pil(monkeypatch, flaky_open)
+    png = _png_fixture()
+    with_pil = list(decode_image_stub(real_codec=True)(_one_batch([png])))[0]
+    monkeypatch.undo()  # PIL gone again -> pure-codec branch
+    without = list(decode_image_stub(real_codec=True)(_one_batch([png])))[0]
+    assert list(with_pil.columns) == list(without.columns)
+    assert with_pil.iloc[0].tolist() == without.iloc[0].tolist()
+    assert (with_pil.iloc[0]["width"], with_pil.iloc[0]["height"]) == (4, 3)
+
+
+def test_resize_dispatch_prefers_pil_and_falls_back(monkeypatch):
+    """Same dispatch contract for the binary-out resize path: the fake
+    PIL's marker bytes prove selection; a PIL failure falls back to the
+    pure-Python re-encode; schemas identical."""
+    from csvplus_spark.operators.multimodal import resize_stub
+    from csvplus_spark.operators.pngcodec import is_png, png_info
+
+    png = _png_fixture()
+    pil = _install_fake_pil(monkeypatch, lambda fp: pil._FakeIm(4, 3, None))
+    picked = list(resize_stub(8, 6, real_codec=True)(_one_batch([png])))[0]
+    assert bytes(picked.iloc[0]["data"]).startswith(b"FAKEPIL")
+
+    _install_fake_pil(monkeypatch, lambda fp: (_ for _ in ()).throw(
+        OSError("cannot identify image file")))
+    fell_back = list(resize_stub(8, 6, real_codec=True)(_one_batch([png])))[0]
+    blob = bytes(fell_back.iloc[0]["data"])
+    assert is_png(blob) and png_info(blob)[:2] == (8, 6)
+    assert list(picked.columns) == list(fell_back.columns)

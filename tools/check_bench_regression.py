@@ -15,9 +15,18 @@ the SAME source tree, and an identical tree cannot regress — their
 spread is the box's measured noise (r11: winnow 1.76× per-query, 1.23×
 total on byte-identical source). The gate (a) skips entirely when the
 whole baseline window shares the current run's SHA, and (b) otherwise
-derives its threshold from the worst measured same-tree spread
-(NOISE_MARGIN × worst, never below the static THRESHOLD). Only
+derives its thresholds from the measured same-tree spread. Only
 like-for-like rows are compared (same sf as the current run).
+
+Calibration is PER QUERY and WINDOWED (r12 ADVICE item 2): a query is
+gated at NOISE_MARGIN × its OWN worst same-tree spread (a genuinely
+noisy query like winnow earns its own slack without weakening the
+gate for the other 80), queries with no same-tree sample fall back to
+a high quantile (p90) of the per-query spread distribution — not the
+global sample maximum, which one anomalous run would otherwise pin
+forever — and only the newest CALIBRATION_WINDOW history rows feed
+the calibration, so an old outlier run ages out. Nothing ever gates
+below the static THRESHOLD.
 
 Usage:
     python tools/check_bench_regression.py [--baseline N] [--threshold X]
@@ -38,19 +47,26 @@ FLOOR = 0.5       # ... and base took at least this many seconds
 #: effective threshold — the worst observed noise ratio is a sample
 #: maximum, not a bound
 NOISE_MARGIN = 1.05
+#: newest history rows feeding the noise calibration — an anomalous
+#: run must age out of the band, not weaken the gate forever
+#: (r12 ADVICE item 2); 12 rows ≈ the last 4 rounds' bench trios
+CALIBRATION_WINDOW = 12
 
 HISTORY = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "artifacts", "BENCH_HISTORY.jsonl")
 
 
-def load_history(path: str = HISTORY) -> list[dict]:
+def load_history(path: str = HISTORY, sf_filter: bool = True) -> list[dict]:
     if not os.path.exists(path):
         return []
     with open(path) as f:
         hist = [json.loads(line) for line in f if line.strip()]
     # compare like-for-like only: a stray run at a different scale
-    # factor must not enter the baseline window of an sf0.1 run
-    if hist:
+    # factor must not enter the baseline window of an sf0.1 run.
+    # main() prints the filter and the surviving count before any
+    # --baseline index resolves against the filtered list (r12 ADVICE
+    # item 4); sf_filter=False returns the raw rows for that report.
+    if hist and sf_filter:
         sf = hist[-1].get("sf")
         hist = [e for e in hist if e.get("sf") == sf]
     return hist
@@ -70,20 +86,24 @@ def same_tree(a: dict, b: dict) -> bool:
     return sa is not None and sa == sb
 
 
-def noise_band(history: list[dict], floor: float = FLOOR) -> dict:
-    """Measured same-tree spread: over every group of history runs
-    sharing a clean git SHA, the per-query max/min timing ratio
-    (queries with min >= floor only, mirroring the gate's floor).
-    An identical tree cannot regress, so this spread IS the box
-    noise the gate must tolerate (r11: winnow 1.76x, total 1.23x on
-    byte-identical source). Returns {"worst": r, "query": name,
-    "pairs": n_same_sha_runs_compared}."""
+def noise_band(history: list[dict], floor: float = FLOOR,
+               window: int = CALIBRATION_WINDOW) -> dict:
+    """Measured same-tree spread over the newest ``window`` history
+    rows: for every group of runs sharing a clean git SHA, the
+    per-query max/min timing ratio (queries with min >= floor only,
+    mirroring the gate's floor). An identical tree cannot regress, so
+    this spread IS the box noise the gate must tolerate (r11: winnow
+    1.76x, total 1.23x on byte-identical source). Returns
+    {"worst": r, "query": name, "pairs": n_same_sha_runs_compared,
+    "per_query": {q: worst_same_tree_ratio}, "p90": quantile}."""
+    recent = history[-window:] if window else history
     by_sha: dict[str, list[dict]] = {}
-    for e in history:
+    for e in recent:
         s = run_sha(e)
         if s:
             by_sha.setdefault(s, []).append(e)
-    worst, worst_q, pairs = 1.0, None, 0
+    per_query: dict[str, float] = {}
+    pairs = 0
     for runs in by_sha.values():
         if len(runs) < 2:
             continue
@@ -96,18 +116,42 @@ def noise_band(history: list[dict], floor: float = FLOOR) -> dict:
         for k, vs in vals.items():
             if len(vs) >= 2 and min(vs) >= floor:
                 r = max(vs) / min(vs)
-                if r > worst:
-                    worst, worst_q = r, k
-    return {"worst": round(worst, 3), "query": worst_q, "pairs": pairs}
+                if r > per_query.get(k, 1.0):
+                    per_query[k] = r
+    worst_q = max(per_query, key=per_query.get) if per_query else None
+    spreads = sorted(per_query.values())
+    # p90 of the per-query spread distribution: the default for
+    # queries with no same-tree sample of their own — deliberately
+    # NOT the sample max, which one anomalous query would pin
+    import math
+
+    p90 = (spreads[min(len(spreads) - 1,
+                       max(0, math.ceil(0.9 * len(spreads)) - 1))]
+           if spreads else 1.0)
+    return {"worst": round(per_query.get(worst_q, 1.0), 3),
+            "query": worst_q, "pairs": pairs,
+            "per_query": {k: round(v, 3) for k, v in per_query.items()},
+            "p90": round(p90, 3)}
+
+
+def effective_thresholds(history: list[dict]) -> tuple[float, dict]:
+    """(default_threshold, per_query_thresholds): each query gates at
+    NOISE_MARGIN x its OWN worst same-tree spread within the
+    calibration window; queries without a same-tree sample use
+    NOISE_MARGIN x the p90 of the spread distribution. Nothing gates
+    below the static THRESHOLD — a gate tighter than the box's own
+    noise on identical source can only produce false reds."""
+    band = noise_band(history)
+    default = max(THRESHOLD, round(band["p90"] * NOISE_MARGIN, 3))
+    per_q = {q: max(THRESHOLD, round(r * NOISE_MARGIN, 3))
+             for q, r in band["per_query"].items()}
+    return default, per_q
 
 
 def effective_threshold(history: list[dict]) -> float:
-    """Gate threshold: never below the static THRESHOLD, raised to
-    NOISE_MARGIN x the worst measured same-tree per-query spread when
-    that spread exceeds it — a gate tighter than the box's own noise
-    on identical source can only produce false reds."""
-    return max(THRESHOLD,
-               round(noise_band(history)["worst"] * NOISE_MARGIN, 3))
+    """Back-compat single-number view: the DEFAULT (p90-derived)
+    threshold — per-query gating happens via effective_thresholds."""
+    return effective_thresholds(history)[0]
 
 
 def median_baseline(history: list[dict], n: int = 3) -> dict:
@@ -129,39 +173,46 @@ def median_baseline(history: list[dict], n: int = 3) -> dict:
 
 
 def compare(base: dict, cur: dict, threshold: float = THRESHOLD,
-            floor: float = FLOOR) -> tuple[list[dict], list[dict]]:
+            floor: float = FLOOR,
+            per_query: dict | None = None) -> tuple[list[dict], list[dict]]:
     """(regressions, full trend table) between two history entries.
 
     Only queries present in BOTH runs with positive timings are
     compared (a -1 marks a failed query — correctness gates catch
     those; new/removed queries have no baseline to regress from).
-    """
+    ``per_query`` overrides the threshold for individual queries
+    (their own measured same-tree noise, effective_thresholds)."""
     b, c = base.get("queries") or {}, cur.get("queries") or {}
+    per_query = per_query or {}
     table = []
     for name in sorted(set(b) & set(c)):
         tb, tc = b[name], c[name]
         if tb is None or tc is None or tb <= 0 or tc <= 0:
             continue
         table.append({"query": name, "base": tb, "cur": tc,
-                      "ratio": round(tc / tb, 3)})
+                      "ratio": round(tc / tb, 3),
+                      "threshold": per_query.get(name, threshold)})
     table.sort(key=lambda r: -r["ratio"])
     regressions = [r for r in table
-                   if r["base"] >= floor and r["ratio"] > threshold]
+                   if r["base"] >= floor and r["ratio"] > r["threshold"]]
     return regressions, table
 
 
 def trend_table(table: list[dict], top: int = 15) -> str:
-    lines = [f"{'query':<28} {'base':>7} {'cur':>7} {'ratio':>6}"]
+    lines = [f"{'query':<28} {'base':>7} {'cur':>7} {'ratio':>6} {'gate':>6}"]
     for r in table[:top]:
         lines.append(f"{r['query']:<28} {r['base']:>7.2f} "
-                     f"{r['cur']:>7.2f} {r['ratio']:>6.2f}")
+                     f"{r['cur']:>7.2f} {r['ratio']:>6.2f} "
+                     f"{r.get('threshold', THRESHOLD):>6.2f}")
     return "\n".join(lines)
 
 
 def main() -> int:
     args = sys.argv[1:]
     baseline_ix = None  # None = median mode; an explicit index wins
-    threshold = THRESHOLD
+    threshold = None    # None sentinel (r12 ADVICE item 3): an EXPLICIT
+    #                     --threshold — even one equal to the static
+    #                     default — always wins over noise derivation
     while args:
         if args[0] == "--baseline":
             baseline_ix = int(args[1]); args = args[2:]
@@ -169,14 +220,26 @@ def main() -> int:
             threshold = float(args[1]); args = args[2:]
         else:
             print(f"unknown arg: {args[0]}"); return 2
+    raw = load_history(sf_filter=False)
     hist = load_history()
     if len(hist) < 2:
         print("bench history has <2 runs — nothing to compare")
         return 0
     cur = hist[-1]
+    # r12 ADVICE item 4: --baseline indexes the sf-FILTERED list; say
+    # so (and how much the filter dropped) before resolving the index
+    print(f"sf filter: {cur.get('sf')} — {len(hist)} of {len(raw)} "
+          f"history rows survive (indices refer to the filtered list)")
     band = noise_band(hist)
-    print(f"same-tree noise band: {band['worst']}x per-query "
-          f"(worst: {band['query']}) over {band['pairs']} same-SHA runs")
+    print(f"same-tree noise band (last {CALIBRATION_WINDOW} rows): "
+          f"worst {band['worst']}x ({band['query']}), p90 {band['p90']}x, "
+          f"{len(band['per_query'])} queries calibrated over "
+          f"{band['pairs']} same-SHA runs")
+    if threshold is not None:
+        default_thr, per_q = threshold, {}
+        print(f"explicit --threshold {threshold}x (noise derivation off)")
+    else:
+        default_thr, per_q = effective_thresholds(hist)
     if baseline_ix is not None:
         run_no = baseline_ix if baseline_ix >= 0 else len(hist) + baseline_ix
         if run_no == len(hist) - 1:
@@ -188,7 +251,8 @@ def main() -> int:
             print(f"run {run_no} and the current run are the SAME clean "
                   f"SHA — identical source cannot regress (spread is "
                   f"noise calibration)")
-            _, table = compare(base, cur, threshold=threshold)
+            _, table = compare(base, cur, threshold=default_thr,
+                               per_query=per_q)
             print(trend_table(table))
             return 0
     else:
@@ -198,22 +262,23 @@ def main() -> int:
             print("entire baseline window shares the current run's clean "
                   "SHA — identical source cannot regress (spread is "
                   "noise calibration)")
-            _, table = compare(base, cur, threshold=threshold)
+            _, table = compare(base, cur, threshold=default_thr,
+                               per_query=per_q)
             print(trend_table(table))
             return 0
-    if threshold == THRESHOLD:  # no explicit --threshold: noise-derived
-        threshold = effective_threshold(hist)
-    regressions, table = compare(base, cur, threshold=threshold)
+    regressions, table = compare(base, cur, threshold=default_thr,
+                                 per_query=per_q)
     print(f"comparing {label} "
           f"({len(base.get('queries') or {})} queries)"
           f" -> run {len(hist) - 1} (total {cur.get('value')}s, "
           f"{len(cur.get('queries') or {})} queries)")
     print(trend_table(table))
     if regressions:
-        print(f"\nREGRESSIONS (> {threshold}x on a >= {FLOOR}s query):")
+        print(f"\nREGRESSIONS (over the per-query gate on a >= {FLOOR}s "
+              f"query; default {default_thr}x):")
         for r in regressions:
             print(f"  {r['query']}: {r['base']}s -> {r['cur']}s "
-                  f"({r['ratio']}x)")
+                  f"({r['ratio']}x > {r['threshold']}x)")
         return 1
     print("\nno per-query regression")
     return 0

@@ -38,6 +38,16 @@ def driver_green() -> dict[str, list[str]]:
     return green
 
 
+def staleness() -> list[tuple[str, str]]:
+    """(query, newest_green_round) sorted stalest-first (r12 verdict
+    item 5: with the never-verified backlog at zero, rotation slots
+    refresh the queries whose newest driver-green row is OLDEST)."""
+    latest: dict[str, str] = {}
+    for name, rounds in driver_green().items():
+        latest[name] = max(rounds)
+    return sorted(latest.items(), key=lambda kv: (kv[1], kv[0]))
+
+
 def latest_local_sweep() -> tuple[str, dict] | None:
     """Newest committed artifacts/CORRECTNESS_LOCAL_r*.json, or None."""
     paths = sorted(glob.glob(
