@@ -74,6 +74,31 @@ def git_sha() -> str:
         return ""
 
 
+def cpu_yardstick(reps: int = 3) -> float:
+    """Single-core box-speed probe: seconds for a FIXED md5 chain
+    (min of ``reps``). The work is identical every run and pure CPU —
+    no I/O, no JVM, no allocation growth — so the ratio between two
+    runs' yardsticks measures the BOX, not the source tree. Stamped
+    into every history row (r13): the round-13 trio ran 1.4x slower
+    than round-12's on BYTE-IDENTICAL behavior (proven by an
+    interleaved A/B against the checked-out r12 tree) with <2% steal
+    — host-level slowdown the regression gate would otherwise read as
+    a uniform source regression. tools/check_bench_regression.py
+    scales its cross-SHA thresholds by this ratio when the box is
+    measurably slower. ~0.55s nominal on this box at full speed."""
+    import hashlib
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        b = b"x" * 4096
+        for _ in range(60000):
+            b = hashlib.md5(b).digest() + b[:4080]
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 #: headline set — one per operator family (join, anti, order, dedup,
 #: agg, window, scalar, extensions get added as they land)
 HEADLINE = [
@@ -301,6 +326,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # box-speed probe BEFORE the session exists: no JVM threads to
+    # perturb the single-core measurement
+    yardstick = cpu_yardstick()
+
     import __spark_entry__ as entry_mod
     from csvplus_spark import get_spark
 
@@ -360,6 +389,9 @@ def main() -> None:
         # same-SHA history rows are noise calibration for the
         # regression gate, never regressions (r11 verdict item 1)
         "git_sha": git_sha(),
+        # box-speed probe: cross-run timing ratios are only
+        # interpretable against this (see cpu_yardstick)
+        "cpu_yardstick_sec": yardstick,
     }
     with open(os.path.join(art_dir, "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1)

@@ -13,10 +13,12 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "tools"))
 
-from check_bench_regression import (compare, effective_threshold,
+from check_bench_regression import (box_speed_ratio, compare,
+                                    effective_threshold,
                                     effective_thresholds,
                                     load_history, median_baseline,
-                                    noise_band, same_tree, trend_table)
+                                    noise_band, same_tree,
+                                    scaled_thresholds, trend_table)
 
 
 #: deliberate slowdowns, waived with a reason and pruned next round —
@@ -44,15 +46,20 @@ def test_no_per_query_bench_regression():
     # query gates at its OWN measured same-tree spread (p90 of the
     # spread distribution when it has no sample), windowed to the
     # newest CALIBRATION_WINDOW rows (r12 ADVICE item 2)
-    thr, per_q = effective_thresholds(hist)
+    # thresholds additionally scale by the measured box-speed ratio
+    # (r13: the cpu_yardstick stamped in each row isolates host
+    # slowdown — identical pure-CPU work taking 1.4x longer means the
+    # BOX changed, not the source)
+    thr, per_q, box = scaled_thresholds(hist)
     regressions, table = compare(median_baseline(hist), cur,
                                  threshold=thr, per_query=per_q)
     regressions = [r for r in regressions
                    if r["query"] not in EXPECTED_SLOWDOWNS]
     assert not regressions, (
         f"\n(default gate {thr}x = max(static 1.5, p90 same-tree "
-        f"noise {noise_band(hist)['p90']}x * 1.05); per-query gates "
-        f"from each query's own spread)\n"
+        f"noise {noise_band(hist)['p90']}x * 1.05) x box-speed "
+        f"factor {box}; per-query gates from each query's own "
+        f"spread)\n"
         + trend_table(table) + "\nregressions: "
         + ", ".join(f"{r['query']} {r['base']}s->{r['cur']}s "
                     f"(gate {r['threshold']}x)"
@@ -137,6 +144,47 @@ def test_gate_fires_on_cross_sha_regression():
                              threshold=thr, per_query=per_q)
     assert [r["query"] for r in regressions] == ["q1"]
     assert regressions[0]["ratio"] == 3.0
+
+
+def test_box_speed_scaling():
+    """r13: a measured HOST slowdown (identical pure-CPU yardstick
+    running slower) scales the gate so uniform box drag is not read
+    as a source regression — while a query regressing far beyond the
+    box factor still fires, and a FASTER box never loosens or
+    tightens anything."""
+    base = [
+        {"git_sha": "A", "sf": 0.1, "cpu_yardstick_sec": 0.50,
+         "queries": {"q1": 1.0, "q2": 2.0}, "value": 3.0},
+        {"git_sha": "A", "sf": 0.1, "cpu_yardstick_sec": 0.51,
+         "queries": {"q1": 1.1, "q2": 2.1}, "value": 3.2},
+        {"git_sha": "A", "sf": 0.1, "cpu_yardstick_sec": 0.50,
+         "queries": {"q1": 1.0, "q2": 2.0}, "value": 3.0},
+    ]
+    # box now 1.4x slower: q1 drags uniformly (1.45x — above the
+    # static 1.5? no: 1.45 < 1.5 anyway; make it 1.6x to exceed the
+    # unscaled gate), q2 genuinely regresses 3x
+    cur = {"git_sha": "B", "sf": 0.1, "cpu_yardstick_sec": 0.70,
+           "queries": {"q1": 1.6, "q2": 6.0}, "value": 7.6}
+    hist = base + [cur]
+    assert box_speed_ratio(hist) == 1.4
+    thr, per_q, box = scaled_thresholds(hist)
+    assert box == 1.4
+    regressions, _ = compare(median_baseline(hist), cur,
+                             threshold=thr, per_query=per_q)
+    # q1's 1.6x is inside 1.5 * 1.4 = 2.1; q2's 3x is far beyond it
+    assert [r["query"] for r in regressions] == ["q2"]
+    # rows without a yardstick (pre-r13) -> no ratio, no scaling
+    legacy = [{k: v for k, v in e.items() if k != "cpu_yardstick_sec"}
+              for e in hist]
+    assert box_speed_ratio(legacy) is None
+    assert scaled_thresholds(legacy)[2] == 1.0
+    # a FASTER box (ratio < 1) must not scale in either direction
+    fast = base + [dict(cur, cpu_yardstick_sec=0.40)]
+    assert scaled_thresholds(fast)[2] == 1.0
+    # an anomalous probe is clamped at the cap, not trusted verbatim
+    from check_bench_regression import BOX_RATIO_CAP
+    wild = base + [dict(cur, cpu_yardstick_sec=5.0)]
+    assert scaled_thresholds(wild)[2] == BOX_RATIO_CAP
 
 
 def test_explicit_threshold_sentinel():

@@ -154,6 +154,57 @@ def effective_threshold(history: list[dict]) -> float:
     return effective_thresholds(history)[0]
 
 
+#: below this measured box slowdown the per-query noise band already
+#: covers it; above BOX_RATIO_CAP the yardstick itself is suspect
+#: (a 3x+ "slowdown" is more likely a perturbed probe than a real
+#: host change) and the gate refuses to weaken further
+BOX_RATIO_MIN = 1.10
+BOX_RATIO_CAP = 3.0
+
+
+def box_speed_ratio(history: list[dict], n: int = 3) -> float | None:
+    """How much slower the box is NOW than during the baseline window:
+    newest run's cpu_yardstick_sec / median of the last ``n`` prior
+    runs' yardsticks. The yardstick is identical pure-CPU work every
+    run (bench.py::cpu_yardstick), so this ratio isolates HOST speed
+    from source behavior — the r13 trio ran 1.4x slower than r12's on
+    byte-identical source (interleaved r12-tree A/B, <2% steal), a
+    host-level shift the gate would otherwise read as a uniform
+    regression. None when either side lacks a yardstick (pre-r13
+    rows)."""
+    import statistics
+
+    if len(history) < 2:
+        return None
+    cur = history[-1].get("cpu_yardstick_sec")
+    prev = [e.get("cpu_yardstick_sec") for e in history[-(n + 1):-1]]
+    prev = [y for y in prev if y]
+    if not cur or not prev:
+        return None
+    return round(cur / statistics.median(prev), 3)
+
+
+def scaled_thresholds(history: list[dict]) -> tuple[float, dict, float]:
+    """(default_threshold, per_query_thresholds, box_factor): the
+    effective_thresholds, multiplied by the measured box slowdown when
+    the yardstick shows the box running >BOX_RATIO_MIN slower than the
+    baseline window — identical work takes box_ratio longer on a
+    slower host, so a query must exceed threshold x box_ratio to be a
+    SOURCE regression. A faster box (ratio < 1) never tightens the
+    gate (yardstick noise would manufacture false reds); a ratio over
+    BOX_RATIO_CAP is clamped (a probe that anomalous must not make
+    the gate vacuous)."""
+    default, per_q = effective_thresholds(history)
+    ratio = box_speed_ratio(history)
+    factor = 1.0
+    if ratio is not None and ratio > BOX_RATIO_MIN:
+        factor = min(ratio, BOX_RATIO_CAP)
+    if factor > 1.0:
+        default = round(default * factor, 3)
+        per_q = {q: round(t * factor, 3) for q, t in per_q.items()}
+    return default, per_q, factor
+
+
 def median_baseline(history: list[dict], n: int = 3) -> dict:
     """Per-query MEDIAN over the last ``n`` runs before the current
     one — a single anomalously fast run must not turn the next normal
@@ -239,7 +290,14 @@ def main() -> int:
         default_thr, per_q = threshold, {}
         print(f"explicit --threshold {threshold}x (noise derivation off)")
     else:
-        default_thr, per_q = effective_thresholds(hist)
+        default_thr, per_q, box = scaled_thresholds(hist)
+        ratio = box_speed_ratio(hist)
+        if ratio is not None:
+            print(f"box-speed yardstick: current run {ratio}x the "
+                  f"baseline window's"
+                  + (f" -> thresholds scaled by {box}x (host slowdown "
+                     f"is not a source regression)" if box > 1.0
+                     else " (within yardstick noise, no scaling)"))
     if baseline_ix is not None:
         run_no = baseline_ix if baseline_ix >= 0 else len(hist) + baseline_ix
         if run_no == len(hist) - 1:
