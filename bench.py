@@ -99,6 +99,39 @@ def cpu_yardstick(reps: int = 3) -> float:
     return round(best, 4)
 
 
+def cpu_yardstick_mt(threads: int = 32, reps: int = 2) -> float:
+    """Multi-core box-speed probe: seconds for a fixed md5 sweep over
+    an 8 MB buffer on ``threads`` concurrent Python threads (hashlib
+    releases the GIL on large buffers, so this runs genuinely parallel
+    at the bench's own local[32] width). It exercises the SHARED
+    hardware the single-core probe can't see — SMT siblings, last-level
+    cache, memory bandwidth — which is where hypervisor noisy-neighbor
+    contention lands first: the r13 1.4x bench slowdown happened with
+    the single-core yardstick HEALTHY (0.47s vs 0.55s under light
+    load), so only a full-width probe can attribute it. ~2.7s nominal
+    (32 threads x 40 x 8 MB at ~7.7 GB/s aggregate)."""
+    import hashlib
+    import threading
+
+    buf = b"x" * (8 << 20)
+
+    def work() -> None:
+        for _ in range(40):
+            hashlib.md5(buf).digest()
+
+    best = None
+    for _ in range(reps):
+        ths = [threading.Thread(target=work) for _ in range(threads)]
+        t0 = time.perf_counter()
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 #: headline set — one per operator family (join, anti, order, dedup,
 #: agg, window, scalar, extensions get added as they land)
 HEADLINE = [
@@ -326,9 +359,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    # box-speed probe BEFORE the session exists: no JVM threads to
-    # perturb the single-core measurement
+    # box-speed probes BEFORE the session exists: no JVM threads to
+    # perturb the measurements
     yardstick = cpu_yardstick()
+    yardstick_mt = cpu_yardstick_mt()
 
     import __spark_entry__ as entry_mod
     from csvplus_spark import get_spark
@@ -389,9 +423,12 @@ def main() -> None:
         # same-SHA history rows are noise calibration for the
         # regression gate, never regressions (r11 verdict item 1)
         "git_sha": git_sha(),
-        # box-speed probe: cross-run timing ratios are only
-        # interpretable against this (see cpu_yardstick)
+        # box-speed probes: cross-run timing ratios are only
+        # interpretable against these (see cpu_yardstick /
+        # cpu_yardstick_mt — single-core speed and full-width
+        # shared-hardware throughput degrade independently)
         "cpu_yardstick_sec": yardstick,
+        "cpu_yardstick_mt_sec": yardstick_mt,
     }
     with open(os.path.join(art_dir, "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1)

@@ -181,6 +181,13 @@ def test_box_speed_scaling():
     # a FASTER box (ratio < 1) must not scale in either direction
     fast = base + [dict(cur, cpu_yardstick_sec=0.40)]
     assert scaled_thresholds(fast)[2] == 1.0
+    # the MULTI-CORE probe alone can drive the factor: single-core
+    # healthy but shared-hardware (SMT/LLC/bandwidth) contended is
+    # exactly the r13 failure mode
+    mt_base = [dict(e, cpu_yardstick_mt_sec=2.0) for e in base]
+    mt_cur = dict(cur, cpu_yardstick_sec=0.50, cpu_yardstick_mt_sec=3.0)
+    assert box_speed_ratio(mt_base + [mt_cur]) == 1.5
+    assert scaled_thresholds(mt_base + [mt_cur])[2] == 1.5
     # an anomalous probe is clamped at the cap, not trusted verbatim
     from check_bench_regression import BOX_RATIO_CAP
     wild = base + [dict(cur, cpu_yardstick_sec=5.0)]

@@ -164,24 +164,28 @@ BOX_RATIO_CAP = 3.0
 
 def box_speed_ratio(history: list[dict], n: int = 3) -> float | None:
     """How much slower the box is NOW than during the baseline window:
-    newest run's cpu_yardstick_sec / median of the last ``n`` prior
-    runs' yardsticks. The yardstick is identical pure-CPU work every
-    run (bench.py::cpu_yardstick), so this ratio isolates HOST speed
-    from source behavior — the r13 trio ran 1.4x slower than r12's on
-    byte-identical source (interleaved r12-tree A/B, <2% steal), a
-    host-level shift the gate would otherwise read as a uniform
-    regression. None when either side lacks a yardstick (pre-r13
-    rows)."""
+    newest run's yardstick / median of the last ``n`` prior runs', for
+    each stamped probe, taking the WORSE (slower) of the two. Each
+    yardstick is identical pure-CPU work every run — single-core
+    (cpu_yardstick_sec) and full-width shared-hardware throughput
+    (cpu_yardstick_mt_sec: SMT siblings, LLC, memory bandwidth) — so
+    these ratios isolate HOST speed from source behavior. The r13 trio
+    ran 1.4x slower than r12's on byte-identical source (interleaved
+    r12-tree A/B, <2% steal) with the single-core probe HEALTHY, which
+    is why the full-width probe exists: hypervisor noisy-neighbor
+    contention lands on shared hardware first. None when no probe is
+    present on both sides (pre-r13 rows)."""
     import statistics
 
     if len(history) < 2:
         return None
-    cur = history[-1].get("cpu_yardstick_sec")
-    prev = [e.get("cpu_yardstick_sec") for e in history[-(n + 1):-1]]
-    prev = [y for y in prev if y]
-    if not cur or not prev:
-        return None
-    return round(cur / statistics.median(prev), 3)
+    ratios = []
+    for key in ("cpu_yardstick_sec", "cpu_yardstick_mt_sec"):
+        cur = history[-1].get(key)
+        prev = [y for y in (e.get(key) for e in history[-(n + 1):-1]) if y]
+        if cur and prev:
+            ratios.append(cur / statistics.median(prev))
+    return round(max(ratios), 3) if ratios else None
 
 
 def scaled_thresholds(history: list[dict]) -> tuple[float, dict, float]:
