@@ -624,17 +624,26 @@ def bm25_top_terms(df: DataFrame, k: int = 3, k1: float = 1.2,
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf fans out to FOUR consumers (the score join, dl, dfreq, and
+    # the avgdl scalar subquery). AQE exchange reuse cannot collapse
+    # them: the join infers isnotnull() constraints that land at
+    # different positions around the explode in each branch (final
+    # plan audit: Filter below Generate on the tf branch, above it on
+    # dfreq's — canonicalization never matches, 0 ReusedExchange, the
+    # corpus exploded and aggregated four times), and a scalar
+    # subquery executes outside the main plan's reuse scope anyway.
+    # The lazy localCheckpoint (the documented ccnet/pipeline fan-out
+    # pattern) guarantees ONE explode+aggregate pass; tf is the
+    # (doc, term) aggregate — ~10x smaller than the exploded corpus —
+    # so materializing it once beats computing the explode 4x at any
+    # scale. tfidf_top_terms keeps its filter-guard form: its two
+    # subtrees DO canonicalize (2 ReusedExchange in the final plan).
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     # dl and avgdl derive from tf (exact integer sums) — aggregating
     # tok directly would re-explode the corpus two more times
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    # same exchange-reuse guard as tfidf_top_terms (r13): dl/avgdl
-    # reference tf's count so their subtrees already match tf's; the
-    # pruned dfreq branch was the one odd subtree forcing a second
-    # corpus explode — the no-op filter keeps all four consumers on
-    # ONE reused exchange
-    dfreq = tf.filter(F.col("tf") > 0).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.groupBy().agg(
         F.count(F.lit(1)).cast("double").alias("n")).scalar()
     avgdl = tf.groupBy().agg(
