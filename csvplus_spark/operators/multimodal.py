@@ -43,7 +43,11 @@ def _check_on_error(on_error: str) -> bool:
     short buffer). At corpus scale ANY per-blob decode failure must
     route to the error channel instead of aborting the stage;
     KeyboardInterrupt/SystemExit are not Exception subclasses and
-    still propagate."""
+    still propagate. SYSTEMIC failures stay fatal by construction,
+    not by exception type: codec imports happen at batch level,
+    outside the per-blob try, so a broken executor install aborts the
+    stage instead of quarantining every blob into a green-but-empty
+    job (r13 review)."""
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error must be raise|quarantine, "
                          f"got {on_error!r}")
@@ -257,14 +261,20 @@ def frame_sample_stub(n_frames: int = 3,
 
         import pandas as pd
 
+        # codec imports OUTSIDE the per-blob quarantine try (r13
+        # review): a broken install on an executor is a SYSTEMIC
+        # failure, not a blob property — it must abort the stage, not
+        # quarantine every blob of a corpus-scale fan-out into a
+        # green-but-empty job
+        if real_codec:
+            from . import gifcodec, pngcodec
+
         cols = ["media_id", "frame_no", "frame_md5"] + (
             ["error"] if quarantine else [])
 
         def decode_one(mid, blob):
             rows = []
             if real_codec:
-                from . import gifcodec, pngcodec
-
                 if gifcodec.is_gif(blob):
                     _w, _h, nf = gifcodec.gif_info(blob)
                     dec = gifcodec.decode_gif
@@ -442,7 +452,11 @@ def resize_stub(width: int = 64, height: int = 64,
                 have_pil = True
             except ImportError:
                 have_pil = False
-            from . import pngcodec
+            # ALL codec imports outside the per-blob quarantine try
+            # (r13 review): a broken executor install must abort the
+            # stage, not quarantine the whole corpus
+            from . import bmpcodec, gifcodec, jpegcodec, pngcodec, \
+                tiffcodec
 
         cols = ["media_id", "data", "width", "height"] + (
             ["error"] if quarantine else [])
@@ -493,7 +507,6 @@ def resize_stub(width: int = 64, height: int = 64,
                     pngcodec.resize_nearest(w0, h0, ch, px,
                                             width, height))
             if done is None:
-                from . import bmpcodec, tiffcodec
                 if tiffcodec.is_tiff(blob):
                     # first page -> resample -> PNG out
                     w0, h0, ch, px = tiffcodec.decode_tiff(blob)
@@ -511,7 +524,6 @@ def resize_stub(width: int = 64, height: int = 64,
                             pngcodec.resize_nearest(
                                 w0, h0, ch, px, width, height)))
             if done is None:
-                from . import gifcodec
                 if gifcodec.is_gif(blob):
                     # first frame -> resample -> PNG out (the resized
                     # still is a static image; GIF re-palettization
@@ -522,7 +534,6 @@ def resize_stub(width: int = 64, height: int = 64,
                         pngcodec.resize_nearest(
                             w0, h0, ch, px, width, height))
             if done is None:
-                from . import jpegcodec
                 if jpegcodec.is_jpeg(blob):
                     # r9/r10: full pixel decode — baseline AND
                     # progressive (SOF2) via the dispatcher;
@@ -663,6 +674,12 @@ def decode_audio_stub(real_codec: bool = False,
 
         import pandas as pd
 
+        # codec imports outside the per-blob quarantine try (r13
+        # review): broken executor install -> stage abort, not a
+        # fully-quarantined green job
+        if real_codec:
+            from . import flaccodec, wavcodec
+
         cols = ["media_id", "sample_rate", "channels", "n_frames",
                 "duration_us", "peak", "rms"] + (
             ["error"] if quarantine else [])
@@ -670,8 +687,6 @@ def decode_audio_stub(real_codec: bool = False,
         def decode_one(blob: bytes) -> tuple:
             """(rate, channels, n_frames, duration_us, peak, rms)."""
             if real_codec:
-                from . import flaccodec, wavcodec
-
                 if wavcodec.is_wav(blob):
                     (rate, ch, bits, n_frames), samples = \
                         wavcodec.decode_wav(blob)

@@ -298,3 +298,40 @@ def test_semantic_dedup_collapse_plan(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "coalesce(cluster_id" in plan  # the rep-expansion join
+
+
+def _final_plan(spark, sf_dir, name) -> str:
+    """FINAL adaptive plan: AQE decisions (exchange reuse) only exist
+    after execution, and only on the DataFrame's own queryExecution —
+    a noop write executes a separate command plan (r13)."""
+    df = em.queries()[name](spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_tfidf_exchange_reuse_fires(spark, sf_dir):
+    """r13: tfidf's single-explode guarantee rests on the tf and dfreq
+    subtrees canonicalizing so AQE reuses the explode+partial-agg
+    exchange (the trivially-true tf>0 filter blocks the column pruning
+    that would diverge them). That is optimizer behavior, not
+    semantics — a Spark upgrade could silently restore the double
+    corpus explode with bit-identical output. Pin the plan shape: the
+    2x sf10 win must show as >=1 ReusedExchange in the final plan."""
+    plan = _final_plan(spark, sf_dir, "tfidf")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_bm25_single_explode_via_checkpoint(spark, sf_dir):
+    """r13: bm25 fans tf out to four consumers whose subtrees never
+    canonicalize (join-inferred not-null filters land differently
+    around the explode; the avgdl scalar subquery is outside reuse
+    scope), so it uses the lazy-localCheckpoint fan-out pattern
+    instead. Pin it: the main plan must contain ZERO Generate
+    (explode) nodes — every consumer reads the checkpointed
+    (doc, term) aggregate."""
+    plan = _final_plan(spark, sf_dir, "bm25")
+    assert "Generate" not in plan
+    assert "ExistingRDD" in plan

@@ -43,9 +43,16 @@ SCALE_CRITICAL = [
 def main() -> int:
     args = sys.argv[1:]
     out_json = None
-    if args and args[0] == "--json":
-        out_json = args[1]
-        args = args[2:]
+    # accept --json anywhere, and fail with usage (not IndexError)
+    # when its operand is missing (r13 review)
+    if "--json" in args:
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: bench_scaled.py [--json OUT.json] "
+                  "[sf_dir] [query ...]", file=sys.stderr)
+            return 2
+        out_json = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else os.path.join(ROOT, ".localdata", "sf10")
     names = args[1:] or SCALE_CRITICAL
 

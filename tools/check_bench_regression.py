@@ -134,14 +134,17 @@ def noise_band(history: list[dict], floor: float = FLOOR,
             "p90": round(p90, 3)}
 
 
-def effective_thresholds(history: list[dict]) -> tuple[float, dict]:
+def effective_thresholds(history: list[dict],
+                         band: dict | None = None) -> tuple[float, dict]:
     """(default_threshold, per_query_thresholds): each query gates at
     NOISE_MARGIN x its OWN worst same-tree spread within the
     calibration window; queries without a same-tree sample use
     NOISE_MARGIN x the p90 of the spread distribution. Nothing gates
     below the static THRESHOLD — a gate tighter than the box's own
-    noise on identical source can only produce false reds."""
-    band = noise_band(history)
+    noise on identical source can only produce false reds.
+    ``band`` reuses a precomputed noise_band so callers that also
+    print it derive thresholds from the SAME numbers (r13 review)."""
+    band = band if band is not None else noise_band(history)
     default = max(THRESHOLD, round(band["p90"] * NOISE_MARGIN, 3))
     per_q = {q: max(THRESHOLD, round(r * NOISE_MARGIN, 3))
              for q, r in band["per_query"].items()}
@@ -156,17 +159,22 @@ def effective_threshold(history: list[dict]) -> float:
 
 #: below this measured box slowdown the per-query noise band already
 #: covers it; above BOX_RATIO_CAP the yardstick itself is suspect
-#: (a 3x+ "slowdown" is more likely a perturbed probe than a real
-#: host change) and the gate refuses to weaken further
+#: (a probe blip must not make the gate vacuous — the cap bounds the
+#: worst false-negative weakening at CAP x threshold, and the largest
+#: REAL host drag ever measured here is 1.4x, r13)
 BOX_RATIO_MIN = 1.10
-BOX_RATIO_CAP = 3.0
+BOX_RATIO_CAP = 2.0
 
 
-def box_speed_ratio(history: list[dict], n: int = 3) -> float | None:
-    """How much slower the box is NOW than during the baseline window:
-    newest run's yardstick / median of the last ``n`` prior runs', for
-    each stamped probe, taking the WORSE (slower) of the two. Each
-    yardstick is identical pure-CPU work every run — single-core
+def box_speed_ratio(history: list[dict], n: int = 3,
+                    baseline: dict | None = None) -> float | None:
+    """How much slower the box is NOW than during the baseline:
+    newest run's yardstick / median of the last ``n`` prior runs'
+    (or ``baseline``'s own yardsticks when an explicit baseline row is
+    being compared against — host drift must be measured against the
+    SAME run the timings are compared against), for each stamped
+    probe, taking the WORSE (slower) of the two. Each yardstick is
+    identical pure-CPU work every run — single-core
     (cpu_yardstick_sec) and full-width shared-hardware throughput
     (cpu_yardstick_mt_sec: SMT siblings, LLC, memory bandwidth) — so
     these ratios isolate HOST speed from source behavior. The r13 trio
@@ -179,27 +187,36 @@ def box_speed_ratio(history: list[dict], n: int = 3) -> float | None:
 
     if len(history) < 2:
         return None
+    base_rows = [baseline] if baseline is not None else history[-(n + 1):-1]
     ratios = []
     for key in ("cpu_yardstick_sec", "cpu_yardstick_mt_sec"):
         cur = history[-1].get(key)
-        prev = [y for y in (e.get(key) for e in history[-(n + 1):-1]) if y]
+        prev = [y for y in (e.get(key) for e in base_rows) if y]
         if cur and prev:
             ratios.append(cur / statistics.median(prev))
     return round(max(ratios), 3) if ratios else None
 
 
-def scaled_thresholds(history: list[dict]) -> tuple[float, dict, float]:
+def scaled_thresholds(history: list[dict],
+                      baseline: dict | None = None,
+                      band: dict | None = None
+                      ) -> tuple[float, dict, float]:
     """(default_threshold, per_query_thresholds, box_factor): the
     effective_thresholds, multiplied by the measured box slowdown when
     the yardstick shows the box running >BOX_RATIO_MIN slower than the
-    baseline window — identical work takes box_ratio longer on a
-    slower host, so a query must exceed threshold x box_ratio to be a
-    SOURCE regression. A faster box (ratio < 1) never tightens the
+    baseline — identical work takes box_ratio longer on a slower
+    host, so a query must exceed threshold x box_ratio to be a SOURCE
+    regression. ``baseline`` pins the ratio to an explicit baseline
+    row (--baseline mode). A faster box (ratio < 1) never tightens the
     gate (yardstick noise would manufacture false reds); a ratio over
     BOX_RATIO_CAP is clamped (a probe that anomalous must not make
-    the gate vacuous)."""
-    default, per_q = effective_thresholds(history)
-    ratio = box_speed_ratio(history)
+    the gate vacuous). Residual risk, accepted: a contention blip that
+    spans every probe repetition of the CURRENT run inflates the
+    factor and loosens the gate for that one comparison — bounded by
+    the cap, and the per-run min-of-reps probes already bias toward
+    the least-contended moment."""
+    default, per_q = effective_thresholds(history, band=band)
+    ratio = box_speed_ratio(history, baseline=baseline)
     factor = 1.0
     if ratio is not None and ratio > BOX_RATIO_MIN:
         factor = min(ratio, BOX_RATIO_CAP)
@@ -290,25 +307,35 @@ def main() -> int:
           f"worst {band['worst']}x ({band['query']}), p90 {band['p90']}x, "
           f"{len(band['per_query'])} queries calibrated over "
           f"{band['pairs']} same-SHA runs")
-    if threshold is not None:
-        default_thr, per_q = threshold, {}
-        print(f"explicit --threshold {threshold}x (noise derivation off)")
-    else:
-        default_thr, per_q, box = scaled_thresholds(hist)
-        ratio = box_speed_ratio(hist)
-        if ratio is not None:
-            print(f"box-speed yardstick: current run {ratio}x the "
-                  f"baseline window's"
-                  + (f" -> thresholds scaled by {box}x (host slowdown "
-                     f"is not a source regression)" if box > 1.0
-                     else " (within yardstick noise, no scaling)"))
+    # resolve the baseline FIRST: in --baseline mode the box-speed
+    # ratio must be measured against the CHOSEN row's own yardsticks,
+    # not the recent window's — comparing old timings with a
+    # recent-window ratio would mis-compensate exactly the host drift
+    # the yardstick exists for (r13 review)
+    base_row = None
     if baseline_ix is not None:
         run_no = baseline_ix if baseline_ix >= 0 else len(hist) + baseline_ix
         if run_no == len(hist) - 1:
             print("--baseline points at the CURRENT run — comparing a "
                   "run to itself proves nothing")
             return 2
-        base, label = hist[baseline_ix], f"run {run_no}"
+        base_row = hist[baseline_ix]
+    if threshold is not None:
+        default_thr, per_q = threshold, {}
+        print(f"explicit --threshold {threshold}x (noise derivation off)")
+    else:
+        default_thr, per_q, box = scaled_thresholds(hist, baseline=base_row,
+                                                    band=band)
+        ratio = box_speed_ratio(hist, baseline=base_row)
+        if ratio is not None:
+            print(f"box-speed yardstick: current run {ratio}x the "
+                  + ("chosen baseline's" if base_row is not None
+                     else "baseline window's")
+                  + (f" -> thresholds scaled by {box}x (host slowdown "
+                     f"is not a source regression)" if box > 1.0
+                     else " (within yardstick noise, no scaling)"))
+    if baseline_ix is not None:
+        base, label = base_row, f"run {run_no}"
         if same_tree(base, cur):
             print(f"run {run_no} and the current run are the SAME clean "
                   f"SHA — identical source cannot regress (spread is "

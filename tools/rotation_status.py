@@ -38,14 +38,23 @@ def driver_green() -> dict[str, list[str]]:
     return green
 
 
+def _round_no(tag: str) -> int:
+    """Numeric round of an 'rNN' tag — lexicographic max would
+    misorder the first unpadded or 3-digit tag ('r9' > 'r10',
+    'r100' < 'r99'), silently rotating the wrong queries
+    (r13 review)."""
+    digits = "".join(c for c in tag if c.isdigit())
+    return int(digits) if digits else -1
+
+
 def staleness() -> list[tuple[str, str]]:
     """(query, newest_green_round) sorted stalest-first (r12 verdict
     item 5: with the never-verified backlog at zero, rotation slots
     refresh the queries whose newest driver-green row is OLDEST)."""
     latest: dict[str, str] = {}
     for name, rounds in driver_green().items():
-        latest[name] = max(rounds)
-    return sorted(latest.items(), key=lambda kv: (kv[1], kv[0]))
+        latest[name] = max(rounds, key=_round_no)
+    return sorted(latest.items(), key=lambda kv: (_round_no(kv[1]), kv[0]))
 
 
 def latest_local_sweep() -> tuple[str, dict] | None:
