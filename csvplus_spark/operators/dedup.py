@@ -769,14 +769,15 @@ def semantic_dedup(
         work = grp.select(F.col("__rep__").alias(id_col), "__vec__")
     else:
         work = v
+    # r13 (guide §2.3/2.4): seed_voronoi_distances now returns the
+    # packed per-row distance array, so the cell argmin is an in-row
+    # array_min — the old form shuffled n·n_cells vector-carrying rows
+    # through a per-id window for the same (d2, cell) minimum.
     ad = seed_voronoi_distances(work, n_cells, id_col,
                                 seed_src=v if collapse else None)
-    w = Window.partitionBy(id_col).orderBy("__d2__", "cell")
-    assign = (
-        ad.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(F.col(id_col).alias("__sid__"), F.col("__vec__"), "cell")
-    )
+    assign = ad.select(
+        F.col(id_col).alias("__sid__"), F.col("__vec__"),
+        F.array_min(F.col("__ds__"))["cell"].alias("cell"))
     # per-cell BLAS prefilter + exact fold rescore (the grid pattern):
     # one numpy matmul per cell replaces |cell|² interpreted fold
     # cosines (measured 69s → seconds at 20k vectors); the 1e-6 margin

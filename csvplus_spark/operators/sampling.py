@@ -106,7 +106,13 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
     src = F.coalesce(F.col(source_col).cast("string"),
                      F.lit("\x00__null_source__"))
     work = df.withColumn("__src__", src)
-    counts = work.groupBy("__src__").agg(F.count(F.lit(1)).alias("__n__"))
+    # r13 (guide §2.4): the per-source count table fans out to three
+    # consumers (the __wtot__/__ntot__ totals broadcast, the rates
+    # broadcast, and — transitively — the accept join), each planned
+    # as its own broadcast subtree, so the corpus was count-scanned
+    # three times. The table is one row per source: checkpoint it.
+    counts = work.groupBy("__src__").agg(
+        F.count(F.lit(1)).alias("__n__")).localCheckpoint(eager=False)
     nd = F.col("__n__").cast("double")
     if alpha == 0.5:
         w = F.sqrt(nd)
@@ -312,8 +318,13 @@ def top_fraction_by_score(df: DataFrame, score_col: str, group_col: str,
     s = F.col(score_col)
     src = df.withColumn(b, bkt)
 
+    # r13 (guide §2.4): counts feeds BOTH the keep-target aggregate and
+    # the offsets scan, so uncheckpointed the corpus is count-scanned
+    # twice over (plus the data join's own pass = 3 total). The table
+    # is ≤ |groups|×|scores|×1024 rows (tiny by the operator's
+    # discrete-score contract): checkpoint it → 2 corpus passes.
     counts = src.groupBy(group_col, score_col, b).agg(
-        F.count(F.lit(1)).alias("__n__"))
+        F.count(F.lit(1)).alias("__n__")).localCheckpoint(eager=False)
     # per-group keep target: ceil(fraction * n) on exact longs
     tgt = counts.groupBy(group_col).agg(
         F.ceil(F.lit(float(fraction)) * F.sum("__n__")).cast("long").alias("__keep__"))
@@ -511,13 +522,21 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str, n: int,
     ).otherwise(F.coalesce(F.col(weight_col).cast("long"), F.lit(0)))
     src = df.withColumn(b, bkt).withColumn("__cp_w__", wc)
 
-    sums = src.groupBy(b).agg(F.sum("__cp_w__").alias("__s__"))
+    # r13 (guide §2.4): the bucket-sum table feeds both the prefix
+    # offsets and (derived) the grand total — before, the total was a
+    # separate scalar subquery that re-scanned the corpus (scalars run
+    # outside exchange-reuse scope). The table is ≤n_buckets rows:
+    # checkpoint it and sum it for the total (Σ bucket sums == Σ all
+    # weights, exact bigints). 3 corpus scans → 2 (sums + the kept
+    # filter's own pass).
+    sums = src.groupBy(b).agg(F.sum("__cp_w__").alias("__s__")) \
+        .localCheckpoint(eager=False)
     wpre = Window.orderBy(b).rowsBetween(Window.unboundedPreceding, -1)
     off = sums.select(
         F.col(b).alias("__b__"),
         F.coalesce(F.sum("__s__").over(wpre), F.lit(0)).alias("__off__"),
     )
-    total = src.groupBy().agg(F.sum("__cp_w__").alias("t")).scalar()
+    total = sums.groupBy().agg(F.sum("__s__").alias("t")).scalar()
     wrun = (Window.partitionBy(b)
             .orderBy(h, *[F.col(c) for c in key_cols])
             .rowsBetween(Window.unboundedPreceding, -1))

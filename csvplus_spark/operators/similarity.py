@@ -240,14 +240,27 @@ def auto_n_cells(n_rows: int, per_cell: int = 4096, floor: int = 16,
 def seed_voronoi_distances(v: DataFrame, n_cells: int,
                            id_col: str = "vec_id",
                            seed_src: DataFrame | None = None) -> DataFrame:
-    """Per-(vector, seed-cell) exact squared-L2 distances — the shared
-    deterministic assignment stage of :func:`ivf_seeded_topk` and
-    ``dedup.semantic_dedup`` (one copy so the two stay oracle-parity
-    identical). ``v`` must carry ``__vec__`` (see with_double_vec);
-    cells are seeded with the ``n_cells`` lowest-id vectors (tiny
-    driver collect), broadcast, and folded with the same left-fold d²
-    the SQL oracle uses. Ids are passed through untouched, so any
+    """Per-vector exact squared-L2 distances to every seed cell — the
+    shared deterministic assignment stage of :func:`ivf_seeded_topk`
+    and ``dedup.semantic_dedup`` (one copy so the two stay
+    oracle-parity identical). ``v`` must carry ``__vec__`` (see
+    with_double_vec); cells are seeded with the ``n_cells`` lowest-id
+    vectors (tiny driver collect) and folded with the same left-fold
+    d² the SQL oracle uses. Ids are passed through untouched, so any
     orderable id type works.
+
+    Returns ``(…v columns…, __ds__)`` where ``__ds__`` is an
+    ``array<struct<__d2__, cell>>`` with one entry per seed, computed
+    IN-ROW against a single packed broadcast row. r13 (guide §2.3/2.4):
+    the previous form fan-joined the seed table — n·n_cells rows, each
+    carrying the full vector payload, built only to be funneled back
+    through per-id argmin/top-probe windows (a shuffle of n·n_cells
+    vector-carrying rows). The packed form does the identical fold
+    arithmetic per row and lets consumers take ``array_min`` (argmin,
+    same lexicographic (d2, cell) tie-break as the old
+    ``row_number over (order by __d2__, cell) = 1``) or
+    ``slice(array_sort(...), 1, p)`` (top-p probes) with ZERO
+    exchanges.
 
     ``seed_src`` (default: ``v`` itself) supplies the seed rows when
     the assigned frame is a REDUCED view of the corpus but the cells
@@ -267,8 +280,15 @@ def seed_voronoi_distances(v: DataFrame, n_cells: int,
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    return (v.join(F.broadcast(cent))
-            .withColumn("__d2__", d2(F.col("__vec__"), F.col("centroid"))))
+    packed = F.broadcast(cent.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents__")))
+    ds = F.transform(
+        F.col("__cents__"),
+        lambda s: F.struct(d2(F.col("__vec__"), s["centroid"])
+                           .alias("__d2__"), s["cell"].alias("cell")))
+    return (v.crossJoin(packed)
+            .withColumn("__ds__", ds)
+            .drop("__cents__"))
 
 
 def ivf_seeded_topk(
@@ -307,21 +327,25 @@ def ivf_seeded_topk(
     v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
     if n_cells is None:
         n_cells = auto_n_cells(v.count())
+    # r13 (guide §2.3/2.4): assignment and probe ranking are IN-ROW
+    # folds over the packed seed array — the old per-id windows
+    # shuffled n·n_cells vector-carrying rows just to take argmin /
+    # top-n_probe. array_min and slice(array_sort) use the same
+    # lexicographic (d2, cell) ordering as the old
+    # row_number() over (order by __d2__, cell), so the assigned cell
+    # and probed cell SETS are bit-identical.
     ad = seed_voronoi_distances(v, n_cells, id_col)
-    w_assign = Window.partitionBy(id_col).orderBy("__d2__", "cell")
-    assign = (
-        ad.withColumn("__rn__", F.row_number().over(w_assign))
-        .filter(F.col("__rn__") == 1)
-        .select(F.col(id_col).alias("corpus_id"),
-                F.col("__vec__").alias("__cv__"), "cell")
-    )
+    assign = ad.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__vec__").alias("__cv__"),
+        F.array_min(F.col("__ds__"))["cell"].alias("cell"))
     q = ad.filter(F.col(id_col) < query_max_id)
-    w_probe = Window.partitionBy(id_col).orderBy("__d2__", "cell")
     probes = (
-        q.withColumn("__rn__", F.row_number().over(w_probe))
-        .filter(F.col("__rn__") <= n_probe)
-        .select(F.col(id_col).alias("query_id"),
-                F.col("__vec__").alias("__qv__"), "cell")
+        q.select(F.col(id_col).alias("query_id"),
+                 F.col("__vec__").alias("__qv__"),
+                 F.explode(F.slice(F.array_sort(F.col("__ds__")),
+                                   1, n_probe)).alias("__p__"))
+        .select("query_id", "__qv__", F.col("__p__")["cell"].alias("cell"))
     )
     scored = assign.join(probes, "cell")
     if exclude_self:
@@ -836,14 +860,27 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
             F.lit(0.0), lambda acc, x: acc + x)
 
     def assign_to(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(cent))  # ≤k-row bounded fan-out
-        return (scored
-                .withColumn("__d2__", d2(F.col("__vec__"),
-                                         F.col("__cent__")))
-                .groupBy(id_col)
-                .agg(F.min(F.struct(F.col("__d2__"),
-                                    F.col("__cell__"))).alias("__m__"))
-                .select(id_col, F.col("__m__.__cell__").alias("cell")))
+        # r13 (guide §2.3/2.4): the old form broadcast-joined the ≤k
+        # centroids (an n·k row fan-out, every row carrying the full
+        # vector) and took the per-id minimum through a hash aggregate
+        # — one exchange per assignment pass. Packing the centroids
+        # into ONE broadcast row and folding the argmin in-row does
+        # the identical k d² folds per vector with ZERO exchanges;
+        # array_min over struct(__d2__, __cell__) is the same
+        # lexicographic minimum as min(struct(...)). The vector rides
+        # along so the update pass needs no join back (ids are unique
+        # by the operator's contract — seeds are the k lowest ids).
+        packed = F.broadcast(cent.groupBy().agg(
+            F.collect_list(F.struct("__cell__", "__cent__"))
+            .alias("__cs__")))
+        best = F.array_min(F.transform(
+            F.col("__cs__"),
+            lambda s: F.struct(
+                d2(F.col("__vec__"), s["__cent__"]).alias("__d2__"),
+                s["__cell__"].alias("__cell__"))))
+        return (vecs.crossJoin(packed)
+                .select(id_col, "__vec__",
+                        best["__cell__"].alias("cell")))
 
     v = with_double_vec(df.select(id_col, vec_col), vec_col)
     v = v.select(id_col, "__vec__")
@@ -852,8 +889,7 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
                         F.col("__vec__").alias("__cent__"))
     assign = assign_to(v, cent)
     for _ in range(iters):
-        members = assign.join(v, id_col)
-        sums = (members
+        sums = (assign
                 .select("cell", F.posexplode("__vec__").alias("dim", "x"))
                 .withColumn("__q__",
                             F.floor(F.col("x") * F.lit(KMEANS_Q))
@@ -872,7 +908,7 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
                             / t["__c__"] / F.lit(KMEANS_Q))
                         .alias("__cent__")))
         assign = assign_to(v, cent)
-    return assign
+    return assign.select(id_col, "cell")
 
 
 def _subvectors(vec: F.Column, m: int, dim: int) -> F.Column:
@@ -929,15 +965,21 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
             F.lit(0.0), lambda acc, x: acc + x)
 
     for _ in range(iters):
-        assign = (subs.join(F.broadcast(cb), "sub")
-                  .withColumn("__d2__", d2(F.col("__svec__"),
-                                           F.col("centroid")))
-                  .groupBy(id_col, "sub")
-                  .agg(F.min(F.struct(F.col("__d2__"),
-                                      F.col("cell"))).alias("__m__"))
-                  .select(id_col, "sub",
-                          F.col("__m__.cell").alias("cell")))
-        sums = (assign.join(subs, [id_col, "sub"])
+        # r13: in-row argmin (see pq_encode) — no n·m·k fan-out, no
+        # per-(id, sub) aggregate exchange; the subvector rides along
+        # so the update pass needs no join back ((id, sub) is unique).
+        packed = F.broadcast(cb.groupBy().agg(
+            F.collect_list(F.struct("sub", "cell", "centroid"))
+            .alias("__cb__")))
+        best = F.array_min(F.transform(
+            F.filter(F.col("__cb__"), lambda s: s["sub"] == F.col("sub")),
+            lambda s: F.struct(d2(F.col("__svec__"), s["centroid"])
+                               .alias("__d2__"), s["cell"].alias("cell"))))
+        assign = (subs.crossJoin(packed)
+                  .select(id_col, "sub", "__svec__",
+                          best["cell"].alias("cell"))
+                  .filter(F.col("cell").isNotNull()))
+        sums = (assign
                 .select("sub", "cell",
                         F.posexplode("__svec__").alias("dim", "x"))
                 .withColumn("__q__",
@@ -986,12 +1028,24 @@ def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 8,
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    return (subs.join(F.broadcast(codebooks), "sub")
-            .withColumn("__d2__", d2(F.col("__svec__"), F.col("centroid")))
-            .groupBy(id_col, "sub")
-            .agg(F.min(F.struct(F.col("__d2__"), F.col("cell")))
-                 .alias("__m__"))
-            .select(id_col, "sub", F.col("__m__.cell").alias("code")))
+    # r13 (guide §2.3/2.4): in-row argmin against the packed codebook
+    # broadcast (m·k entries, filtered per row to the row's subspace)
+    # — the old form built an n·m·k row fan-out and funneled it back
+    # through a per-(id, sub) hash aggregate. Same d² folds, same
+    # lexicographic (d2, cell) tie-break, zero exchanges. The not-null
+    # filter mirrors the old inner join's behavior for a subspace with
+    # no codebook rows (degenerate input only).
+    packed = F.broadcast(codebooks.groupBy().agg(
+        F.collect_list(F.struct("sub", "cell", "centroid"))
+        .alias("__cb__")))
+    best = F.array_min(F.transform(
+        F.filter(F.col("__cb__"), lambda s: s["sub"] == F.col("sub")),
+        lambda s: F.struct(d2(F.col("__svec__"), s["centroid"])
+                           .alias("__d2__"), s["cell"].alias("cell"))))
+    return (subs.crossJoin(packed)
+            .withColumn("__code__", best["cell"])
+            .filter(F.col("__code__").isNotNull())
+            .select(id_col, "sub", F.col("__code__").alias("code")))
 
 
 def pq_topk(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
@@ -1084,54 +1138,72 @@ def ivf2_seeded_topk(
     (c1, c2) candidate equi-join.
     """
     v = with_double_vec(emb, vec_col).select(F.col(id_col), F.col("__vec__"))
+    # r13 (guide §2.3/2.4): every argmin/top-p below is an IN-ROW fold
+    # over a packed broadcast array — the old form shuffled
+    # vector-carrying fan-out rows (n·cells, then n·n_cells2) through
+    # four per-id windows. Orderings are identical: array_min /
+    # slice(array_sort) use the same lexicographic (d2, cell) compare
+    # as the old row_number orderings, so cells, sub-cells and probe
+    # sets are bit-identical. The one remaining window (sub-seed
+    # selection, rank-by-id within a coarse cell) runs over NARROW
+    # (cell, id) rows; the ≤n1·n2 chosen seeds get their vectors back
+    # via a broadcast equi-join (no shuffle of v).
     ad1 = seed_voronoi_distances(v, n_cells1, id_col)
-    w_assign = Window.partitionBy(id_col).orderBy("__d2__", "cell")
-    a1 = (ad1.withColumn("__rn__", F.row_number().over(w_assign))
-          .filter(F.col("__rn__") == 1)
-          .select(id_col, F.col("__vec__").alias("__cv__"), "cell"))
+    a1 = ad1.select(id_col, F.col("__vec__").alias("__cv__"),
+                    F.array_min(F.col("__ds__"))["cell"].alias("cell"))
     # sub-seeds: the n_cells2 lowest-id members of each coarse cell
     w_sub = Window.partitionBy("cell").orderBy(id_col)
-    subseeds = (a1.withColumn("__sn__", F.row_number().over(w_sub))
-                .filter(F.col("__sn__") <= n_cells2)
-                .select(F.col("cell").alias("__c1__"),
-                        F.col(id_col).alias("__c2__"),
-                        F.col("__cv__").alias("__sv__")))
+    sub_ids = (a1.select("cell", id_col)
+               .withColumn("__sn__", F.row_number().over(w_sub))
+               .filter(F.col("__sn__") <= n_cells2)
+               .select(F.col("cell").alias("__c1__"),
+                       F.col(id_col).alias("__c2__")))
+    subseeds = (v.join(F.broadcast(sub_ids),
+                       v[id_col] == sub_ids["__c2__"])
+                .select("__c1__", "__c2__",
+                        F.col("__vec__").alias("__sv__")))
 
     def d2(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
+    packed2 = F.broadcast(subseeds.groupBy().agg(
+        F.collect_list(F.struct("__c1__", "__c2__", "__sv__"))
+        .alias("__ss__")))
+
+    def sub_dists(vec):
+        # distances of ``vec`` to the subs of ITS coarse cell (the
+        # packed array is filtered per row on __c1__ == cell)
+        return F.transform(
+            F.filter(F.col("__ss__"), lambda s: s["__c1__"] == F.col("cell")),
+            lambda s: F.struct(d2(vec, s["__sv__"]).alias("__d2__"),
+                               s["__c2__"].alias("__c2__")))
+
     # fine assignment: argmin over the vector's OWN coarse cell's subs
-    fine_scored = (a1.join(F.broadcast(subseeds),
-                           F.col("cell") == F.col("__c1__"))
-                   .withColumn("__d2__", d2(F.col("__cv__"),
-                                            F.col("__sv__"))))
-    w_fine = Window.partitionBy(id_col).orderBy("__d2__", "__c2__")
-    assign = (fine_scored.withColumn("__rn__",
-                                     F.row_number().over(w_fine))
-              .filter(F.col("__rn__") == 1)
+    assign = (a1.crossJoin(packed2)
               .select(F.col(id_col).alias("corpus_id"),
                       F.col("__cv__").alias("__corpusv__"),
                       F.col("cell").alias("__c1__"),
-                      F.col("__c2__")))
+                      F.array_min(sub_dists(F.col("__cv__")))["__c2__"]
+                      .alias("__c2__")))
     # probes level 1: top coarse cells per query
-    q1 = ad1.filter(F.col(id_col) < query_max_id)
-    w_p1 = Window.partitionBy(id_col).orderBy("__d2__", "cell")
-    probes1 = (q1.withColumn("__rn__", F.row_number().over(w_p1))
-               .filter(F.col("__rn__") <= n_probe1)
+    probes1 = (ad1.filter(F.col(id_col) < query_max_id)
                .select(F.col(id_col).alias("query_id"),
                        F.col("__vec__").alias("__qv__"),
-                       F.col("cell").alias("__c1__")))
+                       F.explode(F.slice(F.array_sort(F.col("__ds__")),
+                                         1, n_probe1)).alias("__p__"))
+               .select("query_id", "__qv__",
+                       F.col("__p__")["cell"].alias("cell")))
     # probes level 2: top sub-cells within each probed coarse cell
-    p2_scored = (probes1.join(F.broadcast(subseeds), "__c1__")
-                 .withColumn("__d2__", d2(F.col("__qv__"),
-                                          F.col("__sv__"))))
-    w_p2 = Window.partitionBy("query_id", "__c1__") \
-        .orderBy("__d2__", "__c2__")
-    probes2 = (p2_scored.withColumn("__rn__", F.row_number().over(w_p2))
-               .filter(F.col("__rn__") <= n_probe2)
-               .select("query_id", "__qv__", "__c1__", "__c2__"))
+    probes2 = (probes1.crossJoin(packed2)
+               .select("query_id", "__qv__",
+                       F.col("cell").alias("__c1__"),
+                       F.explode(F.slice(
+                           F.array_sort(sub_dists(F.col("__qv__"))),
+                           1, n_probe2)).alias("__p2__"))
+               .select("query_id", "__qv__", "__c1__",
+                       F.col("__p2__")["__c2__"].alias("__c2__")))
     scored = assign.join(probes2, ["__c1__", "__c2__"])
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("corpus_id"))

@@ -535,11 +535,23 @@ def rarity_score(df: DataFrame, text_col: str = "text",
     Returns (id, n_tokens, rarity); token-less docs get rarity 0.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__cp_ct__"))
-    total = tok.groupBy().agg(
-        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+    # r13 (guide §2.4, the bm25 fan-out pattern): freq feeds BOTH the
+    # total-tokens scalar and the scoring join, and the scalar subquery
+    # executes outside exchange-reuse scope, so without a
+    # materialization the corpus is tokenized+exploded three times
+    # (freq, total, probe). The vocab table is tiny — checkpoint it and
+    # DERIVE the total as Σ per-term counts (exactly the same integer
+    # as count(*) over tok): 3 corpus explodes → 2.
+    freq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__cp_ct__")).localCheckpoint(eager=False)
+    total = freq.groupBy().agg(
+        F.sum("__cp_ct__").cast("double").alias("t")).scalar()
     per_doc = (
-        tok.join(freq, "term")
+        # explicit broadcast: the vocab table is corpus-sublinear and
+        # ALWAYS the right side to ship; the checkpoint above hides
+        # the aggregate's size estimate from the planner, which would
+        # otherwise fall back to a full corpus shuffle-join (r13)
+        tok.join(F.broadcast(freq), "term")
         .select(F.col(id_col),
                 F.floor(total / F.col("__cp_ct__")).alias("__cp_r__"))
         .groupBy(id_col)
@@ -949,20 +961,28 @@ def source_mix(df: DataFrame, text_col: str = "text",
     serialize, which this op never uses.
     """
     n_tok = token_count(text_col)
-    total = df.groupBy().agg(
-        F.coalesce(F.sum(n_tok), F.lit(0)).alias("t")).scalar()
-    return (
+    # r13 (guide §2.4): the total-tokens scalar used to re-tokenize the
+    # whole corpus (scalar subqueries execute outside exchange-reuse
+    # scope) — TWO full tokenize passes for one report. The grouped
+    # aggregate is a handful of rows: checkpoint it and derive the
+    # denominator as Σ per-group n_tokens (bigint sums of the same
+    # rows — exactly equal, NULL token counts land as the same 0 via
+    # the per-group coalesce). 2 tokenize passes → 1.
+    mix = (
         df.groupBy(*[F.col(c) for c in group_cols])
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum(n_tok), F.lit(0)).alias("n_tokens"),
         )
-        .select(
-            *group_cols,
-            "n_docs",
-            "n_tokens",
-            (F.col("n_tokens") / total).alias("token_share"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    total = mix.groupBy().agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")).scalar()
+    return mix.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / total).alias("token_share"),
     )
 
 
@@ -995,20 +1015,33 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     w = Window.partitionBy(id_col).orderBy("pos")
     big = tok.withColumn("__prev__", F.lag("term").over(w)) \
         .filter(F.col("__prev__").isNotNull())
+    # r13 (guide §2.4): the naive form pays FIVE passes over the
+    # exploded corpus — three of them through the per-doc lag window
+    # (bfreq, cfreq, probe) plus two plain explodes (ufreq, total).
+    # Both count models are tiny aggregate tables, so checkpoint them
+    # and DERIVE the two redundant passes: the context count is the
+    # bigram counts summed over the following term (Σ_term __cb__ ==
+    # count per __prev__, exact integers) and total-N is Σ __cu__ ==
+    # count(*) over tok. 5 corpus passes → 3 (ufreq; bfreq+window;
+    # probe+window).
     bfreq = big.groupBy("__prev__", "term").agg(
-        F.count(F.lit(1)).alias("__cb__"))
-    cfreq = big.groupBy("__prev__").agg(F.count(F.lit(1)).alias("__cc__"))
-    ufreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__cu__"))
-    total = tok.groupBy().agg(
-        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+        F.count(F.lit(1)).alias("__cb__")).localCheckpoint(eager=False)
+    cfreq = bfreq.groupBy("__prev__").agg(F.sum("__cb__").alias("__cc__"))
+    ufreq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__cu__")).localCheckpoint(eager=False)
+    total = ufreq.groupBy().agg(
+        F.sum("__cu__").cast("double").alias("t")).scalar()
     lp = F.log(
         F.lit(lam) * (F.col("__cb__") / F.col("__cc__"))
         + F.lit(1.0 - lam) * (F.col("__cu__") / total)
     )
     per_doc = (
-        big.join(bfreq, ["__prev__", "term"])
-        .join(cfreq, "__prev__")
-        .join(ufreq, "term")
+        # explicit broadcasts — see rarity_score: all three count
+        # models are vocab-sized, and the checkpoints hide their size
+        # estimates from the planner (r13)
+        big.join(F.broadcast(bfreq), ["__prev__", "term"])
+        .join(F.broadcast(cfreq), "__prev__")
+        .join(F.broadcast(ufreq), "term")
         .select(F.col(id_col), "pos", lp.alias("__lp__"))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "__lp__")))
@@ -1050,11 +1083,20 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     """
     tok = df.select(F.col(id_col),
                     F.posexplode(tokens(text_col)).alias("pos", "term"))
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__ct__"))
-    total = tok.groupBy().agg(
-        F.count(F.lit(1)).cast("double").alias("t")).scalar()
+    # r13 (guide §2.4, same fan-out fix as rarity_score): checkpoint
+    # the tiny vocab table and derive total-N from it (Σ __ct__ ==
+    # count(*) over tok, exact integers) — the corpus is exploded
+    # twice (vocab pass + scoring probe) instead of three times.
+    # ccnet_buckets inherits this directly: the LM pass is its cost.
+    freq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__ct__")).localCheckpoint(eager=False)
+    total = freq.groupBy().agg(
+        F.sum("__ct__").cast("double").alias("t")).scalar()
     per_doc = (
-        tok.join(freq, "term")
+        # explicit broadcast — see rarity_score (checkpoint hides the
+        # vocab aggregate's size estimate; a shuffle-join here would
+        # re-shuffle the exploded corpus by term)
+        tok.join(F.broadcast(freq), "term")
         .select(F.col(id_col), "pos",
                 F.log(F.col("__ct__") / total).alias("__lp__"))
         .groupBy(id_col)
@@ -1199,9 +1241,16 @@ def dsir_logweights(df: DataFrame, target: Column,
     # ONE pass over the feature stream: raw + target counts per bucket
     # in the same map-combined aggregate; the totals are then scalar
     # subqueries over the ≤n_buckets-row count table, NOT re-scans
+    # r13 (guide §2.4): the bucket-count table is ≤n_buckets rows but
+    # feeds THREE consumers (model join + the two total scalars), and
+    # scalar subqueries run outside exchange-reuse scope — uncheck-
+    # pointed, each total re-scans the cached exploded corpus. The
+    # checkpoint makes the totals read ≤n_buckets rows instead: passes
+    # over the (cached) feature stream drop 4 → 2.
     cts = feats.groupBy("__b__").agg(
         F.count(F.lit(1)).alias("__cr__"),
-        F.sum(F.when(F.col("__tgt__"), 1).otherwise(0)).alias("__ct__"))
+        F.sum(F.when(F.col("__tgt__"), 1).otherwise(0)).alias("__ct__")) \
+        .localCheckpoint(eager=False)
     r_tot = cts.groupBy().agg(
         F.sum("__cr__").cast("double").alias("r")).scalar()
     t_tot = cts.groupBy().agg(
@@ -1258,8 +1307,15 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 10,
     terms = sorted({t.lower() for t in query_terms})
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     # full-corpus doc lengths (one integer aggregate) — BM25 needs dl
-    # even for query-term scoring
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # even for query-term scoring. r13 (guide §2.4, the bm25_top_terms
+    # fan-out pattern): dl feeds both the avgdl scalar and the scoring
+    # join, and the scalar executes outside exchange-reuse scope, so
+    # without a materialization the corpus is tokenized+exploded for a
+    # THIRD time just to average doc lengths. dl is one narrow row per
+    # doc — checkpoint it: 3 corpus explodes → 2 (dl pass + the
+    # term-filtered tf pass).
+    dl = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=False)
     avgdl = dl.groupBy().agg(
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("a")).scalar()
     n_docs = df.groupBy().agg(

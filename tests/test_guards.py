@@ -31,11 +31,14 @@ import __spark_entry__ as em
 #: kcenter broadcasts one single-row center/max per greedy round;
 #: tpch_q11_share broadcasts its single-row (total, n) scalar;
 #: rfm broadcasts the single-row corpus-max date and the single-row
-#: 6-value tercile thresholds
+#: 6-value tercile thresholds;
+#: pq_topk broadcasts its single-row packed codebook (m·k entries,
+#: r13 in-row argmin — the same bounded fan-out as kmeans's packed
+#: centroid row, never data-sized)
 CROSS_JOIN_OK = {"sim_topk", "ivf_seeded", "ivf2_seeded", "ann_recall",
                  "skew_report", "temperature_mix", "kmeans",
                  "cluster_balance", "ccnet_buckets", "kcenter",
-                 "tpch_q11_share", "rfm"}
+                 "tpch_q11_share", "rfm", "pq_topk"}
 
 
 def test_no_unexpected_cross_join_or_rounded_sum(spark):
