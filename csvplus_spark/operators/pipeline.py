@@ -64,6 +64,13 @@ def build_training_set(
     stats = text_stats(docs, text_col, id_col)
     d1 = docs.join(
         stats.filter(F.col("quality") >= quality_min).select(id_col), id_col)
+    # r13 probe (guide §2.4): d1 fans out into exact_dedup AND the
+    # canonical join probe, so the text_stats tokenize pass is planned
+    # twice. A d1 localCheckpoint was measured at sf10 and NOT kept:
+    # it adds a second full-text corpus materialization on top of the
+    # existing d2 checkpoint, and the write+read of O(corpus) bytes
+    # costs about what the saved tokenize pass does (interleaved A/B
+    # inconclusive inside the box noise band). Shape left as-is.
     ex = exact_dedup(d1, text_col, id_col)
     d2 = d1.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
     sh2 = None

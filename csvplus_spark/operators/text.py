@@ -1225,19 +1225,33 @@ def dsir_logweights(df: DataFrame, target: Column,
     tok = df.select(F.col(id_col), target.alias("__tgt__"),
                     F.posexplode(tokens(text_col)).alias("pos", "term"))
     w = Window.partitionBy(id_col).orderBy("pos")
-    uni = tok.select(id_col, "__tgt__", "pos",
-                     F.lit(0).alias("kind"), F.col("term").alias("feat"))
-    big = (tok.withColumn("__prev__", F.lag("term").over(w))
-           .filter(F.col("__prev__").isNotNull())
-           .select(id_col, "__tgt__", "pos", F.lit(1).alias("kind"),
-                   F.concat_ws(" ", "__prev__", "term").alias("feat")))
+    # r13 (guide §2.4): the previous union-of-branches form tokenized
+    # the corpus TWICE to build the feature stream (a plain explode
+    # for unigrams + an explode-through-lag-window for bigrams). One
+    # windowed pass emits both features per token row via an in-row
+    # 1-or-2-element explode — the same feature MULTISET (downstream
+    # is aggregates and a (pos, kind)-sorted collect_list, so stream
+    # order is immaterial and the output is bit-identical).
+    pair = F.array(
+        F.struct(F.lit(0).alias("kind"), F.col("term").alias("feat")),
+        F.struct(F.lit(1).alias("kind"),
+                 F.concat_ws(" ", "__prev__", "term").alias("feat")))
     # cache: the feature stream feeds BOTH the bucket-count aggregate
     # and the per-doc scoring join — uncached, each reference re-runs
     # tokenize+explode+lag (A/B at sf0.1: 3.2s → 2.3s warm, and the
     # cache is per-partition distributed state, not driver memory;
     # same convention as minhash's shared shingle table)
-    feats = uni.unionByName(big).withColumn(
-        "__b__", F.pmod(hash60(F.col("feat")), F.lit(n_buckets))).cache()
+    feats = (
+        tok.withColumn("__prev__", F.lag("term").over(w))
+        .select(F.col(id_col), "__tgt__", "pos",
+                F.explode(F.when(F.col("__prev__").isNotNull(), pair)
+                          .otherwise(F.slice(pair, 1, 1))).alias("__f__"))
+        .select(F.col(id_col), "__tgt__", "pos",
+                F.col("__f__")["kind"].alias("kind"),
+                F.col("__f__")["feat"].alias("feat"))
+        .withColumn(
+            "__b__", F.pmod(hash60(F.col("feat")), F.lit(n_buckets)))
+        .cache())
     # ONE pass over the feature stream: raw + target counts per bucket
     # in the same map-combined aggregate; the totals are then scalar
     # subqueries over the ≤n_buckets-row count table, NOT re-scans
