@@ -140,13 +140,15 @@ def test_loaded_index_lookup_pushes_down(spark, sf_dir, tmp_path):
 
 def test_temperature_mix_plan_shape(spark, sf_dir):
     """Rates join back via BROADCAST (the per-source table is tiny),
-    the per-source count is map-side combined, and the only
-    single-partition window runs over that tiny counts table (the
-    BroadcastNestedLoopJoin in this plan is the accepted single-row
-    scalar-attach crossJoin, as in profile.py)."""
+    and since the r13 fan-out fix the per-source count table is a lazy
+    localCheckpoint (Scan ExistingRDD) feeding all three consumers —
+    the corpus itself is scanned exactly ONCE in the main plan (the
+    counts subtree, with its map-side partial_count, runs once at
+    checkpoint materialization instead of once per consumer)."""
     plan = _plan(spark, sf_dir, "temperature_mix")
     assert "BroadcastHashJoin" in plan
-    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "Scan ExistingRDD" in plan  # checkpointed per-source counts
+    assert plan.count("Scan parquet") == 1  # corpus read once
 
 
 def test_semantic_contam_plan_shape(spark, sf_dir):
