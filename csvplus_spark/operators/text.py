@@ -912,14 +912,23 @@ def novel_bigram_stats(df: DataFrame, text_col: str = "text",
         F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
     )
     w = Window.partitionBy(id_col).orderBy("__pos__")
-    bg = (
+    # r13 (guide §2.4, the §A fan-out pattern): the bigram stream used
+    # to feed THREE consumers (total count, doc-frequency aggregate,
+    # per-doc probe), each re-running the explode + window. One
+    # per-(doc, bigram) count pass — which reuses the window's id
+    # partitioning, so it adds no exchange — is checkpointed and all
+    # three consumers derive from it: tot = Σ counts (exact integers),
+    # db = its key set, docfreq = count over keys. 3 corpus passes → 1.
+    per_gram = (
         tok.withColumn("__nxt__", F.lead("__tok__").over(w))
         .filter(F.col("__nxt__").isNotNull())
         .select(F.col(id_col),
                 F.concat_ws(" ", "__tok__", "__nxt__").alias("__bg__"))
+        .groupBy(id_col, "__bg__").agg(F.count(F.lit(1)).alias("__c__"))
+        .localCheckpoint(eager=False)
     )
-    tot = bg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_bigrams"))
-    db = bg.distinct()
+    tot = per_gram.groupBy(id_col).agg(F.sum("__c__").alias("n_bigrams"))
+    db = per_gram.select(F.col(id_col), "__bg__")
     docfreq = db.groupBy("__bg__").agg(F.count(F.lit(1)).alias("__nd__"))
     per = (
         db.join(docfreq, "__bg__")
@@ -1013,8 +1022,33 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     tok = df.select(F.col(id_col),
                     F.posexplode(tokens(text_col)).alias("pos", "term"))
     w = Window.partitionBy(id_col).orderBy("pos")
+    # the PROBE pass keeps the lag-window form: its token exchange is
+    # load-bearing — the per-doc collect_list aggregate downstream
+    # reuses the window's hash partitioning and runs exchange-free
+    # (the in-row zip form was A/B'd at sf10: 30.4 → 33.5s, because
+    # the probe then pays an ObjectHashAggregate exchange instead)
     big = tok.withColumn("__prev__", F.lag("term").over(w)) \
         .filter(F.col("__prev__").isNotNull())
+    # r13 (guide §2.1): the bfreq MODEL BUILD, by contrast, needs only
+    # the (prev, term) multiset — no doc id, no position — so its pass
+    # builds adjacent pairs IN-ROW from the token array (two slices
+    # zipped) and goes straight into a map-combined count: the build's
+    # token-level Exchange + Sort (the lag window it shared with the
+    # probe) is gone, leaving a vocab-sized aggregate exchange only.
+    # Not the transform()-lambda form — see shingle_pairs on why;
+    # slice/arrays_zip evaluate the token array as a whole, and the
+    # split() alias is non-cheap + multiply-referenced, so Catalyst
+    # keeps it computed once per row. Pair multiset identical ⇒
+    # counts identical.
+    n1 = F.greatest(F.size("__arr__") - F.lit(1), F.lit(0))
+    bigf = (
+        df.select(tokens(text_col).alias("__arr__"))
+        .select(F.slice("__arr__", 1, n1).alias("__pv__"),
+                F.slice("__arr__", 2, n1).alias("__cv__"))
+        .select(F.explode(F.arrays_zip("__pv__", "__cv__")).alias("__z__"))
+        .select(F.col("__z__")["__pv__"].alias("__prev__"),
+                F.col("__z__")["__cv__"].alias("term"))
+    )
     # r13 (guide §2.4): the naive form pays FIVE passes over the
     # exploded corpus — three of them through the per-doc lag window
     # (bfreq, cfreq, probe) plus two plain explodes (ufreq, total).
@@ -1024,7 +1058,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     # count per __prev__, exact integers) and total-N is Σ __cu__ ==
     # count(*) over tok. 5 corpus passes → 3 (ufreq; bfreq+window;
     # probe+window).
-    bfreq = big.groupBy("__prev__", "term").agg(
+    bfreq = bigf.groupBy("__prev__", "term").agg(
         F.count(F.lit(1)).alias("__cb__")).localCheckpoint(eager=False)
     cfreq = bfreq.groupBy("__prev__").agg(F.sum("__cb__").alias("__cc__"))
     ufreq = tok.groupBy("term").agg(
@@ -1246,11 +1280,14 @@ def dsir_logweights(df: DataFrame, target: Column,
         .select(F.col(id_col), "__tgt__", "pos",
                 F.explode(F.when(F.col("__prev__").isNotNull(), pair)
                           .otherwise(F.slice(pair, 1, 1))).alias("__f__"))
+        # r13 (guide §2.2, project early): bucket the feature string
+        # BEFORE the cache and never materialize it — every consumer
+        # reads only __b__, and the raw feat strings were the widest
+        # column in the cached stream
         .select(F.col(id_col), "__tgt__", "pos",
                 F.col("__f__")["kind"].alias("kind"),
-                F.col("__f__")["feat"].alias("feat"))
-        .withColumn(
-            "__b__", F.pmod(hash60(F.col("feat")), F.lit(n_buckets)))
+                F.pmod(hash60(F.col("__f__")["feat"]), F.lit(n_buckets))
+                .alias("__b__"))
         .cache())
     # ONE pass over the feature stream: raw + target counts per bucket
     # in the same map-combined aggregate; the totals are then scalar
