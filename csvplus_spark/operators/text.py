@@ -534,7 +534,12 @@ def rarity_score(df: DataFrame, text_col: str = "text",
     one per-doc aggregate; N(tokens) is a scalar subquery — fully lazy.
     Returns (id, n_tokens, rarity); token-less docs get rarity 0.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # r13 batch 2 (guide §2.4): explode_OUTER keeps one NULL-term row
+    # per token-less doc, so the per-doc aggregate below covers EVERY
+    # doc and the old restore join (df ids ⟕ per_doc — an extra
+    # parquet scan + Exchange + two Sorts + SortMergeJoin) is gone.
+    tok = df.select(F.col(id_col),
+                    F.explode_outer(tokens(text_col)).alias("term"))
     # r13 (guide §2.4, the bm25 fan-out pattern): freq feeds BOTH the
     # total-tokens scalar and the scoring join, and the scalar subquery
     # executes outside exchange-reuse scope, so without a
@@ -542,7 +547,7 @@ def rarity_score(df: DataFrame, text_col: str = "text",
     # (freq, total, probe). The vocab table is tiny — checkpoint it and
     # DERIVE the total as Σ per-term counts (exactly the same integer
     # as count(*) over tok): 3 corpus explodes → 2.
-    freq = tok.groupBy("term").agg(
+    freq = tok.filter(F.col("term").isNotNull()).groupBy("term").agg(
         F.count(F.lit(1)).alias("__cp_ct__")).localCheckpoint(eager=False)
     total = freq.groupBy().agg(
         F.sum("__cp_ct__").cast("double").alias("t")).scalar()
@@ -550,25 +555,24 @@ def rarity_score(df: DataFrame, text_col: str = "text",
         # explicit broadcast: the vocab table is corpus-sublinear and
         # ALWAYS the right side to ship; the checkpoint above hides
         # the aggregate's size estimate from the planner, which would
-        # otherwise fall back to a full corpus shuffle-join (r13)
-        tok.join(F.broadcast(freq), "term")
+        # otherwise fall back to a full corpus shuffle-join (r13).
+        # LEFT join so the NULL-term rows survive; their __cp_r__ is
+        # NULL, which sum() skips and count() excludes — exactly the
+        # 0-token totals the restore join used to fill in.
+        tok.join(F.broadcast(freq), "term", "left")
         .select(F.col(id_col),
                 F.floor(total / F.col("__cp_ct__")).alias("__cp_r__"))
         .groupBy(id_col)
         .agg(F.sum("__cp_r__").alias("__cp_s__"),
-             F.count(F.lit(1)).alias("n_tokens"))
+             F.count("__cp_r__").alias("n_tokens"))
     )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(
-                F.col("__cp_s__").cast("double") / F.col("n_tokens"),
-                F.lit(0.0),
-            ).alias("rarity"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(
+            F.col("__cp_s__").cast("double") / F.col("n_tokens"),
+            F.lit(0.0),
+        ).alias("rarity"),
     )
 
 
@@ -1019,16 +1023,25 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
+    # r13 batch 2 (guide §2.4): posexplode_OUTER keeps one NULL row per
+    # token-less doc, so per_doc covers EVERY doc and the old restore
+    # join (df ids ⟕ per_doc — an extra parquet scan + Exchange + two
+    # Sorts + SortMergeJoin) is gone.
     tok = df.select(F.col(id_col),
-                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
     w = Window.partitionBy(id_col).orderBy("pos")
     # the PROBE pass keeps the lag-window form: its token exchange is
     # load-bearing — the per-doc collect_list aggregate downstream
     # reuses the window's hash partitioning and runs exchange-free
     # (the in-row zip form was A/B'd at sf10: 30.4 → 33.5s, because
-    # the probe then pays an ObjectHashAggregate exchange instead)
-    big = tok.withColumn("__prev__", F.lag("term").over(w)) \
-        .filter(F.col("__prev__").isNotNull())
+    # the probe then pays an ObjectHashAggregate exchange instead).
+    # No isNotNull filter on __prev__ any more: rows without a
+    # predecessor (each doc's first token, and the NULL row of a
+    # token-less doc) ride through with NULL model counts and are
+    # excluded from the collected list by the when() guard below —
+    # that is exactly the <2-token ⇒ 0.0 contract the restore join
+    # used to re-establish.
+    big = tok.withColumn("__prev__", F.lag("term").over(w))
     # r13 (guide §2.1): the bfreq MODEL BUILD, by contrast, needs only
     # the (prev, term) multiset — no doc id, no position — so its pass
     # builds adjacent pairs IN-ROW from the token array (two slices
@@ -1061,7 +1074,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     bfreq = bigf.groupBy("__prev__", "term").agg(
         F.count(F.lit(1)).alias("__cb__")).localCheckpoint(eager=False)
     cfreq = bfreq.groupBy("__prev__").agg(F.sum("__cb__").alias("__cc__"))
-    ufreq = tok.groupBy("term").agg(
+    ufreq = tok.filter(F.col("term").isNotNull()).groupBy("term").agg(
         F.count(F.lit(1)).alias("__cu__")).localCheckpoint(eager=False)
     total = ufreq.groupBy().agg(
         F.sum("__cu__").cast("double").alias("t")).scalar()
@@ -1072,27 +1085,26 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     per_doc = (
         # explicit broadcasts — see rarity_score: all three count
         # models are vocab-sized, and the checkpoints hide their size
-        # estimates from the planner (r13)
-        big.join(F.broadcast(bfreq), ["__prev__", "term"])
-        .join(F.broadcast(cfreq), "__prev__")
-        .join(F.broadcast(ufreq), "term")
+        # estimates from the planner (r13). LEFT joins: NULL __prev__
+        # never matches, so prev-less rows keep NULL counts ⇒ NULL
+        # __lp__ ⇒ skipped by collect_list via the when() guard (every
+        # scored bigram matches all three models by construction).
+        big.join(F.broadcast(bfreq), ["__prev__", "term"], "left")
+        .join(F.broadcast(cfreq), "__prev__", "left")
+        .join(F.broadcast(ufreq), "term", "left")
         .select(F.col(id_col), "pos", lp.alias("__lp__"))
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "__lp__")))
-             .alias("__a__"))
+        .agg(F.array_sort(F.collect_list(
+            F.when(F.col("__lp__").isNotNull(),
+                   F.struct("pos", "__lp__")))).alias("__a__"))
     )
     fold = F.aggregate(F.col("__a__"), F.lit(0.0),
                        lambda acc, s: acc + s["__lp__"])
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size(F.coalesce(F.col("__a__"), F.array())).cast("long")
-            .alias("n_bigrams"),
-            F.coalesce(F.round(fold / F.size("__a__"), ndigits),
-                       F.lit(0.0)).alias("lp_mean"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("__a__").cast("long").alias("n_bigrams"),
+        F.coalesce(F.round(fold / F.size("__a__"), ndigits),
+                   F.lit(0.0)).alias("lp_mean"),
     )
 
 
@@ -1115,42 +1127,44 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     subquery, one term equi-join, one per-doc aggregate whose
     collect_list is bounded by document length. Fully lazy.
     """
+    # r13 batch 2 (guide §2.4): posexplode_OUTER keeps one NULL row per
+    # token-less doc, so per_doc covers EVERY doc and the old restore
+    # join (df ids ⟕ per_doc — an extra parquet scan + Exchange + two
+    # Sorts + SortMergeJoin) is gone. ccnet_buckets inherits directly.
     tok = df.select(F.col(id_col),
-                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
     # r13 (guide §2.4, same fan-out fix as rarity_score): checkpoint
     # the tiny vocab table and derive total-N from it (Σ __ct__ ==
     # count(*) over tok, exact integers) — the corpus is exploded
     # twice (vocab pass + scoring probe) instead of three times.
-    # ccnet_buckets inherits this directly: the LM pass is its cost.
-    freq = tok.groupBy("term").agg(
+    freq = tok.filter(F.col("term").isNotNull()).groupBy("term").agg(
         F.count(F.lit(1)).alias("__ct__")).localCheckpoint(eager=False)
     total = freq.groupBy().agg(
         F.sum("__ct__").cast("double").alias("t")).scalar()
+    lp = F.log(F.col("__ct__") / total)
     per_doc = (
         # explicit broadcast — see rarity_score (checkpoint hides the
         # vocab aggregate's size estimate; a shuffle-join here would
-        # re-shuffle the exploded corpus by term)
-        tok.join(F.broadcast(freq), "term")
-        .select(F.col(id_col), "pos",
-                F.log(F.col("__ct__") / total).alias("__lp__"))
+        # re-shuffle the exploded corpus by term). LEFT join: the
+        # NULL-term rows ride through with a NULL logprob, and the
+        # when() guard keeps them out of the collected list —
+        # collect_list skips NULLs, so token-less docs get [].
+        tok.join(F.broadcast(freq), "term", "left")
+        .select(F.col(id_col), "pos", lp.alias("__lp__"))
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "__lp__")))
-             .alias("__a__"))
+        .agg(F.array_sort(F.collect_list(
+            F.when(F.col("__lp__").isNotNull(),
+                   F.struct("pos", "__lp__")))).alias("__a__"))
     )
     fold = F.aggregate(F.col("__a__"), F.lit(0.0),
                        lambda acc, s: acc + s["__lp__"])
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            # size(NULL) is -1 under legacy sizeOfNull — coalesce the
-            # ARRAY, not the size
-            F.size(F.coalesce(F.col("__a__"), F.array())).cast("long")
-            .alias("n_tokens"),
-            F.coalesce(F.round(fold / F.size("__a__"), ndigits),
-                       F.lit(0.0)).alias("lp_mean"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("__a__").cast("long").alias("n_tokens"),
+        # fold/0 is NULL under non-ANSI division — coalesce restores
+        # the 0.0 score for token-less docs
+        F.coalesce(F.round(fold / F.size("__a__"), ndigits),
+                   F.lit(0.0)).alias("lp_mean"),
     )
 
 
@@ -1256,8 +1270,14 @@ def dsir_logweights(df: DataFrame, target: Column,
     if n_buckets <= 0:
         raise ValueError(f"dsir_logweights: n_buckets must be > 0, "
                          f"got {n_buckets}")
+    # r13 batch 2 (guide §2.4): posexplode_OUTER keeps one NULL row
+    # per token-less doc, so per_doc covers EVERY doc and the old
+    # restore join (df ids ⟕ per_doc — an extra parquet scan +
+    # Exchange + two Sorts + SortMergeJoin) is gone. The NULL row's
+    # feature hashes to a NULL bucket (md5 is NULL-propagating), so
+    # the isNotNull filter below keeps it out of the count models.
     tok = df.select(F.col(id_col), target.alias("__tgt__"),
-                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
     w = Window.partitionBy(id_col).orderBy("pos")
     # r13 (guide §2.4): the previous union-of-branches form tokenized
     # the corpus TWICE to build the feature stream (a plain explode
@@ -1298,7 +1318,7 @@ def dsir_logweights(df: DataFrame, target: Column,
     # pointed, each total re-scans the cached exploded corpus. The
     # checkpoint makes the totals read ≤n_buckets rows instead: passes
     # over the (cached) feature stream drop 4 → 2.
-    cts = feats.groupBy("__b__").agg(
+    cts = feats.filter(F.col("__b__").isNotNull()).groupBy("__b__").agg(
         F.count(F.lit(1)).alias("__cr__"),
         F.sum(F.when(F.col("__tgt__"), 1).otherwise(0)).alias("__ct__")) \
         .localCheckpoint(eager=False)
@@ -1314,24 +1334,23 @@ def dsir_logweights(df: DataFrame, target: Column,
            - F.log(t_tot + F.lit(float(n_buckets))))
     model = cts.select("__b__", lnr.alias("__lnr__"))  # ≤ n_buckets rows
     per_doc = (
-        feats.join(F.broadcast(model), "__b__")
+        # LEFT join: the NULL-bucket row of a token-less doc rides
+        # through with a NULL __lnr__ and the when() guard keeps it
+        # out of the collected list (collect_list skips NULLs); every
+        # real feature matches the model by construction.
+        feats.join(F.broadcast(model), "__b__", "left")
         .groupBy(id_col)
-        .agg(F.array_sort(
-            F.collect_list(F.struct("pos", "kind", "__lnr__")))
-            .alias("__a__"))
+        .agg(F.array_sort(F.collect_list(
+            F.when(F.col("__lnr__").isNotNull(),
+                   F.struct("pos", "kind", "__lnr__")))).alias("__a__"))
     )
     fold = F.aggregate(F.col("__a__"), F.lit(0.0),
                        lambda acc, s: acc + s["__lnr__"])
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size(F.coalesce(F.col("__a__"), F.array())).cast("long")
-            .alias("n_feats"),
-            F.coalesce(F.round(fold, ndigits), F.lit(0.0))
-            .alias("dsir_logw"),
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("__a__").cast("long").alias("n_feats"),
+        F.coalesce(F.round(fold, ndigits), F.lit(0.0))
+        .alias("dsir_logw"),
     )
 
 
@@ -1420,37 +1439,44 @@ def hashed_linear_scorer(df: DataFrame, label: Column,
     if n_buckets <= 0:
         raise ValueError(f"hashed_linear_scorer: n_buckets must be > 0,"
                          f" got {n_buckets}")
+    # r13 batch 2 (guide §2.4): posexplode_OUTER keeps one NULL row
+    # per token-less doc, so per_doc covers EVERY doc and the old
+    # restore join (df ids ⟕ per_doc — an extra parquet scan +
+    # Exchange + two Sorts + SortMergeJoin) is gone. The NULL term
+    # hashes to a NULL bucket (md5 is NULL-propagating); the model
+    # aggregate filters it out and the scoring side guards it.
     tok = df.select(F.col(id_col), label.cast("int").alias("__y__"),
-                    F.posexplode(tokens(text_col)).alias("pos", "term"))
+                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
     feats = tok.withColumn(
         "__b__", F.pmod(hash60(F.col("term")), F.lit(n_buckets)))
     # per (doc, bucket) counts first: Σx² needs the square of the
     # PER-DOC count, not the corpus occurrence count
     xb = feats.groupBy(id_col, "__y__", "__b__").agg(
         F.count(F.lit(1)).alias("__x__"))
-    stats = xb.groupBy("__b__").agg(
+    stats = xb.filter(F.col("__b__").isNotNull()).groupBy("__b__").agg(
         F.sum(F.col("__x__") * F.col("__y__")).alias("__sxy__"),
         F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"))
     w = (F.col("__sxy__").cast("double")
          / (F.col("__sxx__") + F.lit(l2)))
     model = stats.select("__b__", w.alias("__w__"))  # ≤ n_buckets rows
     per_doc = (
-        xb.join(F.broadcast(model), "__b__")
+        # LEFT join + guards: a token-less doc's single NULL-bucket
+        # row contributes neither a list entry nor a token count
+        xb.join(F.broadcast(model), "__b__", "left")
         .groupBy(id_col)
-        .agg(F.array_sort(
-            F.collect_list(F.struct("__b__",
-                                    (F.col("__x__") * F.col("__w__"))
-                                    .alias("__t__")))).alias("__a__"),
-             F.sum("__x__").alias("n_tokens"))
+        .agg(F.array_sort(F.collect_list(
+            F.when(F.col("__b__").isNotNull(),
+                   F.struct("__b__",
+                            (F.col("__x__") * F.col("__w__"))
+                            .alias("__t__"))))).alias("__a__"),
+             F.sum(F.when(F.col("__b__").isNotNull(), F.col("__x__")))
+             .alias("n_tokens"))
     )
     fold = F.aggregate(F.col("__a__"), F.lit(0.0),
                        lambda acc, s: acc + s["__t__"])
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(F.col(id_col),
-                F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
-                .alias("n_tokens"),
-                F.coalesce(F.round(fold, ndigits), F.lit(0.0))
-                .alias("lin_score"))
-    )
+    return per_doc.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.round(fold, ndigits), F.lit(0.0))
+        .alias("lin_score"))
