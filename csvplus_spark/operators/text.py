@@ -1027,14 +1027,23 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     # token-less doc, so per_doc covers EVERY doc and the old restore
     # join (df ids ⟕ per_doc — an extra parquet scan + Exchange + two
     # Sorts + SortMergeJoin) is gone.
-    tok = df.select(F.col(id_col),
-                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
+    # r13 batch 3 (guide §2.3): the probe repartitions the DOC rows by
+    # id BEFORE tokenizing — hash(id) satisfies the lag window's
+    # distribution AND the per-doc aggregate downstream, so the
+    # probe's corpus exchange carries raw text (~6 B/token) instead of
+    # exploded (id, pos, term) rows (~4x wider); the window keeps only
+    # its per-partition sort.
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col),
+                   F.posexplode_outer(tokens(text_col))
+                   .alias("pos", "term")))
     w = Window.partitionBy(id_col).orderBy("pos")
-    # the PROBE pass keeps the lag-window form: its token exchange is
-    # load-bearing — the per-doc collect_list aggregate downstream
-    # reuses the window's hash partitioning and runs exchange-free
-    # (the in-row zip form was A/B'd at sf10: 30.4 → 33.5s, because
-    # the probe then pays an ObjectHashAggregate exchange instead).
+    # the PROBE pass keeps the lag-window form: its per-doc exchange
+    # is load-bearing — the collect_list aggregate downstream reuses
+    # the window's hash partitioning and runs exchange-free (the
+    # in-row zip form was A/B'd at sf10: 30.4 → 33.5s, because the
+    # probe then pays an ObjectHashAggregate exchange instead).
     # No isNotNull filter on __prev__ any more: rows without a
     # predecessor (each doc's first token, and the NULL row of a
     # token-less doc) ride through with NULL model counts and are
@@ -1074,8 +1083,12 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     bfreq = bigf.groupBy("__prev__", "term").agg(
         F.count(F.lit(1)).alias("__cb__")).localCheckpoint(eager=False)
     cfreq = bfreq.groupBy("__prev__").agg(F.sum("__cb__").alias("__cc__"))
-    ufreq = tok.filter(F.col("term").isNotNull()).groupBy("term").agg(
-        F.count(F.lit(1)).alias("__cu__")).localCheckpoint(eager=False)
+    # vocab pass on the unrepartitioned scan (see unigram_logprob —
+    # its map-side partials beat a corpus exchange); plain explode:
+    # no NULL row to filter
+    ufreq = (df.select(F.explode(tokens(text_col)).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("__cu__"))
+             .localCheckpoint(eager=False))
     total = ufreq.groupBy().agg(
         F.sum("__cu__").cast("double").alias("t")).scalar()
     lp = F.log(
@@ -1131,14 +1144,28 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     # token-less doc, so per_doc covers EVERY doc and the old restore
     # join (df ids ⟕ per_doc — an extra parquet scan + Exchange + two
     # Sorts + SortMergeJoin) is gone. ccnet_buckets inherits directly.
-    tok = df.select(F.col(id_col),
-                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
+    #
+    # r13 batch 3 (guide §2.3): the probe repartitions the DOC rows by
+    # id BEFORE tokenizing — hash(id) satisfies the per-doc aggregate,
+    # so the probe's corpus exchange carries raw text (~6 B/token)
+    # instead of the aggregate's per-doc struct lists (~16 B/token)
+    # and the collect_list runs single-phase. The VOCAB pass stays on
+    # the unrepartitioned scan (its map-side partials already shrink
+    # it to vocab-sized rows before its exchange — repartitioning that
+    # pass would ADD a corpus exchange for nothing).
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col),
+                   F.posexplode_outer(tokens(text_col))
+                   .alias("pos", "term")))
     # r13 (guide §2.4, same fan-out fix as rarity_score): checkpoint
     # the tiny vocab table and derive total-N from it (Σ __ct__ ==
-    # count(*) over tok, exact integers) — the corpus is exploded
-    # twice (vocab pass + scoring probe) instead of three times.
-    freq = tok.filter(F.col("term").isNotNull()).groupBy("term").agg(
-        F.count(F.lit(1)).alias("__ct__")).localCheckpoint(eager=False)
+    # count(*) over the token stream, exact integers) — the corpus is
+    # exploded twice (vocab pass + scoring probe) instead of three
+    # times. Plain (inner) explode here: no NULL row to filter.
+    freq = (df.select(F.explode(tokens(text_col)).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("__ct__"))
+            .localCheckpoint(eager=False))
     total = freq.groupBy().agg(
         F.sum("__ct__").cast("double").alias("t")).scalar()
     lp = F.log(F.col("__ct__") / total)
@@ -1276,8 +1303,17 @@ def dsir_logweights(df: DataFrame, target: Column,
     # Exchange + two Sorts + SortMergeJoin) is gone. The NULL row's
     # feature hashes to a NULL bucket (md5 is NULL-propagating), so
     # the isNotNull filter below keeps it out of the count models.
-    tok = df.select(F.col(id_col), target.alias("__tgt__"),
-                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
+    # r13 batch 3 (guide §2.3): repartition the DOC rows by id BEFORE
+    # tokenizing — hash(id) satisfies the lag window's distribution,
+    # so the corpus exchange carries raw text (~6 B/token) instead of
+    # exploded (id, tgt, pos, term) rows (~4-6x wider); the window
+    # keeps only its per-partition sort.
+    tok = (df.select(F.col(id_col), target.alias("__tgt__"),
+                     F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col), "__tgt__",
+                   F.posexplode_outer(tokens(text_col))
+                   .alias("pos", "term")))
     w = Window.partitionBy(id_col).orderBy("pos")
     # r13 (guide §2.4): the previous union-of-branches form tokenized
     # the corpus TWICE to build the feature stream (a plain explode
@@ -1445,14 +1481,37 @@ def hashed_linear_scorer(df: DataFrame, label: Column,
     # Exchange + two Sorts + SortMergeJoin) is gone. The NULL term
     # hashes to a NULL bucket (md5 is NULL-propagating); the model
     # aggregate filters it out and the scoring side guards it.
-    tok = df.select(F.col(id_col), label.cast("int").alias("__y__"),
-                    F.posexplode_outer(tokens(text_col)).alias("pos", "term"))
+    #
+    # r13 batch 3 (guide §2.3/§2.4): repartition the DOC rows by id
+    # BEFORE tokenizing. hash(id) satisfies the (id, y, b) grouping,
+    # so the (doc, bucket) count aggregate runs exchange-free in the
+    # checkpoint-build plan — its one exchange carries the raw text
+    # (~bytes of the corpus) instead of exploded (doc, bucket) rows,
+    # which are WIDER than the text they derive from (a token-count
+    # doc emits ~distinct-buckets × 32 B vs the text's ~6 B/token).
+    # (localCheckpoint does NOT preserve partitioning — the scoring
+    # fold below still pays its one (doc, bucket)-level exchange, the
+    # plan's only remaining data-sized one.)
+    tok = (df.select(F.col(id_col), label.cast("int").alias("__y__"),
+                     F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col), "__y__",
+                   F.posexplode_outer(tokens(text_col))
+                   .alias("pos", "term")))
     feats = tok.withColumn(
         "__b__", F.pmod(hash60(F.col("term")), F.lit(n_buckets)))
     # per (doc, bucket) counts first: Σx² needs the square of the
-    # PER-DOC count, not the corpus occurrence count
+    # PER-DOC count, not the corpus occurrence count.
+    # r13 batch 3: xb fans out to BOTH the model aggregate and the
+    # scoring join, and the two subtrees never canonicalize (the
+    # model branch's NULL-bucket filter pushes below the aggregate),
+    # so uncheckpointed the corpus is tokenized+exploded TWICE (plan
+    # audit: 2 Generate / 2 parquet scans). The lazy localCheckpoint
+    # (the bm25/ccnet fan-out pattern) guarantees one pass; xb is the
+    # (doc, bucket) aggregate, ~tokens/bucket-collisions smaller than
+    # the exploded stream.
     xb = feats.groupBy(id_col, "__y__", "__b__").agg(
-        F.count(F.lit(1)).alias("__x__"))
+        F.count(F.lit(1)).alias("__x__")).localCheckpoint(eager=False)
     stats = xb.filter(F.col("__b__").isNotNull()).groupBy("__b__").agg(
         F.sum(F.col("__x__") * F.col("__y__")).alias("__sxy__"),
         F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"))
