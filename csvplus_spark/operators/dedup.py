@@ -740,6 +740,11 @@ def semantic_dedup(
     if n_cells < 1:
         raise ValueError(f"semantic_dedup: n_cells must be >= 1, got {n_cells}")
     collapse = collapse and threshold <= 1.0 - 1e-12
+    # r13 (guide §2.5): fan out before the per-vector fingerprint /
+    # norm folds — the embeddings parquet reads as 1-2 row groups at
+    # bench scales (see similarity.seed_voronoi_distances); the
+    # n_cells count above stays on the un-fanned frame
+    v = v.repartition(F.col(id_col))
     members = None
     if collapse:
         # fingerprint = md5 of the exact double-array rendering (the
@@ -1280,9 +1285,14 @@ def embedding_near_pairs(
     """
     from .similarity import cosine, hyperplane_bits, with_double_vec
 
+    # r13 (guide §2.5): fan out before the per-vector hyperplane /
+    # grid-cell folds — the embeddings parquet reads as 1-2 row groups
+    # at bench scales, so the bit/cell computation otherwise runs on
+    # 1-2 cores (see similarity.seed_voronoi_distances)
     v = with_double_vec(emb, vec_col).select(
         F.col(id_col), F.col("__vec__"),
-        *([F.col(block_col)] if block_col else []))
+        *([F.col(block_col)] if block_col else [])) \
+        .repartition(F.col(id_col))
 
     if block_col is not None or method == "allpairs":
         a, b = v.alias("a"), v.alias("b")

@@ -77,8 +77,13 @@ def brute_force_topk(
     """
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("__vec__").alias("__qv__"))
+    # r13 (guide §2.5): fan the corpus side out before the |q|·n cosine
+    # folds — the embeddings parquet reads as 1-2 row groups at bench
+    # scales, so the scoring stage otherwise runs on 1-2 cores (see
+    # seed_voronoi_distances; the query side stays tiny and un-fanned)
     c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__"))
+        F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__")) \
+        .repartition(F.col("corpus_id"))
     cond = F.col("query_id") != F.col("corpus_id") if exclude_self else F.lit(True)
     scored = (
         c.join(F.broadcast(q), cond)
@@ -286,7 +291,13 @@ def seed_voronoi_distances(v: DataFrame, n_cells: int,
         F.col("__cents__"),
         lambda s: F.struct(d2(F.col("__vec__"), s["centroid"])
                            .alias("__d2__"), s["cell"].alias("cell")))
-    return (v.crossJoin(packed)
+    # r13 (guide §2.5): the embeddings parquet compresses to 1-2 row
+    # groups at bench scales, so this n·cells fold — the assignment's
+    # whole compute — ran on 1-2 cores. One id-keyed repartition of
+    # the narrow (id, vec) rows fans it out to full width (measured on
+    # kmeans's identical fold: sf10 0.32x); the seeds collect above
+    # stays on the un-fanned frame.
+    return (v.repartition(F.col(id_col)).crossJoin(packed)
             .withColumn("__ds__", ds)
             .drop("__cents__"))
 
@@ -882,8 +893,14 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
                 .select(id_col, "__vec__",
                         best["__cell__"].alias("cell")))
 
+    # r13 (guide §2.5): the embeddings parquet compresses to 1-2 row
+    # groups at bench scales, so the in-row d² folds — this operator's
+    # entire compute — ran on 1-2 cores regardless of machine width.
+    # One id-keyed repartition of the narrow (id, vec) rows fans every
+    # assignment pass out to full parallelism; all downstream
+    # exchanges are the tiny ≤k·d update aggregates either way.
     v = with_double_vec(df.select(id_col, vec_col), vec_col)
-    v = v.select(id_col, "__vec__")
+    v = v.select(id_col, "__vec__").repartition(F.col(id_col))
     seeds = v.orderBy(F.col(id_col)).limit(k)
     cent = seeds.select(F.col(id_col).alias("__cell__"),
                         F.col("__vec__").alias("__cent__"))
@@ -945,7 +962,10 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
         dim = first[0][0]
     if dim % m:
         raise ValueError(f"pq_codebooks: m={m} must divide dim={dim}")
-    subs = v.select(
+    # r13 (guide §2.5): fan out before the per-iteration n·m·k folds
+    # (see seed_voronoi_distances); the seed collect below stays on
+    # the un-fanned frame
+    subs = v.repartition(F.col(id_col)).select(
         id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
         .alias("sub", "__svec__"))
     # bounded k-row driver collect for the seed→cell numbering (same
@@ -1019,7 +1039,9 @@ def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 8,
         dim = first[0][0]
     if dim % m:
         raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
-    subs = v.select(
+    # r13 (guide §2.5): fan out before the n·m·k encode folds (see
+    # seed_voronoi_distances — 1-2 row-group scans serialize them)
+    subs = v.repartition(F.col(id_col)).select(
         id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
         .alias("sub", "__svec__"))
 
@@ -1283,8 +1305,12 @@ def kcenter_select(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     d2 = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, v: acc + v)
+    # r13 (guide §2.5): fan out before caching — every round's d² folds
+    # read the cached partitions, which otherwise mirror the 1-2
+    # row-group scan (see seed_voronoi_distances)
     v = (with_double_vec(df.select(id_col, vec_col))
          .select(F.col(id_col).alias("vid"), F.col("__vec__").alias("e"))
+         .repartition(F.col("vid"))
          .cache())
     c = (v.orderBy("vid").limit(1)
          .select(F.col("vid").alias("cid"), F.col("e").alias("ce")))
