@@ -1244,6 +1244,52 @@ def dup_clusters_collapsed(docs: DataFrame, threshold: float = 0.6,
     )
 
 
+def _expand_collapsed_pairs(rp: DataFrame, members: DataFrame,
+                            grp: DataFrame, id_col: str,
+                            threshold: float, method: str) -> DataFrame:
+    """Expand rep-level near-pairs back to id pairs (the
+    ``embedding_near_pairs`` exact-duplicate collapse, output side).
+
+    ``rp`` holds (id_1, id_2, sim) over group REPRESENTATIVES —
+    already threshold-filtered, so the expansion is a pure fan-out:
+    cross-group pairs via two rep-keyed joins (least/greatest restores
+    the id_1 < id_2 orientation: a member of the lower-rep group can
+    carry a higher id than its counterpart), intra-group pairs from
+    groups of ≥2 identical vectors, their sim computed ONCE per group
+    with the SAME expression the method applies to any pair — equal
+    arrays give the identical double, so values match the plain path
+    bit-for-bit.
+    """
+    from .similarity import _dot, _norm, cosine
+
+    vec = F.col("__vec__")
+    if method == "lsh":
+        self_sim = _dot(vec, vec) / (_norm(vec) * _norm(vec))
+    else:
+        self_sim = cosine(vec, vec)
+    # groups of ≥2 identical vectors enter as rep-level SELF-pairs
+    # (id_1 == id_2 == rep), so one double-join expands cross-group
+    # and intra-group pairs together; the filter keeps each unordered
+    # intra pair once and least/greatest restores id_1 < id_2 for
+    # cross pairs whose member ids straddle the rep order
+    dup = (grp.filter(F.col("__g__") >= 2)
+           .select(F.col("__rep__").alias("id_1"),
+                   F.col("__rep__").alias("id_2"),
+                   self_sim.alias("sim"))
+           .filter(F.col("sim") >= threshold))
+    m1 = members.select(F.col("__rep__").alias("id_1"),
+                        F.col(id_col).alias("__i1__"))
+    m2 = members.select(F.col("__rep__").alias("id_2"),
+                        F.col(id_col).alias("__i2__"))
+    return (rp.unionByName(dup)
+            .join(m1, "id_1").join(m2, "id_2")
+            .filter((F.col("id_1") != F.col("id_2"))
+                    | (F.col("__i1__") < F.col("__i2__")))
+            .select(F.least("__i1__", "__i2__").alias("id_1"),
+                    F.greatest("__i1__", "__i2__").alias("id_2"),
+                    "sim"))
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -1255,6 +1301,7 @@ def embedding_near_pairs(
     n_bits: int = 4,
     n_tables: int = 8,
     dim: int = 64,
+    collapse: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim) with
     cosine ≥ threshold.
@@ -1282,6 +1329,25 @@ def embedding_near_pairs(
 
     With ``block_col`` set, pairs are restricted to equal user-provided
     blocks (equi-join on the block key).
+
+    ``collapse=True`` (default, r13) applies the exact-duplicate
+    collapse of :func:`semantic_dedup` / :func:`simhash_near_pairs` to
+    the ``grid`` and ``lsh`` paths: identical vectors share every grid
+    block comparison outcome and every LSH bucket (both depend only on
+    the vector values), and cosine is a pure function of the two
+    vectors — so the quadratic stages (BLAS prefilter, candidate
+    distinct, exact rescore) run over one min-id representative per
+    distinct vector, and the result is expanded back to id pairs
+    through the membership table (cross-group pairs via two rep-keyed
+    joins, intra-group pairs rescored ONCE per group with the same sim
+    expression). Output is byte-identical to the uncollapsed form at
+    any duplication factor, while candidate volume drops from
+    O((n·f)²) to O(n²) + output-sized expansion — at duplication
+    factor f the per-pair shuffle and fold work shrinks by f².
+    Zero-norm / NULL / partial-NULL vectors never collapse (their
+    pairwise sim is NULL in the plain path, so they must stay
+    singletons); ``grid_jvm`` stays uncollapsed as the independent
+    reference form the parity tests check the collapsed paths against.
     """
     from .similarity import cosine, hyperplane_bits, with_double_vec
 
@@ -1306,6 +1372,36 @@ def embedding_near_pairs(
             .select(F.col(f"a.{id_col}").alias("id_1"),
                     F.col(f"b.{id_col}").alias("id_2"), "sim")
         )
+
+    # exact-duplicate collapse (see docstring): run the quadratic
+    # stages over one rep per distinct vector, expand at the end.
+    # Fingerprint = md5 of the exact double-array rendering (the
+    # semantic_dedup pattern); rows whose squared norm is not a real
+    # positive number (NULL vector, NULL element, zero norm) get a
+    # unique per-id fingerprint so they stay singletons — their
+    # pairwise sim is NULL in the plain path and never links them.
+    collapsed = collapse and method in ("grid", "lsh")
+    members = grp = None
+    if collapsed:
+        sq = F.aggregate(F.transform(F.col("__vec__"), lambda x: x * x),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        collapsible = F.coalesce(sq > 0.0, F.lit(False))
+        fp = F.when(collapsible, F.md5(F.col("__vec__").cast("string"))) \
+            .otherwise(F.concat(F.lit("z:"), F.col(id_col).cast("string")))
+        vg = v.withColumn("__fp__", fp)
+        # grp feeds the method pipeline, the membership join AND the
+        # intra-group self-sim; members feeds four expansion joins —
+        # both pinned lazily so the fingerprint pass runs once
+        grp = vg.groupBy("__fp__").agg(
+            F.min(id_col).alias("__rep__"),
+            F.min_by("__vec__", F.col(id_col)).alias("__vec__"),
+            F.count(F.lit(1)).alias("__g__"),
+        ).localCheckpoint(eager=False)
+        members = (vg.select(F.col(id_col), "__fp__")
+                   .join(grp.select("__fp__", "__rep__"), "__fp__")
+                   .select(F.col(id_col), "__rep__")
+                   .localCheckpoint(eager=False))
+        v = grp.select(F.col("__rep__").alias(id_col), "__vec__")
 
     if method == "lsh":
         planes = F.array(*[
@@ -1392,13 +1488,16 @@ def embedding_near_pairs(
         v2 = vn.select(F.col(id_col).alias("id_2"),
                        F.col("__vec__").alias("__v2__"),
                        F.col("__nrm__").alias("__n2__"))
-        return (
+        rp = (
             cand.join(v1, "id_1").join(v2, "id_2")
             .withColumn("sim", _dot(F.col("__v1__"), F.col("__v2__"))
                         / (F.col("__n1__") * F.col("__n2__")))
             .filter(F.col("sim") >= threshold)
             .select("id_1", "id_2", "sim")
         )
+        return _expand_collapsed_pairs(rp, members, grp, id_col,
+                                       threshold, method) \
+            if collapsed else rp
 
     if method not in ("grid", "grid_jvm"):
         raise ValueError(f"unknown method: {method!r}")
@@ -1481,12 +1580,14 @@ def embedding_near_pairs(
     )
     v1 = v.select(F.col(id_col).alias("id_1"), F.col("__vec__").alias("__v1__"))
     v2 = v.select(F.col(id_col).alias("id_2"), F.col("__vec__").alias("__v2__"))
-    return (
+    rp = (
         cand.join(v1, "id_1").join(v2, "id_2")
         .withColumn("sim", cosine(F.col("__v1__"), F.col("__v2__")))
         .filter(F.col("sim") >= threshold)
         .select("id_1", "id_2", "sim")
     )
+    return _expand_collapsed_pairs(rp, members, grp, id_col,
+                                   threshold, method) if collapsed else rp
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,

@@ -226,6 +226,36 @@ def test_embedding_lsh_is_exact_subset(spark, sf_dir):
         assert r["sim"] == naive[(r["id_1"], r["id_2"])]
 
 
+def test_embedding_collapsed_identity(spark, sf_dir):
+    """embedding_near_pairs collapse=True (r13 default) == collapse=False
+    on a corpus with injected exact-duplicate vectors, for BOTH the grid
+    and lsh paths — pair set AND bit-exact sims, including the
+    intra-group (identical-vector) pairs; a zero-vector twin pair must
+    stay absent from both outputs (NULL cosine never links)."""
+    from csvplus_spark.operators.dedup import embedding_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").df \
+        .select("vec_id", "embedding").limit(120)
+    copies = emb.limit(30).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    copies2 = emb.limit(7).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    zeros = spark.createDataFrame(
+        [(9_000_001, [0.0] * 64), (9_000_002, [0.0] * 64)],
+        "vec_id long, embedding array<float>")
+    corpus = emb.unionByName(copies).unionByName(copies2).unionByName(zeros)
+    for m in ("grid", "lsh"):
+        plain = {(r["id_1"], r["id_2"], r["sim"])
+                 for r in embedding_near_pairs(
+                     corpus, 0.4, method=m, collapse=False).collect()}
+        fast = {(r["id_1"], r["id_2"], r["sim"])
+                for r in embedding_near_pairs(corpus, 0.4, method=m).collect()}
+        assert fast == plain, m
+        # the injected copies alone form intra-group pairs
+        assert any(i + 1_000_000 == j for i, j, _ in plain), m
+        assert not any(i == 9_000_001 for i, j, _ in plain), m
+
+
 @pytest.mark.parametrize("n_bits", [32, 60])
 def test_simhash_chunked_matches_allpairs(spark, sf_dir, n_bits):
     """Pigeonhole blocking loses no pair, at BOTH hash widths — 60 is
