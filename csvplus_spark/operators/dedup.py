@@ -54,6 +54,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact dedup on the normalized-text fingerprint: every doc mapped
     to the smallest doc id sharing its fingerprint (canonical id).
     One groupBy on a 32-char key — the 100 TB-safe exact dedup."""
+    # r13 batch 5 probe, NOT kept: a lazy localCheckpoint on fp (the
+    # bm25/ccnet fan-out pattern) was A/B'd and REVERTED — the two fp
+    # consumers shuffle by the same key, so AQE's runtime exchange
+    # reuse already computes the fingerprint pass once (direct query:
+    # parity), while the collapsed dedup variants wrap exact_dedup in
+    # their own .cache() and the nested checkpoint only added a second
+    # materialization + unknown-size SMJ flips (dedup_minhash_fast
+    # 1.33x, dedup_keep_best_fast 1.13x local).
     fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     canon = fp.groupBy("fp").agg(F.min(id_col).alias("canonical_id"))
     return (
@@ -75,10 +83,21 @@ def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = df.select(
-        F.col(id_col).alias("__id__"),
-        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
-    )
+    # r13 batch 5 (guide §2.3/§2.5): repartition the DOC rows by id
+    # BEFORE tokenizing — the same move as the LM probe passes
+    # (text.py::unigram_logprob). Two effects: the window's exchange
+    # used to carry exploded (id, pos, token) rows (~4x the text
+    # bytes) and now carries raw text once, with the window keeping
+    # only its per-partition sort (hash(id) satisfies it, and the
+    # (id, shingle) distinct + per-doc size aggregates downstream
+    # reuse the same partitioning); and the tokenize+explode first
+    # stage runs at full machine width instead of at the scan's
+    # row-group count (1 at sf0.1, 5 at sf10 — the compressed corpus
+    # parquet reads as a handful of splits however many cores exist).
+    tok = (df.select(F.col(id_col).alias("__id__"), F.col(text_col))
+           .repartition(F.col("__id__"))
+           .select("__id__",
+                   F.posexplode(tokens(text_col)).alias("__pos__", "__tok__")))
     w = Window.partitionBy("__id__").orderBy("__pos__")
     leads = [F.lead("__tok__", j).over(w) for j in range(1, k)]
     return (

@@ -694,7 +694,16 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     measured ~4× slower. Outputs are value-identical to the scalar
     forms (and to the DuckDB oracle).
     """
-    tok = df.select(
+    # r13 batch 5 (guide §2.3/§2.4): both subtrees read ONE id-keyed
+    # repartition of the doc rows — the per-doc aggregate and the
+    # base⋈agg join are then exchange-free (hash(id) satisfies both),
+    # so the single corpus exchange carries raw text instead of
+    # exploded token rows, and the tokenize/regexp/fingerprint work
+    # runs at full machine width instead of the scan's row-group
+    # count (1 split at sf0.1, 5 at sf10).
+    src = df.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col))
+    tok = src.select(
         F.col(id_col),
         F.explode_outer(tokens(text_col)).alias("__tok__"),
     )
@@ -707,7 +716,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.sum(F.length("__tok__")).alias("__tok_chars__"),
         *lang_counts,
     )
-    base = df.select(
+    base = src.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars_computed"),
         (F.length(F.col(text_col))

@@ -337,3 +337,31 @@ def test_bm25_single_explode_via_checkpoint(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "bm25")
     assert "Generate" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_text_stats_single_doc_exchange(spark, sf_dir):
+    """r13 batch 5: both text_stats subtrees (per-doc token aggregate
+    and the base projection) read ONE id-keyed repartition of the doc
+    rows, so the per-doc groupBy and the base⋈agg join are satisfied
+    by hash(id) and add no exchange of exploded token rows. Pin it:
+    every Exchange in the plan is the doc-level hashpartitioning on
+    the id column (plus broadcast builds) — no token-level or
+    aggregate-keyed exchange appears."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_stats")
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert shuffles, "expected the doc-level repartition exchange"
+    assert all(s.startswith("doc_id") for s in shuffles), shuffles
+
+
+def test_shingle_window_rides_doc_repartition(spark, sf_dir):
+    """r13 batch 5: shingle_pairs repartitions DOC rows by id before
+    tokenizing (guide §2.3) — the per-doc lead window and the
+    (id, shingle) distinct then reuse hash(id), so no exchange of
+    exploded (id, pos, token) rows exists anywhere in the plan. Pin
+    on dedup_ngram: every hashpartitioning exchange keys on the doc
+    id or on shingle-join keys, never on (id, pos)."""
+    plan = _plan(spark, sf_dir, "dedup_ngram")
+    assert "Exchange hashpartitioning(__pos__" not in plan
+    assert "hashpartitioning(__id__#" in plan  # the doc repartition
