@@ -214,10 +214,16 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_bits=60 (measured 0.99s vs 4.92s at sf0.1 — branchy CASE sums
     scale badly with aggregate width).
     """
-    tok = df.select(
+    # r13 batch 6 (guide §2.3/§2.5): doc-level repartition before the
+    # tokenize+md5 stage — the per-doc vote aggregate reuses hash(id)
+    # (no exchange of token rows) and the per-token md5 work runs at
+    # full machine width instead of the scan's row-group count
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("__tok__"),
-    ).withColumn("__h__", hash60(F.col("__tok__")))
+    )).withColumn("__h__", hash60(F.col("__tok__")))
     sums = [
         F.sum(
             F.shiftrightunsigned(F.col("__h__"), b)
@@ -250,10 +256,16 @@ def repetition_stats(df: DataFrame, n: int = 5, text_col: str = "text",
 
     if n < 1:
         raise ValueError(f"repetition_stats requires n >= 1, got {n}")
-    tok = df.select(
+    # r13 batch 6 (guide §2.3): doc-level repartition — the lead
+    # window and both per-doc aggregates reuse hash(id), so the one
+    # corpus exchange carries raw text instead of (id, pos, token)
+    # rows, and tokenize runs at full width (see shingle_pairs)
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
-    )
+    ))
     w_ = Window.partitionBy(id_col).orderBy("__pos__")
     leads = [F.lead("__tok__", j).over(w_) for j in range(1, n)]
     # n=1: every token is its own gram — no lead columns, no window
@@ -491,6 +503,13 @@ def remove_boilerplate(df: DataFrame, min_docs: int = 5,
     by document size, no window, no global sort.
     """
     hot = boilerplate_lines(df, min_docs, text_col, id_col).select("line")
+    # r13 batch 6 probe, NOT kept: the doc-level repartition applied to
+    # the other per-doc aggregates was A/B'd here and REVERTED
+    # (sf10 53-66s → 74-91s): the broadcast anti-join below is highly
+    # selective on a boilerplate-heavy corpus, so the OLD shape's
+    # exchange carries only the few SURVIVING lines — repartitioning
+    # first ships the full text before the filter (guide §2.3: filter
+    # before the exchange beats widening it).
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -590,7 +609,17 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # r13 batch 6 (guide §2.3): unlike the vocab passes (whose
+    # map-side partials shrink to vocab-sized rows, so a doc
+    # repartition only adds bytes — measured loss, unigram_logprob),
+    # the (doc, term) aggregate's exchange is CORPUS-sized. The
+    # id-keyed repartition makes that groupBy exchange-free (hash(id)
+    # satisfies it), so the one corpus exchange carries raw text
+    # instead of (doc, term) partial counts, and tokenize runs at full
+    # machine width instead of the scan's row-group count.
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # r13 (verdict item 4): the trivially-true ``tf > 0`` filter blocks
     # column pruning on this branch — without it Catalyst prunes tf's
@@ -639,7 +668,12 @@ def bm25_top_terms(df: DataFrame, k: int = 3, k1: float = 1.2,
     """
     from pyspark.sql import Window
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # r13 batch 6: same doc-level repartition as tfidf_top_terms — the
+    # (doc, term) aggregate feeding the checkpoint becomes
+    # exchange-free and the tokenize pass runs at full width
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     # tf fans out to FOUR consumers (the score join, dl, dfreq, and
     # the avgdl scalar subquery). AQE exchange reuse cannot collapse
     # them: the join infers isnotnull() constraints that land at
@@ -772,10 +806,14 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     one hash-aggregate keyed by doc — identical to text_stats; no
     window, no collect.
     """
-    tok = df.select(
+    # r13 batch 6 (guide §2.3): doc-level repartition — the per-doc
+    # aggregate reuses hash(id) and tokenize runs at full width
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(
         F.col(id_col),
         F.explode_outer(tokens(text_col)).alias("__tok__"),
-    )
+    ))
     agg = tok.groupBy(id_col).agg(
         F.count("__tok__").alias("n_words"),
         F.coalesce(F.sum(F.length("__tok__")), F.lit(0)).alias("sum_word_chars"),
@@ -920,10 +958,15 @@ def novel_bigram_stats(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    # r13 batch 6 (guide §2.3): doc-level repartition — the lead
+    # window and the per-(doc, bigram) count reuse hash(id); the one
+    # corpus exchange carries raw text (see shingle_pairs)
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
-    )
+    ))
     w = Window.partitionBy(id_col).orderBy("__pos__")
     # r13 (guide §2.4, the §A fan-out pattern): the bigram stream used
     # to feed THREE consumers (total count, doc-frequency aggregate,
@@ -1420,7 +1463,13 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 10,
     if not query_terms:
         raise ValueError("bm25_search: query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # r13 batch 6: doc-level repartition before tokenize (the
+    # bm25_top_terms move) — the dl and tf groupBys reuse hash(id)
+    # and the tokenize passes run at full width; AQE exchange reuse
+    # shares the one text shuffle between the two consumers
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .repartition(F.col(id_col))
+           .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     # full-corpus doc lengths (one integer aggregate) — BM25 needs dl
     # even for query-term scoring. r13 (guide §2.4, the bm25_top_terms
     # fan-out pattern): dl feeds both the avgdl scalar and the scoring

@@ -365,3 +365,19 @@ def test_shingle_window_rides_doc_repartition(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_ngram")
     assert "Exchange hashpartitioning(__pos__" not in plan
     assert "hashpartitioning(__id__#" in plan  # the doc repartition
+
+
+def test_doc_repartition_feeds_per_doc_aggregates(spark, sf_dir):
+    """r13 batch 6: the per-doc aggregate family (simhash votes,
+    repetition windows, tf tables, gopher counts) reads an id-keyed
+    repartition of the DOC rows, so the plan's only doc-keyed exchange
+    sits BELOW the explode (carrying text bytes at full scan width)
+    and the aggregate/window above it adds no token-level exchange."""
+    for name in ("simhash", "gopher_quality", "repetition_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "hashpartitioning(doc_id" in plan, name
+        # no exchange keyed on exploded token/position/gram columns —
+        # everything per-doc rides the doc-level repartition
+        for key in ("hashpartitioning(__pos__", "hashpartitioning(__tok__",
+                    "hashpartitioning(__g__"):
+            assert key not in plan, (name, key)
