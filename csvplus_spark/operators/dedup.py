@@ -72,7 +72,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = SHINGLE_K) -> DataFrame:
+                  k: int = SHINGLE_K, fan_out: bool = True) -> DataFrame:
     """Distinct (doc, shingle) pairs via posexplode + window lead.
 
     NB deliberately NOT the array-lambda form: referencing the token
@@ -94,10 +94,15 @@ def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # stage runs at full machine width instead of at the scan's
     # row-group count (1 at sf0.1, 5 at sf10 — the compressed corpus
     # parquet reads as a handful of splits however many cores exist).
-    tok = (df.select(F.col(id_col).alias("__id__"), F.col(text_col))
-           .repartition(F.col("__id__"))
-           .select("__id__",
-                   F.posexplode(tokens(text_col)).alias("__pos__", "__tok__")))
+    # ``fan_out=False`` skips it: the collapsed variants feed a reps
+    # JOIN whose output is already hash(id)-partitioned, and an
+    # explicit repartition there is a redundant second exchange
+    # (fuzzy_join_fast read 1.25-1.36x with it).
+    src = df.select(F.col(id_col).alias("__id__"), F.col(text_col))
+    if fan_out:
+        src = src.repartition(F.col("__id__"))
+    tok = src.select(
+        "__id__", F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"))
     w = Window.partitionBy("__id__").orderBy("__pos__")
     leads = [F.lead("__tok__", j).over(w) for j in range(1, k)]
     return (
@@ -599,8 +604,9 @@ def minhash_dedup_pairs_collapsed(
     ex = exact_dedup(df, text_col, id_col).cache()
     reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
     # ONE shingle table over reps, shared by band + verify + the
-    # membership check below
-    sp = shingle_pairs(reps, text_col, id_col)
+    # membership check below (fan_out=False: the reps join already
+    # partitioned by id — see shingle_pairs)
+    sp = shingle_pairs(reps, text_col, id_col, fan_out=False)
     rep_pairs = minhash_dedup_pairs(reps, threshold, num_hashes,
                                     rows_per_band, text_col, id_col,
                                     shingles=sp)
@@ -662,7 +668,7 @@ def ngram_jaccard_pairs_collapsed(
     driver query `dedup_ngram_fast` (same oracle as `dedup_ngram`)."""
     ex = exact_dedup(df, text_col, id_col).cache()  # see minhash variant
     reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
-    sp = shingle_pairs(reps, text_col, id_col)
+    sp = shingle_pairs(reps, text_col, id_col, fan_out=False)
     rep_pairs = ngram_jaccard_pairs(reps, threshold, text_col, id_col,
                                     shingles=sp)
     return _expand_rep_pairs(ex, rep_pairs, sp, id_col)
@@ -684,7 +690,7 @@ def ngram_containment_pairs_collapsed(
     like the raw cluster graph did; this is the scale path."""
     ex = exact_dedup(df, text_col, id_col).cache()
     reps = df.join(ex.filter(F.col("is_canonical")).select(id_col), id_col)
-    sp = shingle_pairs(reps, text_col, id_col)
+    sp = shingle_pairs(reps, text_col, id_col, fan_out=False)
     rep_pairs = ngram_containment_pairs(reps, threshold, text_col, id_col,
                                         shingles=sp)
     return _expand_rep_pairs(ex, rep_pairs, sp, id_col,
@@ -1901,7 +1907,7 @@ def snapshot_diff(current: DataFrame, previous: DataFrame,
 def minhash_join(left: DataFrame, right: DataFrame,
                  threshold: float = 0.6, num_hashes: int = 32,
                  rows_per_band: int = 2, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", fan_out: bool = True) -> DataFrame:
     """Fuzzy CROSS-TABLE join by MinHash-LSH: near-duplicate pairs
     (left_id, right_id, jaccard ≥ threshold) between two corpora —
     aligning a new crawl snapshot against the previous one without
@@ -1917,8 +1923,8 @@ def minhash_join(left: DataFrame, right: DataFrame,
     shuffle once on (band, sig); candidate volume is governed by true
     cross-corpus similarity, not |L|·|R|.
     """
-    exl = shingle_pairs(left, text_col, id_col).cache()
-    exr = shingle_pairs(right, text_col, id_col).cache()
+    exl = shingle_pairs(left, text_col, id_col, fan_out=fan_out).cache()
+    exr = shingle_pairs(right, text_col, id_col, fan_out=fan_out).cache()
     bl = minhash_bands(left, num_hashes, rows_per_band, text_col,
                        id_col, pairs=exl)
     br = minhash_bands(right, num_hashes, rows_per_band, text_col,
@@ -1983,8 +1989,10 @@ def minhash_join_collapsed(left: DataFrame, right: DataFrame,
                        id_col)
     reps_r = right.join(exr.filter(F.col("is_canonical")).select(id_col),
                         id_col)
+    # fan_out=False: the per-side reps joins already partition by id
     rep_pairs = minhash_join(reps_l, reps_r, threshold, num_hashes,
-                             rows_per_band, text_col, id_col)
+                             rows_per_band, text_col, id_col,
+                             fan_out=False)
     ml = exl.select(F.col("canonical_id").alias("__r__"),
                     F.col(id_col).alias("__m__"))
     mr = exr.select(F.col("canonical_id").alias("__r__"),
