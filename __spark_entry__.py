@@ -6634,29 +6634,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     # every-other-round anchors — in the window on ODD rounds
     # (r11, r13, ...), out on even rounds; all driver-green every time
-    # and plan-trivial (projection, point lookup, set ops). Round 13
-    # is odd, so they are IN and the rotation gets 20 slots.
-    odd_round_anchors = [
-        "select_project", "drop_columns", "index_find", "sub_index",
-        "take_while", "drop_while", "union_distinct", "intersect",
-        "except_all", "intersect_all",
+    # and plan-trivial (projection, point lookup, set ops). Round 14
+    # is EVEN, so they are OUT and the rotation gets 30 slots (the
+    # pytest suite + full local sweep still pin them every round, and
+    # tools/rotation_status.py fails the build if any goes red).
+    # odd_round_anchors = ["select_project", "drop_columns",
+    #     "index_find", "sub_index", "take_while", "drop_while",
+    #     "union_distinct", "intersect", "except_all", "intersect_all"]
+    #
+    # Round 14's 30 rotation slots (r13 verdict item 10): the
+    # never-verified backlog is still zero, so every slot refreshes
+    # the STALEST ever-green rows — the 30 queries whose newest
+    # driver-green round is oldest per
+    # tools/rotation_status.py::staleness(): the r07 cohort
+    # (explode_tokens … text_stats) and the full r08 cohort.
+    rotation_r14 = [
+        "explode_tokens", "incremental_dedup", "join_outer",
+        "multimodal_meta", "semantic_dedup", "sim_topk", "simhash",
+        "skew_report", "skew_salted_join", "text_stats",
+        "approx_distinct", "attribution", "bpe_counts",
+        "dedup_clusters_fast", "dedup_keep_best", "edit1_names",
+        "funnel", "fuzzy_join", "gopher_quality", "kcenter",
+        "kcore", "kmeans", "knn_label", "leakage_split",
+        "multimodal_jpeg", "pagerank", "pq_topk", "retention",
+        "scd2", "triangles",
     ]
-    # Round 13's 20 rotation slots (r12 verdict item 5): the
-    # never-verified backlog has been ZERO since r12, so every slot
-    # refreshes the STALEST ever-green rows — the 20 queries whose
-    # newest driver-green round is oldest, per
-    # tools/rotation_status.py::staleness() (simhash_pairs last
-    # verified r02; date_arith/pivot/range_join/tfidf r04; the
-    # dedup_* family r05-r07).
-    rotation_r13 = [
-        "simhash_pairs", "date_arith", "pivot", "range_join", "tfidf",
-        "dedup_clusters", "quantiles", "scalar_string_math",
-        "tpch_q3_shipping", "tpch_q5_volume",
-        "agg_distinct", "ann_recall", "asof_join", "cube_agg",
-        "dedup_embedding", "dedup_exact", "dedup_minhash",
-        "dedup_minhash_fast", "dedup_ngram", "dedup_ngram_fast",
-    ]
-    out = {k: q[k] for k in anchors + odd_round_anchors + rotation_r13}
+    out = {k: q[k] for k in anchors + rotation_r14}
     out.update((k, v) for k, v in q.items() if k not in out)
     return out
 

@@ -325,32 +325,55 @@ HEADLINE = [
 
 
 def format_bench_line(timings: dict[str, float], total: float,
-                      sf: float) -> str:
+                      sf: float, sticky: tuple[str, ...] = ()) -> str:
     """The driver-facing stdout line: warm-only, compact, and HARD
     capped under ~1.9 KB — the driver keeps only the last 2000 chars
     of stdout, and r6's oversized line parsed as null. If the query
     set outgrows the budget, the FASTEST entries are elided (the slow
-    tail is where regressions live) with an explicit omitted count."""
+    tail is where regressions live) with an explicit omitted count.
+
+    ``sticky`` (r14, r13 verdict item 5/8): names to PREFER KEEPING —
+    main() passes the PREVIOUS run's emitted set (recorded per history
+    row as ``stdout_queries``), so a query that straddles the elision
+    cutoff stays in the line across consecutive runs instead of
+    flickering in and out (the driver read 7 such flickers as phantom
+    "dropped_from_bench" in r13; all 7 had run and passed). Sticky
+    names get a bounded 1.5x retention boost in the elision order —
+    HYSTERESIS, not a hard keep: run-to-run noise (~1.1-1.3x on this
+    box) can no longer flip a borderline query out of the line, while
+    a genuinely regressed non-sticky query (≥1.5x into the slow tail)
+    still displaces sticky faster ones, so regressions stay visible.
+    Every elided query still ran, is counted in ``value``, and is
+    recorded with full precision in artifacts/BENCH_full.json and
+    BENCH_HISTORY.jsonl."""
     warm2 = {k: round(v, 2) for k, v in timings.items()}
-    line = json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": warm2,
-        "sf": sf,
-    }, separators=(",", ":"))
-    if len(line) > 1900:
-        keep = dict(sorted(warm2.items(), key=lambda kv: -kv[1]))
-        while len(line) > 1820 and keep:
-            keep.popitem()
-            line = json.dumps({
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": keep,
-                "queries_omitted": len(warm2) - len(keep),
-                "sf": sf,
-            }, separators=(",", ":"))
+    stick = set(sticky) & set(warm2)
+
+    def emit(names) -> str:
+        keep = {k: warm2[k]
+                for k in sorted(names, key=lambda k: (-warm2[k], k))}
+        payload: dict = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": keep,
+        }
+        if len(keep) < len(warm2):
+            payload["queries_omitted"] = len(warm2) - len(keep)
+        payload["sf"] = sf
+        return json.dumps(payload, separators=(",", ":"))
+
+    names = list(warm2)
+    line = emit(names)
+    if len(line) <= 1900:
+        return line
+    # drop order: fastest first, with a 1.5x retention boost for
+    # sticky names (hysteresis — see docstring)
+    order = sorted(names, key=lambda k: (
+        warm2[k] * (1.5 if k in stick else 1.0), k))
+    while len(line) > 1820 and order:
+        order.pop(0)
+        line = emit(order)
     return line
 
 
@@ -430,13 +453,30 @@ def main() -> None:
         "cpu_yardstick_sec": yardstick,
         "cpu_yardstick_mt_sec": yardstick_mt,
     }
+    # sticky set: the PREVIOUS run's emitted names, so the driver-
+    # visible line keeps a stable slow-tail across consecutive runs
+    # (see format_bench_line; r13 verdict item 5/8 — phantom drops)
+    prev_emitted: list[str] = []
+    hist_path = os.path.join(art_dir, "BENCH_HISTORY.jsonl")
+    try:
+        with open(hist_path) as f:
+            for raw in f:
+                raw = raw.strip()
+                if raw:
+                    prev_emitted = json.loads(raw).get(
+                        "stdout_queries") or prev_emitted
+    except Exception:
+        prev_emitted = []
+    line = format_bench_line(timings, total, sf, tuple(prev_emitted))
+    full["stdout_queries"] = sorted(json.loads(line)["queries"])
+
     with open(os.path.join(art_dir, "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1)
     # round-over-round history: one row per bench run, append-only
-    with open(os.path.join(art_dir, "BENCH_HISTORY.jsonl"), "a") as f:
+    with open(hist_path, "a") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
 
-    print(format_bench_line(timings, total, sf))
+    print(line)
     spark.stop()
 
 

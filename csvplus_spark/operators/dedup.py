@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scanprobe import keyed_fan_out
 from .text import fingerprint, hash60, tokens
 
 SHINGLE_K = 3
@@ -100,7 +101,7 @@ def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # (fuzzy_join_fast read 1.25-1.36x with it).
     src = df.select(F.col(id_col).alias("__id__"), F.col(text_col))
     if fan_out:
-        src = src.repartition(F.col("__id__"))
+        src = keyed_fan_out(src, "__id__")
     tok = src.select(
         "__id__", F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"))
     w = Window.partitionBy("__id__").orderBy("__pos__")
@@ -769,7 +770,7 @@ def semantic_dedup(
     # norm folds — the embeddings parquet reads as 1-2 row groups at
     # bench scales (see similarity.seed_voronoi_distances); the
     # n_cells count above stays on the un-fanned frame
-    v = v.repartition(F.col(id_col))
+    v = keyed_fan_out(v, id_col)
     members = None
     if collapse:
         # fingerprint = md5 of the exact double-array rendering (the
@@ -1275,6 +1276,14 @@ def _expand_collapsed_pairs(rp: DataFrame, members: DataFrame,
     """Expand rep-level near-pairs back to id pairs (the
     ``embedding_near_pairs`` exact-duplicate collapse, output side).
 
+    Precondition (r13 ADVICE): ``rp`` must be strictly id_1 < id_2
+    oriented at rep level and duplicate-free — both producing paths
+    enforce it today (the grid/LSH prefilters emit min/max-ordered
+    pairs through a distinct; the intra-group union contributes only
+    id_1 == id_2 self-pairs, one per group). A future path that emits
+    either orientation or repeats a rep pair would duplicate member
+    pairs here unguarded.
+
     ``rp`` holds (id_1, id_2, sim) over group REPRESENTATIVES —
     already threshold-filtered, so the expansion is a pure fan-out:
     cross-group pairs via two rep-keyed joins (least/greatest restores
@@ -1326,7 +1335,7 @@ def embedding_near_pairs(
     n_bits: int = 4,
     n_tables: int = 8,
     dim: int = 64,
-    collapse: bool = True,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim) with
     cosine ≥ threshold.
@@ -1355,35 +1364,48 @@ def embedding_near_pairs(
     With ``block_col`` set, pairs are restricted to equal user-provided
     blocks (equi-join on the block key).
 
-    ``collapse=True`` (default, r13) applies the exact-duplicate
-    collapse of :func:`semantic_dedup` / :func:`simhash_near_pairs` to
-    the ``grid`` and ``lsh`` paths: identical vectors share every grid
-    block comparison outcome and every LSH bucket (both depend only on
-    the vector values), and cosine is a pure function of the two
-    vectors — so the quadratic stages (BLAS prefilter, candidate
-    distinct, exact rescore) run over one min-id representative per
-    distinct vector, and the result is expanded back to id pairs
-    through the membership table (cross-group pairs via two rep-keyed
-    joins, intra-group pairs rescored ONCE per group with the same sim
-    expression). Output is byte-identical to the uncollapsed form at
-    any duplication factor, while candidate volume drops from
-    O((n·f)²) to O(n²) + output-sized expansion — at duplication
-    factor f the per-pair shuffle and fold work shrinks by f².
-    Zero-norm / NULL / partial-NULL vectors never collapse (their
-    pairwise sim is NULL in the plain path, so they must stay
-    singletons); ``grid_jvm`` stays uncollapsed as the independent
+    ``collapse`` (r13; r14 default ``None`` = auto) applies the
+    exact-duplicate collapse of :func:`semantic_dedup` /
+    :func:`simhash_near_pairs` to the ``grid`` and ``lsh`` paths:
+    identical vectors share every grid block comparison outcome and
+    every LSH bucket (both depend only on the vector values), and
+    cosine is a pure function of the two vectors — so the quadratic
+    stages (BLAS prefilter, candidate distinct, exact rescore) run
+    over one min-id representative per distinct vector, and the result
+    is expanded back to id pairs through the membership table
+    (cross-group pairs via two rep-keyed joins, intra-group pairs
+    rescored ONCE per group with the same sim expression). Output is
+    byte-identical to the uncollapsed form at any duplication factor,
+    while candidate volume drops from O((n·f)²) to O(n²) +
+    output-sized expansion — at duplication factor f the per-pair
+    shuffle and fold work shrinks by f². Non-FINITE-norm vectors (NULL
+    / NULL-element / zero-norm / NaN / Inf) never collapse: their
+    pairwise sim is NULL or NaN in the plain path's NumPy prefilter
+    and never links them, so they must stay singletons (r13 ADVICE —
+    Spark orders NaN above every double, so a bare ``sq > 0`` guard
+    admitted them). ``grid_jvm`` stays uncollapsed as the independent
     reference form the parity tests check the collapsed paths against.
+
+    ``collapse=None`` (auto, r14): the fingerprint/membership
+    machinery costs two checkpoints and a groupBy that are pure
+    overhead on a small duplicate-free input (the r13 driver bench
+    paid ~0.5-2 s per query at sf0.1), so auto collapses only when
+    the input probes big (or unprobeable — the scale-safe default;
+    see scanprobe). Either way the output is identical — pinned by
+    test_embedding_collapsed_identity.
     """
     from .similarity import cosine, hyperplane_bits, with_double_vec
 
     # r13 (guide §2.5): fan out before the per-vector hyperplane /
     # grid-cell folds — the embeddings parquet reads as 1-2 row groups
     # at bench scales, so the bit/cell computation otherwise runs on
-    # 1-2 cores (see similarity.seed_voronoi_distances)
-    v = with_double_vec(emb, vec_col).select(
-        F.col(id_col), F.col("__vec__"),
-        *([F.col(block_col)] if block_col else [])) \
-        .repartition(F.col(id_col))
+    # 1-2 cores (see similarity.seed_voronoi_distances). r14: gated by
+    # scanprobe — a tiny input keeps the scan's own partitioning.
+    v = keyed_fan_out(
+        with_double_vec(emb, vec_col).select(
+            F.col(id_col), F.col("__vec__"),
+            *([F.col(block_col)] if block_col else [])),
+        id_col)
 
     if block_col is not None or method == "allpairs":
         a, b = v.alias("a"), v.alias("b")
@@ -1405,12 +1427,29 @@ def embedding_near_pairs(
     # positive number (NULL vector, NULL element, zero norm) get a
     # unique per-id fingerprint so they stay singletons — their
     # pairwise sim is NULL in the plain path and never links them.
+    if collapse is None:
+        # auto (r14): collapse machinery only pays when the quadratic
+        # stages are expensive — probe the input's decoded size; an
+        # unprobeable input (checkpoint, remote) collapses, the
+        # scale-safe default
+        from .scanprobe import KEYED_FAN_OUT_MIN_BYTES, \
+            probe_uncompressed_bytes
+
+        nbytes = probe_uncompressed_bytes(emb)
+        collapse = nbytes is None or nbytes >= KEYED_FAN_OUT_MIN_BYTES
     collapsed = collapse and method in ("grid", "lsh")
     members = grp = None
     if collapsed:
         sq = F.aggregate(F.transform(F.col("__vec__"), lambda x: x * x),
                          F.lit(0.0), lambda acc, x: acc + x)
-        collapsible = F.coalesce(sq > 0.0, F.lit(False))
+        # finite positive norm only (r13 ADVICE): Spark orders NaN
+        # above every double, so ``sq > 0`` alone admits NaN/Inf
+        # vectors whose intra-group self-sim (NaN) would pass the
+        # Spark-side ``sim >= threshold`` filter while the uncollapsed
+        # NumPy prefilter drops those pairs — ``sq < inf`` is false
+        # for both NaN (ordered greatest) and Inf
+        collapsible = F.coalesce(
+            (sq > 0.0) & (sq < F.lit(float("inf"))), F.lit(False))
         fp = F.when(collapsible, F.md5(F.col("__vec__").cast("string"))) \
             .otherwise(F.concat(F.lit("z:"), F.col(id_col).cast("string")))
         vg = v.withColumn("__fp__", fp)
@@ -1531,8 +1570,12 @@ def embedding_near_pairs(
     if n_blocks is None:
         # size blocks for the Arrow matmul: ~1k vectors per block keeps
         # each cell one efficient BLAS call (1k×1k×8B = 8 MB scores)
-        # while bounding per-task memory; the count is one narrow job
-        n = emb.count()
+        # while bounding per-task memory; the count is one narrow job.
+        # Count the WORKING set (reps when collapsed — r13 ADVICE: the
+        # raw count sized the grid for n·f rows while only the reps
+        # enter the cells, inflating replication on duplicate-heavy
+        # corpora; n_blocks affects layout only, never the pair set)
+        n = v.count()
         n_blocks = max(4, min(1024, -(-n // 1024)))
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],

@@ -47,7 +47,13 @@ def _check_on_error(on_error: str) -> bool:
     not by exception type: codec imports happen at batch level,
     outside the per-blob try, so a broken executor install aborts the
     stage instead of quarantining every blob into a green-but-empty
-    job (r13 review)."""
+    job (r13 review).
+
+    r14 (guide §4.5, r13 verdict item 3): every decode fan-out runs
+    each Arrow batch through the SAME no-plumbing loop as raise mode
+    first, and only a batch that actually raises is re-decoded
+    row-at-a-time to isolate the bad blob — the happy path pays zero
+    quarantine tax."""
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error must be raise|quarantine, "
                          f"got {on_error!r}")
@@ -189,11 +195,31 @@ def decode_image_stub(real_codec: bool = False,
                       if jpegcodec.is_jpeg(blob) else 1)
             return wh[0], wh[1], orient
 
-        for pdf in batches:
+        def decode_batch(pdf) -> list:
+            """Whole batch, NO per-blob error plumbing — the shared
+            happy path of both modes (r14, guide §4.5: the quarantine
+            tax is paid only by a batch that actually fails)."""
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                blob = bytes(blob)
-                if quarantine:
+                w, h, o = decode_one(bytes(blob))
+                rows.append({"media_id": mid, "width": w, "height": h,
+                             "n_pixels": w * h, "orientation": o})
+            return rows
+
+        for pdf in batches:
+            if not quarantine:
+                yield pd.DataFrame(decode_batch(pdf), columns=cols)
+                continue
+            try:
+                rows = decode_batch(pdf)
+                for r in rows:
+                    r["error"] = None
+            except Exception:
+                # batch failed somewhere: re-decode row-at-a-time to
+                # isolate the bad blob(s) into error rows
+                rows = []
+                for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                    blob = bytes(blob)
                     try:
                         w, h, o = decode_one(blob)
                     except Exception as exc:
@@ -205,10 +231,6 @@ def decode_image_stub(real_codec: bool = False,
                     rows.append({"media_id": mid, "width": w, "height": h,
                                  "n_pixels": w * h, "orientation": o,
                                  "error": None})
-                else:
-                    w, h, o = decode_one(blob)
-                    rows.append({"media_id": mid, "width": w, "height": h,
-                                 "n_pixels": w * h, "orientation": o})
             yield pd.DataFrame(rows, columns=cols)
 
     return decode
@@ -314,23 +336,35 @@ def frame_sample_stub(n_frames: int = 3,
                              "frame_md5": hashlib.md5(h + bytes([i])).hexdigest()})
             return rows
 
-        for pdf in batches:
+        def decode_batch(pdf) -> list:
+            # shared happy path, no per-blob error plumbing (r14)
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                blob = bytes(blob)
-                if not quarantine:
-                    rows.extend(decode_one(mid, blob))
-                    continue
-                try:
-                    good = decode_one(mid, blob)
-                except Exception as exc:
-                    rows.append({"media_id": mid, "frame_no": -1,
-                                 "frame_md5": None,
-                                 "error": _quarantine_msg(exc)})
-                    continue
-                for r in good:
+                rows.extend(decode_one(mid, bytes(blob)))
+            return rows
+
+        for pdf in batches:
+            if not quarantine:
+                yield pd.DataFrame(decode_batch(pdf), columns=cols)
+                continue
+            try:
+                rows = decode_batch(pdf)
+                for r in rows:
                     r["error"] = None
-                rows.extend(good)
+            except Exception:
+                rows = []
+                for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                    blob = bytes(blob)
+                    try:
+                        good = decode_one(mid, blob)
+                    except Exception as exc:
+                        rows.append({"media_id": mid, "frame_no": -1,
+                                     "frame_md5": None,
+                                     "error": _quarantine_msg(exc)})
+                        continue
+                    for r in good:
+                        r["error"] = None
+                    rows.extend(good)
             yield pd.DataFrame(rows, columns=cols)
 
     return sample
@@ -386,11 +420,25 @@ def feature_extract_stub(dim: int = 8, real_model: bool = False,
                      "feature": (h60(f"{base}|{j}") % 10000) / 10000.0 - 0.5}
                     for j in range(dim)]
 
-        for pdf in batches:
+        def extract_batch(pdf) -> list:
+            # shared happy path, no per-blob error plumbing (r14)
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                blob = bytes(blob)
-                if quarantine:
+                rows.extend(extract_one(mid, bytes(blob)))
+            return rows
+
+        for pdf in batches:
+            if not quarantine:
+                yield pd.DataFrame(extract_batch(pdf), columns=cols)
+                continue
+            try:
+                rows = extract_batch(pdf)
+                for r in rows:
+                    r["error"] = None
+            except Exception:
+                rows = []
+                for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                    blob = bytes(blob)
                     try:
                         good = extract_one(mid, blob)
                     except Exception as exc:
@@ -401,8 +449,6 @@ def feature_extract_stub(dim: int = 8, real_model: bool = False,
                     for r in good:
                         r["error"] = None
                     rows.extend(good)
-                else:
-                    rows.extend(extract_one(mid, blob))
             yield pd.DataFrame(rows, columns=cols)
 
     return extract
@@ -565,11 +611,24 @@ def resize_stub(width: int = 64, height: int = 64,
                       "real_codec=False for plumbing tests")
             return done
 
+        def resize_batch(pdf) -> list:
+            # shared happy path, no per-blob error plumbing (r14)
+            return [{"media_id": mid, "data": resize_one(bytes(blob)),
+                     "width": width, "height": height}
+                    for mid, blob in zip(pdf["media_id"], pdf["data"])]
+
         for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                blob = bytes(blob)
-                if quarantine:
+            if not quarantine:
+                yield pd.DataFrame(resize_batch(pdf), columns=cols)
+                continue
+            try:
+                rows = resize_batch(pdf)
+                for r in rows:
+                    r["error"] = None
+            except Exception:
+                rows = []
+                for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                    blob = bytes(blob)
                     try:
                         done = resize_one(blob)
                     except Exception as exc:
@@ -580,10 +639,6 @@ def resize_stub(width: int = 64, height: int = 64,
                     rows.append({"media_id": mid, "data": done,
                                  "width": width, "height": height,
                                  "error": None})
-                else:
-                    rows.append({"media_id": mid,
-                                 "data": resize_one(blob),
-                                 "width": width, "height": height})
             yield pd.DataFrame(rows, columns=cols)
 
     return resize
@@ -716,11 +771,22 @@ def decode_audio_stub(real_codec: bool = False,
             return (rate, ch, n_frames,
                     n_frames * 1_000_000 // rate, peak, rms)
 
+        def decode_batch(pdf, tail: tuple) -> list:
+            # shared happy path, no per-blob error plumbing (r14);
+            # ``tail`` appends the all-NULL error cell in quarantine
+            return [(mid,) + decode_one(bytes(blob)) + tail
+                    for mid, blob in zip(pdf["media_id"], pdf["data"])]
+
         for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["data"]):
-                blob = bytes(blob)
-                if quarantine:
+            if not quarantine:
+                yield pd.DataFrame(decode_batch(pdf, ()), columns=cols)
+                continue
+            try:
+                rows = decode_batch(pdf, (None,))
+            except Exception:
+                rows = []
+                for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                    blob = bytes(blob)
                     try:
                         stats = decode_one(blob)
                     except Exception as exc:
@@ -728,8 +794,6 @@ def decode_audio_stub(real_codec: bool = False,
                                     + (_quarantine_msg(exc),))
                         continue
                     rows.append((mid,) + stats + (None,))
-                else:
-                    rows.append((mid,) + decode_one(blob))
             yield pd.DataFrame(rows, columns=cols)
 
     return decode

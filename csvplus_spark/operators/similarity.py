@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scanprobe import keyed_fan_out
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -82,8 +84,8 @@ def brute_force_topk(
     # scales, so the scoring stage otherwise runs on 1-2 cores (see
     # seed_voronoi_distances; the query side stays tiny and un-fanned)
     c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__")) \
-        .repartition(F.col("corpus_id"))
+        F.col(id_col).alias("corpus_id"), F.col("__vec__").alias("__cv__"))
+    c = keyed_fan_out(c, "corpus_id")
     cond = F.col("query_id") != F.col("corpus_id") if exclude_self else F.lit(True)
     scored = (
         c.join(F.broadcast(q), cond)
@@ -297,7 +299,7 @@ def seed_voronoi_distances(v: DataFrame, n_cells: int,
     # the narrow (id, vec) rows fans it out to full width (measured on
     # kmeans's identical fold: sf10 0.32x); the seeds collect above
     # stays on the un-fanned frame.
-    return (v.repartition(F.col(id_col)).crossJoin(packed)
+    return (keyed_fan_out(v, id_col).crossJoin(packed)
             .withColumn("__ds__", ds)
             .drop("__cents__"))
 
@@ -900,7 +902,7 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
     # assignment pass out to full parallelism; all downstream
     # exchanges are the tiny ≤k·d update aggregates either way.
     v = with_double_vec(df.select(id_col, vec_col), vec_col)
-    v = v.select(id_col, "__vec__").repartition(F.col(id_col))
+    v = keyed_fan_out(v.select(id_col, "__vec__"), id_col)
     seeds = v.orderBy(F.col(id_col)).limit(k)
     cent = seeds.select(F.col(id_col).alias("__cell__"),
                         F.col("__vec__").alias("__cent__"))
@@ -965,7 +967,7 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
     # r13 (guide §2.5): fan out before the per-iteration n·m·k folds
     # (see seed_voronoi_distances); the seed collect below stays on
     # the un-fanned frame
-    subs = v.repartition(F.col(id_col)).select(
+    subs = keyed_fan_out(v, id_col).select(
         id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
         .alias("sub", "__svec__"))
     # bounded k-row driver collect for the seed→cell numbering (same
@@ -1041,7 +1043,7 @@ def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 8,
         raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
     # r13 (guide §2.5): fan out before the n·m·k encode folds (see
     # seed_voronoi_distances — 1-2 row-group scans serialize them)
-    subs = v.repartition(F.col(id_col)).select(
+    subs = keyed_fan_out(v, id_col).select(
         id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
         .alias("sub", "__svec__"))
 
@@ -1310,7 +1312,7 @@ def kcenter_select(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     # row-group scan (see seed_voronoi_distances)
     v = (with_double_vec(df.select(id_col, vec_col))
          .select(F.col(id_col).alias("vid"), F.col("__vec__").alias("e"))
-         .repartition(F.col("vid"))
+         .transform(lambda d: keyed_fan_out(d, "vid"))
          .cache())
     c = (v.orderBy("vid").limit(1)
          .select(F.col("vid").alias("cid"), F.col("e").alias("ce")))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .scanprobe import doc_fan_out, keyed_fan_out
+
 # languages and their (tiny, deterministic) stopword lists for the
 # n-gram/stopword language-ID heuristic; alphabetical order is the
 # tie-break ordering
@@ -219,7 +221,7 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # (no exchange of token rows) and the per-token md5 work runs at
     # full machine width instead of the scan's row-group count
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("__tok__"),
@@ -261,7 +263,7 @@ def repetition_stats(df: DataFrame, n: int = 5, text_col: str = "text",
     # corpus exchange carries raw text instead of (id, pos, token)
     # rows, and tokenize runs at full width (see shingle_pairs)
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
@@ -618,7 +620,7 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     # instead of (doc, term) partial counts, and tokenize runs at full
     # machine width instead of the scan's row-group count.
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # r13 (verdict item 4): the trivially-true ``tf > 0`` filter blocks
@@ -672,7 +674,7 @@ def bm25_top_terms(df: DataFrame, k: int = 3, k1: float = 1.2,
     # (doc, term) aggregate feeding the checkpoint becomes
     # exchange-free and the tokenize pass runs at full width
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     # tf fans out to FOUR consumers (the score join, dl, dfreq, and
     # the avgdl scalar subquery). AQE exchange reuse cannot collapse
@@ -736,7 +738,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     # runs at full machine width instead of the scan's row-group
     # count (1 split at sf0.1, 5 at sf10).
     src = df.select(F.col(id_col), F.col(text_col)) \
-        .repartition(F.col(id_col))
+        .transform(doc_fan_out(id_col))
     tok = src.select(
         F.col(id_col),
         F.explode_outer(tokens(text_col)).alias("__tok__"),
@@ -809,7 +811,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     # r13 batch 6 (guide §2.3): doc-level repartition — the per-doc
     # aggregate reuses hash(id) and tokenize runs at full width
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(
         F.col(id_col),
         F.explode_outer(tokens(text_col)).alias("__tok__"),
@@ -840,9 +842,78 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def _collapse_by_raw_text(df: DataFrame, text_col: str, id_col: str,
+                          collapse: bool | None):
+    """Group EXACT-duplicate documents (md5 of the RAW text — byte
+    equality, so line splits and token streams are identical within a
+    group) to their min-id representative (r14, r13 verdict item 5 /
+    guide §8 "decide with small rows").
+
+    Returns ``(grp, members)`` — ``grp`` = one row per distinct text
+    ``(__tfp__, __rep__, text, __g__)`` with ``__g__`` the group size,
+    ``members`` = ``(id, __rep__)`` for every input doc — or
+    ``(None, None)`` when collapsing is off. ``collapse=None`` (auto)
+    probes the input's decoded size (see scanprobe): the fingerprint
+    aggregate + membership join are pure overhead on a small
+    duplicate-free corpus, and the f× shrink of every span/line
+    aggregate is the whole win on a duplicated one. NULL texts get a
+    sentinel fingerprint (md5 of NULL is NULL, and NULL join keys
+    would drop those docs from the expansion) — all NULL texts share
+    one group, which is exact: they all produce zero lines/tokens."""
+    if collapse is None:
+        from .scanprobe import (KEYED_FAN_OUT_MIN_BYTES,
+                                probe_uncompressed_bytes)
+
+        nbytes = probe_uncompressed_bytes(df)
+        collapse = nbytes is None or nbytes >= KEYED_FAN_OUT_MIN_BYTES
+    if not collapse:
+        return None, None
+    fpt = df.select(
+        F.col(id_col), F.col(text_col),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__null__"))
+        .alias("__tfp__"))
+    grp = fpt.groupBy("__tfp__").agg(
+        F.min(id_col).alias("__rep__"),
+        F.min_by(text_col, F.col(id_col)).alias(text_col),
+        F.count(F.lit(1)).alias("__g__"),
+    ).localCheckpoint(eager=False)
+    members = (fpt.select(F.col(id_col), "__tfp__")
+               .join(grp.select("__tfp__", "__rep__"), "__tfp__")
+               .select(F.col(id_col), "__rep__")
+               .localCheckpoint(eager=False))
+    return grp, members
+
+
+def _span_table(src: DataFrame, k: int, text_col: str,
+                id_col: str) -> DataFrame:
+    """(doc_id, pos, span) — every k-token window of every doc (the
+    shared explode+lead-window stage of repeated_spans, unchanged
+    shape; src's id column is aliased to doc_id)."""
+    from pyspark.sql import Window
+
+    tok = src.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__pos__")
+    leads = [F.lead("__tok__", j).over(w) for j in range(1, k)]
+    last = leads[-1] if leads else F.col("__tok__")
+    return (
+        tok.select(
+            "doc_id",
+            F.col("__pos__").cast("long").alias("pos"),
+            F.concat_ws(" ", F.col("__tok__"), *leads).alias("span"),
+            last.alias("__last__"),
+        )
+        .filter(F.col("__last__").isNotNull())
+        .drop("__last__")
+    )
+
+
 def repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   collapse: bool | None = None) -> DataFrame:
     """Cross-document repeated k-token spans with positions — the
     detection half of exact-substring dedup (Lee et al. 2021's
     ExactSubstr at token-window granularity): every k-token window
@@ -858,39 +929,51 @@ def repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
     (uniform; a span seen in d docs contributes d rows, never d²),
     and one equi-join back. The doc-frequency aggregate is map-side
     combined; no driver state, no all-pairs anywhere.
-    """
-    from pyspark.sql import Window
 
+    ``collapse`` (r14, auto by scanprobe size — r13 verdict item 5):
+    EXACT-duplicate raw texts share identical token streams, so every
+    stage up to the final expansion runs once per DISTINCT text: the
+    span table is built over min-id reps, the doc-frequency aggregate
+    sums group sizes over distinct (rep, span) pairs (Σ|g| ==
+    count_distinct(doc) because members of a group all contain exactly
+    its rep's spans), and rep rows fan back out to members through the
+    membership table — output identical at any duplication factor f,
+    while the window/aggregate/join work shrinks f×
+    (test_repeated_spans_collapsed_identity pins it).
+    """
     if k < 1:
         raise ValueError(f"repeated_spans: k must be >= 1, got {k}")
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("__pos__")
-    leads = [F.lead("__tok__", j).over(w) for j in range(1, k)]
-    last = leads[-1] if leads else F.col("__tok__")
-    spans = (
-        tok.select(
-            "doc_id",
-            F.col("__pos__").cast("long").alias("pos"),
-            F.concat_ws(" ", F.col("__tok__"), *leads).alias("span"),
-            last.alias("__last__"),
+    grp, members = _collapse_by_raw_text(df, text_col, id_col, collapse)
+    if grp is None:
+        spans = _span_table(df, k, text_col, id_col)
+        freq = (
+            spans.groupBy("span")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
         )
-        .filter(F.col("__last__").isNotNull())
-        .drop("__last__")
-    )
+        return spans.join(freq, "span") \
+            .select("doc_id", "pos", "span", "n_docs")
+    rep_spans = _span_table(
+        grp.select(F.col("__rep__").alias(id_col), F.col(text_col)),
+        k, text_col, id_col)
     freq = (
-        spans.groupBy("span")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        rep_spans.select("span", "doc_id").distinct()
+        .join(grp.select(F.col("__rep__").alias("doc_id"), "__g__"),
+              "doc_id")
+        .groupBy("span").agg(F.sum("__g__").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
-    return spans.join(freq, "span").select("doc_id", "pos", "span", "n_docs")
+    return (rep_spans.join(freq, "span")
+            .withColumnRenamed("doc_id", "__rep__")
+            .join(members, "__rep__")
+            .select(F.col(id_col).alias("doc_id"), "pos", "span",
+                    "n_docs"))
 
 
 def remove_repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          collapse: bool | None = None) -> DataFrame:
     """Exact-substring dedup, removal step: cut every token covered by
     a cross-document repeated k-token span (see :func:`repeated_spans`)
     and reassemble the survivors in order — Lee et al. 2021's
@@ -908,37 +991,71 @@ def remove_repeated_spans(df: DataFrame, k: int = 5, min_docs: int = 2,
     with an array_sort(collect_list(struct)) — per-doc lists are
     token-bounded, and the doc key is high-cardinality so the
     aggregate parallelizes.
-    """
-    spans = repeated_spans(df, k=k, min_docs=min_docs,
-                           text_col=text_col, id_col=id_col)
-    covered = (
-        spans.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"),
-                                 F.col("pos") + F.lit(k - 1))).alias("pos"),
-        ).distinct()
-    )
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
-    ).withColumn("pos", F.col("pos").cast("long"))
-    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = (
-        kept.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("a"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.transform("a", lambda s: s["tok"]))
-            .alias("cleaned_text"),
+
+    ``collapse`` (r14, auto by scanprobe size — r13 verdict item 5):
+    EXACT-duplicate raw texts yield the identical cleaned_text, so the
+    whole rewrite (span table, coverage explode, anti-join, rebuild)
+    runs once per DISTINCT text and fans the per-rep result out to
+    members at the end — the span qualification still counts TRUE
+    docs (group-size-weighted, see repeated_spans). Output identical
+    at any duplication factor
+    (test_remove_spans_collapsed_identity)."""
+
+    def _cleaned(docs: DataFrame, qspans: DataFrame) -> DataFrame:
+        """(doc_id, cleaned_text) for every doc in ``docs``, cutting
+        every position covered by a qualifying span."""
+        covered = (
+            qspans.select(
+                "doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + F.lit(k - 1)))
+                .alias("pos"),
+            ).distinct()
         )
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        ).withColumn("pos", F.col("pos").cast("long"))
+        kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+        rebuilt = (
+            kept.groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))).alias("a"))
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.transform("a", lambda s: s["tok"]))
+                .alias("cleaned_text"),
+            )
+        )
+        # every input doc appears, even when fully covered/token-free
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text"))
+        )
+
+    grp, members = _collapse_by_raw_text(df, text_col, id_col, collapse)
+    if grp is None:
+        spans = repeated_spans(df, k=k, min_docs=min_docs,
+                               text_col=text_col, id_col=id_col,
+                               collapse=False)
+        return _cleaned(df, spans)
+    reps = grp.select(F.col("__rep__").alias(id_col), F.col(text_col))
+    rep_spans = _span_table(reps, k, text_col, id_col)
+    freq = (
+        rep_spans.select("span", "doc_id").distinct()
+        .join(grp.select(F.col("__rep__").alias("doc_id"), "__g__"),
+              "doc_id")
+        .groupBy("span").agg(F.sum("__g__").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
     )
-    # every input doc appears, even when fully covered or token-free
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(rebuilt, "doc_id", "left")
-        .select("doc_id",
-                F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"))
-    )
+    rep_clean = _cleaned(reps, rep_spans.join(freq.select("span"), "span"))
+    return (members
+            .join(rep_clean.withColumnRenamed("doc_id", "__rep__"),
+                  "__rep__")
+            .select(F.col(id_col).alias("doc_id"), "cleaned_text"))
 
 
 def novel_bigram_stats(df: DataFrame, text_col: str = "text",
@@ -962,7 +1079,7 @@ def novel_bigram_stats(df: DataFrame, text_col: str = "text",
     # window and the per-(doc, bigram) count reuse hash(id); the one
     # corpus exchange carries raw text (see shingle_pairs)
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("__pos__", "__tok__"),
@@ -1086,7 +1203,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     # exploded (id, pos, term) rows (~4x wider); the window keeps only
     # its per-partition sort.
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col),
                    F.posexplode_outer(tokens(text_col))
                    .alias("pos", "term")))
@@ -1206,7 +1323,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     # it to vocab-sized rows before its exchange — repartitioning that
     # pass would ADD a corpus exchange for nothing).
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col),
                    F.posexplode_outer(tokens(text_col))
                    .alias("pos", "term")))
@@ -1362,7 +1479,7 @@ def dsir_logweights(df: DataFrame, target: Column,
     # keeps only its per-partition sort.
     tok = (df.select(F.col(id_col), target.alias("__tgt__"),
                      F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col), "__tgt__",
                    F.posexplode_outer(tokens(text_col))
                    .alias("pos", "term")))
@@ -1468,7 +1585,7 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 10,
     # and the tokenize passes run at full width; AQE exchange reuse
     # shares the one text shuffle between the two consumers
     tok = (df.select(F.col(id_col), F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     # full-corpus doc lengths (one integer aggregate) — BM25 needs dl
     # even for query-term scoring. r13 (guide §2.4, the bm25_top_terms
@@ -1552,7 +1669,7 @@ def hashed_linear_scorer(df: DataFrame, label: Column,
     # plan's only remaining data-sized one.)
     tok = (df.select(F.col(id_col), label.cast("int").alias("__y__"),
                      F.col(text_col))
-           .repartition(F.col(id_col))
+           .transform(doc_fan_out(id_col))
            .select(F.col(id_col), "__y__",
                    F.posexplode_outer(tokens(text_col))
                    .alias("pos", "term")))

@@ -303,3 +303,34 @@ def test_rotated_out_queries_stay_green_in_local_sweep():
         "no committed local sweep artifact found"
     bad = rotation_status.rotated_out_regressions()
     assert bad == [], f"previously driver-green queries now red: {bad}"
+
+
+def test_bench_line_sticky_hysteresis():
+    """r14 (r13 verdict item 5/8): the driver-visible line's elision
+    cutoff must not flicker with run-to-run noise — every name emitted
+    on the previous run stays emitted under ±10% jitter (no phantom
+    "dropped_from_bench") — while a genuinely regressed non-sticky
+    query still displaces sticky faster ones."""
+    import json
+    import random
+
+    from bench import format_bench_line
+
+    t = {f"dedup_query_family_{i:03d}": 0.5 + (i % 90) * 0.02
+         for i in range(170)}
+    line1 = format_bench_line(t, 123.4, 0.1)
+    assert len(line1) <= 1900
+    kept1 = set(json.loads(line1)["queries"])
+    assert json.loads(line1).get("queries_omitted") == 170 - len(kept1)
+
+    random.seed(7)
+    jittered = {k: v * random.uniform(0.9, 1.1) for k, v in t.items()}
+    line2 = format_bench_line(jittered, 123.4, 0.1, tuple(kept1))
+    kept2 = set(json.loads(line2)["queries"])
+    assert kept1 - kept2 == set(), "sticky names flickered out"
+
+    regressed = dict(jittered)
+    regressed["dedup_query_family_000"] = 3.0  # was among the fastest
+    line3 = format_bench_line(regressed, 123.4, 0.1, tuple(kept1))
+    assert "dedup_query_family_000" in json.loads(line3)["queries"], \
+        "regressed query hidden by the sticky set"

@@ -227,11 +227,18 @@ def test_embedding_lsh_is_exact_subset(spark, sf_dir):
 
 
 def test_embedding_collapsed_identity(spark, sf_dir):
-    """embedding_near_pairs collapse=True (r13 default) == collapse=False
-    on a corpus with injected exact-duplicate vectors, for BOTH the grid
-    and lsh paths — pair set AND bit-exact sims, including the
-    intra-group (identical-vector) pairs; a zero-vector twin pair must
-    stay absent from both outputs (NULL cosine never links)."""
+    """embedding_near_pairs collapse=True == collapse=False on a corpus
+    with injected exact-duplicate vectors, for BOTH the grid and lsh
+    paths — pair set AND bit-exact sims, including the intra-group
+    (identical-vector) pairs; a zero-vector twin pair must stay absent
+    from both outputs (NULL cosine never links), and so must NaN/Inf
+    twin pairs (r13 ADVICE: Spark orders NaN above every double, so an
+    unguarded collapse admitted non-finite vectors whose self-sim NaN
+    passes Spark's ``sim >= threshold`` while the plain path's NumPy
+    prefilter drops it). collapse is passed EXPLICITLY both ways: the
+    r14 default is the scanprobe auto gate, which at test SF resolves
+    to False — the identity being pinned is the collapsed machinery
+    itself."""
     from csvplus_spark.operators.dedup import embedding_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").df \
@@ -241,7 +248,9 @@ def test_embedding_collapsed_identity(spark, sf_dir):
     copies2 = emb.limit(7).select(
         (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
     zeros = spark.createDataFrame(
-        [(9_000_001, [0.0] * 64), (9_000_002, [0.0] * 64)],
+        [(9_000_001, [0.0] * 64), (9_000_002, [0.0] * 64),
+         (9_000_003, [float("nan")] * 64), (9_000_004, [float("nan")] * 64),
+         (9_000_005, [float("inf")] * 64), (9_000_006, [float("inf")] * 64)],
         "vec_id long, embedding array<float>")
     corpus = emb.unionByName(copies).unionByName(copies2).unionByName(zeros)
     for m in ("grid", "lsh"):
@@ -249,11 +258,14 @@ def test_embedding_collapsed_identity(spark, sf_dir):
                  for r in embedding_near_pairs(
                      corpus, 0.4, method=m, collapse=False).collect()}
         fast = {(r["id_1"], r["id_2"], r["sim"])
-                for r in embedding_near_pairs(corpus, 0.4, method=m).collect()}
+                for r in embedding_near_pairs(
+                    corpus, 0.4, method=m, collapse=True).collect()}
         assert fast == plain, m
         # the injected copies alone form intra-group pairs
         assert any(i + 1_000_000 == j for i, j, _ in plain), m
-        assert not any(i == 9_000_001 for i, j, _ in plain), m
+        # zero/NaN/Inf twins never link, in either path
+        assert not any(i >= 9_000_001 or j >= 9_000_001
+                       for i, j, _ in plain), m
 
 
 @pytest.mark.parametrize("n_bits", [32, 60])
@@ -835,6 +847,42 @@ def test_incremental_dedup_across_snapshots(spark):
            for r in incremental_dedup(new, old).collect()}
     # 10 dropped entirely (already seen); 11 canonical over 12
     assert got == {11: (11, True), 12: (11, False), 13: (13, True)}
+
+
+def test_repeated_spans_collapsed_identity(spark, sf_dir):
+    """r14 (r13 verdict item 5): repeated_spans / remove_repeated_spans
+    with the exact-duplicate text collapse must be byte-identical to
+    the plain path on a corpus with injected exact duplicates — the
+    weighted (Σ group-size over distinct reps) doc frequency equals
+    count_distinct(doc) because md5-equal raw texts share the exact
+    token stream. NULL/empty texts ride the sentinel fingerprint and
+    must appear in remove's every-doc output either way."""
+    from csvplus_spark.operators.text import (remove_repeated_spans,
+                                              repeated_spans)
+
+    docs = load_table(spark, sf_dir, "documents").df \
+        .select("doc_id", "text").limit(80)
+    copies = docs.limit(25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    oddballs = spark.createDataFrame(
+        [(9_000_001, None), (9_000_002, None), (9_000_003, "")],
+        "doc_id long, text string")
+    corpus = docs.unionByName(copies).unionByName(oddballs)
+
+    plain = {tuple(r) for r in repeated_spans(
+        corpus, k=3, min_docs=2, collapse=False).collect()}
+    fast = {tuple(r) for r in repeated_spans(
+        corpus, k=3, min_docs=2, collapse=True).collect()}
+    assert fast == plain
+    assert plain, "expected repeated spans from the injected duplicates"
+
+    plain_rm = {tuple(r) for r in remove_repeated_spans(
+        corpus, k=3, min_docs=2, collapse=False).collect()}
+    fast_rm = {tuple(r) for r in remove_repeated_spans(
+        corpus, k=3, min_docs=2, collapse=True).collect()}
+    assert fast_rm == plain_rm
+    assert len(plain_rm) == 80 + 25 + 3  # every input doc, both paths
+    assert (9_000_001, "") in plain_rm
 
 
 def test_dup_clusters_collapsed_identity(spark, sf_dir):

@@ -339,40 +339,48 @@ def test_bm25_single_explode_via_checkpoint(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
-def test_text_stats_single_doc_exchange(spark, sf_dir):
+def test_text_stats_single_doc_exchange(spark, sf_dir, monkeypatch):
     """r13 batch 5: both text_stats subtrees (per-doc token aggregate
     and the base projection) read ONE id-keyed repartition of the doc
     rows, so the per-doc groupBy and the base⋈agg join are satisfied
     by hash(id) and add no exchange of exploded token rows. Pin it:
     every Exchange in the plan is the doc-level hashpartitioning on
     the id column (plus broadcast builds) — no token-level or
-    aggregate-keyed exchange appears."""
+    aggregate-keyed exchange appears. r14: the repartition is gated by
+    scanprobe (it only fires on big, narrow scans), so the AT-SCALE
+    shape is pinned with the force override."""
     import re
 
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT", "always")
     plan = _plan(spark, sf_dir, "text_stats")
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
     assert shuffles, "expected the doc-level repartition exchange"
     assert all(s.startswith("doc_id") for s in shuffles), shuffles
 
 
-def test_shingle_window_rides_doc_repartition(spark, sf_dir):
+def test_shingle_window_rides_doc_repartition(spark, sf_dir, monkeypatch):
     """r13 batch 5: shingle_pairs repartitions DOC rows by id before
     tokenizing (guide §2.3) — the per-doc lead window and the
     (id, shingle) distinct then reuse hash(id), so no exchange of
     exploded (id, pos, token) rows exists anywhere in the plan. Pin
     on dedup_ngram: every hashpartitioning exchange keys on the doc
-    id or on shingle-join keys, never on (id, pos)."""
+    id or on shingle-join keys, never on (id, pos). r14: forced mode
+    pins the at-scale shape (see test_text_stats_single_doc_exchange)."""
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT", "always")
     plan = _plan(spark, sf_dir, "dedup_ngram")
     assert "Exchange hashpartitioning(__pos__" not in plan
     assert "hashpartitioning(__id__#" in plan  # the doc repartition
 
 
-def test_doc_repartition_feeds_per_doc_aggregates(spark, sf_dir):
+def test_doc_repartition_feeds_per_doc_aggregates(spark, sf_dir,
+                                                  monkeypatch):
     """r13 batch 6: the per-doc aggregate family (simhash votes,
     repetition windows, tf tables, gopher counts) reads an id-keyed
     repartition of the DOC rows, so the plan's only doc-keyed exchange
     sits BELOW the explode (carrying text bytes at full scan width)
-    and the aggregate/window above it adds no token-level exchange."""
+    and the aggregate/window above it adds no token-level exchange.
+    r14: forced mode pins the at-scale shape."""
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT", "always")
     for name in ("simhash", "gopher_quality", "repetition_stats"):
         plan = _plan(spark, sf_dir, name)
         assert "hashpartitioning(doc_id" in plan, name
@@ -381,3 +389,36 @@ def test_doc_repartition_feeds_per_doc_aggregates(spark, sf_dir):
         for key in ("hashpartitioning(__pos__", "hashpartitioning(__tok__",
                     "hashpartitioning(__g__"):
             assert key not in plan, (name, key)
+
+
+def test_keyed_fan_out_gate(spark, sf_dir, monkeypatch):
+    """r14 (r13 verdict item 1): the doc/id repartitions fire ONLY
+    when the scan is both big (decoded bytes ≥ the floor) and narrower
+    than the machine. At test SF the input decodes to well under the
+    floor, so auto mode must SKIP the exchange (the r12 shape); with
+    the floor lowered to 0 the same probe must FIRE it (the r13/sf10
+    shape); 'never' pins the skip regardless."""
+    from csvplus_spark.operators.scanprobe import scan_fan_out_wanted
+    from csvplus_spark.operators.text import text_stats
+
+    docs = em.load_table(spark, sf_dir, "documents").df
+
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT", "auto")
+    assert not scan_fan_out_wanted(docs)  # tiny input: skip
+    plan_auto = text_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "REPARTITION_BY_COL" not in plan_auto
+
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT_MIN_BYTES", "0")
+    assert scan_fan_out_wanted(docs)  # floor at 0: the sf10 branch
+    plan_big = text_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "REPARTITION_BY_COL" in plan_big
+
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT", "never")
+    assert not scan_fan_out_wanted(docs)
+
+    # derived/checkpointed frames (no input files) never re-fan
+    monkeypatch.setenv("CSVPLUS_KEYED_FANOUT", "auto")
+    ck = docs.localCheckpoint(eager=False)
+    assert not scan_fan_out_wanted(ck)
