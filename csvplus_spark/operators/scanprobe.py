@@ -59,8 +59,20 @@ from pyspark.sql import Column, DataFrame
 #: sf10 to 181 MB (fan out), sf10 embeddings to 58 MB (fan out).
 KEYED_FAN_OUT_MIN_BYTES = 32 * 1024 * 1024
 
+#: lower floor for the interpreted vector-fold assignment stages
+#: (seed_voronoi_distances / kmeans_assign / pq encode+codebooks):
+#: their per-byte compute is ~2 orders of magnitude above tokenize
+#: (n·k·d interpreted d² folds per scan byte), so the fan-out already
+#: pays at sub-MB inputs — the r14 adjacent-pair A/B read ivf 1.18× /
+#: ivf2 1.16× / pq_topk 1.16× / kmeans 1.27× SLOWER with the fan-out
+#: gated off at sf0.1's 0.8 MB embeddings, mirroring r13 §H's local
+#: 0.84-0.90× wins. 512 KB keeps the sf0.01/sf0.001 oracle corpora
+#: (0.2 MB) on the plain scan.
+VECTOR_FAN_OUT_MIN_BYTES = 512 * 1024
+
 _MODE_ENV = "CSVPLUS_KEYED_FANOUT"
 _MIN_BYTES_ENV = "CSVPLUS_KEYED_FANOUT_MIN_BYTES"
+_VEC_MIN_BYTES_ENV = "CSVPLUS_VECTOR_FANOUT_MIN_BYTES"
 
 #: footer metadata memo keyed on (path, size, mtime_ns) — METADATA
 #: caching only (never query results); invalidated by any rewrite
@@ -108,10 +120,13 @@ def probe_uncompressed_bytes(df: DataFrame) -> int | None:
     return total
 
 
-def scan_fan_out_wanted(df: DataFrame) -> bool:
+def scan_fan_out_wanted(df: DataFrame,
+                        min_bytes: int | None = None) -> bool:
     """True when an explicit keyed repartition ahead of this frame's
     first compute stage would buy parallelism the scan cannot deliver
-    (see module docstring for the decision table)."""
+    (see module docstring for the decision table). ``min_bytes``
+    overrides the decoded-size floor — vector-fold call sites pass
+    ``vector_min_bytes()``."""
     mode = os.environ.get(_MODE_ENV, "auto")
     if mode == "always":
         return True
@@ -126,8 +141,9 @@ def scan_fan_out_wanted(df: DataFrame) -> bool:
         return False  # derived/checkpointed: partitioned upstream
     if len(files) >= width:
         return False  # the scan already feeds every core
-    min_bytes = int(os.environ.get(_MIN_BYTES_ENV,
-                                   KEYED_FAN_OUT_MIN_BYTES))
+    if min_bytes is None:
+        min_bytes = int(os.environ.get(_MIN_BYTES_ENV,
+                                       KEYED_FAN_OUT_MIN_BYTES))
     row_groups = 0
     uncompressed = 0
     for f in files:
@@ -146,10 +162,18 @@ def scan_fan_out_wanted(df: DataFrame) -> bool:
     return uncompressed >= min_bytes
 
 
-def keyed_fan_out(df: DataFrame, *cols: Column | str) -> DataFrame:
+def vector_min_bytes() -> int:
+    """The vector-fold floor (env-tunable)."""
+    return int(os.environ.get(_VEC_MIN_BYTES_ENV,
+                              VECTOR_FAN_OUT_MIN_BYTES))
+
+
+def keyed_fan_out(df: DataFrame, *cols: Column | str,
+                  min_bytes: int | None = None) -> DataFrame:
     """``df.repartition(*cols)`` when the probe says the scan is both
     big and narrower than the machine; ``df`` unchanged otherwise."""
-    return df.repartition(*cols) if scan_fan_out_wanted(df) else df
+    return df.repartition(*cols) \
+        if scan_fan_out_wanted(df, min_bytes) else df
 
 
 def doc_fan_out(*cols: Column | str):

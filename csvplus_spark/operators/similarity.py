@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .scanprobe import keyed_fan_out
+from .scanprobe import keyed_fan_out, vector_min_bytes
 
 
 def _dot(a, b) -> F.Column:
@@ -299,7 +299,8 @@ def seed_voronoi_distances(v: DataFrame, n_cells: int,
     # the narrow (id, vec) rows fans it out to full width (measured on
     # kmeans's identical fold: sf10 0.32x); the seeds collect above
     # stays on the un-fanned frame.
-    return (keyed_fan_out(v, id_col).crossJoin(packed)
+    return (keyed_fan_out(v, id_col, min_bytes=vector_min_bytes())
+            .crossJoin(packed)
             .withColumn("__ds__", ds)
             .drop("__cents__"))
 
@@ -902,7 +903,8 @@ def kmeans_assign(df: DataFrame, k: int, iters: int = 2,
     # assignment pass out to full parallelism; all downstream
     # exchanges are the tiny ≤k·d update aggregates either way.
     v = with_double_vec(df.select(id_col, vec_col), vec_col)
-    v = keyed_fan_out(v.select(id_col, "__vec__"), id_col)
+    v = keyed_fan_out(v.select(id_col, "__vec__"), id_col,
+                      min_bytes=vector_min_bytes())
     seeds = v.orderBy(F.col(id_col)).limit(k)
     cent = seeds.select(F.col(id_col).alias("__cell__"),
                         F.col("__vec__").alias("__cent__"))
@@ -967,7 +969,8 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 0,
     # r13 (guide §2.5): fan out before the per-iteration n·m·k folds
     # (see seed_voronoi_distances); the seed collect below stays on
     # the un-fanned frame
-    subs = keyed_fan_out(v, id_col).select(
+    subs = keyed_fan_out(v, id_col,
+                         min_bytes=vector_min_bytes()).select(
         id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
         .alias("sub", "__svec__"))
     # bounded k-row driver collect for the seed→cell numbering (same
@@ -1043,7 +1046,8 @@ def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 8,
         raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
     # r13 (guide §2.5): fan out before the n·m·k encode folds (see
     # seed_voronoi_distances — 1-2 row-group scans serialize them)
-    subs = keyed_fan_out(v, id_col).select(
+    subs = keyed_fan_out(v, id_col,
+                         min_bytes=vector_min_bytes()).select(
         id_col, F.posexplode(_subvectors(F.col("__vec__"), m, dim))
         .alias("sub", "__svec__"))
 
